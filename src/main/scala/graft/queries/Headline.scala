@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.Frame
+import graft.sources.Tables
+
+/** Headline analytical queries (TPC-H-shaped) used for BENCH. Plans are
+  * tuned for scale: filters sit directly on scans (pushed into parquet),
+  * small dimensions are broadcast, aggregates are partial (map-side
+  * combine), and every join is an equi-join Catalyst can reorder.
+  */
+object Headline {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def cents(c: Column): Column = round(c * 100).cast(LongType)
+
+  def all: Seq[Q] = Seq(
+
+    // TPC-H Q1: pricing summary — single scan + hash aggregate
+    Q("q1_pricing_summary",
+      (s, dir) => Frame(t(s, dir, "lineitem"))
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupAgg(Seq("l_returnflag", "l_linestatus"),
+          "sum_qty" -> sum(col("l_quantity").cast(LongType)),
+          "sum_base_c" -> sum(cents(col("l_extendedprice"))),
+          "sum_disc_c" -> sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))),
+          "sum_charge_c" -> sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))),
+          "avg_qty_m" -> round(avg("l_quantity") * 1000).cast(LongType),
+          "avg_disc_m" -> round(avg("l_discount") * 1000).cast(LongType),
+          "cnt" -> count(lit(1)))
+        .df.orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             | SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+             | SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_base_c,
+             | SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS sum_disc_c,
+             | SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT)) AS sum_charge_c,
+             | CAST(ROUND(AVG(l_quantity)*1000) AS BIGINT) AS avg_qty_m,
+             | CAST(ROUND(AVG(l_discount)*1000) AS BIGINT) AS avg_disc_m,
+             | COUNT(*) AS cnt
+             |FROM lineitem WHERE l_shipdate <= '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+      bench = true),
+
+    // TPC-H Q3-shaped: shipping priority — 3-way join, filters pushed to
+    // each scan, top-10 via TakeOrderedAndProject (no full sort)
+    Q("q3_shipping_priority",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") < lit("1995-03-15"))
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+        val l = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") > lit("1995-03-15"))
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        val j = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(l, l("l_orderkey") === o("o_orderkey"))
+        j.groupBy(o("o_orderkey").as("o_orderkey"), o("o_orderdate").as("o_orderdate"))
+          .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"))
+          .orderBy(desc_nulls_last("revenue_c"), asc_nulls_first("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, o_orderdate,
+             | SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS revenue_c
+             |FROM customer, orders, lineitem
+             |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+             |  AND l_orderkey = o_orderkey
+             |  AND o_orderdate < '1995-03-15' AND l_shipdate > '1995-03-15'
+             |GROUP BY o_orderkey, o_orderdate
+             |ORDER BY revenue_c DESC NULLS LAST, o_orderkey NULLS FIRST
+             |LIMIT 10""".stripMargin),
+      bench = true),
+
+    // TPC-H Q5-shaped: local supplier volume — 6-way join; dims broadcast
+    Q("q5_local_supplier",
+      (s, dir) => {
+        val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+        val n = t(s, dir, "nation")
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1994-01-01") && col("o_orderdate") < lit("1995-01-01"))
+        val l = t(s, dir, "lineitem")
+        val su = t(s, dir, "supplier")
+        val j = o
+          .join(l, o("o_orderkey") === l("l_orderkey"))
+          .join(broadcast(c), c("c_custkey") === o("o_custkey"))
+          .join(broadcast(su),
+            su("s_suppkey") === l("l_suppkey") && su("s_nationkey") === c("c_nationkey"))
+          .join(broadcast(n), n("n_nationkey") === su("s_nationkey"))
+          .join(broadcast(r), r("r_regionkey") === n("n_regionkey"))
+        j.groupBy(col("n_name"))
+          .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"))
+          .orderBy(desc_nulls_last("revenue_c"), asc_nulls_first("n_name"))
+      },
+      Some("""SELECT n_name,
+             | SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS revenue_c
+             |FROM customer, orders, lineitem, supplier, nation, region
+             |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+             |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             |  AND r_name = 'ASIA'
+             |  AND o_orderdate >= '1994-01-01' AND o_orderdate < '1995-01-01'
+             |GROUP BY n_name
+             |ORDER BY revenue_c DESC NULLS LAST, n_name NULLS FIRST""".stripMargin),
+      bench = true)
+  )
+}

@@ -59,7 +59,13 @@ object Kernels {
     */
   def isValue(c: Column, dt: DataType, value: Option[Boolean], positive: Boolean): Column =
     value match {
-      case None => if (positive) c.isNull else c.isNotNull
+      case None =>
+        // NaN is NULL (ref: suite:399-403 `is_value(nan, None) is True`)
+        val isNullLike = dt match {
+          case DoubleType | FloatType => c.isNull || isnan(c)
+          case _ => c.isNull
+        }
+        if (positive) isNullLike else !isNullLike
       case Some(true) => if (positive) truthy(c, dt) else !truthy(c, dt)
       case Some(false) =>
         val falsy = dt match {

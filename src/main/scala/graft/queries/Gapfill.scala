@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** SURVEY §2.1 gap-fill: capabilities absent from the reference kernel but
+  * required for "same query capabilities" (they live upstream in Fugue's
+  * SQL layer) — sort/limit/top-k, window functions, rollup/cube/grouping
+  * sets, event-time windows, sessionization, and semi-structured (JSON)
+  * extraction. All native Spark; at scale the window functions shuffle
+  * once on their partition key and sort within partitions (no global
+  * sort), and top-k compiles to TakeOrderedAndProject.
+  */
+object Gapfill {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def cents(c: Column): Column = round(c * 100).cast(LongType)
+
+  def all: Seq[Q] = Seq(
+
+    // Window: rank family, top-3 per group (deterministic via unique tiebreak)
+    Q("w1_rank_topk",
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        t(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            cents(col("o_totalprice")).as("total_c"),
+            row_number().over(w).as("rn"),
+            rank().over(w).as("rk"),
+            dense_rank().over(w).as("drk"))
+          .filter(col("rn") <= 3)
+          .orderBy("o_orderpriority", "rn")
+      },
+      Some("""SELECT * FROM (
+             | SELECT o_orderpriority, o_orderkey,
+             |  CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c,
+             |  ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rk,
+             |  DENSE_RANK() OVER w AS drk
+             | FROM orders
+             | WINDOW w AS (PARTITION BY o_orderpriority
+             |   ORDER BY o_totalprice DESC, o_orderkey ASC)
+             |) WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin)),
+
+    // Window: running sum over a deterministic total order
+    Q("w2_running_sum",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders")
+          .filter(col("o_custkey") % 100 === 0)
+          .select(col("o_custkey"), col("o_orderkey"),
+            sum(cents(col("o_totalprice"))).over(w).as("running_c"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             | SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
+             |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_c
+             |FROM orders WHERE o_custkey % 100 = 0
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // Window: lag/lead
+    Q("w3_lag_lead",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, dir, "events")
+          .filter(col("user_id") < 10)
+          .select(col("user_id"), col("event_id"),
+            cents(col("value")).as("v_c"),
+            lag(cents(col("value")), 1).over(w).as("prev_c"),
+            lead(cents(col("value")), 1).over(w).as("next_c"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+             | CAST(ROUND(value*100) AS BIGINT) AS v_c,
+             | LAG(CAST(ROUND(value*100) AS BIGINT), 1) OVER w AS prev_c,
+             | LEAD(CAST(ROUND(value*100) AS BIGINT), 1) OVER w AS next_c
+             |FROM events WHERE user_id < 10
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // Window: bounded moving aggregate (3-row frame)
+    Q("w4_moving_avg",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(-2, Window.currentRow)
+        t(s, dir, "events")
+          .filter(col("user_id") < 10)
+          .select(col("user_id"), col("event_id"),
+            avg(cents(col("value"))).over(w).as("mavg_c"),
+            count(lit(1)).over(w).as("frame_n"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+             | AVG(CAST(ROUND(value*100) AS BIGINT)) OVER w AS mavg_c,
+             | COUNT(*) OVER w AS frame_n
+             |FROM events WHERE user_id < 10
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // Sort + limit (top-k → TakeOrderedAndProject, no global sort at scale)
+    Q("s1_orderby_limit",
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("total_c"))
+        .orderBy(desc_nulls_last("total_c"), asc_nulls_first("o_orderkey"))
+        .limit(20),
+      Some("""SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c
+             |FROM orders
+             |ORDER BY total_c DESC NULLS LAST, o_orderkey NULLS FIRST
+             |LIMIT 20""".stripMargin)),
+
+    // Multi-key sort with NULL keys: Spark ASC=NULLS FIRST made explicit
+    Q("s2_sort_nulls",
+      (s, dir) => t(s, dir, "customer")
+        .select(nullif(col("c_nationkey") % 4, lit(1)).as("grp"),
+          col("c_custkey"))
+        .orderBy(asc_nulls_first("grp"), desc_nulls_last("c_custkey"))
+        .limit(100),
+      Some("""SELECT NULLIF(c_nationkey % 4, 1) AS grp, c_custkey
+             |FROM customer
+             |ORDER BY grp NULLS FIRST, c_custkey DESC NULLS LAST
+             |LIMIT 100""".stripMargin)),
+
+    // ROLLUP (subtotal rows flagged via IS NULL — group cols are non-null)
+    Q("g1_rollup",
+      (s, dir) => t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity").cast(LongType)).as("qty"))
+        .select(
+          col("l_returnflag"), col("l_linestatus"), col("cnt"), col("qty"),
+          (when(col("l_returnflag").isNull, 2).otherwise(0) +
+            when(col("l_linestatus").isNull, 1).otherwise(0)).as("gid"))
+        .orderBy(asc_nulls_first("gid"), asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+             | SUM(CAST(l_quantity AS BIGINT)) AS qty,
+             | (CASE WHEN l_returnflag IS NULL THEN 2 ELSE 0 END +
+             |  CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS gid
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY gid NULLS FIRST, l_returnflag NULLS FIRST,
+             | l_linestatus NULLS FIRST""".stripMargin)),
+
+    // CUBE
+    Q("g2_cube",
+      (s, dir) => t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          col("l_returnflag"), col("l_linestatus"), col("cnt"),
+          (when(col("l_returnflag").isNull, 2).otherwise(0) +
+            when(col("l_linestatus").isNull, 1).otherwise(0)).as("gid"))
+        .orderBy(asc_nulls_first("gid"), asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+             | (CASE WHEN l_returnflag IS NULL THEN 2 ELSE 0 END +
+             |  CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS gid
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY gid NULLS FIRST, l_returnflag NULLS FIRST,
+             | l_linestatus NULLS FIRST""".stripMargin)),
+
+    // GROUPING SETS (Spark 4 DataFrame API)
+    Q("g3_grouping_sets",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          col("l_returnflag"), col("l_linestatus"), col("cnt"),
+          (when(col("l_returnflag").isNull, 2).otherwise(0) +
+            when(col("l_linestatus").isNull, 1).otherwise(0)).as("gid"))
+        .orderBy(asc_nulls_first("gid"), asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+             | (CASE WHEN l_returnflag IS NULL THEN 2 ELSE 0 END +
+             |  CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS gid
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             |ORDER BY gid NULLS FIRST, l_returnflag NULLS FIRST,
+             | l_linestatus NULLS FIRST""".stripMargin)),
+
+    // Event-time tumbling window (batch form of the streaming agg —
+    // graft.streaming runs the same plan incrementally)
+    Q("st1_tumbling_window",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("sum_c"))
+        .orderBy(asc_nulls_first("hour"), asc_nulls_first("event_type")),
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+             | COUNT(*) AS cnt, SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_c
+             |FROM events GROUP BY 1, 2
+             |ORDER BY hour NULLS FIRST, event_type NULLS FIRST""".stripMargin)),
+
+    // Sessionization: 30-min-gap sessions per user via lag + cumulative flag
+    Q("st2_sessionize",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val micros = unix_micros(col("ts").cast(TimestampType))
+        val newSession = when(
+          micros - lag(micros, 1).over(w) > 1800L * 1000000L ||
+            lag(micros, 1).over(w).isNull, 1L).otherwise(0L)
+        t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("new_s", newSession)
+          .groupBy("user_id")
+          .agg(sum("new_s").as("n_sessions"), count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, SUM(new_s) AS n_sessions, COUNT(*) AS n_events
+             |FROM (
+             | SELECT user_id,
+             |  CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w > 1800000000
+             |    OR LAG(epoch_us(ts), 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+             | FROM events
+             | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |) GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Semi-structured: JSON field extraction + typed aggregation
+    Q("j1_json_extract",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum("k").as("k_sum"), max("k").as("k_max"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS cnt,
+             | SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+             | MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type""".stripMargin))
+  )
+}

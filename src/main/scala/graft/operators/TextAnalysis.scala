@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting. All pure `Column`
+  * expressions over built-ins (replace/length/regexp/md5) — codegen'd,
+  * pushdown-transparent, and expressible 1:1 in the DuckDB oracle.
+  *
+  * Integer-arithmetic convention: ratios are reported in permille via
+  * integer division, so differential comparison is exact.
+  */
+object TextAnalysis {
+
+  /** occurrences of `marker` in `text` via the portable replace-count
+    * identity: (len(t) - len(replace(t, m, ''))) / len(m)
+    */
+  def countOccurrences(text: Column, marker: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(marker), "")))
+      / marker.length).cast(LongType)
+
+  private def litCount(text: Column, marker: String): Column = {
+    // replace() (non-regex) via translate-safe expr: use replace function
+    ((length(text) - length(replace(text, lit(marker), lit("")))) / marker.length)
+      .cast(LongType)
+  }
+
+  /** language marker words (stopword heuristic); scored over the
+    * space-padded text so markers match whole words only
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " a ", " and ", " is "),
+    "fr" -> Seq(" le ", " la ", " et ", " les "),
+    "es" -> Seq(" el ", " que ", " los ", " una "),
+    "de" -> Seq(" der ", " und ", " die ", " das "))
+
+  /** n-gram-heuristic language ID: marker-word scores per language,
+    * argmax with a deterministic preference order, 'und' when all zero.
+    */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val scores = langMarkers.map { case (lang, ms) =>
+      lang -> ms.map(m => litCount(padded, m)).reduce(_ + _)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** language scores as columns (for inspection / oracle parity) */
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    langMarkers.map { case (lang, ms) =>
+      s"score_$lang" -> ms.map(m => litCount(padded, m)).reduce(_ + _)
+    }
+  }
+
+  /** whitespace token count: collapse runs, then count separators */
+  def tokenCount(text: Column): Column = {
+    val norm = trim(regexp_replace(text, "\\s+", " "))
+    when(norm === "", 0L)
+      .otherwise(length(norm) - length(replace(norm, lit(" "), lit(""))) + 1)
+      .cast(LongType)
+  }
+
+  /** BPE-ish subword token count: alnum runs + single punctuation marks */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+      .cast(LongType)
+
+  /** quality features, all integerized (permille ratios) */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val chars = length(text).cast(LongType)
+    val toks = tokenCount(text)
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val stop = Seq(" the ", " a ", " and ", " is ", " of ", " to ")
+      .map(m => litCount(padded, m)).reduce(_ + _)
+    val punct = Seq(".", ",", "!", "?", ";").map(m => litCount(text, m)).reduce(_ + _)
+    Seq(
+      "n_chars" -> chars,
+      "n_tokens" -> toks,
+      "stop_pm" -> when(toks === 0, 0L).otherwise(stop * 1000L / toks).cast(LongType),
+      "punct_pm" -> when(chars === 0, 0L).otherwise(punct * 1000L / chars).cast(LongType),
+      "avg_tok_len_pm" -> when(toks === 0, 0L)
+        .otherwise(length(replace(trim(regexp_replace(text, "\\s+", " ")), lit(" "), lit(""))) * 1000L / toks)
+        .cast(LongType))
+  }
+
+  /** composite quality score in [0, 100]: length and stopword signals.
+    * Each term is floored to an integer before summing (portable: Spark
+    * `cast(long)` truncation ≡ DuckDB `//` floor for non-negatives).
+    */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text).toMap
+    val lenScore = (least(f("n_chars"), lit(400L)) * 40L / 400L).cast(LongType)
+    val stopScore = (least(f("stop_pm"), lit(150L)) * 40L / 150L).cast(LongType)
+    val tokScore = (least(f("n_tokens"), lit(80L)) * 20L / 80L).cast(LongType)
+    lenScore + stopScore + tokScore
+  }
+
+  /** document fingerprint: md5 of whitespace-normalized lowercase text */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** 64-bit rolling (polynomial) content hash — the streaming-friendly
+    * fingerprint variant; not oracle-portable (custom hash), checked by
+    * spec instead. h = Σ c_i·31^(n-i) mod 2^64 via aggregate.
+    */
+  def rollingHash(text: Column): Column = {
+    val codes = transform(split(text, ""), ch => ascii(ch).cast(LongType))
+    aggregate(codes, lit(0L), (acc, c) => acc * 31L + c)
+  }
+}

@@ -1,0 +1,281 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.{Dedup, Frame, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** North-star LLM-data-pipeline operators (BASELINE.json): deduplication
+  * (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine),
+  * similarity search (brute-force + LSH ANN), text analysis (lang-ID,
+  * quality, tokens, fingerprints), multimodal binary columns.
+  *
+  * Oracle strategy: where the pipeline is hash-free it is expressed 1:1 in
+  * DuckDB SQL; the MinHash-LSH pipeline ends in an *exact verify* stage,
+  * so its output equals the brute-force all-pairs oracle whenever LSH
+  * recall is 1 — which the band configuration guarantees for this data
+  * (all true pairs have j ≥ 0.95; P(miss) < 1e-20 at 32 bands × 4 rows).
+  * Hash-dependent ops (SimHash, ANN buckets, rolling hashes) have no SQL
+  * oracle and are spec-checked instead.
+  */
+object LlmData {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** documents ∪ re-crawl simulation (every 10th doc duplicated under a
+    * shifted id) — gives exact dedup real duplicates to find
+    */
+  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val re = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    Frame(d).union(Frame(re), unique = false).df
+  }
+  private val docsWithDupsSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  /** brute-force 3-gram Jaccard pairs ≥ 4/5 in DuckDB (the LSH oracle) */
+  private val bruteJaccardSql =
+    """WITH grams AS (
+      |  SELECT DISTINCT doc_id, substring(text, g, 3) AS gram
+      |  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text)-2)) AS g) _t
+      |), gc AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+      |i AS (SELECT x.doc_id AS ida, y.doc_id AS idb, COUNT(*) AS inter
+      |      FROM grams x JOIN grams y ON x.gram = y.gram AND x.doc_id < y.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT i.ida, i.idb FROM i
+      |JOIN gc a ON a.doc_id = i.ida JOIN gc b ON b.doc_id = i.idb
+      |WHERE 5 * i.inter >= 4 * (a.n + b.n - i.inter)
+      |ORDER BY i.ida, i.idb""".stripMargin
+
+  /** langId oracle SQL generated from the same marker table the Scala
+    * operator uses — one source of truth for the heuristic
+    */
+  private def langIdSql: String = {
+    def cnt(m: String) =
+      s"CAST((length(p) - length(replace(p, '$m', ''))) / ${m.length} AS BIGINT)"
+    val scores = TextAnalysis.langMarkers.map { case (lang, ms) =>
+      lang -> ms.map(cnt).mkString("(", " + ", ")")
+    }
+    val scoreCols = scores.map { case (l, e) => s"$e AS score_$l" }.mkString(", ")
+    val best = scores.map(_._1).map("score_" + _).mkString("GREATEST(", ", ", ")")
+    val caseExpr = scores.map { case (l, _) =>
+      s"WHEN score_$l = best AND best > 0 THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    s"""SELECT doc_id, $caseExpr AS lang_pred, score_en, score_fr, score_es, score_de
+       |FROM (
+       |  SELECT doc_id, $scoreCols, $best AS best
+       |  FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents)
+       |) ORDER BY doc_id""".stripMargin
+  }
+
+  def all: Seq[Q] = Seq(
+
+    // DD1 — exact dedup (hash-groupBy representative selection)
+    Q("dd1_dedup_exact",
+      (s, dir) => Dedup.exact(docsWithDups(s, dir), Seq("text"), "doc_id")
+        .select(col("keep_id"), col("copies"))
+        .orderBy("keep_id"),
+      Some(s"""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS copies
+              |FROM ($docsWithDupsSql) GROUP BY text ORDER BY keep_id""".stripMargin)),
+
+    // DD2 — MinHash + LSH near-dup pipeline, exact-verified; equals the
+    // brute-force Jaccard oracle at recall 1
+    Q("dd2_minhash_lsh",
+      (s, dir) => Dedup.minHashDedup(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("ida", "idb"),
+      Some(bruteJaccardSql),
+      bench = true),
+
+    // DD3 — SimHash near-dup candidates (hash-specific: no SQL oracle,
+    // spec-checked; driver records rows-only)
+    Q("dd3_simhash",
+      (s, dir) => Dedup.simHashPairs(
+        Dedup.simHash(t(s, dir, "documents"), "doc_id", "text"), maxHamming = 3)
+        .orderBy("ida", "idb"),
+      None),
+
+    // DD4 — n-gram Jaccard similarity matrix over a deterministic sample,
+    // permille-integerized
+    Q("dd4_ngram_jaccard",
+      (s, dir) => {
+        val sample = t(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+          .select(col("doc_id"), Dedup.charNgrams(col("text"), 3).as("grams"))
+        val a = sample.select(col("doc_id").as("ida"), col("grams").as("ga"))
+        val b = sample.select(col("doc_id").as("idb"), col("grams").as("gb"))
+        a.crossJoin(b).filter(col("ida") < col("idb"))
+          .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast(LongType))
+          .withColumn("uni",
+            (size(col("ga")) + size(col("gb"))).cast(LongType) - col("inter"))
+          .select(col("ida"), col("idb"),
+            (col("inter") * 1000L / col("uni")).cast(LongType).as("jaccard_pm"))
+          .orderBy("ida", "idb")
+      },
+      Some("""WITH s AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+             |grams AS (
+             |  SELECT DISTINCT doc_id, substring(text, g, 3) AS gram
+             |  FROM s, LATERAL (SELECT unnest(generate_series(1, length(text)-2)) AS g) _t
+             |), gc AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+             |i AS (SELECT x.doc_id AS ida, y.doc_id AS idb, COUNT(*) AS inter
+             |      FROM grams x JOIN grams y ON x.gram = y.gram AND x.doc_id < y.doc_id
+             |      GROUP BY 1, 2)
+             |SELECT p.ida, p.idb,
+             |  CAST(COALESCE(i.inter, 0) * 1000 // (a.n + b.n - COALESCE(i.inter, 0)) AS BIGINT) AS jaccard_pm
+             |FROM (SELECT x.doc_id AS ida, y.doc_id AS idb FROM s x JOIN s y ON x.doc_id < y.doc_id) p
+             |LEFT JOIN i ON i.ida = p.ida AND i.idb = p.idb
+             |JOIN gc a ON a.doc_id = p.ida JOIN gc b ON b.doc_id = p.idb
+             |ORDER BY p.ida, p.idb""".stripMargin)),
+
+    // DD5 — embedding-cosine near-dup pairs (exact form; LSH-bucketed
+    // variant is ss2/cosinePairsLsh)
+    Q("dd5_embed_cosine",
+      (s, dir) => Similarity.cosinePairs(
+        t(s, dir, "embeddings"), "embedding", "vec_id", threshold = 0.4)
+        .orderBy("ida", "idb"),
+      Some("""SELECT a.vec_id AS ida, b.vec_id AS idb
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |  CAST(b.embedding AS DOUBLE[])) >= 0.4
+             |ORDER BY ida, idb""".stripMargin)),
+
+    // SS1 — brute-force cosine top-k (query = vec 0's embedding)
+    Q("ss1_cosine_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val query = emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).toArray
+        Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") =!= 0), "embedding", "vec_id", query, 10)
+          .select("vec_id")
+      },
+      Some("""SELECT e.vec_id
+             |FROM embeddings e,
+             |  (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0) _q
+             |WHERE e.vec_id <> 0
+             |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q) DESC,
+             |  e.vec_id LIMIT 10""".stripMargin),
+      bench = true),
+
+    // SS2 — LSH-bucketed ANN top-k (hash-specific: recall vs ss1 is
+    // spec-checked; driver records rows-only)
+    Q("ss2_ann_lsh",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val query = emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).toArray
+        Similarity.lshTopK(
+          emb.filter(col("vec_id") =!= 0), "embedding", "vec_id", query, 10)
+          .select("vec_id")
+      },
+      None),
+
+    // TX1 — n-gram/stopword language ID with per-language scores
+    Q("tx1_langid",
+      (s, dir) => {
+        val scores = TextAnalysis.langScores(col("text"))
+        t(s, dir, "documents").select(
+          (col("doc_id") +: TextAnalysis.langId(col("text")).as("lang_pred") +:
+            scores.map { case (n, c) => c.as(n) }): _*)
+          .orderBy("doc_id")
+      },
+      Some(langIdSql)),
+
+    // TX2 — quality features + composite score (permille integers)
+    Q("tx2_quality",
+      (s, dir) => {
+        val feats = TextAnalysis.qualityFeatures(col("text"))
+        t(s, dir, "documents").select(
+          (col("doc_id") +: feats.map { case (n, c) => c.as(n) } :+
+            TextAnalysis.qualityScore(col("text")).as("quality")): _*)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, n_chars, n_tokens, stop_pm, punct_pm, avg_tok_len_pm,
+             | (CAST(LEAST(n_chars, 400) * 40 // 400 AS BIGINT)
+             |  + CAST(LEAST(stop_pm, 150) * 40 // 150 AS BIGINT)
+             |  + CAST(LEAST(n_tokens, 80) * 20 // 80 AS BIGINT)) AS quality
+             |FROM (
+             | SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+             |  CAST(CASE WHEN nrm = '' THEN 0
+             |    ELSE length(nrm) - length(replace(nrm, ' ', '')) + 1 END AS BIGINT) AS n_tokens,
+             |  CAST((length(p) - length(replace(p, ' the ', ''))) / 5
+             |   + (length(p) - length(replace(p, ' a ', ''))) / 3
+             |   + (length(p) - length(replace(p, ' and ', ''))) / 5
+             |   + (length(p) - length(replace(p, ' is ', ''))) / 4
+             |   + (length(p) - length(replace(p, ' of ', ''))) / 4
+             |   + (length(p) - length(replace(p, ' to ', ''))) / 4 AS BIGINT) AS stop_raw,
+             |  CAST(length(text) - length(replace(text, '.', ''))
+             |   + length(text) - length(replace(text, ',', ''))
+             |   + length(text) - length(replace(text, '!', ''))
+             |   + length(text) - length(replace(text, '?', ''))
+             |   + length(text) - length(replace(text, ';', '')) AS BIGINT) AS punct_raw,
+             |  CAST(length(replace(nrm, ' ', '')) AS BIGINT) AS alpha_chars
+             | FROM (SELECT doc_id, text, trim(regexp_replace(text, '\s+', ' ', 'g')) AS nrm,
+             |        ' ' || lower(text) || ' ' AS p FROM documents)
+             |) base
+             |CROSS JOIN LATERAL (SELECT
+             |  CASE WHEN n_tokens = 0 THEN 0
+             |   ELSE CAST(stop_raw * 1000 // n_tokens AS BIGINT) END AS stop_pm,
+             |  CASE WHEN n_chars = 0 THEN 0
+             |   ELSE CAST(punct_raw * 1000 // n_chars AS BIGINT) END AS punct_pm,
+             |  CASE WHEN n_tokens = 0 THEN 0
+             |   ELSE CAST(alpha_chars * 1000 // n_tokens AS BIGINT) END AS avg_tok_len_pm) _d
+             |ORDER BY doc_id""".stripMargin)),
+
+    // TX3 — token counting: whitespace + BPE-ish subword regex
+    Q("tx3_token_count",
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             | CAST(CASE WHEN nrm = '' THEN 0
+             |   ELSE length(nrm) - length(replace(nrm, ' ', '')) + 1 END AS BIGINT) AS n_tokens,
+             | CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_subwords
+             |FROM (SELECT doc_id, text,
+             |  trim(regexp_replace(text, '\s+', ' ', 'g')) AS nrm FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // TX4 — document fingerprint (md5 of normalized text) + grouping
+    Q("tx4_fingerprint",
+      (s, dir) => TextAnalysis.fingerprint(col("text")) match {
+        case fp => docsWithDups(s, dir).select(col("doc_id"), fp.as("fp"))
+          .groupBy("fp").agg(min("doc_id").as("keep_id"), count(lit(1)).as("copies"))
+          .select("keep_id", "copies", "fp")
+          .orderBy("keep_id")
+      },
+      Some(s"""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS copies, fp FROM (
+              | SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+              | FROM ($docsWithDupsSql)
+              |) GROUP BY fp ORDER BY keep_id""".stripMargin)),
+
+    // MM1 — multimodal: binary payload column + partition-local stub
+    // decoder (real plumbing, fake codec — see Multimodal scaladoc)
+    Q("mm1_image_meta",
+      (s, dir) => Multimodal.decodeImageMeta(
+        t(s, dir, "documents").select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload")),
+        "doc_id", "payload")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, n_bytes, 64 + n_bytes % 192 AS width,
+             | 64 + (n_bytes * 7) % 192 AS height, CAST(3 AS BIGINT) AS channels,
+             | CASE first % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
+             |FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  ascii(substring(text, 1, 1)) AS first FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // MM2 — frame-sampling UDTF shape (1 row → n frame rows); rolling
+    // hash is not SQL-portable → spec-checked
+    Q("mm2_frame_sample",
+      (s, dir) => Multimodal.sampleFrames(
+        t(s, dir, "documents").select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload")),
+        "doc_id", "payload")
+        .orderBy("doc_id", "frame_idx"),
+      None)
+  )
+}

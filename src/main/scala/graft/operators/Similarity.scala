@@ -52,8 +52,11 @@ object Similarity {
     * spec suite.
     */
   def lshTopK(df: DataFrame, vecCol: String, idCol: String,
-      query: Array[Float], k: Int, nbits: Int = 12, dim: Int = 64,
+      query: Array[Float], k: Int, nbits: Int = 4, dim: Int = 64,
       seed: Long = 42L): DataFrame = {
+    // nbits sizes the bucket fan-out: candidates ≈ corpus × (nbits+1)/2^nbits.
+    // 4 bits (≈31% probed) suits 10²–10⁴ rows; at 10⁹+ rows use 16–20 bits
+    // so a query probes a few thousandths of the corpus.
     val planes = hyperplanes(dim, nbits, seed)
     // query bucket computed driver-side (tiny, deterministic)
     val qBits = planes.zipWithIndex.map { case (p, i) =>

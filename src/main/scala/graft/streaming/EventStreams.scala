@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the events table: the same logical
+  * plans as the batch queries (`st1_tumbling_window`/`st2_sessionize`),
+  * run incrementally. At scale this is the standing-pipeline form of the
+  * engine: file/Kafka source → watermarked event-time aggregation →
+  * sink, with state kept in the state store (RocksDB in production),
+  * partitioned by group key.
+  */
+object EventStreams {
+
+  /** events schema as the streaming file source needs it declared
+    * (ts arrives as raw parquet NANOS → LongType, converted below)
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** file-source stream over a testdata directory, with the same ns→µs
+    * ts normalization as [[graft.sources.Tables.load]]
+    */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // FileStreamSource needs a directory basePath; select the events file
+    // within the sf directory via glob filter
+    spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast(TimestampNTZType))
+  }
+
+  /** tumbling event-time window aggregation; `withWatermark` bounds state
+    * for append-mode sinks (late events beyond 1h are dropped)
+    */
+  def hourlyByType(events: DataFrame, watermark: Boolean = true): DataFrame = {
+    val src = if (watermark) events.withWatermark("ts", "1 hour") else events
+    src.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100).cast(LongType)).as("sum_c"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("cnt"), col("sum_c"))
+  }
+
+  /** running per-user aggregate via mapGroupsWithState — the custom-state
+    * extension point (the streaming analog of the reference's
+    * `sql_groupby_apply`, SURVEY §2.5)
+    */
+  def runningUserTotals(spark: SparkSession, events: DataFrame): Dataset[(Long, Long, Long)] = {
+    import spark.implicits._
+    events.select(col("user_id"), round(col("value") * 100).cast(LongType).as("v_c"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), (Long, Long, Long)](GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[(Long, Long)]) =>
+          val (cnt0, sum0) = state.getOption.getOrElse((0L, 0L))
+          var cnt = cnt0
+          var total = sum0
+          rows.foreach { case (_, v) => cnt += 1; total += v }
+          state.update((cnt, total))
+          (user, cnt, total)
+      }
+  }
+
+  /** start a complete-mode in-memory sink (testing / local inspection) */
+  def startMemorySink(df: DataFrame, name: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete()).start()
+}

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Specs for the hash-specific operators that have no SQL oracle
+  * (SimHash, LSH ANN, rolling hashes, frame sampling), plus edge cases.
+  */
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+  private lazy val emb = Tables.load(spark, sf, "embeddings")
+
+  test("simhash: identical texts collide, perturbed texts stay close") {
+    val fixture = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox leaps over the lazy dog again and again"),
+      (4L, "completely different content about spark query engines at scale")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.simHash(fixture, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(1L), sigs(3L)) <= 16)
+    assert(hamming(sigs(1L), sigs(4L)) > hamming(sigs(1L), sigs(3L)))
+    val pairs = Dedup.simHashPairs(Dedup.simHash(fixture, "doc_id", "text"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("minhash-LSH finds exact and near duplicates") {
+    val base = "spark shuffles partition data across executors while catalyst " +
+      "optimizes logical plans into efficient physical operators for scans"
+    val fixture = Seq(
+      (1L, base), (2L, base),
+      (3L, base.replace("efficient", "optimal")),
+      (4L, "unrelated text with entirely different character content xyz")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minHashDedup(fixture, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ANN LSH top-k: structural invariants + recall vs brute force") {
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val exact = Similarity.bruteForceTopK(rest, "embedding", "vec_id", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ann = Similarity.lshTopK(rest, "embedding", "vec_id", query, 10)
+      .collect().map(_.getLong(0))
+    assert(ann.length >= 5 && ann.length <= 10)
+    assert(ann.distinct.length === ann.length)
+    // probing 5 of 16 buckets (~31% of the corpus) must retain a
+    // reasonable share of the true top-10
+    assert(ann.toSet.intersect(exact).size >= 3,
+      s"recall too low: ${ann.toSet.intersect(exact)}")
+  }
+
+  test("rolling hash is deterministic and order-sensitive") {
+    val r = Seq((1L, "abc"), (2L, "abc"), (3L, "acb"), (4L, ""))
+      .toDF("id", "t")
+      .select(col("id"), TextAnalysis.rollingHash(col("t")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r(1L) === r(2L))
+    assert(r(1L) !== r(3L))
+    assert(r(4L) === 0L)
+    // h("abc") = ('a'*31 + 'b')*31 + 'c'
+    assert(r(1L) === (('a'.toLong * 31 + 'b'.toLong) * 31 + 'c'.toLong))
+  }
+
+  test("token counts handle whitespace edge cases") {
+    val r = Seq((1L, ""), (2L, "   "), (3L, "a"), (4L, " a  b\t c \n"))
+      .toDF("id", "t")
+      .select(col("id"), TextAnalysis.tokenCount(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 3L))
+  }
+
+  test("fingerprint is whitespace/case normalized") {
+    val r = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, " hello\tworld "))
+      .toDF("id", "t")
+      .select(TextAnalysis.fingerprint(col("t")).as("fp"))
+      .collect().map(_.getString(0))
+    assert(r.distinct.length === 1)
+  }
+
+  test("frame sampling emits every 2nd fixed-size frame") {
+    val payload = ("x" * 300).getBytes("UTF-8") // 4 full 64B frames → idx 0, 2
+    val df = Seq((7L, payload)).toDF("doc_id", "payload")
+    val frames = Multimodal.sampleFrames(df, "doc_id", "payload").collect()
+    assert(frames.map(_.getLong(1)).toSeq.sorted === Seq(0L, 2L))
+    assert(frames.forall(_.getLong(0) === 7L))
+  }
+
+  test("image meta stub is a pure function of the bytes") {
+    val df = Seq((1L, "hello".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val m = Multimodal.decodeImageMeta(df, "doc_id", "payload").head()
+    assert(m.getLong(1) === 5L) // n_bytes
+    assert(m.getLong(2) === 64L + 5L % 192L)
+    assert(m.getLong(3) === 64L + (5L * 7L) % 192L)
+    assert(m.getString(5) === (('h'.toInt % 3) match {
+      case 0 => "jpeg"; case 1 => "png"; case _ => "webp"
+    }))
+  }
+
+  test("exact dedup representative selection") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "text")
+    val r = Dedup.exact(df, Seq("text"), "doc_id")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(r("a") === (1L, 2L))
+    assert(r("b") === (3L, 1L))
+  }
+}

@@ -40,6 +40,20 @@ object Dedup {
         sequence(lit(1), length(text) - (n - 1)),
         i => text.substr(i, lit(n)))))
 
+  /** distinct word w-shingles ("a b c" windows). For prose-like corpora
+    * word shingles are the right MinHash feature: char n-grams from a
+    * small shared vocabulary give unrelated documents jaccard ~0.6 and
+    * the banding degenerates to all-pairs (measured: 6.3M candidates on
+    * 5k docs); word shingles put unrelated pairs below j=0.1.
+    */
+  def wordShingles(text: Column, w: Int): Column = {
+    val ws = split(trim(regexp_replace(text, "\\s+", " ")), " ")
+    when(size(ws) < w, array().cast(ArrayType(StringType)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(ws) - (w - 1)),
+        i => concat_ws(" ", slice(ws, i, lit(w))))))
+  }
+
   private val P: Long = 2147483647L // 2^31 - 1, Mersenne prime
 
   /** deterministic MinHash coefficient streams (seeded) */
@@ -49,45 +63,94 @@ object Dedup {
       rnd.nextInt(P.toInt).toLong))
   }
 
-  /** MinHash signatures: (id, h0..h{H-1}) — explode shingles once, then a
-    * single partial-aggregating groupBy(id) with H `min` columns.
+  /** MinHash signatures + LSH banding in a single partition-local typed
+    * pass: (id, band, bhash) — `bands` rows per doc, NO shuffle.
+    *
+    * Why `mapPartitions` and not column expressions: the hash kernel is
+    * docs × shingles × numHashes long-multiplies (hundreds of millions per
+    * small partition). Spark's higher-order functions evaluate their
+    * lambdas interpreted per element, and an explode→groupBy(id) shape
+    * shuffles every shingle row; a typed per-partition loop JIT-compiles
+    * to raw long arithmetic and emits only docs×bands rows. (Measured:
+    * 46s → ~2s at sf0.1.) This is the "genuine per-partition imperative
+    * logic" exception — everything before and after stays declarative.
     */
-  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 128, seed: Long = 42L): DataFrame = {
-    val grams = df.select(col(idCol).as("id"),
-      explode(charNgrams(col(textCol), n)).as("gram"))
-      .select(col("id"), pmod(xxhash64(col("gram")), lit(P)).as("gh"))
+  def minHashBands(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      seed: Long = 42L): DataFrame = {
+    val rowsPerBand = numHashes / bands
     val cs = coeffs(numHashes, seed)
-    val mins = cs.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("gh") * a + b, lit(P))).as(s"h$i")
-    }
-    grams.groupBy("id").agg(mins.head, mins.tail.toIndexedSeq: _*)
+    val out = StructType(Seq(
+      StructField("id", LongType), StructField("band", IntegerType),
+      StructField("bhash", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val txtIdx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val text = r.getString(txtIdx)
+        val words = if (text == null) Array.empty[String]
+          else text.trim.split("\\s+").filter(_.nonEmpty)
+        if (words.length < n) Iterator.empty
+        else {
+          // distinct word-shingle hashes (FNV-1a over the joined window)
+          val seen = new java.util.HashSet[Long]()
+          var i = 0
+          while (i <= words.length - n) {
+            var h = 0xcbf29ce484222325L
+            var j = 0
+            while (j < n) {
+              if (j > 0) { h ^= ' '; h *= 0x100000001b3L }
+              val w = words(i + j)
+              var c = 0
+              while (c < w.length) {
+                h ^= w.charAt(c)
+                h *= 0x100000001b3L
+                c += 1
+              }
+              j += 1
+            }
+            seen.add(java.lang.Math.floorMod(h, P))
+            i += 1
+          }
+          val sig = Array.fill(numHashes)(Long.MaxValue)
+          val it = seen.iterator()
+          while (it.hasNext) {
+            val g = it.next()
+            var k = 0
+            while (k < numHashes) {
+              val v = java.lang.Math.floorMod(cs(k)._1 * g + cs(k)._2, P)
+              if (v < sig(k)) sig(k) = v
+              k += 1
+            }
+          }
+          (0 until bands).iterator.map { b =>
+            var bh = 0L
+            var r2 = 0
+            while (r2 < rowsPerBand) {
+              bh = bh * 1000003L + sig(b * rowsPerBand + r2)
+              r2 += 1
+            }
+            org.apache.spark.sql.Row(id, b, bh)
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(out))
   }
 
-  /** LSH banding: (id, band, bhash) — `bands` rows per doc. */
-  def lshBands(sigs: DataFrame, numHashes: Int = 128, bands: Int = 32): DataFrame = {
-    val rows = numHashes / bands
-    val bandStructs = (0 until bands).map { k =>
-      struct(lit(k).as("band"),
-        xxhash64((0 until rows).map(r => col(s"h${k * rows + r}")): _*).as("bhash"))
-    }
-    sigs.select(col("id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
-  }
-
-  /** Candidate pairs from LSH buckets (ida < idb, distinct). The self-join
-    * runs on docs×bands rows only; `maxBucket` drops degenerate buckets.
+  /** Candidate pairs from LSH buckets (ida < idb, distinct): one shuffle
+    * groups each (band, bhash) bucket, singleton buckets vanish in the
+    * aggregation, and pairs are generated bucket-locally. `maxBucket`
+    * drops degenerate buckets (m members → m² pairs).
     */
   def lshCandidates(bandsDf: DataFrame, maxBucket: Int = 1000): DataFrame = {
-    val sized = bandsDf
-      .withColumn("bsz", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bhash")))
-      .filter(col("bsz") <= maxBucket)
-    val l = sized.select(col("band"), col("bhash"), col("id").as("ida"))
-    val r = sized.select(col("band"), col("bhash"), col("id").as("idb"))
-    l.join(r, Seq("band", "bhash"))
+    bandsDf.groupBy("band", "bhash")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(col("ids")).as("ida"), col("ids"))
+      .select(col("ida"), explode(col("ids")).as("idb"))
       .filter(col("ida") < col("idb"))
-      .select("ida", "idb").distinct()
+      .distinct()
   }
 
   /** Exact-verify candidate pairs against true n-gram Jaccard with integer
@@ -95,8 +158,15 @@ object Dedup {
     * boundary issues against the oracle.
     */
   def verifyJaccard(candidates: DataFrame, df: DataFrame, idCol: String,
-      textCol: String, n: Int = 3, threshNum: Int = 4, threshDen: Int = 5): DataFrame = {
-    val sets = df.select(col(idCol).as("id"), charNgrams(col(textCol), n).as("grams"))
+      textCol: String, n: Int = 3, threshNum: Int = 4, threshDen: Int = 5,
+      shingler: (Column, Int) => Column = wordShingles): DataFrame = {
+    // shingle only documents that appear in a candidate pair — at scale
+    // candidates are a vanishing fraction of the corpus
+    val candIds = candidates.select(col("ida").as("id"))
+      .union(candidates.select(col("idb").as("id"))).distinct()
+    val sets = df.select(col(idCol).as("id"), col(textCol))
+      .join(candIds, Seq("id"), "left_semi")
+      .select(col("id"), shingler(col(textCol), n).as("grams"))
     val withSets = candidates
       .join(sets.withColumnRenamed("id", "ida").withColumnRenamed("grams", "ga"), "ida")
       .join(sets.withColumnRenamed("id", "idb").withColumnRenamed("grams", "gb"), "idb")
@@ -108,14 +178,14 @@ object Dedup {
       .select("ida", "idb")
   }
 
-  /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → bucket
-    * join → exact verify. Output: verified near-dup pairs.
+  /** Full MinHash-LSH near-dup pipeline over word `n`-shingles:
+    * shingle → sign → band → bucket group → exact verify.
+    * Output: verified near-dup pairs.
     */
   def minHashDedup(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
       threshNum: Int = 4, threshDen: Int = 5): DataFrame = {
-    val sigs = minHashSignatures(df, idCol, textCol, n, numHashes)
-    val cands = lshCandidates(lshBands(sigs, numHashes, bands))
+    val cands = lshCandidates(minHashBands(df, idCol, textCol, n, numHashes, bands))
     verifyJaccard(cands, df, idCol, textCol, n, threshNum, threshDen)
   }
 

@@ -38,11 +38,16 @@ object LlmData {
       |UNION ALL
       |SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
-  /** brute-force 3-gram Jaccard pairs ≥ 4/5 in DuckDB (the LSH oracle) */
+  /** brute-force word-3-shingle Jaccard pairs ≥ 4/5 in DuckDB (the LSH
+    * oracle; recall argument in the scaladoc above)
+    */
   private val bruteJaccardSql =
     """WITH grams AS (
-      |  SELECT DISTINCT doc_id, substring(text, g, 3) AS gram
-      |  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text)-2)) AS g) _t
+      |  SELECT DISTINCT doc_id, ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2] AS gram
+      |  FROM (SELECT doc_id,
+      |          string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+      |        FROM documents) w,
+      |  LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS g) _t
       |), gc AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
       |i AS (SELECT x.doc_id AS ida, y.doc_id AS idb, COUNT(*) AS inter
       |      FROM grams x JOIN grams y ON x.gram = y.gram AND x.doc_id < y.doc_id

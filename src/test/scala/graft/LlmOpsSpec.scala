@@ -32,8 +32,11 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("minhash-LSH finds exact and near duplicates") {
+    // long enough that a single-word edit keeps word-3-shingle j ≥ 0.8
     val base = "spark shuffles partition data across executors while catalyst " +
-      "optimizes logical plans into efficient physical operators for scans"
+      "optimizes logical plans into efficient physical operators for scans " +
+      "and the runtime adapts partition counts joins and skew handling from " +
+      "observed statistics so large tables flow through narrow stages quickly"
     val fixture = Seq(
       (1L, base), (2L, base),
       (3L, base.replace("efficient", "optimal")),

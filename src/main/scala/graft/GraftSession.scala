@@ -35,4 +35,8 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+      // split small single-file tables so scans parallelize across the
+      // local cores; on a cluster the default 128m is right — this is a
+      // local[32]-at-sf0.1 knob, not a scale setting
+      .config("spark.sql.files.maxPartitionBytes", "4m")
 }

@@ -10,7 +10,8 @@ import graft.queries._
 object SparkEntry {
 
   def registry: Seq[Q] =
-    Headline.all ++ Relational.all ++ Expressions.all ++ Gapfill.all ++ LlmData.all
+    Headline.all ++ Relational.all ++ Expressions.all ++ Gapfill.all ++
+      LlmData.all ++ Advanced.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

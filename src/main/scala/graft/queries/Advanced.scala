@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.AsOf
+import graft.schema.SchemaDSL
+import graft.sources.Tables
+
+/** Advanced relational coverage: as-of joins, exact statistics, more
+  * TPC-H-shaped analytics, schema-driven nested parsing.
+  */
+object Advanced {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def cents(c: Column): Column = round(c * 100).cast(LongType)
+
+  def all: Seq[Q] = Seq(
+
+    // As-of join (union+window carry, AsOf.join) vs DuckDB's native ASOF
+    Q("a1_asof_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val left = ev.select(col("user_id"), col("ts"), col("event_id"))
+        val right = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts").as("ets"), cents(col("value")).as("err_c"))
+        AsOf.join(left, right, "user_id", "ts", "ets", "err_c")
+          .select(col("event_id"), col("asof_err_c"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT l.event_id, r.err_c AS asof_err_c
+             |FROM events l ASOF LEFT JOIN
+             | (SELECT user_id, ts AS ets, CAST(ROUND(value*100) AS BIGINT) AS err_c
+             |  FROM events WHERE event_type = 'error') r
+             |ON l.user_id = r.user_id AND l.ts >= r.ets
+             |ORDER BY l.event_id""".stripMargin)),
+
+    // Self as-of via window lag: previous order date + day delta
+    Q("a2_prev_order",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        t(s, dir, "orders")
+          .filter(col("o_custkey") % 50 === 0)
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("o_orderdate").cast(DateType).as("od"),
+            lag(col("o_orderdate").cast(DateType), 1).over(w).as("prev_od"))
+          .withColumn("gap_days",
+            datediff(col("od"), col("prev_od")).cast(LongType))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, od, prev_od,
+             | CAST(date_diff('day', prev_od, od) AS BIGINT) AS gap_days
+             |FROM (
+             | SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
+             |  LAG(CAST(o_orderdate AS DATE), 1) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_od
+             | FROM orders WHERE o_custkey % 50 = 0)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // Exact statistics: count distinct, integer-exact variance, median
+    Q("a3_stats",
+      (s, dir) => {
+        val q = col("l_quantity").cast(LongType)
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("cnt"),
+            countDistinct(q).as("n_q"),
+            sum(q).as("sum_q"),
+            sum(q * q).as("sumsq_q"),
+            expr("percentile(CAST(l_quantity AS BIGINT), 0.5)").as("median_q"))
+          .withColumn("var_c",
+            expr("(cnt * sumsq_q - sum_q * sum_q) * 100 div (cnt * (cnt - 1))"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, cnt, n_q, sum_q, sumsq_q, median_q,
+             | (cnt * sumsq_q - sum_q * sum_q) * 100 // (cnt * (cnt - 1)) AS var_c
+             |FROM (
+             | SELECT l_returnflag, COUNT(*) AS cnt,
+             |  COUNT(DISTINCT CAST(l_quantity AS BIGINT)) AS n_q,
+             |  SUM(CAST(l_quantity AS BIGINT)) AS sum_q,
+             |  SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sumsq_q,
+             |  quantile_cont(CAST(l_quantity AS BIGINT), 0.5) AS median_q
+             | FROM lineitem GROUP BY 1)
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // TPC-H Q6: forecast revenue change — scan + pushed filters + agg
+    Q("q6_revenue_delta",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1994-01-01") &&
+          col("l_shipdate") < lit("1995-01-01") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(cents(col("l_extendedprice") * col("l_discount"))).as("revenue_c"),
+          count(lit(1)).as("cnt")),
+      Some("""SELECT SUM(CAST(ROUND(l_extendedprice*l_discount*100) AS BIGINT)) AS revenue_c,
+             | COUNT(*) AS cnt
+             |FROM lineitem
+             |WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01'
+             |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin),
+      bench = true),
+
+    // TPC-H Q18-shaped: large-quantity orders (HAVING over a join)
+    Q("q18_big_orders",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val big = l.groupBy("l_orderkey")
+          .agg(sum(col("l_quantity").cast(LongType)).as("total_qty"))
+          .filter(col("total_qty") > 150)
+        val o = t(s, dir, "orders")
+        o.join(big, o("o_orderkey") === big("l_orderkey"))
+          .select(col("o_custkey"), col("o_orderkey"),
+            cents(col("o_totalprice")).as("total_c"), col("total_qty"))
+          .orderBy(desc_nulls_last("total_qty"), asc_nulls_first("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             | CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c, total_qty
+             |FROM orders JOIN (
+             | SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+             | FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT)) > 150
+             |) ON o_orderkey = l_orderkey
+             |ORDER BY total_qty DESC NULLS LAST, o_orderkey NULLS FIRST
+             |LIMIT 100""".stripMargin),
+      bench = true),
+
+    // Schema-driven nested parsing: JSON string → struct via the schema
+    // DSL (the reference's str_as_json coercion path, slide/utils.py:683-691)
+    Q("j2_from_json",
+      (s, dir) => {
+        val st = SchemaDSL.parse("k:long")
+        t(s, dir, "events")
+          .filter(col("event_id") % 100 === 0)
+          .select(col("event_id"),
+            from_json(col("props"), st).getField("k").as("k"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |FROM events WHERE event_id % 100 = 0
+             |ORDER BY event_id""".stripMargin))
+  )
+}

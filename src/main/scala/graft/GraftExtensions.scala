@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expressions.CosineSim
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions as SQL functions (set `spark.sql.extensions=graft.GraftExtensions`,
+  * done by [[GraftSession]]). `SELECT graft_cosine(a, b)` then works from
+  * SQL as well as the DataFrame API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
+      (children: Seq[Expression]) => CosineSim(children.head, children(1))))
+  }
+}

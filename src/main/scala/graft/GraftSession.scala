@@ -18,6 +18,7 @@ object GraftSession {
   def builder(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
@@ -31,7 +32,8 @@ object GraftSession {
     * Verify/Bench whose master comes from the driver).
     */
   def tune(b: SparkSession.Builder): SparkSession.Builder =
-    b.config("spark.sql.ansi.enabled", "false")
+    b.config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")

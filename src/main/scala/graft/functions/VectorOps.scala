@@ -25,10 +25,21 @@ object VectorOps {
   def norm(a: Column): Column =
     sqrt(aggregate(asDouble(a), lit(0.0), (acc, x) => acc + x * x))
 
-  /** cosine similarity; NULL-safe on zero-norm vectors (→ NULL, not ÷0) */
+  /** cosine similarity; NULL-safe on zero-norm vectors (→ NULL, not ÷0).
+    * Composed-builtins reference form; [[cosineNative]] is the codegen'd
+    * equivalent used on hot paths.
+    */
   def cosine(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val nn = norm(a) * norm(b)
     when(nn === 0.0, lit(null).cast(DoubleType)).otherwise(d / nn)
   }
+
+  /** cosine via the native [[graft.expressions.CosineSim]] expression —
+    * identical math, whole-stage-codegen'd loop. Resolved through the
+    * `graft_cosine` SQL function that [[graft.GraftExtensions]] registers
+    * (every [[graft.GraftSession]] session has it).
+    */
+  def cosineNative(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
 }

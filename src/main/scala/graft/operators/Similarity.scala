@@ -41,8 +41,8 @@ object Similarity {
     */
   def bruteForceTopK(df: DataFrame, vecCol: String, idCol: String,
       query: Array[Float], k: Int): DataFrame = {
-    val q = array(query.map(x => lit(x.toDouble)): _*)
-    df.select(col(idCol), VectorOps.cosine(col(vecCol), q).as("cos"))
+    val q = array(query.map(x => lit(x)): _*) // float literals: CosineSim input type
+    df.select(col(idCol), VectorOps.cosineNative(col(vecCol), q).as("cos"))
       .orderBy(desc_nulls_last("cos"), asc_nulls_first(idCol))
       .limit(k)
   }
@@ -64,10 +64,10 @@ object Similarity {
       if (d >= 0.0) 1L << i else 0L
     }.sum
     val probes = qBits +: (0 until nbits).map(i => qBits ^ (1L << i))
-    val q = array(query.map(x => lit(x.toDouble)): _*)
+    val q = array(query.map(x => lit(x)): _*) // float literals: CosineSim input type
     df.withColumn("bucket", lshBucket(col(vecCol), planes))
       .filter(col("bucket").isin(probes: _*))
-      .select(col(idCol), VectorOps.cosine(col(vecCol), q).as("cos"))
+      .select(col(idCol), VectorOps.cosineNative(col(vecCol), q).as("cos"))
       .orderBy(desc_nulls_last("cos"), asc_nulls_first(idCol))
       .limit(k)
   }
@@ -82,7 +82,7 @@ object Similarity {
     val a = df.select(col(idCol).as("ida"), col(vecCol).as("va"))
     val b = df.select(col(idCol).as("idb"), col(vecCol).as("vb"))
     a.crossJoin(b).filter(col("ida") < col("idb"))
-      .withColumn("cos", VectorOps.cosine(col("va"), col("vb")))
+      .withColumn("cos", VectorOps.cosineNative(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select("ida", "idb")
   }
@@ -97,7 +97,7 @@ object Similarity {
     val a = withB.select(col("bucket"), col(idCol).as("ida"), col(vecCol).as("va"))
     val b = withB.select(col("bucket"), col(idCol).as("idb"), col(vecCol).as("vb"))
     a.join(b, Seq("bucket")).filter(col("ida") < col("idb"))
-      .withColumn("cos", VectorOps.cosine(col("va"), col("vb")))
+      .withColumn("cos", VectorOps.cosineNative(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select("ida", "idb").distinct()
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.operators.AsOf
+import graft.operators.{AsOf, Skew}
 import graft.schema.SchemaDSL
 import graft.sources.Tables
 
@@ -125,6 +125,64 @@ object Advanced {
              |ORDER BY total_qty DESC NULLS LAST, o_orderkey NULLS FIRST
              |LIMIT 100""".stripMargin),
       bench = true),
+
+    // Salted skew join: result must equal the plain inner join (salting
+    // is a physical-layout transform, not a semantic one)
+    Q("r2_join_salted",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .select(nullif(col("c_custkey") % 100, lit(7)).as("k"), col("c_acctbal"))
+        val o = t(s, dir, "orders")
+          .select(nullif(col("o_custkey") % 100, lit(7)).as("k"), col("o_totalprice"))
+        Skew.saltedJoin(o, c, Seq("k"), salt = 8)
+          .groupBy("k")
+          .agg(count(lit(1)).as("cnt"),
+            sum(cents(col("o_totalprice"))).as("total_c"),
+            sum(cents(col("c_acctbal"))).as("acct_c"))
+          .orderBy(asc_nulls_first("k"))
+      },
+      Some("""SELECT k, COUNT(*) AS cnt,
+             | SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS total_c,
+             | SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS acct_c
+             |FROM (SELECT NULLIF(o_custkey % 100, 7) AS k, o_totalprice FROM orders) o
+             |JOIN (SELECT NULLIF(c_custkey % 100, 7) AS k, c_acctbal FROM customer) c
+             |USING (k)
+             |GROUP BY k ORDER BY k NULLS FIRST""".stripMargin)),
+
+    // PIVOT with pinned values ↔ conditional aggregation
+    Q("p1_pivot",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast(LongType)))
+        .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+        .orderBy(asc_nulls_first("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             | SUM(CAST(l_quantity AS BIGINT)) FILTER (l_linestatus = 'F') AS qty_f,
+             | SUM(CAST(l_quantity AS BIGINT)) FILTER (l_linestatus = 'O') AS qty_o
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag NULLS FIRST""".stripMargin)),
+
+    // UNPIVOT (melt) back to long form
+    Q("p2_unpivot",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast(LongType)))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("F"), col("O")), "status", "qty")
+        .filter(col("qty").isNotNull)
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("status")),
+      Some("""SELECT l_returnflag, status, qty FROM (
+             | SELECT l_returnflag, 'F' AS status,
+             |  SUM(CAST(l_quantity AS BIGINT)) FILTER (l_linestatus = 'F') AS qty
+             | FROM lineitem GROUP BY l_returnflag
+             | UNION ALL
+             | SELECT l_returnflag, 'O' AS status,
+             |  SUM(CAST(l_quantity AS BIGINT)) FILTER (l_linestatus = 'O') AS qty
+             | FROM lineitem GROUP BY l_returnflag
+             |) WHERE qty IS NOT NULL
+             |ORDER BY l_returnflag NULLS FIRST, status NULLS FIRST""".stripMargin)),
 
     // Schema-driven nested parsing: JSON string → struct via the schema
     // DSL (the reference's str_as_json coercion path, slide/utils.py:683-691)

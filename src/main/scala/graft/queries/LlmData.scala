@@ -147,6 +147,25 @@ object LlmData {
              |  CAST(b.embedding AS DOUBLE[])) >= 0.4
              |ORDER BY ida, idb""".stripMargin)),
 
+    // DD6 — edit-distance (Levenshtein) text similarity on a sample
+    Q("dd6_edit_distance",
+      (s, dir) => {
+        val sample = t(s, dir, "documents").filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id"), col("text"))
+        val a = sample.select(col("doc_id").as("ida"), col("text").as("ta"))
+        val b = sample.select(col("doc_id").as("idb"), col("text").as("tb"))
+        a.crossJoin(b).filter(col("ida") < col("idb"))
+          .select(col("ida"), col("idb"),
+            levenshtein(col("ta"), col("tb")).cast(LongType).as("edit_dist"))
+          .orderBy("ida", "idb")
+      },
+      Some("""SELECT a.doc_id AS ida, b.doc_id AS idb,
+             | CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+             |FROM (SELECT * FROM documents WHERE doc_id % 50 = 0) a
+             |JOIN (SELECT * FROM documents WHERE doc_id % 50 = 0) b
+             | ON a.doc_id < b.doc_id
+             |ORDER BY ida, idb""".stripMargin)),
+
     // SS1 — brute-force cosine top-k (query = vec 0's embedding)
     Q("ss1_cosine_topk",
       (s, dir) => {

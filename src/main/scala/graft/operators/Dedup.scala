@@ -189,6 +189,46 @@ object Dedup {
     verifyJaccard(cands, df, idCol, textCol, n, threshNum, threshDen)
   }
 
+  /** Connected components over near-dup pairs → cluster labels (minimum
+    * member id), the step that turns pairs into dedup decisions ("keep
+    * the cluster representative, drop the rest").
+    *
+    * Iterative label propagation: every node starts labeled with itself;
+    * each round takes the min label across neighbors; converges in
+    * O(component diameter) rounds (near-dup clusters are tiny — chains of
+    * re-crawls — so a handful of distributed join+agg rounds, each a
+    * shuffle on node id). The driver only sees one convergence counter
+    * per round, never the data.
+    *
+    * Output: (id, cluster) for every node that appears in a pair.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("ida").as("a"), col("idb").as("b"))
+      .union(pairs.select(col("idb").as("a"), col("ida").as("b")))
+      .distinct().cache()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // neighbor labels: for each edge a→b, b's current label
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "b"), Seq("b"))
+        .groupBy(col("a").as("id"))
+        .agg(min(col("cluster")).as("ncluster"))
+      val next = labels.join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("cluster"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
+        .filter(col("cluster") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** 64-bit SimHash over whitespace tokens: explode tokens → 64 signed
     * bit-sums per doc → reassemble the sign bits into one long.
     */

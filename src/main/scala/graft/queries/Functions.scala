@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Scalar-function breadth: string, datetime, binning, exact covariance.
+  * Each Spark function is paired with the DuckDB expression that has
+  * identical semantics (noted where numbering conventions differ).
+  */
+object Functions {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  def all: Seq[Q] = Seq(
+
+    Q("e13_string_funcs",
+      (s, dir) => t(s, dir, "customer")
+        .filter(col("c_custkey") % 20 === 0)
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("up"),
+          lower(col("c_name")).as("lo"),
+          length(col("c_name")).cast(LongType).as("len"),
+          substring(col("c_name"), 1, 8).as("sub"),
+          concat(col("c_name"), lit("|"), col("c_mktsegment")).as("cat"),
+          regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+          lpad(col("c_custkey").cast(StringType), 10, "0").as("padded"),
+          instr(col("c_name"), "0").cast(LongType).as("pos0"),
+          reverse(col("c_name")).as("rev"),
+          split_part(col("c_name"), lit("#"), lit(2)).as("part2"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, upper(c_name) AS up, lower(c_name) AS lo,
+             | CAST(length(c_name) AS BIGINT) AS len,
+             | substring(c_name, 1, 8) AS sub,
+             | c_name || '|' || c_mktsegment AS cat,
+             | regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+             | lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+             | CAST(strpos(c_name, '0') AS BIGINT) AS pos0,
+             | reverse(c_name) AS rev,
+             | split_part(c_name, '#', 2) AS part2
+             |FROM customer WHERE c_custkey % 20 = 0
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("e14_datetime_funcs",
+      (s, dir) => t(s, dir, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast(LongType).as("y"),
+          month(col("o_orderdate")).cast(LongType).as("m"),
+          dayofmonth(col("o_orderdate")).cast(LongType).as("d"),
+          quarter(col("o_orderdate")).cast(LongType).as("q"),
+          weekofyear(col("o_orderdate")).cast(LongType).as("iso_week"),
+          dayofweek(col("o_orderdate")).cast(LongType).as("dow_sun1"),
+          date_trunc("month", col("o_orderdate")).cast(DateType).as("month_start"),
+          date_add(col("o_orderdate").cast(DateType), 30).as("plus30"),
+          add_months(col("o_orderdate").cast(DateType), 3).as("plus3m"),
+          last_day(col("o_orderdate")).as("month_end"))
+        .orderBy("o_orderkey"),
+      // DuckDB numbering: dayofweek is 0=Sunday → +1 matches Spark;
+      // weekofyear is ISO week in both
+      Some("""SELECT o_orderkey,
+             | CAST(year(o_orderdate) AS BIGINT) AS y,
+             | CAST(month(o_orderdate) AS BIGINT) AS m,
+             | CAST(dayofmonth(o_orderdate) AS BIGINT) AS d,
+             | CAST(quarter(o_orderdate) AS BIGINT) AS q,
+             | CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+             | CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow_sun1,
+             | CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+             | CAST(o_orderdate AS DATE) + 30 AS plus30,
+             | CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+             | CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end
+             |FROM orders WHERE o_orderkey % 100 = 0
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    Q("h1_histogram",
+      (s, dir) => t(s, dir, "orders")
+        .select(floor(col("o_totalprice") / 50000).cast(LongType).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("cnt"))
+        .orderBy("bin"),
+      Some("""SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+             | COUNT(*) AS cnt
+             |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin)),
+
+    // exact integer covariance numerator: n·Σxy − Σx·Σy over
+    // (quantity, discount-centi) — no float accumulation
+    Q("a4_covar",
+      (s, dir) => t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast(LongType).as("x"),
+          round(col("l_discount") * 100).cast(LongType).as("y"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .withColumn("covar_num", col("n") * col("sxy") - col("sx") * col("sy"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, n, sx, sy, sxy, n * sxy - sx * sy AS covar_num
+             |FROM (
+             | SELECT l_returnflag, COUNT(*) AS n,
+             |  SUM(CAST(l_quantity AS BIGINT)) AS sx,
+             |  SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS sy,
+             |  SUM(CAST(l_quantity AS BIGINT) * CAST(ROUND(l_discount * 100) AS BIGINT)) AS sxy
+             | FROM lineitem GROUP BY 1)
+             |ORDER BY l_returnflag""".stripMargin))
+  )
+}

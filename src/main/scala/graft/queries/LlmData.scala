@@ -147,6 +147,25 @@ object LlmData {
              |  CAST(b.embedding AS DOUBLE[])) >= 0.4
              |ORDER BY ida, idb""".stripMargin)),
 
+    // DD7 — near-dup clusters: connected components over the verified
+    // MinHash pairs, labeled by minimum member (the kept representative);
+    // oracle = DuckDB recursive CTE reachability over the same pairs
+    Q("dd7_dedup_clusters",
+      (s, dir) => Dedup.connectedComponents(
+        Dedup.minHashDedup(t(s, dir, "documents"), "doc_id", "text"))
+        .orderBy("id"),
+      Some(s"""WITH RECURSIVE base AS ($bruteJaccardSql),
+              |nodes AS (SELECT ida AS id FROM base UNION SELECT idb FROM base),
+              |edges AS (SELECT ida AS a, idb AS b FROM base
+              |          UNION ALL SELECT idb, ida FROM base),
+              |reach(id, label) AS (
+              | SELECT id, id FROM nodes
+              | UNION
+              | SELECT e.a, r.label FROM edges e JOIN reach r ON r.id = e.b
+              |)
+              |SELECT id, MIN(label) AS cluster FROM reach GROUP BY id
+              |ORDER BY id""".stripMargin)),
+
     // DD6 — edit-distance (Levenshtein) text similarity on a sample
     Q("dd6_edit_distance",
       (s, dir) => {

@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Custom typed aggregates (SURVEY §2.5: `Aggregator[IN,BUF,OUT]` is the
+  * engine's UDAF surface — partial-aggregating, Tungsten-encoded buffers,
+  * usable from both `Dataset.select` and `functions.udaf`).
+  */
+object Aggregators {
+
+  /** exact weighted mean in permille: Σ(v·w)·1000 / Σw — all-integer
+    * buffer, so merge order never changes the result (the property every
+    * oracle-checked aggregate here maintains)
+    */
+  class WeightedMeanPermille extends Aggregator[(Long, Long), (Long, Long), Long] {
+    override def zero: (Long, Long) = (0L, 0L)
+    override def reduce(b: (Long, Long), in: (Long, Long)): (Long, Long) =
+      (b._1 + in._1 * in._2, b._2 + in._2)
+    override def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+      (a._1 + b._1, a._2 + b._2)
+    override def finish(b: (Long, Long)): Long =
+      if (b._2 == 0) 0L else b._1 * 1000L / b._2
+    override def bufferEncoder: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** bounded top-k smallest values — a buffer that never exceeds k
+    * elements regardless of partition size (the shape a distributed
+    * top-k accumulator must have)
+    */
+  class TopKMin(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    override def zero: Seq[Long] = Vector.empty
+    override def reduce(b: Seq[Long], in: Long): Seq[Long] =
+      (b :+ in).sorted.take(k)
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+      (a ++ b).sorted.take(k)
+    override def finish(b: Seq[Long]): Seq[Long] = b
+    override def bufferEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+}

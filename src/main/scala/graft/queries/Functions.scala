@@ -85,6 +85,24 @@ object Functions {
              | COUNT(*) AS cnt
              |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin)),
 
+    // custom typed Aggregator (UDAF surface, SURVEY §2.5): exact weighted
+    // mean of price by quantity, permille — oracle is plain SQL arithmetic
+    Q("a5_weighted_avg",
+      (s, dir) => {
+        val wavg = udaf(new graft.functions.Aggregators.WeightedMeanPermille)
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            round(col("l_extendedprice") * 100).cast(LongType).as("price_c"),
+            col("l_quantity").cast(LongType).as("qty"))
+          .groupBy("l_returnflag")
+          .agg(wavg(col("price_c"), col("qty")).as("wavg_pm"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             | SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * CAST(l_quantity AS BIGINT))
+             |  * 1000 // SUM(CAST(l_quantity AS BIGINT)) AS wavg_pm
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
     // exact integer covariance numerator: n·Σxy − Σx·Σy over
     // (quantity, discount-centi) — no float accumulation
     Q("a4_covar",

@@ -76,6 +76,28 @@ object Functions {
              |FROM orders WHERE o_orderkey % 100 = 0
              |ORDER BY o_orderkey""".stripMargin)),
 
+    Q("e15_array_funcs",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 200 === 0)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_linenumber").cast(LongType))).as("lines"))
+        .select(
+          col("l_orderkey"),
+          col("lines"),
+          size(col("lines")).cast(LongType).as("n"),
+          element_at(col("lines"), 1).as("first_line"),
+          array_contains(col("lines"), 1L).as("has_line1"),
+          aggregate(col("lines"), lit(0L), _ + _).as("line_sum"))
+        .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey, lines, CAST(len(lines) AS BIGINT) AS n,
+             | lines[1] AS first_line, list_contains(lines, 1) AS has_line1,
+             | list_sum(lines) AS line_sum
+             |FROM (
+             | SELECT l_orderkey,
+             |  list_sort(list(CAST(l_linenumber AS BIGINT))) AS lines
+             | FROM lineitem WHERE l_orderkey % 200 = 0 GROUP BY 1)
+             |ORDER BY l_orderkey""".stripMargin)),
+
     Q("h1_histogram",
       (s, dir) => t(s, dir, "orders")
         .select(floor(col("o_totalprice") / 50000).cast(LongType).as("bin"))

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Physical-plan shape guards: the properties that make these queries
+  * survive scale must stay visible in the plan (catching regressions that
+  * correctness tests can't).
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filters and column pruning reach the parquet scan (q1)") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"no pushed filter in:\n$p")
+    // pruned read schema: only the 7 needed columns, not all 11
+    assert(!p.contains("l_partkey"), "scan reads unneeded columns")
+  }
+
+  test("dimension joins broadcast (q5)") {
+    val p = plan("q5_local_supplier")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort (s1)") {
+    val p = plan("s1_orderby_limit")
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject in:\n$p")
+  }
+
+  test("semi join stays a semi join (r2_join_semi)") {
+    val p = plan("r2_join_semi")
+    assert(p.contains("LeftSemi"), s"no LeftSemi in:\n$p")
+  }
+
+  test("partition-local kernels produce no shuffle before banding (dd2)") {
+    val bands = graft.operators.Dedup.minHashBands(
+      Tables.load(spark, sf, "documents"), "doc_id", "text")
+    val p = bands.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"unexpected shuffle in signature stage:\n$p")
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val db = spark
+    val orders = Tables.load(spark, sf, "orders")
+    val customer = Tables.load(spark, sf, "customer")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("orders_b")
+    customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("customer_b")
+    val j = spark.table("orders_b")
+      .join(spark.table("customer_b"),
+        col("o_custkey") === col("c_custkey"))
+    val p = j.queryExecution.executedPlan.toString
+    assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$p")
+    assert(j.count() === orders.join(customer,
+      orders("o_custkey") === customer("c_custkey")).count())
+  }
+}

@@ -57,6 +57,24 @@ object LlmData {
       |WHERE 5 * i.inter >= 4 * (a.n + b.n - i.inter)
       |ORDER BY i.ida, i.idb""".stripMargin
 
+  /** langId as a scalar SQL expression over `textExpr` (scalar subquery
+    * form, for embedding in larger oracle pipelines)
+    */
+  private def langCaseSql(textExpr: String): String = {
+    def cnt(m: String) =
+      s"CAST((length(pp2) - length(replace(pp2, '$m', ''))) / ${m.length} AS BIGINT)"
+    val scores = TextAnalysis.langMarkers.map { case (lang, ms) =>
+      lang -> ms.map(cnt).mkString("(", " + ", ")")
+    }
+    val scoreCols = scores.map { case (l, e) => s"$e AS s_$l" }.mkString(", ")
+    val best = scores.map("s_" + _._1).mkString("GREATEST(", ", ", ")")
+    val caseExpr = scores.map { case (l, _) =>
+      s"WHEN s_$l = best AND best > 0 THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    s"(SELECT $caseExpr FROM (SELECT $scoreCols, $best AS best " +
+      s"FROM (SELECT ' ' || lower($textExpr) || ' ' AS pp2)))"
+  }
+
   /** langId oracle SQL generated from the same marker table the Scala
     * operator uses — one source of truth for the heuristic
     */
@@ -215,6 +233,81 @@ object LlmData {
           .select("vec_id")
       },
       None),
+
+    // CUR1 — end-to-end curation pipeline: exact-dup removal (fingerprint
+    // groups keep min id) → quality gate → language routing. The composed
+    // form of tx1/tx2/tx4 — one declarative plan, one aggregation + one
+    // projection pass at scale.
+    Q("cur1_curation_pipeline",
+      (s, dir) => {
+        val docs = docsWithDups(s, dir)
+        val kept = docs
+          .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+          .agg(min("doc_id").as("doc_id"), count(lit(1)).as("copies"))
+        val scored = kept.join(docs, Seq("doc_id"))
+          .select(col("doc_id"), col("copies"),
+            TextAnalysis.qualityScore(col("text")).as("quality"),
+            TextAnalysis.langId(col("text")).as("lang_pred"))
+        scored
+          .withColumn("keep", col("quality") >= 40)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH pool AS ($docsWithDupsSql),
+              |kept AS (
+              | SELECT MIN(doc_id) AS doc_id, COUNT(*) AS copies
+              | FROM (SELECT doc_id,
+              |   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+              |   text FROM pool)
+              | GROUP BY fp
+              |),
+              |scored AS (
+              | SELECT k.doc_id, k.copies,
+              |  (CAST(LEAST(CAST(length(p.text) AS BIGINT), 400) * 40 // 400 AS BIGINT)
+              |   + CAST(LEAST(stop_pm, 150) * 40 // 150 AS BIGINT)
+              |   + CAST(LEAST(n_tokens, 80) * 20 // 80 AS BIGINT)) AS quality,
+              |  lang_pred
+              | FROM kept k JOIN pool p ON p.doc_id = k.doc_id
+              | CROSS JOIN LATERAL (
+              |  SELECT CAST(CASE WHEN nrm = '' THEN 0
+              |    ELSE length(nrm) - length(replace(nrm, ' ', '')) + 1 END AS BIGINT) AS n_tokens
+              |  FROM (SELECT trim(regexp_replace(p.text, '\\s+', ' ', 'g')) AS nrm)) _tok
+              | CROSS JOIN LATERAL (
+              |  SELECT CASE WHEN n_tokens = 0 THEN 0
+              |   ELSE stop_raw * 1000 // n_tokens END AS stop_pm
+              |  FROM (SELECT CAST(
+              |    (length(pp) - length(replace(pp, ' the ', ''))) / 5
+              |    + (length(pp) - length(replace(pp, ' a ', ''))) / 3
+              |    + (length(pp) - length(replace(pp, ' and ', ''))) / 5
+              |    + (length(pp) - length(replace(pp, ' is ', ''))) / 4
+              |    + (length(pp) - length(replace(pp, ' of ', ''))) / 4
+              |    + (length(pp) - length(replace(pp, ' to ', ''))) / 4 AS BIGINT) AS stop_raw
+              |   FROM (SELECT ' ' || lower(p.text) || ' ' AS pp))) _stop
+              | CROSS JOIN LATERAL (
+              |  SELECT ${langCaseSql("p.text")} AS lang_pred) _lang
+              |)
+              |SELECT doc_id, copies, quality, lang_pred, quality >= 40 AS keep
+              |FROM scored ORDER BY doc_id""".stripMargin)),
+
+    // E16 — embedding normalization stats + int8 quantization scale
+    // (per-vector max-abs), the preprocessing step before ANN indexing
+    Q("e16_embed_quantize",
+      (s, dir) => {
+        val v = transform(col("embedding"), _.cast(DoubleType))
+        val norm = sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
+        val maxAbs = aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x)))
+        t(s, dir, "embeddings").select(
+          col("vec_id"),
+          round(norm * 1000).cast(LongType).as("norm_pm"),
+          round(maxAbs * 10000).cast(LongType).as("maxabs_dm"),
+          col("label"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id,
+             | CAST(ROUND(sqrt(list_sum(list_transform(v, x -> x * x))) * 1000) AS BIGINT) AS norm_pm,
+             | CAST(ROUND(list_max(list_transform(v, x -> abs(x))) * 10000) AS BIGINT) AS maxabs_dm,
+             | label
+             |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings)
+             |ORDER BY vec_id""".stripMargin)),
 
     // TX1 — n-gram/stopword language ID with per-language scores
     Q("tx1_langid",

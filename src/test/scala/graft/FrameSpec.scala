@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.{Column, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.operators.{Frame, JoinType}
@@ -114,6 +114,39 @@ class FrameSpec extends SparkSpec {
     }
     // one row per non-empty partition; totals must sum to 6
     assert(res.df.collect().map(_.getLong(0)).sum === 6L)
+  }
+
+  test("groupApply with datetime keys incl. NULL (suite:2088-2153)") {
+    val a = df(Seq(
+      Seq[Any](java.time.LocalDateTime.of(2020, 1, 1, 0, 0), 1L),
+      Seq[Any](java.time.LocalDateTime.of(2020, 1, 1, 0, 0), 2L),
+      Seq[Any](null, 3L)), "d:datetime,c:long")
+    val out = StructType(Seq(
+      StructField("d", TimestampNTZType), StructField("cnt", LongType)))
+    val res = a.groupApply(Seq("d"), out) { it =>
+      var d: Any = null
+      var n = 0L
+      it.foreach { r => d = r.get(0); n += 1 }
+      Iterator(Row(d, n))
+    }
+    val got = res.df.collect().map(r => (Option(r.get(0)).map(_.toString), r.getLong(1))).toSet
+    assert(got === Set((Some("2020-01-01T00:00"), 2L), (None, 1L)))
+  }
+
+  test("scalar-or-column duality: constant kernels fold to constants") {
+    import graft.functions.{Kernels, SqlCast}
+    // cast(None, anything) ⇒ None (slide/utils.py:299-314)
+    val row = spark.range(1).select(
+      SqlCast.to(lit(null).cast(StringType), StringType, LongType).as("c1"),
+      SqlCast.to(lit("1.1"), StringType, LongType).as("c2"),
+      coalesce(lit(null).cast(LongType), lit(7L)).as("c3"),
+      Kernels.truthy(lit(2.5), DoubleType).as("c4"),
+      Kernels.caseWhen(Seq((lit(false): Column) -> lit("a")), lit("d")).as("c5")).head()
+    assert(row.get(0) === null)
+    assert(row.getLong(1) === 1L)
+    assert(row.getLong(2) === 7L)
+    assert(row.getBoolean(3) === true)
+    assert(row.getString(4) === "d")
   }
 
   test("filter truthiness: NULL/0/NaN drop the row (suite:355-389)") {

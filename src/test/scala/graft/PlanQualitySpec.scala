@@ -50,6 +50,12 @@ class PlanQualitySpec extends SparkSpec {
     val customer = Tables.load(spark, sf, "customer")
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS customer_b")
+    // the in-memory catalog forgets tables between JVM runs but the
+    // warehouse directories persist — clear the physical locations too
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq("orders_b", "customer_b").foreach { t =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$wh/$t"))
+    }
     orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
       .mode("overwrite").saveAsTable("orders_b")
     customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey")

@@ -90,15 +90,15 @@ object Advanced {
     // TPC-H Q6: forecast revenue change — scan + pushed filters + agg
     Q("q6_revenue_delta",
       (s, dir) => t(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= lit("1994-01-01") &&
-          col("l_shipdate") < lit("1995-01-01") &&
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
         .agg(sum(cents(col("l_extendedprice") * col("l_discount"))).as("revenue_c"),
           count(lit(1)).as("cnt")),
       Some("""SELECT SUM(CAST(ROUND(l_extendedprice*l_discount*100) AS BIGINT)) AS revenue_c,
              | COUNT(*) AS cnt
              |FROM lineitem
-             |WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01'
+             |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
              |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin),
       bench = true),
 

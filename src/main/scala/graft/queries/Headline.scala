@@ -54,10 +54,10 @@ object Headline {
           .filter(col("c_mktsegment") === "BUILDING")
           .select("c_custkey")
         val o = t(s, dir, "orders")
-          .filter(col("o_orderdate") < lit("1995-03-15"))
+          .filter(col("o_orderdate") < lit("1996-03-15"))
           .select("o_orderkey", "o_custkey", "o_orderdate")
         val l = t(s, dir, "lineitem")
-          .filter(col("l_shipdate") > lit("1995-03-15"))
+          .filter(col("l_shipdate") > lit("1996-03-15"))
           .select("l_orderkey", "l_extendedprice", "l_discount")
         val j = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
           .join(l, l("l_orderkey") === o("o_orderkey"))
@@ -71,7 +71,7 @@ object Headline {
              |FROM customer, orders, lineitem
              |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
              |  AND l_orderkey = o_orderkey
-             |  AND o_orderdate < '1995-03-15' AND l_shipdate > '1995-03-15'
+             |  AND o_orderdate < '1996-03-15' AND l_shipdate > '1996-03-15'
              |GROUP BY o_orderkey, o_orderdate
              |ORDER BY revenue_c DESC NULLS LAST, o_orderkey NULLS FIRST
              |LIMIT 10""".stripMargin),
@@ -84,7 +84,7 @@ object Headline {
         val n = t(s, dir, "nation")
         val c = t(s, dir, "customer")
         val o = t(s, dir, "orders")
-          .filter(col("o_orderdate") >= lit("1994-01-01") && col("o_orderdate") < lit("1995-01-01"))
+          .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
         val l = t(s, dir, "lineitem")
         val su = t(s, dir, "supplier")
         val j = o
@@ -105,7 +105,7 @@ object Headline {
              |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
              |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
              |  AND r_name = 'ASIA'
-             |  AND o_orderdate >= '1994-01-01' AND o_orderdate < '1995-01-01'
+             |  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
              |GROUP BY n_name
              |ORDER BY revenue_c DESC NULLS LAST, n_name NULLS FIRST""".stripMargin),
       bench = true)

@@ -24,8 +24,8 @@ object Tpch {
     Q("q4_order_priority",
       (s, dir) => {
         val o = t(s, dir, "orders")
-          .filter(col("o_orderdate") >= lit("1993-07-01") &&
-            col("o_orderdate") < lit("1994-01-01"))
+          .filter(col("o_orderdate") >= lit("1996-07-01") &&
+            col("o_orderdate") < lit("1997-01-01"))
         val l = t(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_shipdate"))
         val late = o.join(l,
@@ -39,7 +39,7 @@ object Tpch {
       },
       Some("""SELECT o_orderpriority, COUNT(*) AS cnt
              |FROM orders
-             |WHERE o_orderdate >= '1993-07-01' AND o_orderdate < '1994-01-01'
+             |WHERE o_orderdate >= '1996-07-01' AND o_orderdate < '1997-01-01'
              |  AND EXISTS (
              |   SELECT 1 FROM lineitem
              |   WHERE l_orderkey = o_orderkey

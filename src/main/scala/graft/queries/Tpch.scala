@@ -94,6 +94,169 @@ object Tpch {
              |   SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
              |   WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin)),
 
+    // Q7-shaped: volume between two nations by year (dual-direction pair
+    // filter over supplier-nation × customer-nation)
+    Q("q7_volume_shipping",
+      (s, dir) => {
+        val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        val n1 = t(s, dir, "nation").select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        val n2 = t(s, dir, "nation").select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+        val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val l = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            col("l_extendedprice"), col("l_discount"),
+            year(col("l_shipdate")).cast(LongType).as("l_year"))
+        val j = l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n1), su("s_nationkey") === n1("sn_key"))
+          .join(broadcast(n2), c("c_nationkey") === n2("cn_key"))
+          .filter(
+            col("supp_nation").isin("NATION_1", "NATION_2", "NATION_3") &&
+            col("cust_nation").isin("NATION_1", "NATION_2", "NATION_3") &&
+            col("supp_nation") =!= col("cust_nation"))
+        j.groupBy("supp_nation", "cust_nation", "l_year")
+          .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""SELECT supp_nation, cust_nation, l_year,
+             | SUM(CAST(ROUND(volume*100) AS BIGINT)) AS revenue_c
+             |FROM (
+             | SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             |  l_extendedprice * (1 - l_discount) AS volume
+             | FROM supplier, lineitem, orders, customer, nation n1, nation n2
+             | WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+             |  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+             |  AND c_nationkey = n2.n_nationkey
+             |  AND n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+             |  AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+             |  AND n1.n_name <> n2.n_name)
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // Q9-shaped: profit by supplier nation × year, parts filtered by type
+    Q("q9_product_profit",
+      (s, dir) => {
+        val p = t(s, dir, "part").filter(col("p_type") === "PROMO").select("p_partkey")
+        val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+        val l = t(s, dir, "lineitem")
+        val j = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+          .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+          .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        j.groupBy(col("n_name").as("nation"),
+          year(col("l_shipdate")).cast(LongType).as("o_year"))
+          .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("profit_c"))
+          .orderBy(asc_nulls_first("nation"), desc_nulls_last("o_year"))
+      },
+      Some("""SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+             | SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS profit_c
+             |FROM lineitem, part, supplier, nation
+             |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+             |  AND s_nationkey = n_nationkey AND p_type = 'PROMO'
+             |GROUP BY 1, 2
+             |ORDER BY nation NULLS FIRST, o_year DESC NULLS LAST""".stripMargin)),
+
+    // Q10-shaped: top customers by returned-item revenue
+    Q("q10_returned_items",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-10-01") &&
+            col("o_orderdate") < lit("1997-01-01"))
+        val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        val n = t(s, dir, "nation")
+        val j = l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        j.groupBy("c_custkey", "c_name", "n_name")
+          .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"))
+          .orderBy(desc_nulls_last("revenue_c"), asc_nulls_first("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, n_name,
+             | SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS revenue_c
+             |FROM customer, orders, lineitem, nation
+             |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+             |  AND o_orderdate >= '1996-10-01' AND o_orderdate < '1997-01-01'
+             |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+             |GROUP BY 1, 2, 3
+             |ORDER BY revenue_c DESC NULLS LAST, c_custkey NULLS FIRST
+             |LIMIT 20""".stripMargin)),
+
+    // Q14-shaped: promo revenue share (numerator/denominator kept exact)
+    Q("q14_promo_share",
+      (s, dir) => {
+        val p = t(s, dir, "part").select("p_partkey", "p_type")
+        val l = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-09-01") &&
+            col("l_shipdate") < lit("1996-10-01"))
+        l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO",
+              cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+              .otherwise(0L)).as("promo_c"),
+            sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("total_c"))
+      },
+      Some("""SELECT
+             | SUM(CASE WHEN p_type = 'PROMO'
+             |   THEN CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+             |   ELSE 0 END) AS promo_c,
+             | SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS total_c
+             |FROM lineitem, part
+             |WHERE l_partkey = p_partkey
+             |  AND l_shipdate >= '1996-09-01' AND l_shipdate < '1996-10-01'""".stripMargin)),
+
+    // Q15-shaped: top supplier(s) by revenue (scalar-subquery max)
+    Q("q15_top_supplier",
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1996-04-01"))
+          .groupBy(col("l_suppkey").as("supplier_no"))
+          .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("total_rev_c"))
+        val maxRev = rev.agg(max("total_rev_c")).head().getLong(0)
+        val su = t(s, dir, "supplier")
+        su.join(rev, su("s_suppkey") === rev("supplier_no"))
+          .filter(col("total_rev_c") === maxRev)
+          .select("s_suppkey", "s_name", "total_rev_c")
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH revenue AS (
+             | SELECT l_suppkey AS supplier_no,
+             |  SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS total_rev_c
+             | FROM lineitem
+             | WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+             | GROUP BY 1)
+             |SELECT s_suppkey, s_name, total_rev_c
+             |FROM supplier, revenue
+             |WHERE s_suppkey = supplier_no
+             |  AND total_rev_c = (SELECT MAX(total_rev_c) FROM revenue)
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // Q16-shaped: supplier counts per part attribute, excluding a brand
+    Q("q16_parts_suppliers",
+      (s, dir) => {
+        val p = t(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#5" && col("p_size").isin(1, 5, 10, 15, 20))
+          .select("p_partkey", "p_brand", "p_type", "p_size")
+        val l = t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+          .orderBy(desc_nulls_last("supplier_cnt"), asc_nulls_first("p_brand"),
+            asc_nulls_first("p_type"), asc_nulls_first("p_size"))
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+             | COUNT(DISTINCT l_suppkey) AS supplier_cnt
+             |FROM lineitem, part
+             |WHERE p_partkey = l_partkey AND p_brand <> 'Brand#5'
+             |  AND p_size IN (1, 5, 10, 15, 20)
+             |GROUP BY 1, 2, 3
+             |ORDER BY supplier_cnt DESC NULLS LAST, p_brand NULLS FIRST,
+             | p_type NULLS FIRST, p_size NULLS FIRST""".stripMargin)),
+
     // Q19-shaped: disjunction of conjunctive ranges (OR pushdown)
     Q("q19_disjunctive",
       (s, dir) => {

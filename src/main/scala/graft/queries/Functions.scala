@@ -16,6 +16,26 @@ object Functions {
 
   def all: Seq[Q] = Seq(
 
+    // SQL frontdoor: the same engine surface through spark.sql text,
+    // including the extension-registered graft_cosine function
+    Q("sql1_text_query",
+      (s, dir) => {
+        t(s, dir, "embeddings").createOrReplaceTempView("embeddings_v")
+        s.sql("""
+          SELECT vec_id, label,
+            CAST(ROUND(graft_cosine(embedding, embedding) * 1000000) AS BIGINT)
+              AS self_cos_um
+          FROM embeddings_v
+          WHERE vec_id % 10 = 0
+          ORDER BY vec_id
+        """)
+      },
+      Some("""SELECT vec_id, label,
+             | CAST(ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+             |   CAST(embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS self_cos_um
+             |FROM embeddings WHERE vec_id % 10 = 0
+             |ORDER BY vec_id""".stripMargin)),
+
     Q("e13_string_funcs",
       (s, dir) => t(s, dir, "customer")
         .filter(col("c_custkey") % 20 === 0)

@@ -15,7 +15,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
-      (children: Seq[Expression]) => CosineSim(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        if (children.length != 2) throw new GraftInvalidOperation(
+          s"graft_cosine(array<float>, array<float>) expects 2 arguments, got ${children.length}")
+        CosineSim(children.head, children(1))
+      }))
     ext.injectOptimizerRule(_ => graft.rules.CosineFusion)
   }
 }

@@ -20,8 +20,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Math is sequential double accumulation, `dot / (√Σa²·√Σb²)`, exactly
   * matching the composed form and DuckDB's `list_cosine_similarity` over
-  * `DOUBLE[]`, so differential oracles stay bit-stable. Zero-norm inputs
-  * yield NULL. Elements must be non-null; vectors must be equal length.
+  * `DOUBLE[]`, so differential oracles stay bit-stable. NULL results for:
+  * zero-norm inputs, length-mismatched vectors, or a NULL element on
+  * either side — the same outcomes the composed `zip_with`/`aggregate`
+  * form produces (NULL pads/elements propagate through the lambdas), so
+  * [[graft.rules.CosineFusion]] is a true semantics-preserving rewrite.
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -44,12 +47,14 @@ case class CosineSim(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getFloat(i).toDouble
       val y = b.getFloat(i).toDouble
       dot += x * y
@@ -72,22 +77,32 @@ case class CosineSim(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |double $na = 0.0;
-         |double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = (double) $a.getFloat($i);
-         |  double $y = (double) $b.getFloat($i);
-         |  $dot += $x * $y;
-         |  $na += $x * $x;
-         |  $nb += $y * $y;
-         |}
-         |double $nn = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |if ($nn == 0.0) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = $dot / $nn;
+         |  double $dot = 0.0;
+         |  double $na = 0.0;
+         |  double $nb = 0.0;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      double $x = (double) $a.getFloat($i);
+         |      double $y = (double) $b.getFloat($i);
+         |      $dot += $x * $y;
+         |      $na += $x * $x;
+         |      $nb += $y * $y;
+         |    }
+         |  }
+         |  if (!${ev.isNull}) {
+         |    double $nn = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |    if ($nn == 0.0) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      ${ev.value} = $dot / $nn;
+         |    }
+         |  }
          |}
        """.stripMargin
     })

@@ -26,14 +26,6 @@ import graft.GraftException
   */
 object Kernels {
 
-  /** NaN→NULL normalization for floating columns (no-op for other types).
-    * Mirrors the reference's NULL unification (ref: slide/utils.py:312-314).
-    */
-  def nanToNull(c: Column, dt: DataType): Column = dt match {
-    case DoubleType | FloatType => when(isnan(c), lit(null)).otherwise(c)
-    case _ => c
-  }
-
   /** SQL truthiness of a condition with a known input type
     * (ref: slide/utils.py:337-367 `is_value(col, True)`):
     * booleans pass through; numerics are `x != 0 AND x IS NOT NULL`

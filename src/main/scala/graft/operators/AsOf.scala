@@ -30,15 +30,18 @@ object AsOf {
   def join(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, rightVal: String): DataFrame = {
     val leftCols = left.columns
+    // payload excludes key AND time — both re-emitted under their own
+    // names below (else the output carries a duplicate time column)
+    val payload0 = leftCols.filter(c => c != key && c != leftTime)
     val l = left.select(
       (col(key).as("_k") +: col(leftTime).as("_t") +: lit(1).as("_side") +:
         lit(null).cast(right.schema(rightVal).dataType).as("_rv") +:
-        leftCols.filter(_ != key).map(col).toIndexedSeq): _*)
+        payload0.map(col).toIndexedSeq): _*)
     val r = right.select(
       col(key).as("_k"), col(rightTime).as("_t"), lit(0).as("_side"),
       col(rightVal).as("_rv"))
     // align schemas: right side gets NULLs for the left payload columns
-    val payload = leftCols.filter(_ != key)
+    val payload = payload0
     val rAligned = payload.foldLeft(r) { (df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }

@@ -202,12 +202,13 @@ object Dedup {
     *
     * Output: (id, cluster) for every node that appears in a pair.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("ida").as("a"), col("idb").as("b"))
       .union(pairs.select(col("idb").as("a"), col("ida").as("b")))
       .distinct().cache()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("cluster", col("id"))
+    var previous: DataFrame = null
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -222,10 +223,18 @@ object Dedup {
         .cache()
       val changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
         .filter(col("cluster") =!= col("old")).limit(1).count()
+      if (previous != null) previous.unpersist()
+      previous = labels
       labels = next
       converged = changed == 0
       iter += 1
     }
+    if (previous != null) previous.unpersist()
+    edges.unpersist()
+    // wrong labels are worse than no labels: refuse to return unconverged
+    if (!converged) throw new graft.GraftException(
+      s"connectedComponents did not converge in $maxIter iterations " +
+        "(component diameter too large — raise maxIter)")
     labels
   }
 

@@ -17,15 +17,9 @@ object TextAnalysis {
   /** occurrences of `marker` in `text` via the portable replace-count
     * identity: (len(t) - len(replace(t, m, ''))) / len(m)
     */
-  def countOccurrences(text: Column, marker: String): Column =
-    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(marker), "")))
-      / marker.length).cast(LongType)
-
-  private def litCount(text: Column, marker: String): Column = {
-    // replace() (non-regex) via translate-safe expr: use replace function
+  private def litCount(text: Column, marker: String): Column =
     ((length(text) - length(replace(text, lit(marker), lit("")))) / marker.length)
       .cast(LongType)
-  }
 
   /** language marker words (stopword heuristic); scored over the
     * space-padded text so markers match whole words only

@@ -126,7 +126,10 @@ object LlmData {
     // permille-integerized
     Q("dd4_ngram_jaccard",
       (s, dir) => {
-        val sample = t(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+        // length >= 3 on BOTH sides: the oracle's gram CTE drops shorter
+        // docs entirely (its JOIN would eliminate their pairs)
+        val sample = t(s, dir, "documents")
+          .filter(col("doc_id") % 25 === 0 && length(col("text")) >= 3)
           .select(col("doc_id"), Dedup.charNgrams(col("text"), 3).as("grams"))
         val a = sample.select(col("doc_id").as("ida"), col("grams").as("ga"))
         val b = sample.select(col("doc_id").as("idb"), col("grams").as("gb"))
@@ -138,7 +141,8 @@ object LlmData {
             (col("inter") * 1000L / col("uni")).cast(LongType).as("jaccard_pm"))
           .orderBy("ida", "idb")
       },
-      Some("""WITH s AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+      Some("""WITH s AS (SELECT doc_id, text FROM documents
+             |           WHERE doc_id % 25 = 0 AND length(text) >= 3),
              |grams AS (
              |  SELECT DISTINCT doc_id, substring(text, g, 3) AS gram
              |  FROM s, LATERAL (SELECT unnest(generate_series(1, length(text)-2)) AS g) _t

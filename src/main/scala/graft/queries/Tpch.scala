@@ -83,10 +83,12 @@ object Tpch {
         val j = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
           .join(avgQ, l("l_partkey") === avgQ("a_partkey"))
           .filter(col("l_quantity") < col("avg_qty") * 0.2)
-        j.agg((sum(cents(col("l_extendedprice"))) / 7).cast(LongType).as("avg_yearly_c"),
+        // integer floor division on both sides (Spark double->long cast
+        // truncates but DuckDB's CAST rounds — `div` vs `//` agree)
+        j.agg(expr("sum(cast(round(l_extendedprice*100) as bigint)) div 7").as("avg_yearly_c"),
           count(lit(1)).as("cnt"))
       },
-      Some("""SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) / 7 AS BIGINT)
+      Some("""SELECT SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) // 7
              |  AS avg_yearly_c, COUNT(*) AS cnt
              |FROM lineitem JOIN part ON p_partkey = l_partkey
              |WHERE p_brand = 'Brand#23'
@@ -216,11 +218,14 @@ object Tpch {
             col("l_shipdate") < lit("1996-04-01"))
           .groupBy(col("l_suppkey").as("supplier_no"))
           .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("total_rev_c"))
-        val maxRev = rev.agg(max("total_rev_c")).head().getLong(0)
+        val maxRow = rev.agg(max("total_rev_c")).head()
         val su = t(s, dir, "supplier")
-        su.join(rev, su("s_suppkey") === rev("supplier_no"))
-          .filter(col("total_rev_c") === maxRev)
-          .select("s_suppkey", "s_name", "total_rev_c")
+        val joined = su.join(rev, su("s_suppkey") === rev("supplier_no"))
+        // empty revenue window → NULL max → empty result (not an NPE)
+        val matched =
+          if (maxRow.isNullAt(0)) joined.filter(lit(false))
+          else joined.filter(col("total_rev_c") === maxRow.getLong(0))
+        matched.select("s_suppkey", "s_name", "total_rev_c")
           .orderBy("s_suppkey")
       },
       Some("""WITH revenue AS (

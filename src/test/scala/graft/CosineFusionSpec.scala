@@ -34,6 +34,22 @@ class CosineFusionSpec extends SparkSpec {
     assert(math.abs(fused(3L).asInstanceOf[Double] - 1.0) < 1e-12)
   }
 
+  test("native kernel matches composed semantics on null elements and length mismatch") {
+    val weird = Seq(
+      (1L, Array[java.lang.Float](1.0f, null, 3.0f), Array[java.lang.Float](1.0f, 2.0f, 3.0f)),
+      (2L, Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Float](1.0f, 2.0f, 3.0f)),
+      (3L, Array[java.lang.Float](1.0f, 2.0f, 3.0f), Array[java.lang.Float](1.0f, 2.0f, 3.0f))
+    ).toDF("id", "a", "b")
+    val native = weird.select(col("id"), VectorOps.cosineNative(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    val composed = weird.select(col("id"), VectorOps.cosine(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(native(1L) === null)
+    assert(native(2L) === null)
+    assert(native(3L) !== null)
+    assert(native === composed)
+  }
+
   test("non-matching shapes are left untouched") {
     // sum of cubes is not a norm — must not fuse
     val notCosine = df.select(

@@ -170,6 +170,17 @@ object Expressions {
              | (8, NULL, 1.0, 3.0), (9, NULL, NULL, NULL)) t(id, x, lo, hi)
              |ORDER BY id""".stripMargin)),
 
+    // E17 — null-safe equality (<=> / IS NOT DISTINCT FROM)
+    Q("e17_null_safe_eq",
+      (s, dir) => floatPairs(s).select(
+        col("id"),
+        (col("a") <=> col("b")).as("nseq"),
+        (!(col("a") <=> col("b"))).as("distinct_ab"))
+        .orderBy("id"),
+      Some(s"""SELECT id, a IS NOT DISTINCT FROM b AS nseq,
+              | a IS DISTINCT FROM b AS distinct_ab
+              |FROM ($floatPairsSql) ORDER BY id""".stripMargin)),
+
     // E9 — COALESCE over series + constants (ref: slide/utils.py:470-486)
     Q("e9_coalesce",
       (s, dir) => floatPairs(s).select(

@@ -32,6 +32,12 @@ class SchemaDSLSpec extends AnyFunSuite {
         StructField("b", ArrayType(IntegerType))))))
   }
 
+  test("decimal type") {
+    assert(SchemaDSL.parse("d:decimal(12,2)")("d").dataType === DecimalType(12, 2))
+    assert(SchemaDSL.render(SchemaDSL.parse("d:decimal(12,2)")) === "d:decimal(12,2)")
+    intercept[GraftException](SchemaDSL.parse("d:decimal(12"))
+  }
+
   test("map type") {
     assert(SchemaDSL.parse("m:<str,long>")("m").dataType ===
       MapType(StringType, LongType))

@@ -81,8 +81,8 @@ object Advanced {
              |FROM (
              | SELECT l_returnflag, COUNT(*) AS cnt,
              |  COUNT(DISTINCT CAST(l_quantity AS BIGINT)) AS n_q,
-             |  SUM(CAST(l_quantity AS BIGINT)) AS sum_q,
-             |  SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sumsq_q,
+             |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q,
+             |  CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sumsq_q,
              |  quantile_cont(CAST(l_quantity AS BIGINT), 0.5) AS median_q
              | FROM lineitem GROUP BY 1)
              |ORDER BY l_returnflag""".stripMargin)),
@@ -95,7 +95,7 @@ object Advanced {
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
         .agg(sum(cents(col("l_extendedprice") * col("l_discount"))).as("revenue_c"),
           count(lit(1)).as("cnt")),
-      Some("""SELECT SUM(CAST(ROUND(l_extendedprice*l_discount*100) AS BIGINT)) AS revenue_c,
+      Some("""SELECT CAST(SUM(CAST(ROUND(l_extendedprice*l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_c,
              | COUNT(*) AS cnt
              |FROM lineitem
              |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
@@ -119,8 +119,8 @@ object Advanced {
       Some("""SELECT o_custkey, o_orderkey,
              | CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c, total_qty
              |FROM orders JOIN (
-             | SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS total_qty
-             | FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT)) > 150
+             | SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+             | FROM lineitem GROUP BY 1 HAVING CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) > 150
              |) ON o_orderkey = l_orderkey
              |ORDER BY total_qty DESC NULLS LAST, o_orderkey NULLS FIRST
              |LIMIT 100""".stripMargin),
@@ -142,8 +142,8 @@ object Advanced {
           .orderBy(asc_nulls_first("k"))
       },
       Some("""SELECT k, COUNT(*) AS cnt,
-             | SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS total_c,
-             | SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS acct_c
+             | CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c,
+             | CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS acct_c
              |FROM (SELECT NULLIF(o_custkey % 100, 7) AS k, o_totalprice FROM orders) o
              |JOIN (SELECT NULLIF(c_custkey % 100, 7) AS k, c_acctbal FROM customer) c
              |USING (k)
@@ -158,8 +158,8 @@ object Advanced {
         .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
         .orderBy(asc_nulls_first("l_returnflag")),
       Some("""SELECT l_returnflag,
-             | SUM(CAST(l_quantity AS BIGINT)) FILTER (l_linestatus = 'F') AS qty_f,
-             | SUM(CAST(l_quantity AS BIGINT)) FILTER (l_linestatus = 'O') AS qty_o
+             | CAST(SUM(CAST(l_quantity AS BIGINT)) FILTER (l_linestatus = 'F') AS BIGINT) AS qty_f,
+             | CAST(SUM(CAST(l_quantity AS BIGINT)) FILTER (l_linestatus = 'O') AS BIGINT) AS qty_o
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag NULLS FIRST""".stripMargin)),
 
@@ -175,11 +175,11 @@ object Advanced {
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("status")),
       Some("""SELECT l_returnflag, status, qty FROM (
              | SELECT l_returnflag, 'F' AS status,
-             |  SUM(CAST(l_quantity AS BIGINT)) FILTER (l_linestatus = 'F') AS qty
+             |  CAST(SUM(CAST(l_quantity AS BIGINT)) FILTER (l_linestatus = 'F') AS BIGINT) AS qty
              | FROM lineitem GROUP BY l_returnflag
              | UNION ALL
              | SELECT l_returnflag, 'O' AS status,
-             |  SUM(CAST(l_quantity AS BIGINT)) FILTER (l_linestatus = 'O') AS qty
+             |  CAST(SUM(CAST(l_quantity AS BIGINT)) FILTER (l_linestatus = 'O') AS BIGINT) AS qty
              | FROM lineitem GROUP BY l_returnflag
              |) WHERE qty IS NOT NULL
              |ORDER BY l_returnflag NULLS FIRST, status NULLS FIRST""".stripMargin)),

@@ -111,7 +111,7 @@ object Functions {
         .orderBy("l_orderkey"),
       Some("""SELECT l_orderkey, lines, CAST(len(lines) AS BIGINT) AS n,
              | lines[1] AS first_line, list_contains(lines, 1) AS has_line1,
-             | list_sum(lines) AS line_sum
+             | CAST(list_sum(lines) AS BIGINT) AS line_sum
              |FROM (
              | SELECT l_orderkey,
              |  list_sort(list(CAST(l_linenumber AS BIGINT))) AS lines
@@ -141,8 +141,8 @@ object Functions {
           .orderBy("l_returnflag")
       },
       Some("""SELECT l_returnflag,
-             | SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * CAST(l_quantity AS BIGINT))
-             |  * 1000 // SUM(CAST(l_quantity AS BIGINT)) AS wavg_pm
+             | CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT)
+             |  * 1000 // CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wavg_pm
              |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
 
     // exact integer covariance numerator: n·Σxy − Σx·Σy over
@@ -160,9 +160,9 @@ object Functions {
       Some("""SELECT l_returnflag, n, sx, sy, sxy, n * sxy - sx * sy AS covar_num
              |FROM (
              | SELECT l_returnflag, COUNT(*) AS n,
-             |  SUM(CAST(l_quantity AS BIGINT)) AS sx,
-             |  SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS sy,
-             |  SUM(CAST(l_quantity AS BIGINT) * CAST(ROUND(l_discount * 100) AS BIGINT)) AS sxy
+             |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+             |  CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS sy,
+             |  CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS sxy
              | FROM lineitem GROUP BY 1)
              |ORDER BY l_returnflag""".stripMargin))
   )

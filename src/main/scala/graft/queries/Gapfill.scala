@@ -31,9 +31,9 @@ object Gapfill {
         t(s, dir, "orders")
           .select(col("o_orderpriority"), col("o_orderkey"),
             cents(col("o_totalprice")).as("total_c"),
-            row_number().over(w).as("rn"),
-            rank().over(w).as("rk"),
-            dense_rank().over(w).as("drk"))
+            row_number().over(w).cast(LongType).as("rn"),
+            rank().over(w).cast(LongType).as("rk"),
+            dense_rank().over(w).cast(LongType).as("drk"))
           .filter(col("rn") <= 3)
           .orderBy("o_orderpriority", "rn")
       },
@@ -60,9 +60,9 @@ object Gapfill {
           .orderBy("o_custkey", "o_orderkey")
       },
       Some("""SELECT o_custkey, o_orderkey,
-             | SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
+             | CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
              |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_c
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_c
              |FROM orders WHERE o_custkey % 100 = 0
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
@@ -141,7 +141,7 @@ object Gapfill {
         .orderBy(asc_nulls_first("gid"), asc_nulls_first("l_returnflag"),
           asc_nulls_first("l_linestatus")),
       Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-             | SUM(CAST(l_quantity AS BIGINT)) AS qty,
+             | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
              | (CASE WHEN l_returnflag IS NULL THEN 2 ELSE 0 END +
              |  CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS gid
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -195,7 +195,7 @@ object Gapfill {
         .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("sum_c"))
         .orderBy(asc_nulls_first("hour"), asc_nulls_first("event_type")),
       Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
-             | COUNT(*) AS cnt, SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_c
+             | COUNT(*) AS cnt, CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_c
              |FROM events GROUP BY 1, 2
              |ORDER BY hour NULLS FIRST, event_type NULLS FIRST""".stripMargin)),
 
@@ -214,7 +214,7 @@ object Gapfill {
           .agg(sum("new_s").as("n_sessions"), count(lit(1)).as("n_events"))
           .orderBy("user_id")
       },
-      Some("""SELECT user_id, SUM(new_s) AS n_sessions, COUNT(*) AS n_events
+      Some("""SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
              |FROM (
              | SELECT user_id,
              |  CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w > 1800000000
@@ -232,7 +232,7 @@ object Gapfill {
         .agg(count(lit(1)).as("cnt"), sum("k").as("k_sum"), max("k").as("k_max"))
         .orderBy("event_type"),
       Some("""SELECT event_type, COUNT(*) AS cnt,
-             | SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+             | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
              | MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
              |FROM events GROUP BY event_type
              |ORDER BY event_type""".stripMargin))

@@ -34,10 +34,10 @@ object Headline {
           "cnt" -> count(lit(1)))
         .df.orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
       Some("""SELECT l_returnflag, l_linestatus,
-             | SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-             | SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_base_c,
-             | SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS sum_disc_c,
-             | SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT)) AS sum_charge_c,
+             | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             | CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+             | CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+             | CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT)) AS BIGINT) AS sum_charge_c,
              | CAST(ROUND(AVG(l_quantity)*1000) AS BIGINT) AS avg_qty_m,
              | CAST(ROUND(AVG(l_discount)*1000) AS BIGINT) AS avg_disc_m,
              | COUNT(*) AS cnt
@@ -67,7 +67,7 @@ object Headline {
           .limit(10)
       },
       Some("""SELECT o_orderkey, o_orderdate,
-             | SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS revenue_c
+             | CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c
              |FROM customer, orders, lineitem
              |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
              |  AND l_orderkey = o_orderkey
@@ -99,7 +99,7 @@ object Headline {
           .orderBy(desc_nulls_last("revenue_c"), asc_nulls_first("n_name"))
       },
       Some("""SELECT n_name,
-             | SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS revenue_c
+             | CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c
              |FROM customer, orders, lineitem, supplier, nation, region
              |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
              |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey

@@ -53,8 +53,8 @@ object Relational {
   private def joinSummarySql(joined: String): String =
     s"""SELECT k, COUNT(*) AS cnt, COUNT(c_custkey) AS cnt_left,
        | COUNT(o_orderkey) AS cnt_right,
-       | COALESCE(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)), 0) AS acct_c,
-       | COALESCE(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)), 0) AS total_c
+       | COALESCE(CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT), 0) AS acct_c,
+       | COALESCE(CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT), 0) AS total_c
        |FROM ($joined) GROUP BY k ORDER BY k NULLS FIRST""".stripMargin
 
   private def joinQ(name: String, joinType: String, sqlJoin: String): Q = Q(
@@ -101,7 +101,7 @@ object Relational {
         .agg(count(lit(1)).as("cnt"), sum(col("l_quantity").cast(LongType)).as("qty"))
         .orderBy(asc_nulls_first("l_returnflag")),
       Some("""SELECT l_returnflag, COUNT(*) AS cnt,
-             | SUM(CAST(l_quantity AS BIGINT)) AS qty
+             | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
              |FROM lineitem WHERE l_shipdate < '1996-01-01' AND l_discount > 0.05
              |GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST""".stripMargin)),
 
@@ -137,7 +137,7 @@ object Relational {
         .agg(count(lit(1)).as("cnt"), sum(cents(col("c_acctbal"))).as("acct_c"))
         .orderBy(asc_nulls_first("k")),
       Some(s"""SELECT k, COUNT(*) AS cnt,
-              | SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS acct_c
+              | CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS acct_c
               |FROM ($custKSql) a
               |WHERE EXISTS (SELECT 1 FROM ($ordKSql) b WHERE a.k = b.k)
               |GROUP BY k ORDER BY k NULLS FIRST""".stripMargin)),
@@ -149,7 +149,7 @@ object Relational {
         .agg(count(lit(1)).as("cnt"), sum(cents(col("c_acctbal"))).as("acct_c"))
         .orderBy(asc_nulls_first("k")),
       Some(s"""SELECT k, COUNT(*) AS cnt,
-              | SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS acct_c
+              | CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS acct_c
               |FROM ($custKSql) a
               |WHERE NOT EXISTS (SELECT 1 FROM ($ordKSql) b WHERE a.k = b.k)
               |GROUP BY k ORDER BY k NULLS FIRST""".stripMargin)),
@@ -159,7 +159,7 @@ object Relational {
         .join(Frame(t(s, dir, "nation").select(col("n_name"), col("n_regionkey"))), "cross")
         .df.groupBy("r_name").agg(count(lit(1)).as("cnt"), sum("n_regionkey").as("rk_sum"))
         .orderBy(asc_nulls_first("r_name")),
-      Some("""SELECT r_name, COUNT(*) AS cnt, SUM(n_regionkey) AS rk_sum
+      Some("""SELECT r_name, COUNT(*) AS cnt, CAST(SUM(n_regionkey) AS BIGINT) AS rk_sum
              |FROM region CROSS JOIN nation
              |GROUP BY r_name ORDER BY r_name NULLS FIRST""".stripMargin)),
 
@@ -217,7 +217,7 @@ object Relational {
           "min_c" -> min(cents(col("o_totalprice"))))
         .df.orderBy(asc_nulls_first("gk")),
       Some("""SELECT NULLIF(o_custkey % 10, 3) AS gk, COUNT(*) AS cnt,
-             | SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS total_c,
+             | CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c,
              | MAX(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS max_c,
              | MIN(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS min_c
              |FROM orders GROUP BY 1 ORDER BY gk NULLS FIRST""".stripMargin)),
@@ -244,7 +244,7 @@ object Relational {
           }.df.orderBy(asc_nulls_first("o_orderpriority"))
       },
       Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
-             | SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS total_c
+             | CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
              |FROM orders GROUP BY 1 ORDER BY o_orderpriority NULLS FIRST""".stripMargin)),
 
     // R8 — projection/construction from expressions and constants

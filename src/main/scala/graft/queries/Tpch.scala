@@ -88,7 +88,7 @@ object Tpch {
         j.agg(expr("sum(cast(round(l_extendedprice*100) as bigint)) div 7").as("avg_yearly_c"),
           count(lit(1)).as("cnt"))
       },
-      Some("""SELECT SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) // 7
+      Some("""SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) // 7
              |  AS avg_yearly_c, COUNT(*) AS cnt
              |FROM lineitem JOIN part ON p_partkey = l_partkey
              |WHERE p_brand = 'Brand#23'
@@ -123,7 +123,7 @@ object Tpch {
           .orderBy("supp_nation", "cust_nation", "l_year")
       },
       Some("""SELECT supp_nation, cust_nation, l_year,
-             | SUM(CAST(ROUND(volume*100) AS BIGINT)) AS revenue_c
+             | CAST(SUM(CAST(ROUND(volume*100) AS BIGINT)) AS BIGINT) AS revenue_c
              |FROM (
              | SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
@@ -153,7 +153,7 @@ object Tpch {
           .orderBy(asc_nulls_first("nation"), desc_nulls_last("o_year"))
       },
       Some("""SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
-             | SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS profit_c
+             | CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS profit_c
              |FROM lineitem, part, supplier, nation
              |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
              |  AND s_nationkey = n_nationkey AND p_type = 'PROMO'
@@ -178,7 +178,7 @@ object Tpch {
           .limit(20)
       },
       Some("""SELECT c_custkey, c_name, n_name,
-             | SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS revenue_c
+             | CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c
              |FROM customer, orders, lineitem, nation
              |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
              |  AND o_orderdate >= '1996-10-01' AND o_orderdate < '1997-01-01'
@@ -202,10 +202,10 @@ object Tpch {
             sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("total_c"))
       },
       Some("""SELECT
-             | SUM(CASE WHEN p_type = 'PROMO'
+             | CAST(SUM(CASE WHEN p_type = 'PROMO'
              |   THEN CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)
-             |   ELSE 0 END) AS promo_c,
-             | SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS total_c
+             |   ELSE 0 END) AS BIGINT) AS promo_c,
+             | CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS total_c
              |FROM lineitem, part
              |WHERE l_partkey = p_partkey
              |  AND l_shipdate >= '1996-09-01' AND l_shipdate < '1996-10-01'""".stripMargin)),
@@ -230,7 +230,7 @@ object Tpch {
       },
       Some("""WITH revenue AS (
              | SELECT l_suppkey AS supplier_no,
-             |  SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS total_rev_c
+             |  CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS total_rev_c
              | FROM lineitem
              | WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
              | GROUP BY 1)
@@ -279,7 +279,7 @@ object Tpch {
         j.agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
           .as("revenue_c"), count(lit(1)).as("cnt"))
       },
-      Some("""SELECT SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+      Some("""SELECT CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT)
              |  AS revenue_c, COUNT(*) AS cnt
              |FROM lineitem JOIN part ON p_partkey = l_partkey
              |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15

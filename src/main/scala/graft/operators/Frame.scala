@@ -122,6 +122,33 @@ final class Frame(val df: DataFrame) {
   /** R9 `empty` (ref: slide/utils.py:619-625). */
   def isEmpty: Boolean = df.isEmpty
 
+  /** rename columns (old → new); missing names are errors */
+  def rename(mapping: (String, String)*): Frame = {
+    val m = mapping.toMap
+    m.keys.foreach { k =>
+      if (!df.columns.contains(k))
+        throw new GraftInvalidOperation(s"column $k not in frame")
+    }
+    new Frame(df.withColumnsRenamed(m))
+  }
+
+  /** drop columns (ignores absent names, like Spark) */
+  def drop(cols: String*): Frame = new Frame(df.drop(cols: _*))
+
+  /** sort + optional limit (gap-fill surface; top-k compiles to
+    * TakeOrderedAndProject when followed by [[limit]])
+    */
+  def orderBy(cols: Column*): Frame = new Frame(df.orderBy(cols: _*))
+
+  def limit(n: Int): Frame = new Frame(df.limit(n))
+
+  /** row-iterable interchange (`as_array_iterable` analog,
+    * ref: slide/utils.py:648-691) — streams partitions to the caller
+    * without materializing the frame
+    */
+  def rowIterator: Iterator[Row] =
+    scala.jdk.CollectionConverters.IteratorHasAsScala(df.toLocalIterator()).asScala
+
   /** `cast_df` — conform the frame to a target schema, applying the SQL
     * cast matrix per field (ref: slide/utils.py:739-763). Fields missing
     * from the target are dropped; order follows the target.

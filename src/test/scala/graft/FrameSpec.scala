@@ -149,6 +149,16 @@ class FrameSpec extends SparkSpec {
     assert(row.getString(4) === "d")
   }
 
+  test("rename/drop/orderBy/limit/rowIterator surface") {
+    val a = df(Seq(Seq[Any](2L, "x"), Seq[Any](1L, "y")), "k:long,v:str")
+    val r = a.rename("k" -> "key").drop("v")
+    assert(r.df.columns.toSeq === Seq("key"))
+    intercept[GraftInvalidOperation](a.rename("missing" -> "z"))
+    val top = a.orderBy(col("k").desc).limit(1)
+    assert(top.df.collect().map(_.getLong(0)).toSeq === Seq(2L))
+    assert(a.rowIterator.map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
+
   test("filter truthiness: NULL/0/NaN drop the row (suite:355-389)") {
     // Seq[Any] to stop Scala widening 1L to Double in the mixed literals
     val a = df(Seq(Seq[Any](1L, 1.0), Seq[Any](2L, 0.0), Seq[Any](3L, null),

@@ -72,6 +72,72 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) coarse quantizer: k centroids trained by a few
+    * Lloyd iterations, cosine metric. Deterministic: init takes the k
+    * lowest-id vectors; updates are distributed posexplode→avg (only the
+    * k×dim centroid table ever reaches the driver). At 100 TB this is the
+    * standard ANN layout: partition/cluster the corpus by centroid id and
+    * a query probes `nprobe` partitions.
+    */
+  def trainIvfCentroids(df: DataFrame, vecCol: String, idCol: String,
+      k: Int = 16, iters: Int = 5): Array[Array[Float]] = {
+    var centroids: Array[Array[Float]] = df
+      .orderBy(col(idCol)).limit(k)
+      .select(vecCol).collect()
+      .map(_.getSeq[Float](0).toArray)
+    for (_ <- 0 until iters) {
+      val assigned = df.withColumn("_c", assignCentroid(col(vecCol), centroids))
+      val updated = assigned
+        .select(col("_c"), posexplode(col(vecCol)).as(Seq("_pos", "_v")))
+        .groupBy("_c", "_pos")
+        .agg(avg(col("_v")).as("_m"))
+        .collect()
+      val byCluster = updated.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { c =>
+        byCluster.get(c) match {
+          case Some(rows) =>
+            rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toArray
+          case None => centroids(c) // empty cluster keeps its centroid
+        }
+      }.toArray
+    }
+    centroids
+  }
+
+  /** index of the highest-cosine centroid for a vector column */
+  def assignCentroid(vec: Column, centroids: Array[Array[Float]]): Column = {
+    val sims = array(centroids.map { c =>
+      coalesce(VectorOps.cosineNative(vec, array(c.map(lit): _*)), lit(-2.0))
+    }: _*)
+    (array_position(sims, array_max(sims)) - 1).cast("int")
+  }
+
+  /** IVF ANN top-k: probe the `nprobe` centroids nearest the query, exact
+    * cosine inside the probed cells only.
+    */
+  def ivfTopK(df: DataFrame, vecCol: String, idCol: String,
+      query: Array[Float], k: Int, centroids: Array[Array[Float]],
+      nprobe: Int = 4): DataFrame = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      val nn = math.sqrt(na) * math.sqrt(nb)
+      if (nn == 0) -2.0 else dot / nn
+    }
+    val probes = centroids.indices
+      .sortBy(c => -cos(centroids(c), query)).take(nprobe)
+    val q = array(query.map(lit): _*)
+    df.withColumn("_c", assignCentroid(col(vecCol), centroids))
+      .filter(col("_c").isin(probes: _*))
+      .select(col(idCol), VectorOps.cosineNative(col(vecCol), q).as("cos"))
+      .orderBy(desc_nulls_last("cos"), asc_nulls_first(idCol))
+      .limit(k)
+  }
+
   /** All pairs with cosine ≥ threshold — embedding near-dup detection.
     * Exact O(n²) form for oracle checking; the scale path buckets by LSH
     * first (same as [[lshTopK]]) so the join key is the bucket, not a

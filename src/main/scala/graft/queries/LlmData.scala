@@ -313,6 +313,21 @@ object LlmData {
              |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings)
              |ORDER BY vec_id""".stripMargin)),
 
+    // SS3 — IVF ANN top-k (trained coarse quantizer; hash/centroid-
+    // specific → rows-only, recall spec-checked)
+    Q("ss3_ann_ivf",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val query = emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).toArray
+        val centroids = Similarity.trainIvfCentroids(emb, "embedding", "vec_id", k = 8, iters = 3)
+        Similarity.ivfTopK(
+          emb.filter(col("vec_id") =!= 0), "embedding", "vec_id", query, 10,
+          centroids, nprobe = 3)
+          .select("vec_id")
+      },
+      None),
+
     // TX1 — n-gram/stopword language ID with per-language scores
     Q("tx1_langid",
       (s, dir) => {

@@ -66,6 +66,24 @@ class LlmOpsSpec extends SparkSpec {
       s"recall too low: ${ann.toSet.intersect(exact)}")
   }
 
+  test("IVF ANN: trained centroids, probed cells, reasonable recall") {
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val centroids = Similarity.trainIvfCentroids(emb, "embedding", "vec_id", k = 8, iters = 3)
+    assert(centroids.length === 8)
+    assert(centroids.forall(_.length === 64))
+    val exact = Similarity.bruteForceTopK(rest, "embedding", "vec_id", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(rest, "embedding", "vec_id", query, 10, centroids, nprobe = 3)
+      .collect().map(_.getLong(0))
+    assert(ivf.length === 10)
+    assert(ivf.distinct.length === 10)
+    // probing 3 of 8 cells must keep a reasonable share of the true top-10
+    assert(ivf.toSet.intersect(exact).size >= 3,
+      s"IVF recall too low: ${ivf.toSet.intersect(exact)}")
+  }
+
   test("rolling hash is deterministic and order-sensitive") {
     val r = Seq((1L, "abc"), (2L, "abc"), (3L, "acb"), (4L, ""))
       .toDF("id", "t")

@@ -39,10 +39,16 @@ object EventStreams {
   }
 
   /** tumbling event-time window aggregation; `withWatermark` bounds state
-    * for append-mode sinks (late events beyond 1h are dropped)
+    * for append-mode sinks (late events beyond 1h are dropped). Watermarks
+    * require TimestampType — the UTC session makes the NTZ→TZ cast a pure
+    * relabeling.
     */
   def hourlyByType(events: DataFrame, watermark: Boolean = true): DataFrame = {
-    val src = if (watermark) events.withWatermark("ts", "1 hour") else events
+    val src =
+      if (watermark)
+        events.withColumn("ts", col("ts").cast(TimestampType))
+          .withWatermark("ts", "1 hour")
+      else events
     src.groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
         sum(round(col("value") * 100).cast(LongType)).as("sum_c"))

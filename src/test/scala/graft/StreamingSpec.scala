@@ -26,6 +26,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked append-mode parquet sink finalizes windows across batches") {
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("graft_stream").toString
+    val srcDir = s"$work/src"
+    val outDir = s"$work/out"
+    val ckpt = s"$work/ckpt"
+    new java.io.File(srcDir).mkdirs()
+    // batch 1: the real events file (ts as raw nanos longs)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(EventStreams.rawSchema).parquet(s"$sf/events.parquet")
+    raw.write.mode("overwrite").parquet(srcDir)
+    val maxNs = raw.agg(max("ts")).head().getLong(0)
+
+    val stream = spark.readStream.schema(EventStreams.rawSchema).parquet(srcDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+    val agg = EventStreams.hourlyByType(stream, watermark = true)
+    val q = agg.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // batch 1: watermark still at epoch → no output
+      // batch 2: one event 10 days later pushes the watermark past every
+      // batch-1 window, finalizing them into the sink
+      spark.range(1).selectExpr(
+        "999999 AS event_id", s"${maxNs + 10L * 86400 * 1000000000L} AS ts",
+        "CAST(1 AS LONG) AS user_id", "'click' AS event_type",
+        "CAST(1.0 AS DOUBLE) AS value", "'{}' AS props")
+        .write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      val emitted = spark.read.parquet(outDir)
+      // batch equivalent on the same TIMESTAMP relabeling the watermark
+      // path applies
+      val batchEquiv = EventStreams.hourlyByType(
+        Tables.load(spark, sf, "events")
+          .withColumn("ts", col("ts").cast("timestamp")), watermark = false)
+      // every batch-1 window must be emitted exactly once with the same agg
+      assert(emitted.count() === batchEquiv.count())
+      assert(emitted.collect().map(_.toSeq).toSet ===
+        batchEquiv.collect().map(_.toSeq).toSet)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals match batch aggregate") {
     val stream = EventStreams.readEventsStream(spark, sf)
     val totals = EventStreams.runningUserTotals(spark, stream)

@@ -122,12 +122,19 @@ final class Frame(val df: DataFrame) {
   /** R9 `empty` (ref: slide/utils.py:619-625). */
   def isEmpty: Boolean = df.isEmpty
 
-  /** rename columns (old → new); missing names are errors */
+  /** rename columns (old → new); missing sources and colliding targets
+    * are errors (case-insensitive, matching Spark's default resolution)
+    */
   def rename(mapping: (String, String)*): Frame = {
     val m = mapping.toMap
-    m.keys.foreach { k =>
-      if (!df.columns.contains(k))
-        throw new GraftInvalidOperation(s"column $k not in frame")
+    val existing = df.columns.map(_.toLowerCase)
+    m.foreach { case (from, to) =>
+      if (!existing.contains(from.toLowerCase))
+        throw new GraftInvalidOperation(s"column $from not in frame")
+      val remaining = existing.filterNot(_ == from.toLowerCase) ++
+        m.removed(from).values.map(_.toLowerCase)
+      if (remaining.contains(to.toLowerCase))
+        throw new GraftInvalidOperation(s"rename target $to collides with an existing column")
     }
     new Frame(df.withColumnsRenamed(m))
   }

@@ -73,35 +73,41 @@ object Similarity {
   }
 
   /** IVF (inverted-file) coarse quantizer: k centroids trained by a few
-    * Lloyd iterations, cosine metric. Deterministic: init takes the k
-    * lowest-id vectors; updates are distributed posexplode→avg (only the
-    * k×dim centroid table ever reaches the driver). At 100 TB this is the
+    * Lloyd iterations, cosine metric. Init is deterministic (the k
+    * lowest-id vectors); updates are distributed posexplode→avg, so
+    * centroids can vary at the ULP level with partition merge order —
+    * structural results (cell sizes, recall) are stable, exact membership
+    * of boundary vectors is not guaranteed across runs. Only the k×dim
+    * centroid table ever reaches the driver. At 100 TB this is the
     * standard ANN layout: partition/cluster the corpus by centroid id and
     * a query probes `nprobe` partitions.
     */
   def trainIvfCentroids(df: DataFrame, vecCol: String, idCol: String,
       k: Int = 16, iters: Int = 5): Array[Array[Float]] = {
-    var centroids: Array[Array[Float]] = df
-      .orderBy(col(idCol)).limit(k)
-      .select(vecCol).collect()
-      .map(_.getSeq[Float](0).toArray)
-    for (_ <- 0 until iters) {
-      val assigned = df.withColumn("_c", assignCentroid(col(vecCol), centroids))
-      val updated = assigned
-        .select(col("_c"), posexplode(col(vecCol)).as(Seq("_pos", "_v")))
-        .groupBy("_c", "_pos")
-        .agg(avg(col("_v")).as("_m"))
-        .collect()
-      val byCluster = updated.groupBy(_.getInt(0))
-      centroids = centroids.indices.map { c =>
-        byCluster.get(c) match {
-          case Some(rows) =>
-            rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toArray
-          case None => centroids(c) // empty cluster keeps its centroid
-        }
-      }.toArray
-    }
-    centroids
+    val src = df.select(col(idCol), col(vecCol)).cache()
+    try {
+      var centroids: Array[Array[Float]] = src
+        .orderBy(col(idCol)).limit(k)
+        .select(vecCol).collect()
+        .map(_.getSeq[Float](0).toArray)
+      for (_ <- 0 until iters) {
+        val assigned = src.withColumn("_c", assignCentroid(col(vecCol), centroids))
+        val updated = assigned
+          .select(col("_c"), posexplode(col(vecCol)).as(Seq("_pos", "_v")))
+          .groupBy("_c", "_pos")
+          .agg(avg(col("_v")).as("_m"))
+          .collect()
+        val byCluster = updated.groupBy(_.getInt(0))
+        centroids = centroids.indices.map { c =>
+          byCluster.get(c) match {
+            case Some(rows) =>
+              rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toArray
+            case None => centroids(c) // empty cluster keeps its centroid
+          }
+        }.toArray
+      }
+      centroids
+    } finally src.unpersist()
   }
 
   /** index of the highest-cosine centroid for a vector column */
@@ -118,6 +124,10 @@ object Similarity {
   def ivfTopK(df: DataFrame, vecCol: String, idCol: String,
       query: Array[Float], k: Int, centroids: Array[Array[Float]],
       nprobe: Int = 4): DataFrame = {
+    // a malformed query must fail here, not silently mis-probe (the
+    // executor-side kernel returns NULL on length mismatch)
+    require(centroids.nonEmpty && centroids.forall(_.length == query.length),
+      s"query dimension ${query.length} does not match centroid dimensions")
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0

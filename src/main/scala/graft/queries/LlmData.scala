@@ -307,7 +307,7 @@ object LlmData {
           .orderBy("vec_id")
       },
       Some("""SELECT vec_id,
-             | CAST(ROUND(sqrt(CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT)) * 1000) AS BIGINT) AS norm_pm,
+             | CAST(ROUND(sqrt(list_sum(list_transform(v, x -> x * x))) * 1000) AS BIGINT) AS norm_pm,
              | CAST(ROUND(list_max(list_transform(v, x -> abs(x))) * 10000) AS BIGINT) AS maxabs_dm,
              | label
              |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings)

@@ -40,15 +40,13 @@ object EventStreams {
 
   /** tumbling event-time window aggregation; `withWatermark` bounds state
     * for append-mode sinks (late events beyond 1h are dropped). Watermarks
-    * require TimestampType — the UTC session makes the NTZ→TZ cast a pure
-    * relabeling.
+    * require TimestampType, so `ts` is always relabeled NTZ→TZ (pure under
+    * the UTC session) — the output schema is identical with and without
+    * the watermark, keeping stream/batch results union-compatible.
     */
   def hourlyByType(events: DataFrame, watermark: Boolean = true): DataFrame = {
-    val src =
-      if (watermark)
-        events.withColumn("ts", col("ts").cast(TimestampType))
-          .withWatermark("ts", "1 hour")
-      else events
+    val cast = events.withColumn("ts", col("ts").cast(TimestampType))
+    val src = if (watermark) cast.withWatermark("ts", "1 hour") else cast
     src.groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
         sum(round(col("value") * 100).cast(LongType)).as("sum_c"))

@@ -56,11 +56,8 @@ class StreamingSpec extends SparkSpec {
         .write.mode("append").parquet(srcDir)
       q.processAllAvailable()
       val emitted = spark.read.parquet(outDir)
-      // batch equivalent on the same TIMESTAMP relabeling the watermark
-      // path applies
       val batchEquiv = EventStreams.hourlyByType(
-        Tables.load(spark, sf, "events")
-          .withColumn("ts", col("ts").cast("timestamp")), watermark = false)
+        Tables.load(spark, sf, "events"), watermark = false)
       // every batch-1 window must be emitted exactly once with the same agg
       assert(emitted.count() === batchEquiv.count())
       assert(emitted.collect().map(_.toSeq).toSet ===

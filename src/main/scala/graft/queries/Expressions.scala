@@ -191,6 +191,58 @@ object Expressions {
       Some(s"""SELECT id, COALESCE(a, b, -1.0::DOUBLE) AS coal, COALESCE(a, b) AS coal2
               |FROM ($floatPairsSql) ORDER BY id""".stripMargin)),
 
+    // E9b — COALESCE across the reference's other types (suite:693-843:
+    // bool/int/str/datetime variants)
+    Q("e9b_coalesce_types",
+      (s, dir) => {
+        import s.implicits._
+        val df = Seq[(Int, java.lang.Boolean, java.lang.Long, String, String)](
+          (1, null, null, null, null),
+          (2, true, 5L, "x", "2020-01-01"),
+          (3, null, 7L, null, "2020-02-02"),
+          (4, false, null, "y", null)
+        ).toDF("id", "b", "i", "t", "d0")
+          .withColumn("d", col("d0").cast(TimestampNTZType)).drop("d0")
+        df.select(col("id"),
+          coalesce(col("b"), lit(false)).as("cb"),
+          coalesce(col("i"), lit(-1L)).as("ci"),
+          coalesce(col("t"), lit("zz")).as("ct"),
+          coalesce(col("d"), lit("1970-01-01").cast(TimestampNTZType)).as("cd"))
+          .orderBy("id")
+      },
+      Some("""SELECT id, COALESCE(b, false) AS cb, COALESCE(i, -1) AS ci,
+             | COALESCE(t, 'zz') AS ct,
+             | COALESCE(d, TIMESTAMP '1970-01-01') AS cd
+             |FROM (SELECT id, b, i, t, CAST(d0 AS TIMESTAMP) AS d FROM (VALUES
+             |  (1, NULL, NULL, NULL, NULL),
+             |  (2, true, CAST(5 AS BIGINT), 'x', '2020-01-01'),
+             |  (3, NULL, 7, NULL, '2020-02-02'),
+             |  (4, false, NULL, 'y', NULL)) t0(id, b, i, t, d0))
+             |ORDER BY id""".stripMargin)),
+
+    // E10b — CASE WHEN with boolean conditions over the bool/str corpus
+    // (suite:853-902)
+    Q("e10b_case_when_bool",
+      (s, dir) => {
+        import s.implicits._
+        val df = Seq[(Int, java.lang.Boolean, String, java.lang.Boolean, String, String)](
+          (1, true, "a", false, "b", "c"), (2, false, "a", true, "b", "c"),
+          (3, null, "a", null, "b", "c"), (4, false, "a", false, "b", null),
+          (5, true, null, true, "b", "c")
+        ).toDF("id", "c1", "v1", "c2", "v2", "dflt")
+        df.select(col("id"),
+          Kernels.caseWhen(Seq(
+            Kernels.truthy(col("c1"), BooleanType) -> col("v1"),
+            Kernels.truthy(col("c2"), BooleanType) -> col("v2")),
+            col("dflt")).as("cw"))
+          .orderBy("id")
+      },
+      Some("""SELECT id, CASE WHEN c1 THEN v1 WHEN c2 THEN v2 ELSE dflt END AS cw
+             |FROM (VALUES (1, true, 'a', false, 'b', 'c'),
+             | (2, false, 'a', true, 'b', 'c'), (3, NULL, 'a', NULL, 'b', 'c'),
+             | (4, false, 'a', false, 'b', NULL), (5, true, NULL, true, 'b', 'c'))
+             | t(id, c1, v1, c2, v2, dflt) ORDER BY id""".stripMargin)),
+
     // E10 — CASE WHEN with numeric-truthiness conditions, first-match-wins
     // (ref: slide/utils.py:488-529; oracle suite:845-965)
     Q("e10_case_when",
@@ -243,6 +295,51 @@ object Expressions {
              |FROM (VALUES (1, 'abc'), (2, 'ABC'), (3, 'abd'), (4, 'aBd'),
              | (5, ''), (6, 'ab%_c'), (7, NULL), (8, 'xabcx')) t(id, v)
              |ORDER BY id""".stripMargin)),
+
+    // E11b — the reference's full LIKE corpus (suite:1016-1117): 17
+    // pattern/case combinations plus the NULL pattern, positive and
+    // negated, over the exact reference fixture. Spark expressions and
+    // oracle SQL are generated from one pattern table.
+    Q("e11b_like_corpus", {
+      val pats: Seq[(String, String, Boolean)] = Seq(
+        ("i", "", false), ("j", "abc", true), ("k", "aBc", false),
+        ("l", "ab%", true), ("m", "aB%", false), ("n", "%bc", true),
+        ("o", "%bc", false), ("p", "a%c", true), ("q", "a%c", false),
+        ("r", "%bc%", true), ("s", "%bc%", false), ("t", "%_", false),
+        ("u", "_%", false), ("v", "%_%", false), ("w", "_a%", true),
+        ("x", "_a%", false), ("y", "%", false))
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val df = Seq((1, "abc"), (2, "ABC"), (3, "abd"), (4, "aBd"),
+          (5, ""), (6, "ab\\%\\_c"), (7, null.asInstanceOf[String]))
+          .toDF("id", "a")
+        val nullPat = lit(null).cast(BooleanType)
+        val cols = Seq(col("id"), nullPat.as("h"), nullPat.as("nh")) ++
+          pats.flatMap { case (n, p, ic) => Seq(
+            Kernels.like(col("a"), p, ignoreCase = ic, positive = true).as(n),
+            Kernels.like(col("a"), p, ignoreCase = ic, positive = false).as(s"n$n"))
+          }
+        df.select(cols: _*).orderBy("id")
+      }
+    },
+      Some {
+        val pats: Seq[(String, String, Boolean)] = Seq(
+          ("i", "", false), ("j", "abc", true), ("k", "aBc", false),
+          ("l", "ab%", true), ("m", "aB%", false), ("n", "%bc", true),
+          ("o", "%bc", false), ("p", "a%c", true), ("q", "a%c", false),
+          ("r", "%bc%", true), ("s", "%bc%", false), ("t", "%_", false),
+          ("u", "_%", false), ("v", "%_%", false), ("w", "_a%", true),
+          ("x", "_a%", false), ("y", "%", false))
+        val exprs = Seq("a LIKE NULL AS h", "a NOT LIKE NULL AS nh") ++
+          pats.flatMap { case (n, p, ic) =>
+            val op = if (ic) "ILIKE" else "LIKE"
+            Seq(s"a $op '$p' AS $n", s"a NOT $op '$p' AS n$n")
+          }
+        s"""SELECT id, ${exprs.mkString(", ")}
+           |FROM (VALUES (1, 'abc'), (2, 'ABC'), (3, 'abd'), (4, 'aBd'),
+           | (5, ''), (6, 'ab\\%\\_c'), (7, NULL)) t(id, a)
+           |ORDER BY id""".stripMargin
+      }),
 
     // E12a — string → numeric casts: via-double int truncation ('1.1'→1),
     // 'naN'→NULL, invalid→NULL (ref matrix §2.3; suite:1437-1455,1541-1559)

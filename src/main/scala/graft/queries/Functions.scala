@@ -118,6 +118,34 @@ object Functions {
              | FROM lineitem WHERE l_orderkey % 200 = 0 GROUP BY 1)
              |ORDER BY l_orderkey""".stripMargin)),
 
+    // numeric function surface — no transcendentals (JVM vs C libm last-
+    // ulp differences would break the bit-exact compare); sqrt/ceil/floor
+    // and remainder are IEEE-exact in both engines
+    Q("e18_numeric_funcs",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_extendedprice") - 30000).as("abs_v"),
+          signum(col("l_discount") - 0.05).cast(LongType).as("sign_v"),
+          (col("l_quantity").cast(LongType) % 7).as("mod_v"),
+          ceil(col("l_extendedprice") / 1000).cast(LongType).as("ceil_v"),
+          floor(col("l_extendedprice") / 1000).cast(LongType).as("floor_v"),
+          sqrt(col("l_quantity")).as("sqrt_v"),
+          greatest(col("l_tax"), col("l_discount")).as("gr_v"),
+          least(col("l_tax"), col("l_discount")).as("le_v"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             | abs(l_extendedprice - 30000) AS abs_v,
+             | CAST(sign(l_discount - 0.05) AS BIGINT) AS sign_v,
+             | CAST(l_quantity AS BIGINT) % 7 AS mod_v,
+             | CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS ceil_v,
+             | CAST(floor(l_extendedprice / 1000) AS BIGINT) AS floor_v,
+             | sqrt(l_quantity) AS sqrt_v,
+             | greatest(l_tax, l_discount) AS gr_v,
+             | least(l_tax, l_discount) AS le_v
+             |FROM lineitem WHERE l_orderkey % 100 = 0
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     Q("h1_histogram",
       (s, dir) => t(s, dir, "orders")
         .select(floor(col("o_totalprice") / 50000).cast(LongType).as("bin"))

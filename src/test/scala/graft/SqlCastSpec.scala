@@ -87,6 +87,22 @@ class SqlCastSpec extends SparkSpec {
       java.time.LocalDateTime.of(2020, 1, 1, 15, 0, 0)).toString === "2020-01-01")
   }
 
+  test("narrow integral targets: byte/short via the same double path") {
+    assert(one(StringType, ByteType, "1.9") === 1.toByte)
+    assert(one(StringType, ShortType, "-2.7") === (-2).toShort)
+    assert(one(DoubleType, ShortType, 300.7) === 300.toShort)
+    assert(one(BooleanType, ByteType, true) === 1.toByte)
+    assert(one(StringType, ByteType, "naN") === null)
+  }
+
+  test("parseType parses bare type expressions") {
+    import graft.schema.SchemaDSL
+    assert(SchemaDSL.parseType("[int]") === ArrayType(IntegerType))
+    assert(SchemaDSL.parseType("{a:str,b:[long]}") === StructType(Seq(
+      StructField("a", StringType), StructField("b", ArrayType(LongType)))))
+    intercept[GraftException](SchemaDSL.parseType("[int]x"))
+  }
+
   test("blocked cells throw at plan time (suite:1353-1362,1468-1477)") {
     intercept[GraftCastException](SqlCast.to(col("a"), TimestampNTZType, BooleanType))
     intercept[GraftCastException](SqlCast.to(col("a"), TimestampNTZType, LongType))

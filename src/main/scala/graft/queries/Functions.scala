@@ -118,6 +118,39 @@ object Functions {
              | FROM lineitem WHERE l_orderkey % 200 = 0 GROUP BY 1)
              |ORDER BY l_orderkey""".stripMargin)),
 
+    // regexp surface: extract/extract-all/match on simple patterns (Java
+    // regex and RE2 agree on these constructs)
+    Q("e19_regexp_funcs",
+      (s, dir) => t(s, dir, "customer")
+        .filter(col("c_custkey") % 30 === 0)
+        .select(col("c_custkey"),
+          regexp_extract(col("c_name"), "#(\\d+)", 1).as("num_part"),
+          size(regexp_extract_all(col("c_name"), lit("[0-9]"), lit(0)))
+            .cast(LongType).as("n_digits"),
+          col("c_name").rlike("Customer#0*1").as("starts_one"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+             | regexp_extract(c_name, '#(\d+)', 1) AS num_part,
+             | CAST(len(regexp_extract_all(c_name, '[0-9]')) AS BIGINT) AS n_digits,
+             | regexp_matches(c_name, 'Customer#0*1') AS starts_one
+             |FROM customer WHERE c_custkey % 30 = 0
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // boolean aggregates: count_if / bool_and / bool_or
+    Q("a6_bool_aggs",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count_if(col("l_discount") > 0.05).as("n_discounted"),
+          bool_and(col("l_quantity") > 0).as("all_positive"),
+          bool_or(col("l_quantity") > 45).as("any_large"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             | CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted,
+             | bool_and(l_quantity > 0) AS all_positive,
+             | bool_or(l_quantity > 45) AS any_large
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
     // numeric function surface — no transcendentals (JVM vs C libm last-
     // ulp differences would break the bit-exact compare); sqrt/ceil/floor
     // and remainder are IEEE-exact in both engines

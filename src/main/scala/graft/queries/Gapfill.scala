@@ -106,6 +106,34 @@ object Gapfill {
              |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
              |ORDER BY user_id, event_id""".stripMargin)),
 
+    // Window: distribution family — ntile/percent_rank/cume_dist are
+    // exact ratios of ranks (deterministic in both engines), first/nth
+    // values over a total order
+    Q("w5_window_distribution",
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy("o_totalprice", "o_orderkey")
+        t(s, dir, "orders")
+          .filter(col("o_custkey") % 20 === 0)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            ntile(4).over(w).cast(LongType).as("quartile"),
+            percent_rank().over(w).as("prank"),
+            cume_dist().over(w).as("cdist"),
+            first(col("o_orderkey")).over(w).as("first_key"),
+            nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+          .orderBy("o_orderpriority", "o_orderkey")
+      },
+      Some("""SELECT o_orderpriority, o_orderkey,
+             | CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+             | PERCENT_RANK() OVER w AS prank,
+             | CUME_DIST() OVER w AS cdist,
+             | FIRST_VALUE(o_orderkey) OVER w AS first_key,
+             | NTH_VALUE(o_orderkey, 2) OVER w AS second_key
+             |FROM orders WHERE o_custkey % 20 = 0
+             |WINDOW w AS (PARTITION BY o_orderpriority
+             |  ORDER BY o_totalprice, o_orderkey)
+             |ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
+
     // Sort + limit (top-k → TakeOrderedAndProject, no global sort at scale)
     Q("s1_orderby_limit",
       (s, dir) => t(s, dir, "orders")

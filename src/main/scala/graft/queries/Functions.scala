@@ -118,6 +118,63 @@ object Functions {
              | FROM lineitem WHERE l_orderkey % 200 = 0 GROUP BY 1)
              |ORDER BY l_orderkey""".stripMargin)),
 
+    // explode round-trip: array construction per group, unnest back,
+    // re-aggregate — generator (UDTF-shape) surface
+    Q("e20_explode_roundtrip",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 500 === 0)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_quantity").cast(LongType))).as("qs"))
+        .select(col("l_orderkey"), explode(col("qs")).as("q"))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n"), sum("q").as("total"))
+        .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey, COUNT(*) AS n,
+             | CAST(SUM(q) AS BIGINT) AS total
+             |FROM (
+             | SELECT l_orderkey, unnest(qs) AS q FROM (
+             |  SELECT l_orderkey, list(CAST(l_quantity AS BIGINT)) AS qs
+             |  FROM lineitem WHERE l_orderkey % 500 = 0 GROUP BY 1))
+             |GROUP BY 1 ORDER BY l_orderkey""".stripMargin)),
+
+    // the Frame API end-to-end: conform -> truthy filter -> join ->
+    // groupAgg -> orderBy, nothing but graft surface
+    Q("fr1_frame_pipeline",
+      (s, dir) => {
+        import graft.operators.Frame
+        import graft.schema.SchemaDSL
+        val orders = Frame(t(s, dir, "orders"))
+          .select(
+            "custkey" -> col("o_custkey"),
+            "price_str" -> col("o_totalprice").cast(StringType),
+            "priority" -> col("o_orderpriority"))
+          .conform(SchemaDSL.parse("custkey:long,price_str:double,priority:str"))
+          .rename("price_str" -> "price")
+        val customers = Frame(t(s, dir, "customer"))
+          .select("custkey" -> col("c_custkey"), "nk" -> col("c_nationkey"))
+        orders
+          .filter(nullif(col("custkey") % 4, lit(1)))
+          .join(customers, "inner", Seq("custkey"))
+          .groupAgg(Seq("priority"),
+            "cnt" -> count(lit(1)),
+            "total_c" -> sum(round(col("price") * 100).cast(LongType)),
+            "n_nations" -> countDistinct(col("nk")))
+          .orderBy(asc_nulls_first("priority")).df
+      },
+      Some("""SELECT priority, COUNT(*) AS cnt,
+             | CAST(SUM(CAST(ROUND(price*100) AS BIGINT)) AS BIGINT) AS total_c,
+             | COUNT(DISTINCT nk) AS n_nations
+             |FROM (
+             | SELECT o_custkey AS custkey,
+             |  CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) AS price,
+             |  o_orderpriority AS priority
+             | FROM orders
+             | WHERE NULLIF(o_custkey % 4, 1) IS NOT NULL
+             |   AND NULLIF(o_custkey % 4, 1) <> 0) o
+             |JOIN (SELECT c_custkey AS custkey, c_nationkey AS nk FROM customer) c
+             |USING (custkey)
+             |GROUP BY priority ORDER BY priority NULLS FIRST""".stripMargin)),
+
     // regexp surface: extract/extract-all/match on simple patterns (Java
     // regex and RE2 agree on these constructs)
     Q("e19_regexp_funcs",

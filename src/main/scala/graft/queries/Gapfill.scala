@@ -157,6 +157,26 @@ object Gapfill {
              |ORDER BY grp NULLS FIRST, c_custkey DESC NULLS LAST
              |LIMIT 100""".stripMargin)),
 
+    // Deterministic content-keyed sampling (Sampling.bucketSample with a
+    // portable bucket expression) + per-group cap (stratifiedLimit)
+    Q("s3_deterministic_sample",
+      (s, dir) => {
+        val sampled = graft.operators.Sampling.bucketSample(
+          t(s, dir, "orders"), col("o_orderkey"), buckets = 100, keep = 7)
+        graft.operators.Sampling.stratifiedLimit(
+          sampled, Seq("o_orderpriority"),
+          Seq(col("o_orderkey")), n = 5)
+          .select(col("o_orderpriority"), col("o_orderkey"))
+          .orderBy("o_orderpriority", "o_orderkey")
+      },
+      Some("""SELECT o_orderpriority, o_orderkey FROM (
+             | SELECT o_orderpriority, o_orderkey,
+             |  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+             |    ORDER BY o_orderkey) AS rn
+             | FROM orders WHERE o_orderkey % 100 < 7
+             |) WHERE rn <= 5
+             |ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
+
     // ROLLUP (subtotal rows flagged via IS NULL — group cols are non-null)
     Q("g1_rollup",
       (s, dir) => t(s, dir, "lineitem")

@@ -238,6 +238,21 @@ object Dedup {
     labels
   }
 
+  /** The apply step: drop every near-dup cluster member except its
+    * representative (minimum id). Composes the full pipeline —
+    * MinHash-LSH pairs → connected components → anti-join — and returns
+    * the deduplicated corpus. The anti-join's right side is only the
+    * dropped ids (vanishingly small at scale), so Catalyst broadcasts it.
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshNum: Int = 4, threshDen: Int = 5): DataFrame = {
+    val pairs = minHashDedup(df, idCol, textCol, n, numHashes, bands, threshNum, threshDen)
+    val clusters = connectedComponents(pairs)
+    val toDrop = clusters.filter(col("id") =!= col("cluster")).select(col("id"))
+    df.join(toDrop, df(idCol) === toDrop("id"), "left_anti")
+  }
+
   /** 64-bit SimHash over whitespace tokens: explode tokens → 64 signed
     * bit-sums per doc → reassemble the sign bits into one long.
     */

@@ -188,6 +188,27 @@ object LlmData {
               |SELECT id, MIN(label) AS cluster FROM reach GROUP BY id
               |ORDER BY id""".stripMargin)),
 
+    // DD8 — the dedup APPLY step: corpus minus non-representative near-
+    // dup cluster members (keep the min-id doc per cluster)
+    Q("dd8_dedup_apply",
+      (s, dir) => Dedup.dropNearDuplicates(
+        t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE base AS ($bruteJaccardSql),
+              |nodes AS (SELECT ida AS id FROM base UNION SELECT idb FROM base),
+              |edges AS (SELECT ida AS a, idb AS b FROM base
+              |          UNION ALL SELECT idb, ida FROM base),
+              |reach(id, label) AS (
+              | SELECT id, id FROM nodes
+              | UNION
+              | SELECT e.a, r.label FROM edges e JOIN reach r ON r.id = e.b
+              |),
+              |clusters AS (SELECT id, MIN(label) AS cluster FROM reach GROUP BY id)
+              |SELECT doc_id, lang, n_chars FROM documents
+              |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster)
+              |ORDER BY doc_id""".stripMargin)),
+
     // DD6 — edit-distance (Levenshtein) text similarity on a sample
     Q("dd6_edit_distance",
       (s, dir) => {

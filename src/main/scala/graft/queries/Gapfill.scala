@@ -271,6 +271,38 @@ object Gapfill {
              | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
              |) GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Funnel analysis: per-user ordered-stage progression (view →
+    // click → purchase by first occurrence), one aggregation pass
+    Q("st3_funnel",
+      (s, dir) => {
+        val firstOf = (t: String) =>
+          min(when(col("event_type") === t, col("ts"))).as(s"first_$t")
+        t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(firstOf("view"), firstOf("click"), firstOf("purchase"))
+          .select(col("user_id"),
+            col("first_view").isNotNull.as("reached_view"),
+            (col("first_view").isNotNull && col("first_click").isNotNull &&
+              col("first_view") <= col("first_click")).as("reached_click"),
+            (col("first_view").isNotNull && col("first_click").isNotNull &&
+              col("first_purchase").isNotNull &&
+              col("first_view") <= col("first_click") &&
+              col("first_click") <= col("first_purchase")).as("full_funnel"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             | fv IS NOT NULL AS reached_view,
+             | (fv IS NOT NULL AND fc IS NOT NULL AND fv <= fc) AS reached_click,
+             | (fv IS NOT NULL AND fc IS NOT NULL AND fp IS NOT NULL
+             |  AND fv <= fc AND fc <= fp) AS full_funnel
+             |FROM (
+             | SELECT user_id,
+             |  MIN(ts) FILTER (event_type = 'view') AS fv,
+             |  MIN(ts) FILTER (event_type = 'click') AS fc,
+             |  MIN(ts) FILTER (event_type = 'purchase') AS fp
+             | FROM events GROUP BY user_id)
+             |ORDER BY user_id""".stripMargin)),
+
     // Semi-structured: JSON field extraction + typed aggregation
     Q("j1_json_extract",
       (s, dir) => t(s, dir, "events")

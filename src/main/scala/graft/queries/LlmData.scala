@@ -429,6 +429,37 @@ object LlmData {
               | FROM ($docsWithDupsSql)
               |) GROUP BY fp ORDER BY keep_id""".stripMargin)),
 
+    // TX5 — corpus bigram-frequency scoring: how "typical" each document's
+    // word bigrams are for the corpus (integer frequencies — the portable
+    // stand-in for LM surprisal). Two shuffles: bigram counts, then a
+    // frequency join back per document bigram.
+    Q("tx5_bigram_freq",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val bigrams = docs.select(col("doc_id"),
+          explode(Dedup.wordShingles(col("text"), 2)).as("bg"))
+        val counts = bigrams.groupBy("bg").agg(count(lit(1)).as("freq"))
+        bigrams.join(counts, Seq("bg"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum("freq").as("sum_freq"))
+          .withColumn("avg_freq_pm",
+            expr("sum_freq * 1000 div n_bigrams"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH bigrams AS (
+             |  SELECT DISTINCT doc_id, ws[g] || ' ' || ws[g+1] AS bg
+             |  FROM (SELECT doc_id,
+             |          string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+             |        FROM documents) w,
+             |  LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS g) _t
+             |), counts AS (SELECT bg, COUNT(*) AS freq FROM bigrams GROUP BY 1)
+             |SELECT doc_id, COUNT(*) AS n_bigrams,
+             | CAST(SUM(freq) AS BIGINT) AS sum_freq,
+             | CAST(SUM(freq) AS BIGINT) * 1000 // COUNT(*) AS avg_freq_pm
+             |FROM bigrams JOIN counts USING (bg)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // MM1 — multimodal: binary payload column + partition-local stub
     // decoder (real plumbing, fake codec — see Multimodal scaladoc)
     Q("mm1_image_meta",

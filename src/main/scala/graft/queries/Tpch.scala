@@ -262,6 +262,36 @@ object Tpch {
              |ORDER BY supplier_cnt DESC NULLS LAST, p_brand NULLS FIRST,
              | p_type NULLS FIRST, p_size NULLS FIRST""".stripMargin)),
 
+    // Q22-shaped: above-average-balance customers with no orders. The
+    // average comparison is cross-multiplied into exact integers
+    // (bal_c·n > Σbal_c) so no float summation order can flip a
+    // boundary row in either engine.
+    Q("q22_global_sales",
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(
+          col("c_custkey"), (col("c_nationkey") % 10).as("code"),
+          cents(col("c_acctbal")).as("bal_c"))
+        val pos = c.filter(col("bal_c") > 0)
+          .agg(sum("bal_c").as("s"), count(lit(1)).as("n")).head()
+        val (sumC, nC) = (pos.getLong(0), pos.getLong(1))
+        val o = t(s, dir, "orders").select(col("o_custkey"))
+        c.filter(col("bal_c") * nC > sumC)
+          .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .groupBy("code")
+          .agg(count(lit(1)).as("cnt"), sum("bal_c").as("total_bal_c"))
+          .orderBy("code")
+      },
+      Some("""WITH pos AS (
+             | SELECT CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS s,
+             |  COUNT(*) AS n
+             | FROM customer WHERE CAST(ROUND(c_acctbal*100) AS BIGINT) > 0)
+             |SELECT c_nationkey % 10 AS code, COUNT(*) AS cnt,
+             | CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS total_bal_c
+             |FROM customer, pos
+             |WHERE CAST(ROUND(c_acctbal*100) AS BIGINT) * n > s
+             |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |GROUP BY 1 ORDER BY code""".stripMargin)),
+
     // Q19-shaped: disjunction of conjunctive ranges (OR pushdown)
     Q("q19_disjunctive",
       (s, dir) => {

@@ -303,6 +303,31 @@ object Gapfill {
              | FROM events GROUP BY user_id)
              |ORDER BY user_id""".stripMargin)),
 
+    // Cohort retention: users grouped by first-activity week, counted by
+    // weeks-since-cohort — two aggregations, no self-join
+    Q("st4_retention",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"),
+            date_trunc("week", col("ts")).cast(DateType).as("wk"))
+          .distinct()
+        val cohorts = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+        ev.join(cohorts, Seq("user_id"))
+          .groupBy(col("cohort_wk"),
+            (datediff(col("wk"), col("cohort_wk")) / 7).cast(LongType).as("week_n"))
+          .agg(countDistinct("user_id").as("active_users"))
+          .orderBy("cohort_wk", "week_n")
+      },
+      Some("""WITH ev AS (
+             | SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+             | FROM events),
+             |cohorts AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY 1)
+             |SELECT cohort_wk,
+             | CAST(date_diff('day', cohort_wk, wk) / 7 AS BIGINT) AS week_n,
+             | COUNT(DISTINCT user_id) AS active_users
+             |FROM ev JOIN cohorts USING (user_id)
+             |GROUP BY 1, 2 ORDER BY cohort_wk, week_n""".stripMargin)),
+
     // Semi-structured: JSON field extraction + typed aggregation
     Q("j1_json_extract",
       (s, dir) => t(s, dir, "events")

@@ -89,6 +89,40 @@ object Expressions {
               | a <> b AS ne, a > b AS gt, a >= b AS ge
               |FROM ($floatPairsSql) ORDER BY id""".stripMargin)),
 
+    // E3b — comparisons over strings and timestamps (ref oracle corpus
+    // suite:240-295): lexicographic and chronological 3VL
+    Q("e3b_comparison_types",
+      (s, dir) => {
+        import s.implicits._
+        val df = Seq(
+          (1, "xx", "x", "2020-01-01", "2020-01-02"),
+          (2, "x", "x", "2020-01-02", "2020-01-01"),
+          (3, null, "x", null, "2020-01-01"),
+          (4, "X", "x", "2020-01-01", "2020-01-01"),
+          (5, "", "x", null, null)
+        ).toDF("id", "s1", "s2", "d1s", "d2s")
+          .withColumn("d1", col("d1s").cast(TimestampNTZType))
+          .withColumn("d2", col("d2s").cast(TimestampNTZType))
+        df.select(col("id"),
+          (col("s1") < col("s2")).as("s_lt"),
+          (col("s1") === col("s2")).as("s_eq"),
+          (col("s1") >= col("s2")).as("s_ge"),
+          (col("d1") < col("d2")).as("d_lt"),
+          (col("d1") === col("d2")).as("d_eq"),
+          (col("d1") >= col("d2")).as("d_ge"))
+          .orderBy("id")
+      },
+      Some("""SELECT id, s1 < s2 AS s_lt, s1 = s2 AS s_eq, s1 >= s2 AS s_ge,
+             | d1 < d2 AS d_lt, d1 = d2 AS d_eq, d1 >= d2 AS d_ge
+             |FROM (SELECT id, s1, s2, CAST(d1s AS TIMESTAMP) AS d1,
+             |  CAST(d2s AS TIMESTAMP) AS d2 FROM (VALUES
+             |  (1, 'xx', 'x', '2020-01-01', '2020-01-02'),
+             |  (2, 'x', 'x', '2020-01-02', '2020-01-01'),
+             |  (3, NULL, 'x', NULL, '2020-01-01'),
+             |  (4, 'X', 'x', '2020-01-01', '2020-01-01'),
+             |  (5, '', 'x', NULL, NULL)) t(id, s1, s2, d1s, d2s))
+             |ORDER BY id""".stripMargin)),
+
     // E4 — Kleene AND/OR over the full truth table (ref: slide/utils.py:208-231)
     Q("e4_logic_kleene",
       (s, dir) => boolPairs(s).select(

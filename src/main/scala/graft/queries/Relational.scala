@@ -247,6 +247,33 @@ object Relational {
              | CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
              |FROM orders GROUP BY 1 ORDER BY o_orderpriority NULLS FIRST""".stripMargin)),
 
+    // R7b — group transform emitting n rows per group (the UDTF shape of
+    // sql_groupby_apply): top-2 orders per priority chosen inside the
+    // closure, checked against a window-function oracle
+    Q("r7b_group_apply_topn",
+      (s, dir) => {
+        val out = StructType(Seq(
+          StructField("o_orderpriority", StringType),
+          StructField("o_orderkey", LongType),
+          StructField("total_c", LongType)))
+        Frame(t(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")))
+          .groupApply(Seq("o_orderpriority"), out) { it =>
+            val rows = it.map(r => (r.getString(0), r.getLong(1),
+              math.round(r.getDouble(2) * 100))).toVector
+            rows.sortBy { case (_, key, cents) => (-cents, key) }
+              .take(2).iterator
+              .map { case (p, key, cents) => Row(p, key, cents) }
+          }.df.orderBy("o_orderpriority", "o_orderkey")
+      },
+      Some("""SELECT o_orderpriority, o_orderkey, total_c FROM (
+             | SELECT o_orderpriority, o_orderkey,
+             |  CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c,
+             |  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+             |   ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT) DESC, o_orderkey) AS rn
+             | FROM orders)
+             |WHERE rn <= 2 ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
+
     // R8 — projection/construction from expressions and constants
     Q("r8_select",
       (s, dir) => Frame(t(s, dir, "customer")).select(

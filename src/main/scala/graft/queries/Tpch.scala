@@ -262,6 +262,38 @@ object Tpch {
              |ORDER BY supplier_cnt DESC NULLS LAST, p_brand NULLS FIRST,
              | p_type NULLS FIRST, p_size NULLS FIRST""".stripMargin)),
 
+    // Q12-shaped: two-level conditional aggregation per derived ship mode
+    Q("q12_shipmode",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1997-01-01"))
+          .select(col("l_orderkey"),
+            element_at(array(lit("MAIL"), lit("SHIP"), lit("RAIL")),
+              (col("l_linenumber") % 3 + 1).cast(IntegerType)).as("mode"))
+        val o = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .groupBy("mode")
+          .agg(
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).as("high_cnt"),
+            sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).as("low_cnt"))
+          .orderBy("mode")
+      },
+      Some("""SELECT mode,
+             | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |   THEN 1 ELSE 0 END) AS BIGINT) AS high_cnt,
+             | CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             |   THEN 1 ELSE 0 END) AS BIGINT) AS low_cnt
+             |FROM (
+             | SELECT l_orderkey,
+             |  (['MAIL', 'SHIP', 'RAIL'])[l_linenumber % 3 + 1] AS mode
+             | FROM lineitem
+             | WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01') l
+             |JOIN orders ON o_orderkey = l_orderkey
+             |GROUP BY mode ORDER BY mode""".stripMargin)),
+
     // Q22-shaped: above-average-balance customers with no orders. The
     // average comparison is cross-multiplied into exact integers
     // (bal_c·n > Σbal_c) so no float summation order can flip a

@@ -236,6 +236,22 @@ object Functions {
              |FROM lineitem WHERE l_orderkey % 100 = 0
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // DecimalType end-to-end: exact money aggregation without the cents
+    // convention (both engines' decimal sums are exact; result width
+    // pinned to DECIMAL(18,2) since sum-type promotion differs)
+    Q("d1_decimal_sum",
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          col("o_totalprice").cast(DecimalType(12, 2)).as("p"))
+        .groupBy("o_orderpriority")
+        .agg(sum("p").cast(DecimalType(18, 2)).as("total_dec"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_dec,
+             | COUNT(*) AS cnt
+             |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
+
     Q("h1_histogram",
       (s, dir) => t(s, dir, "orders")
         .select(floor(col("o_totalprice") / 50000).cast(LongType).as("bin"))

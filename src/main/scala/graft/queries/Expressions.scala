@@ -180,6 +180,53 @@ object Expressions {
               | a NOT IN (1.5, NULL) AS not_in_with_null
               |FROM ($floatPairsSql) ORDER BY id""".stripMargin)),
 
+    // E7b — IN lists over strings, booleans, and timestamps
+    // (suite covers all reference types)
+    Q("e7b_in_types",
+      (s, dir) => {
+        import s.implicits._
+        val df = Seq(
+          (1, "x", java.lang.Boolean.TRUE, "2020-01-01"),
+          (2, "y", java.lang.Boolean.FALSE, "2020-01-03"),
+          (3, null, null, null),
+          (4, "z", java.lang.Boolean.TRUE, "2020-01-05")
+        ).toDF("id", "s", "b", "ds")
+          .withColumn("d", col("ds").cast(TimestampNTZType))
+        df.select(col("id"),
+          Kernels.isIn(col("s"), Seq("x", "z"), positive = true).as("s_in"),
+          Kernels.isIn(col("s"), Seq("x", null), positive = false).as("s_not_in_null"),
+          Kernels.isIn(col("b"), Seq(true), positive = true).as("b_in"),
+          Kernels.isIn(col("d"),
+            Seq(lit("2020-01-01").cast(TimestampNTZType),
+              lit("2020-01-05").cast(TimestampNTZType)), positive = true).as("d_in"))
+          .orderBy("id")
+      },
+      Some("""SELECT id, s IN ('x', 'z') AS s_in,
+             | s NOT IN ('x', NULL) AS s_not_in_null,
+             | b IN (true) AS b_in,
+             | d IN (TIMESTAMP '2020-01-01', TIMESTAMP '2020-01-05') AS d_in
+             |FROM (SELECT id, s, b, CAST(ds AS TIMESTAMP) AS d FROM (VALUES
+             |  (1, 'x', true, '2020-01-01'), (2, 'y', false, '2020-01-03'),
+             |  (3, NULL, NULL, NULL), (4, 'z', true, '2020-01-05'))
+             |  t(id, s, b, ds))
+             |ORDER BY id""".stripMargin)),
+
+    // E22 — aggregates over empty input: COUNT→0, SUM/MIN/MAX/AVG→NULL
+    Q("e22_empty_aggs",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(lit(false))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast(LongType)).as("s"),
+          max(col("l_quantity").cast(LongType)).as("mx"),
+          min(col("l_quantity").cast(LongType)).as("mn"),
+          avg(col("l_quantity")).as("av")),
+      Some("""SELECT COUNT(*) AS cnt,
+             | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+             | MAX(CAST(l_quantity AS BIGINT)) AS mx,
+             | MIN(CAST(l_quantity AS BIGINT)) AS mn,
+             | AVG(l_quantity) AS av
+             |FROM lineitem WHERE FALSE""".stripMargin)),
+
     // E8 — BETWEEN/NOT BETWEEN 3VL incl. one-sided determinism
     // (ref: slide/utils.py:416-468; suite:603-691)
     Q("e8_between_3vl",

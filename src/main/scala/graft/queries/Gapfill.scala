@@ -134,6 +134,32 @@ object Gapfill {
              |  ORDER BY o_totalprice, o_orderkey)
              |ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
 
+    // Window: value-based RANGE frame (all rows within a price distance,
+    // independent of tie order — deterministic by construction)
+    Q("w6_range_frame",
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("total_c"))
+          .rangeBetween(-100000L, Window.currentRow)
+        t(s, dir, "orders")
+          .filter(col("o_custkey") % 40 === 0)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            cents(col("o_totalprice")).as("total_c"))
+          .select(col("o_orderpriority"), col("o_orderkey"), col("total_c"),
+            count(lit(1)).over(w).as("n_in_band"),
+            sum(col("total_c")).over(w).as("band_sum_c"))
+          .orderBy("o_orderpriority", "o_orderkey")
+      },
+      Some("""SELECT o_orderpriority, o_orderkey, total_c,
+             | COUNT(*) OVER w AS n_in_band,
+             | CAST(SUM(total_c) OVER w AS BIGINT) AS band_sum_c
+             |FROM (SELECT o_orderpriority, o_orderkey,
+             |  CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c
+             |  FROM orders WHERE o_custkey % 40 = 0)
+             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY total_c
+             |  RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW)
+             |ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
+
     // Sort + limit (top-k → TakeOrderedAndProject, no global sort at scale)
     Q("s1_orderby_limit",
       (s, dir) => t(s, dir, "orders")

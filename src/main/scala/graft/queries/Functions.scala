@@ -236,6 +236,46 @@ object Functions {
              |FROM lineitem WHERE l_orderkey % 100 = 0
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // string↔array manipulation: split / slice / array_join round-trips
+    Q("e23_split_join",
+      (s, dir) => t(s, dir, "documents")
+        .filter(col("doc_id") % 40 === 0)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_parts"),
+          array_join(slice(split(col("text"), " "), 1, 5), "_").as("first5"),
+          element_at(split(col("text"), " "), -1).as("last_word"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_parts,
+             | array_to_string(string_split(text, ' ')[1:5], '_') AS first5,
+             | string_split(text, ' ')[-1] AS last_word
+             |FROM documents WHERE doc_id % 40 = 0
+             |ORDER BY doc_id""".stripMargin)),
+
+    // conditional scalar functions: if / ifnull / nullif / nvl2-shaped,
+    // greatest/least NULL-skipping (identical in both engines)
+    Q("e24_conditionals",
+      (s, dir) => {
+        val bal = col("c_acctbal")
+        t(s, dir, "customer")
+          .filter(col("c_custkey") % 25 === 0)
+          .select(col("c_custkey"),
+            when(bal > 0, lit("pos")).otherwise(lit("nonpos")).as("sign_class"),
+            coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg_or"),
+            greatest(nullif(col("c_nationkey") % 5, lit(2)).cast(LongType),
+              lit(1L)).as("g"),
+            least(nullif(col("c_nationkey") % 5, lit(2)).cast(LongType),
+              lit(3L)).as("l"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             | if(c_acctbal > 0, 'pos', 'nonpos') AS sign_class,
+             | ifnull(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or,
+             | greatest(CAST(NULLIF(c_nationkey % 5, 2) AS BIGINT), 1) AS g,
+             | least(CAST(NULLIF(c_nationkey % 5, 2) AS BIGINT), 3) AS l
+             |FROM customer WHERE c_custkey % 25 = 0
+             |ORDER BY c_custkey""".stripMargin)),
+
     // DecimalType end-to-end: exact money aggregation without the cents
     // convention (both engines' decimal sums are exact; result width
     // pinned to DECIMAL(18,2) since sum-type promotion differs)

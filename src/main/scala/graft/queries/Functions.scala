@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.sources.Tables
@@ -318,6 +319,45 @@ object Functions {
              | CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT)
              |  * 1000 // CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wavg_pm
              |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // deterministic mode: most frequent value per group with an explicit
+    // (count DESC, value ASC) tie-break — engine mode() functions break
+    // ties arbitrarily, so the tie policy is spelled out in both
+    Q("a7_mode",
+      (s, dir) => {
+        val counts = t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity").cast(LongType).as("q"))
+          .groupBy("l_returnflag", "q").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(desc("n"), asc("q"))
+        counts.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("l_returnflag"), col("q").as("mode_qty"), col("n").as("freq"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, q AS mode_qty, n AS freq FROM (
+             | SELECT l_returnflag, q, n,
+             |  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+             |    ORDER BY n DESC, q ASC) AS rn
+             | FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+             |   COUNT(*) AS n FROM lineitem GROUP BY 1, 2))
+             |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // ordered string aggregation (listagg shape): sorted before joining
+    // so both engines produce the identical string
+    Q("a8_string_agg",
+      (s, dir) => t(s, dir, "orders")
+        .filter(col("o_custkey") % 200 === 0)
+        .groupBy("o_custkey")
+        .agg(array_join(
+          sort_array(collect_list(col("o_orderkey").cast(StringType))), ",")
+          .as("order_keys"))
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey,
+             | string_agg(CAST(o_orderkey AS VARCHAR), ','
+             |   ORDER BY CAST(o_orderkey AS VARCHAR)) AS order_keys
+             |FROM orders WHERE o_custkey % 200 = 0
+             |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
 
     // exact integer covariance numerator: n·Σxy − Σx·Σy over
     // (quantity, discount-centi) — no float accumulation

@@ -50,6 +50,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("dropNearDuplicates keeps one representative per cluster") {
+    val base = "spark shuffles partition data across executors while catalyst " +
+      "optimizes logical plans into efficient physical operators for scans " +
+      "and the runtime adapts partition counts joins and skew handling from " +
+      "observed statistics so large tables flow through narrow stages quickly"
+    val fixture = Seq(
+      (1L, base), (2L, base), (3L, base.replace("efficient", "optimal")),
+      (4L, "entirely different content about cooking recipes and gardens"),
+      (5L, "another unrelated document on medieval castle architecture")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(fixture, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // cluster {1,2,3} keeps min id 1; singletons 4 and 5 survive
+    assert(kept === Set(1L, 4L, 5L))
+  }
+
+  test("connectedComponents labels chains transitively") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("ida", "idb")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("ANN LSH top-k: structural invariants + recall vs brute force") {
     val query = emb.filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0).toArray

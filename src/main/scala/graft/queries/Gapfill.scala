@@ -273,6 +273,22 @@ object Gapfill {
              |FROM events GROUP BY 1, 2
              |ORDER BY hour NULLS FIRST, event_type NULLS FIRST""".stripMargin)),
 
+    // Sliding event-time windows (2h window, 1h slide): each event lands
+    // in two overlapping windows — the batch form of streaming sliding
+    // aggregation; oracle materializes the two memberships via UNION ALL
+    Q("st5_sliding_window",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").cast(TimestampType).as("win_start"),
+          col("event_type"), col("cnt"))
+        .orderBy("win_start", "event_type"),
+      Some("""SELECT win_start, event_type, COUNT(*) AS cnt FROM (
+             | SELECT date_trunc('hour', ts) AS win_start, event_type FROM events
+             | UNION ALL
+             | SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type FROM events)
+             |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
+
     // Sessionization: 30-min-gap sessions per user via lag + cumulative flag
     Q("st2_sessionize",
       (s, dir) => {

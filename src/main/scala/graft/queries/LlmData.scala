@@ -460,6 +460,33 @@ object LlmData {
              |FROM bigrams JOIN counts USING (bg)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // TX6 — repetition detector: share of duplicated word bigrams
+    // (high values flag boilerplate/spam/generated loops)
+    Q("tx6_repetition",
+      (s, dir) => {
+        val ws = split(trim(regexp_replace(col("text"), "\\s+", " ")), " ")
+        val totalBg = (size(ws) - 1).cast(LongType)
+        t(s, dir, "documents")
+          .select(col("doc_id"), totalBg.as("total_bg"),
+            size(Dedup.wordShingles(col("text"), 2)).cast(LongType).as("uniq_bg"))
+          .filter(col("total_bg") > 0)
+          .withColumn("rep_pm",
+            expr("(total_bg - uniq_bg) * 1000 div total_bg"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, total_bg, uniq_bg,
+             | (total_bg - uniq_bg) * 1000 // total_bg AS rep_pm
+             |FROM (
+             | SELECT doc_id,
+             |  CAST(len(ws) - 1 AS BIGINT) AS total_bg,
+             |  CAST((SELECT COUNT(DISTINCT ws[g] || ' ' || ws[g+1])
+             |        FROM (SELECT unnest(generate_series(1, len(ws)-1)) AS g) _g)
+             |   AS BIGINT) AS uniq_bg
+             | FROM (SELECT doc_id,
+             |   string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+             |  FROM documents))
+             |WHERE total_bg > 0 ORDER BY doc_id""".stripMargin)),
+
     // MM1 — multimodal: binary payload column + partition-local stub
     // decoder (real plumbing, fake codec — see Multimodal scaladoc)
     Q("mm1_image_meta",

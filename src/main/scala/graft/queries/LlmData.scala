@@ -487,6 +487,27 @@ object LlmData {
              |  FROM documents))
              |WHERE total_bg > 0 ORDER BY doc_id""".stripMargin)),
 
+    // TX7 — text cleaning / masking pass (the PII-scrub shape): digit
+    // runs and long tokens masked; output fingerprinted to stay compact
+    Q("tx7_mask_clean",
+      (s, dir) => {
+        val masked = regexp_replace(
+          regexp_replace(col("text"), "[0-9]+", "<NUM>"),
+          "[a-z]{10,}", "<LONG>")
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            md5(masked).as("masked_fp"),
+            (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+              .cast(LongType).as("n_digits_masked"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             | md5(regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'),
+             |   '[a-z]{10,}', '<LONG>', 'g')) AS masked_fp,
+             | CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+             |   AS BIGINT) AS n_digits_masked
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // MM1 — multimodal: binary payload column + partition-local stub
     // decoder (real plumbing, fake codec — see Multimodal scaladoc)
     Q("mm1_image_meta",

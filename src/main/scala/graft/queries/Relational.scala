@@ -172,6 +172,33 @@ object Relational {
       (s, dir) => setOut(Frame(setA(s, dir)).union(Frame(setB(s, dir)), unique = true).df),
       Some(setOutSql(s"$setASql UNION $setBSql"))),
 
+    // R3b — name-based union with missing-column NULL fill
+    // (unionByName ↔ DuckDB UNION ALL BY NAME)
+    Q("r3b_union_byname",
+      (s, dir) => {
+        val a = t(s, dir, "customer").filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+        val b = t(s, dir, "supplier").filter(col("s_suppkey") % 2 === 0)
+          .select(col("s_acctbal").as("bal"), col("s_suppkey").as("k"),
+            col("s_name").as("sname"))
+        a.unionByName(b, allowMissingColumns = true)
+          .groupBy(col("sname").isNull.as("from_customer"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(round(col("bal") * 100).cast(LongType)).as("bal_c"),
+            sum("k").as("k_sum"))
+          .orderBy("from_customer")
+      },
+      Some("""SELECT sname IS NULL AS from_customer, COUNT(*) AS cnt,
+             | CAST(SUM(CAST(ROUND(bal*100) AS BIGINT)) AS BIGINT) AS bal_c,
+             | CAST(SUM(k) AS BIGINT) AS k_sum
+             |FROM (
+             | SELECT c_custkey AS k, c_acctbal AS bal FROM customer
+             | WHERE c_custkey % 3 = 0
+             | UNION ALL BY NAME
+             | SELECT s_acctbal AS bal, s_suppkey AS k, s_name AS sname
+             | FROM supplier WHERE s_suppkey % 2 = 0)
+             |GROUP BY 1 ORDER BY from_customer""".stripMargin)),
+
     // R4 — INTERSECT; unique=false keeps df1 duplicates (NULLs equal,
     // ref: slide/utils.py:842-854, suite:2281-2283)
     Q("r4_intersect",

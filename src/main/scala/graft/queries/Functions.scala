@@ -320,6 +320,28 @@ object Functions {
              |  * 1000 // CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wavg_pm
              |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
 
+    // bitwise operations (exact integer semantics in both engines)
+    Q("e25_bitwise",
+      (s, dir) => t(s, dir, "orders")
+        .filter(col("o_orderkey") % 150 === 0)
+        .select(col("o_orderkey"),
+          col("o_orderkey").bitwiseAND(255L).as("band"),
+          col("o_orderkey").bitwiseOR(4096L).as("bor"),
+          col("o_orderkey").bitwiseXOR(col("o_custkey")).as("bxor"),
+          shiftleft(col("o_custkey"), 3).as("shl"),
+          shiftright(col("o_orderkey"), 2).as("shr"),
+          bit_count(col("o_orderkey")).cast(LongType).as("popcount"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             | o_orderkey & 255 AS band,
+             | o_orderkey | 4096 AS bor,
+             | xor(o_orderkey, o_custkey) AS bxor,
+             | o_custkey << 3 AS shl,
+             | o_orderkey >> 2 AS shr,
+             | CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+             |FROM orders WHERE o_orderkey % 150 = 0
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // deterministic mode: most frequent value per group with an explicit
     // (count DESC, value ASC) tie-break — engine mode() functions break
     // ties arbitrarily, so the tie policy is spelled out in both

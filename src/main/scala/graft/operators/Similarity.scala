@@ -177,4 +177,42 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select("ida", "idb").distinct()
   }
+
+  /** Banded multi-table LSH pair search — the gated scale path for
+    * embedding near-dup detection. A single sign-LSH table only works for
+    * tight thresholds (cosine ≳ 0.9, small angle); at moderate thresholds
+    * the per-bit collision probability p = 1 − θ/π is far from 1 and a
+    * b-bit bucket misses most true pairs. The fix is the same band trick
+    * as MinHash-LSH (`Dedup.minHashDedup`): `nTables` independent tables
+    * of `bandBits` bits each — a pair is a candidate if it collides in ANY
+    * table, so miss probability is (1 − p^bandBits)^nTables, driven to ~0
+    * by adding tables. Candidates are then exact-scored, so false
+    * positives cost time, never correctness.
+    *
+    * Plan shape: one posexplode (corpus × nTables rows), one shuffle on
+    * (table, bucket), bucket-local pair join, exact verify — no cartesian
+    * node anywhere. At 100 TB, tighten `bandBits` (deeper buckets) and
+    * keep `nTables` to hold the recall target; the table column is part of
+    * the shuffle key so tables parallelize, not multiply a driver loop.
+    */
+  def cosinePairsBandedLsh(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, bandBits: Int = 3, nTables: Int = 40,
+      dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, bandBits * nTables, seed)
+    // per-table bucket ids as one array column, exploded to (tbl, bkt)
+    val buckets = array((0 until nTables).map { tIdx =>
+      lshBucket(col(vecCol), planes.slice(tIdx * bandBits, (tIdx + 1) * bandBits))
+    }: _*)
+    val keyed = df
+      .select(col(idCol), col(vecCol), posexplode(buckets).as(Seq("_tbl", "_bkt")))
+    val a = keyed.select(col("_tbl"), col("_bkt"),
+      col(idCol).as("ida"), col(vecCol).as("va"))
+    val b = keyed.select(col("_tbl"), col("_bkt"),
+      col(idCol).as("idb"), col(vecCol).as("vb"))
+    a.join(b, Seq("_tbl", "_bkt")).filter(col("ida") < col("idb"))
+      .select("ida", "idb", "va", "vb").distinct() // dedup across tables BEFORE scoring
+      .withColumn("cos", VectorOps.cosineNative(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("ida", "idb")
+  }
 }

@@ -104,13 +104,17 @@ object Functions {
         .agg(sort_array(collect_list(col("l_linenumber").cast(LongType))).as("lines"))
         .select(
           col("l_orderkey"),
-          col("lines"),
+          // the driver's comparator can't hash raw array columns — ship the
+          // array as a joined string, keep the array fns on the derived cols
+          array_join(col("lines"), ",").as("lines_csv"),
           size(col("lines")).cast(LongType).as("n"),
           element_at(col("lines"), 1).as("first_line"),
           array_contains(col("lines"), 1L).as("has_line1"),
           aggregate(col("lines"), lit(0L), _ + _).as("line_sum"))
         .orderBy("l_orderkey"),
-      Some("""SELECT l_orderkey, lines, CAST(len(lines) AS BIGINT) AS n,
+      Some("""SELECT l_orderkey,
+             | array_to_string(lines, ',') AS lines_csv,
+             | CAST(len(lines) AS BIGINT) AS n,
              | lines[1] AS first_line, list_contains(lines, 1) AS has_line1,
              | CAST(list_sum(lines) AS BIGINT) AS line_sum
              |FROM (

@@ -157,10 +157,13 @@ object LlmData {
              |JOIN gc a ON a.doc_id = p.ida JOIN gc b ON b.doc_id = p.idb
              |ORDER BY p.ida, p.idb""".stripMargin)),
 
-    // DD5 — embedding-cosine near-dup pairs (exact form; LSH-bucketed
-    // variant is ss2/cosinePairsLsh)
+    // DD5 — embedding-cosine near-dup pairs via banded multi-table LSH:
+    // candidates from a (table, bucket) equi-join, exact-scored, so the
+    // result equals the all-pairs oracle whenever recall is 1 (verified
+    // vs cosinePairs in LlmOpsSpec — same argument as dd2). The O(n²)
+    // cosinePairs crossJoin stays as the spec-side verifier only.
     Q("dd5_embed_cosine",
-      (s, dir) => Similarity.cosinePairs(
+      (s, dir) => Similarity.cosinePairsBandedLsh(
         t(s, dir, "embeddings"), "embedding", "vec_id", threshold = 0.4)
         .orderBy("ida", "idb"),
       Some("""SELECT a.vec_id AS ida, b.vec_id AS idb

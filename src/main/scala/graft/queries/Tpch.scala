@@ -218,14 +218,15 @@ object Tpch {
             col("l_shipdate") < lit("1996-04-01"))
           .groupBy(col("l_suppkey").as("supplier_no"))
           .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("total_rev_c"))
-        val maxRow = rev.agg(max("total_rev_c")).head()
+        // scalar subquery as a broadcast 1-row aggregate: one plan, one
+        // job; an empty revenue window gives a NULL max, the equality
+        // evaluates NULL, and the join yields no rows — same semantics
+        // as the SQL scalar subquery with no driver round-trip
+        val maxRev = rev.agg(max("total_rev_c").as("_max_rev_c"))
         val su = t(s, dir, "supplier")
-        val joined = su.join(rev, su("s_suppkey") === rev("supplier_no"))
-        // empty revenue window → NULL max → empty result (not an NPE)
-        val matched =
-          if (maxRow.isNullAt(0)) joined.filter(lit(false))
-          else joined.filter(col("total_rev_c") === maxRow.getLong(0))
-        matched.select("s_suppkey", "s_name", "total_rev_c")
+        su.join(rev, su("s_suppkey") === rev("supplier_no"))
+          .join(broadcast(maxRev), col("total_rev_c") === col("_max_rev_c"))
+          .select("s_suppkey", "s_name", "total_rev_c")
           .orderBy("s_suppkey")
       },
       Some("""WITH revenue AS (
@@ -303,11 +304,15 @@ object Tpch {
         val c = t(s, dir, "customer").select(
           col("c_custkey"), (col("c_nationkey") % 10).as("code"),
           cents(col("c_acctbal")).as("bal_c"))
+        // global-agg scalar folded in as a broadcast 1-row cross join:
+        // ungrouped agg always emits exactly one row (s NULL, n 0 on
+        // empty input → comparison NULL → no rows), so this is the
+        // scalar subquery in a single plan
         val pos = c.filter(col("bal_c") > 0)
-          .agg(sum("bal_c").as("s"), count(lit(1)).as("n")).head()
-        val (sumC, nC) = (pos.getLong(0), pos.getLong(1))
+          .agg(sum("bal_c").as("_s"), count(lit(1)).as("_n"))
         val o = t(s, dir, "orders").select(col("o_custkey"))
-        c.filter(col("bal_c") * nC > sumC)
+        c.crossJoin(broadcast(pos))
+          .filter(col("bal_c") * col("_n") > col("_s"))
           .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
           .groupBy("code")
           .agg(count(lit(1)).as("cnt"), sum("bal_c").as("total_bal_c"))

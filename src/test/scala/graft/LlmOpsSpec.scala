@@ -107,6 +107,24 @@ class LlmOpsSpec extends SparkSpec {
       s"IVF recall too low: ${ivf.toSet.intersect(exact)}")
   }
 
+  test("banded-LSH cosine pairs == exact all-pairs (recall 1 on corpus)") {
+    // dd5's gate: the banded LSH candidate join followed by exact scoring
+    // must reproduce the crossJoin verifier pair-for-pair on the real
+    // embeddings — this is the recall-1 argument that lets the O(n²) form
+    // retire to spec-side duty
+    val exact = Similarity.cosinePairs(emb, "embedding", "vec_id", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Similarity.cosinePairsBandedLsh(emb, "embedding", "vec_id", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded === exact,
+      s"missed: ${exact -- banded}, spurious: ${banded -- exact}")
+    // and the plan must be the bucketed equi-join, never a cartesian
+    val plan = Similarity.cosinePairsBandedLsh(emb, "embedding", "vec_id", 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("rolling hash is deterministic and order-sensitive") {
     val r = Seq((1L, "abc"), (2L, "abc"), (3L, "acb"), (4L, ""))
       .toDF("id", "t")

@@ -30,16 +30,26 @@ object AsOf {
   def join(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, rightVal: String): DataFrame = {
     val leftCols = left.columns
+    // internal marker names must not shadow user columns
+    val Seq(kC, tC, sideC, rvC, asofC) = Cols.fresh(
+      Seq("_k", "_t", "_side", "_rv", "_asof"), leftCols ++ right.columns)
     // payload excludes key AND time — both re-emitted under their own
     // names below (else the output carries a duplicate time column)
     val payload0 = leftCols.filter(c => c != key && c != leftTime)
+    // the carried value rides inside a struct so that "no right row yet"
+    // (NULL struct, skipped by ignoreNulls) stays distinct from "latest
+    // right row carries a NULL value" (non-NULL struct, NULL field) —
+    // last() on the bare value column would skip the latter and resurrect
+    // a stale older value
+    val rvType = new org.apache.spark.sql.types.StructType()
+      .add("v", right.schema(rightVal).dataType)
     val l = left.select(
-      (col(key).as("_k") +: col(leftTime).as("_t") +: lit(1).as("_side") +:
-        lit(null).cast(right.schema(rightVal).dataType).as("_rv") +:
+      (col(key).as(kC) +: col(leftTime).as(tC) +: lit(1).as(sideC) +:
+        lit(null).cast(rvType).as(rvC) +:
         payload0.map(col).toIndexedSeq): _*)
     val r = right.select(
-      col(key).as("_k"), col(rightTime).as("_t"), lit(0).as("_side"),
-      col(rightVal).as("_rv"))
+      col(key).as(kC), col(rightTime).as(tC), lit(0).as(sideC),
+      struct(col(rightVal).as("v")).as(rvC))
     // align schemas: right side gets NULLs for the left payload columns
     val payload = payload0
     val rAligned = payload.foldLeft(r) { (df, c) =>
@@ -47,13 +57,14 @@ object AsOf {
     }
     // ties (_t equal): right sorts before left, so a same-instant right
     // row is visible to the left row (inclusive as-of)
-    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_side"))
+    val w = Window.partitionBy(kC).orderBy(col(tC), col(sideC))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(rAligned)
-      .withColumn("_asof", last(col("_rv"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
+      .withColumn(asofC, last(col(rvC), ignoreNulls = true).over(w))
+      .filter(col(sideC) === 1)
       .select(
-        (col("_k").as(key) +: col("_t").as(leftTime) +:
-          payload.map(col).toIndexedSeq :+ col("_asof").as(s"asof_$rightVal")): _*)
+        (col(kC).as(key) +: col(tC).as(leftTime) +:
+          payload.map(col).toIndexedSeq :+
+          col(asofC).getField("v").as(s"asof_$rightVal")): _*)
   }
 }

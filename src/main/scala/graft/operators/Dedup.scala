@@ -230,12 +230,22 @@ object Dedup {
       iter += 1
     }
     if (previous != null) previous.unpersist()
-    edges.unpersist()
     // wrong labels are worse than no labels: refuse to return unconverged
-    if (!converged) throw new graft.GraftException(
-      s"connectedComponents did not converge in $maxIter iterations " +
-        "(component diameter too large — raise maxIter)")
-    labels
+    if (!converged) {
+      labels.unpersist(); edges.unpersist()
+      throw new graft.GraftException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          "(component diameter too large — raise maxIter)")
+    }
+    // hand back a materialized copy with truncated lineage, then drop the
+    // loop caches — callers were otherwise left holding one cached frame
+    // per call (and an iteration-deep lineage) until they guessed to
+    // unpersist; checkpoint blocks are reclaimed by the ContextCleaner
+    // when the returned frame is GC'd
+    val out = labels.localCheckpoint(eager = true)
+    labels.unpersist()
+    edges.unpersist()
+    out
   }
 
   /** The apply step: drop every near-dup cluster member except its

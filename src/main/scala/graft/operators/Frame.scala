@@ -128,15 +128,25 @@ final class Frame(val df: DataFrame) {
   def rename(mapping: (String, String)*): Frame = {
     val m = mapping.toMap
     val existing = df.columns.map(_.toLowerCase)
-    m.foreach { case (from, to) =>
+    m.keys.foreach { from =>
       if (!existing.contains(from.toLowerCase))
         throw new GraftInvalidOperation(s"column $from not in frame")
-      val remaining = existing.filterNot(_ == from.toLowerCase) ++
-        m.removed(from).values.map(_.toLowerCase)
-      if (remaining.contains(to.toLowerCase))
-        throw new GraftInvalidOperation(s"rename target $to collides with an existing column")
     }
-    new Frame(df.withColumnsRenamed(m))
+    // validate the WHOLE mapping at once: final column set = existing
+    // minus all sources plus all targets — per-entry checks would
+    // false-positive on swaps (a->b, b->a) and chains (a->b, b->c)
+    val sources = m.keys.map(_.toLowerCase).toSet
+    val finalCols = existing.filterNot(sources) ++ m.values.map(_.toLowerCase)
+    finalCols.diff(finalCols.distinct).distinct.foreach { dup =>
+      throw new GraftInvalidOperation(s"rename target $dup collides with an existing column")
+    }
+    // single-pass projection: every column renamed simultaneously.
+    // (withColumnsRenamed applies its map entry-by-entry, so a swap
+    // would chain k->v->k and emit duplicate names.)
+    val byLower = m.map { case (from, to) => from.toLowerCase -> to }
+    new Frame(df.select(df.columns.map { c =>
+      byLower.get(c.toLowerCase).map(col(c).as(_)).getOrElse(col(c))
+    }.toIndexedSeq: _*))
   }
 
   /** drop columns (ignores absent names, like Spark) */

@@ -31,8 +31,9 @@ object Sampling {
   def stratifiedLimit(df: DataFrame, groupCols: Seq[String],
       orderCols: Seq[Column], n: Int): DataFrame = {
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= n)
-      .drop("_rn")
+    val rn = Cols.fresh("_rn", df.columns)
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= n)
+      .drop(rn)
   }
 }

@@ -42,8 +42,9 @@ object Similarity {
   def bruteForceTopK(df: DataFrame, vecCol: String, idCol: String,
       query: Array[Float], k: Int): DataFrame = {
     val q = array(query.map(x => lit(x)): _*) // float literals: CosineSim input type
-    df.select(col(idCol), VectorOps.cosineNative(col(vecCol), q).as("cos"))
-      .orderBy(desc_nulls_last("cos"), asc_nulls_first(idCol))
+    val cos = Cols.fresh("cos", Seq(idCol))
+    df.select(col(idCol), VectorOps.cosineNative(col(vecCol), q).as(cos))
+      .orderBy(desc_nulls_last(cos), asc_nulls_first(idCol))
       .limit(k)
   }
 
@@ -65,10 +66,11 @@ object Similarity {
     }.sum
     val probes = qBits +: (0 until nbits).map(i => qBits ^ (1L << i))
     val q = array(query.map(x => lit(x)): _*) // float literals: CosineSim input type
-    df.withColumn("bucket", lshBucket(col(vecCol), planes))
-      .filter(col("bucket").isin(probes: _*))
-      .select(col(idCol), VectorOps.cosineNative(col(vecCol), q).as("cos"))
-      .orderBy(desc_nulls_last("cos"), asc_nulls_first(idCol))
+    val Seq(bkt, cos) = Cols.fresh(Seq("_bucket", "cos"), df.columns)
+    df.withColumn(bkt, lshBucket(col(vecCol), planes))
+      .filter(col(bkt).isin(probes: _*))
+      .select(col(idCol), VectorOps.cosineNative(col(vecCol), q).as(cos))
+      .orderBy(desc_nulls_last(cos), asc_nulls_first(idCol))
       .limit(k)
   }
 
@@ -141,10 +143,11 @@ object Similarity {
     val probes = centroids.indices
       .sortBy(c => -cos(centroids(c), query)).take(nprobe)
     val q = array(query.map(lit): _*)
-    df.withColumn("_c", assignCentroid(col(vecCol), centroids))
-      .filter(col("_c").isin(probes: _*))
-      .select(col(idCol), VectorOps.cosineNative(col(vecCol), q).as("cos"))
-      .orderBy(desc_nulls_last("cos"), asc_nulls_first(idCol))
+    val Seq(cc, cosC) = Cols.fresh(Seq("_c", "cos"), df.columns)
+    df.withColumn(cc, assignCentroid(col(vecCol), centroids))
+      .filter(col(cc).isin(probes: _*))
+      .select(col(idCol), VectorOps.cosineNative(col(vecCol), q).as(cosC))
+      .orderBy(desc_nulls_last(cosC), asc_nulls_first(idCol))
       .limit(k)
   }
 
@@ -169,10 +172,11 @@ object Similarity {
   def cosinePairsLsh(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double, nbits: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(dim, nbits, seed)
-    val withB = df.withColumn("bucket", lshBucket(col(vecCol), planes))
-    val a = withB.select(col("bucket"), col(idCol).as("ida"), col(vecCol).as("va"))
-    val b = withB.select(col("bucket"), col(idCol).as("idb"), col(vecCol).as("vb"))
-    a.join(b, Seq("bucket")).filter(col("ida") < col("idb"))
+    val bkt = Cols.fresh("_bucket", df.columns)
+    val withB = df.withColumn(bkt, lshBucket(col(vecCol), planes))
+    val a = withB.select(col(bkt), col(idCol).as("ida"), col(vecCol).as("va"))
+    val b = withB.select(col(bkt), col(idCol).as("idb"), col(vecCol).as("vb"))
+    a.join(b, Seq(bkt)).filter(col("ida") < col("idb"))
       .withColumn("cos", VectorOps.cosineNative(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select("ida", "idb").distinct()
@@ -203,13 +207,14 @@ object Similarity {
     val buckets = array((0 until nTables).map { tIdx =>
       lshBucket(col(vecCol), planes.slice(tIdx * bandBits, (tIdx + 1) * bandBits))
     }: _*)
+    val Seq(tbl, bkt) = Cols.fresh(Seq("_tbl", "_bkt"), Seq(idCol, vecCol))
     val keyed = df
-      .select(col(idCol), col(vecCol), posexplode(buckets).as(Seq("_tbl", "_bkt")))
-    val a = keyed.select(col("_tbl"), col("_bkt"),
+      .select(col(idCol), col(vecCol), posexplode(buckets).as(Seq(tbl, bkt)))
+    val a = keyed.select(col(tbl), col(bkt),
       col(idCol).as("ida"), col(vecCol).as("va"))
-    val b = keyed.select(col("_tbl"), col("_bkt"),
+    val b = keyed.select(col(tbl), col(bkt),
       col(idCol).as("idb"), col(vecCol).as("vb"))
-    a.join(b, Seq("_tbl", "_bkt")).filter(col("ida") < col("idb"))
+    a.join(b, Seq(tbl, bkt)).filter(col("ida") < col("idb"))
       .select("ida", "idb", "va", "vb").distinct() // dedup across tables BEFORE scoring
       .withColumn("cos", VectorOps.cosineNative(col("va"), col("vb")))
       .filter(col("cos") >= threshold)

@@ -27,10 +27,11 @@ object Skew {
     require(jt == JoinType.Inner || jt == JoinType.Left,
       s"salted join supports inner/left, got $joinType")
     val probeCols = probe.columns
-    val p = probe.withColumn("_salt",
+    val saltC = Cols.fresh("_salt", probeCols ++ build.columns)
+    val p = probe.withColumn(saltC,
       pmod(xxhash64(probeCols.map(col): _*), lit(salt)).cast("int"))
-    val b = build.withColumn("_salt",
+    val b = build.withColumn(saltC,
       explode(sequence(lit(0), lit(salt - 1))))
-    p.join(b, on :+ "_salt", jt).drop("_salt")
+    p.join(b, on :+ saltC, jt).drop(saltC)
   }
 }

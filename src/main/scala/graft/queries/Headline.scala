@@ -30,7 +30,10 @@ object Headline {
           "sum_disc_c" -> sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))),
           "sum_charge_c" -> sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))),
           "avg_qty_m" -> round(avg("l_quantity") * 1000).cast(LongType),
-          "avg_disc_m" -> round(avg("l_discount") * 1000).cast(LongType),
+          // integerize the raw discounts to basis points BEFORE averaging:
+          // the sum is then exact in a double, so partition merge order
+          // can't shift it by ULPs and flip ROUND at a .5 boundary
+          "avg_disc_m" -> round(avg(round(col("l_discount") * 10000).cast(LongType)) / 10).cast(LongType),
           "cnt" -> count(lit(1)))
         .df.orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
       Some("""SELECT l_returnflag, l_linestatus,
@@ -39,7 +42,7 @@ object Headline {
              | CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
              | CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT)) AS BIGINT) AS sum_charge_c,
              | CAST(ROUND(AVG(l_quantity)*1000) AS BIGINT) AS avg_qty_m,
-             | CAST(ROUND(AVG(l_discount)*1000) AS BIGINT) AS avg_disc_m,
+             | CAST(ROUND(AVG(CAST(ROUND(l_discount*10000) AS BIGINT))/10) AS BIGINT) AS avg_disc_m,
              | COUNT(*) AS cnt
              |FROM lineitem WHERE l_shipdate <= '1998-09-02'
              |GROUP BY l_returnflag, l_linestatus

@@ -159,6 +159,20 @@ class FrameSpec extends SparkSpec {
     assert(a.rowIterator.map(_.getLong(0)).toSet === Set(1L, 2L))
   }
 
+  test("rename allows swaps and chains, rejects real collisions") {
+    val a = df(Seq(Seq[Any](1L, "x")), "k:long,v:str")
+    // swap: both renames happen in one pass
+    assert(a.rename("k" -> "v", "v" -> "k").df.columns.toSeq === Seq("v", "k"))
+    // chain: a->b while b->c frees the name
+    val b = df(Seq(Seq[Any](1L, "x")), "a:long,b:str")
+    assert(b.rename("a" -> "b", "b" -> "c").df.columns.toSeq === Seq("b", "c"))
+    // real collision: target hits an untouched column
+    intercept[GraftInvalidOperation](a.rename("k" -> "v"))
+    // two mappings landing on the same target
+    val c = df(Seq(Seq[Any](1L, "x")), "k:long,v:str")
+    intercept[GraftInvalidOperation](c.rename("k" -> "z", "v" -> "z"))
+  }
+
   test("filter truthiness: NULL/0/NaN drop the row (suite:355-389)") {
     // Seq[Any] to stop Scala widening 1L to Double in the mixed literals
     val a = df(Seq(Seq[Any](1L, 1.0), Seq[Any](2L, 0.0), Seq[Any](3L, null),

@@ -166,6 +166,11 @@ final class Frame(val df: DataFrame) {
   def rowIterator: Iterator[Row] =
     scala.jdk.CollectionConverters.IteratorHasAsScala(df.toLocalIterator()).asScala
 
+  /** `as_arrow` (ref: slide/utils.py:627-639) — the frame as a complete
+    * Arrow IPC stream; see [[ArrowInterchange.toStream]]
+    */
+  def toArrowStream: Array[Byte] = ArrowInterchange.toStream(df)
+
   /** `cast_df` — conform the frame to a target schema, applying the SQL
     * cast matrix per field (ref: slide/utils.py:739-763). Fields missing
     * from the target are dropped; order follows the target.

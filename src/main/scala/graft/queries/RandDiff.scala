@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Kernels
+import graft.operators.Frame
+import graft.testgen.RandFrame
+import graft.testgen.RandFrame._
+
+/** Seeded random-frame differential suite — the port of the reference's
+  * `make_rand_df` fuzz strategy (ref: slide_test/utils.py:93-130, used
+  * throughout slide_test/suite.py). Each query generates deterministic
+  * random frames (fixed seed, reference domains: ints [0,10), floats on
+  * a 10^-6 grid in [0,1), strings ssssss0..9, datetimes 2020-01-01+k,
+  * exact NULL counts) and runs the operator surface over them; the
+  * oracle SQL embeds the IDENTICAL rows as a VALUES subquery, so the
+  * driver's DuckDB hash-compare checks the semantics on data the
+  * fixtures never enumerated — NULL-key joins at 40% null density,
+  * set ops over half-NULL frames, 3VL on random NULL patterns.
+  *
+  * Canonical invocations follow FIXTURES.md §A1 / suite:653-2566.
+  */
+object RandDiff {
+
+  // ---- frame specs (canonical invocations) ----
+
+  // joins (suite:2468-2566): x=100 rows 40% null keys, y=80 rows 10%
+  private val jx = Seq(ColSpec("a", CInt, 40), ColSpec("b", CDateTime, 40),
+    ColSpec("c", CFloat, 40))
+  private val jy = Seq(ColSpec("d", CFloat, 10), ColSpec("a", CInt, 10),
+    ColSpec("b", CDateTime, 10))
+  private val jxSeed = 1001L
+  private val jySeed = 1002L
+
+  // set-op triple (suite:2230-2346): 30/80/100 rows, half-null tails;
+  // the middle frame's names differ to prove positional alignment
+  private val sx = Seq(ColSpec("b", CInt, 10), ColSpec("c", CStr, 10),
+    ColSpec("d", CDateTime, 10))
+  private val sy = Seq(ColSpec("q", CInt, 50), ColSpec("r", CStr, 50),
+    ColSpec("s", CDateTime, 50))
+  private val sz = Seq(ColSpec("b", CInt, 50), ColSpec("c", CStr, 50),
+    ColSpec("d", CDateTime, 50))
+  private val Seq(sxSeed, sySeed, szSeed) = Seq(2001L, 2002L, 2003L)
+
+  private def jxDf(s: SparkSession) = RandFrame.df(s, 100, jxSeed, jx: _*)
+  private def jyDf(s: SparkSession) = RandFrame.df(s, 80, jySeed, jy: _*)
+  private val jxSql = RandFrame.valuesSql(100, jxSeed, jx: _*)
+  private val jySql = RandFrame.valuesSql(80, jySeed, jy: _*)
+
+  private def sxDf(s: SparkSession) = RandFrame.df(s, 30, sxSeed, sx: _*)
+  private def syDf(s: SparkSession) = RandFrame.df(s, 80, sySeed, sy: _*)
+  private def szDf(s: SparkSession) = RandFrame.df(s, 100, szSeed, sz: _*)
+  private val sxSql = RandFrame.valuesSql(30, sxSeed, sx: _*)
+  private val sySql = RandFrame.valuesSql(80, sySeed, sy: _*)
+  private val szSql = RandFrame.valuesSql(100, szSeed, sz: _*)
+
+  private def sortAll(df: DataFrame): DataFrame =
+    df.orderBy(df.columns.map(asc_nulls_first).toIndexedSeq: _*)
+
+  private def orderAll(cols: String*): String =
+    "ORDER BY " + cols.map(c => s"$c NULLS FIRST").mkString(", ")
+
+  def all: Seq[Q] = Seq(
+
+    Q("rf1_join_inner",
+      (s, dir) => sortAll(Frame(jxDf(s)).join(Frame(jyDf(s)), "inner", Seq("a", "b")).df),
+      Some(s"""SELECT x.a, x.b, x.c, y.d
+              |FROM $jxSql x JOIN $jySql y ON x.a = y.a AND x.b = y.b
+              |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin)),
+
+    Q("rf2_join_left",
+      (s, dir) => sortAll(Frame(jxDf(s)).join(Frame(jyDf(s)), "left", Seq("a", "b")).df),
+      Some(s"""SELECT x.a, x.b, x.c, y.d
+              |FROM $jxSql x LEFT JOIN $jySql y ON x.a = y.a AND x.b = y.b
+              |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin)),
+
+    Q("rf3_join_full",
+      (s, dir) => sortAll(Frame(jxDf(s)).join(Frame(jyDf(s)), "full", Seq("a", "b")).df),
+      Some(s"""SELECT COALESCE(x.a, y.a) AS a, COALESCE(x.b, y.b) AS b, x.c, y.d
+              |FROM $jxSql x FULL JOIN $jySql y ON x.a = y.a AND x.b = y.b
+              |${orderAll("a", "b", "c", "d")}""".stripMargin)),
+
+    Q("rf4_join_semi",
+      (s, dir) => sortAll(Frame(jxDf(s)).join(Frame(jyDf(s)), "semi", Seq("a", "b")).df),
+      Some(s"""SELECT x.a, x.b, x.c FROM $jxSql x
+              |WHERE EXISTS (SELECT 1 FROM $jySql y WHERE y.a = x.a AND y.b = x.b)
+              |${orderAll("a", "b", "c")}""".stripMargin)),
+
+    Q("rf5_join_anti",
+      (s, dir) => sortAll(Frame(jxDf(s)).join(Frame(jyDf(s)), "anti", Seq("a", "b")).df),
+      Some(s"""SELECT x.a, x.b, x.c FROM $jxSql x
+              |WHERE NOT EXISTS (SELECT 1 FROM $jySql y WHERE y.a = x.a AND y.b = x.b)
+              |${orderAll("a", "b", "c")}""".stripMargin)),
+
+    // (x UNION ALL y) UNION z — y's columns align positionally
+    Q("rf6_union_triple",
+      (s, dir) => sortAll(
+        Frame(sxDf(s)).union(Frame(syDf(s)))
+          .union(Frame(szDf(s)), unique = true).df),
+      Some(s"""SELECT b, c, d FROM (
+              | SELECT * FROM (
+              |  SELECT b, c, d FROM $sxSql _x
+              |  UNION ALL
+              |  SELECT q AS b, r AS c, s AS d FROM $sySql _y) _u
+              | UNION
+              | SELECT b, c, d FROM $szSql _z)
+              |${orderAll("b", "c", "d")}""".stripMargin)),
+
+    Q("rf7_intersect_triple",
+      (s, dir) => sortAll(
+        Frame(sxDf(s)).union(Frame(syDf(s)))
+          .intersect(Frame(szDf(s)), unique = true).df),
+      Some(s"""SELECT b, c, d FROM (
+              | SELECT b, c, d FROM (
+              |  SELECT b, c, d FROM $sxSql _x
+              |  UNION ALL
+              |  SELECT q AS b, r AS c, s AS d FROM $sySql _y) _u
+              | INTERSECT
+              | SELECT b, c, d FROM $szSql _z)
+              |${orderAll("b", "c", "d")}""".stripMargin)),
+
+    Q("rf8_except_triple",
+      (s, dir) => sortAll(
+        Frame(sxDf(s)).union(Frame(syDf(s)))
+          .except(Frame(szDf(s)), unique = true).df),
+      Some(s"""SELECT b, c, d FROM (
+              | SELECT b, c, d FROM (
+              |  SELECT b, c, d FROM $sxSql _x
+              |  UNION ALL
+              |  SELECT q AS b, r AS c, s AS d FROM $sySql _y) _u
+              | EXCEPT
+              | SELECT b, c, d FROM $szSql _z)
+              |${orderAll("b", "c", "d")}""".stripMargin)),
+
+    // DISTINCT over half-null int pairs (suite:2164-2193)
+    Q("rf9_distinct",
+      (s, dir) => sortAll(Frame(
+        RandFrame.df(s, 100, 3001L, ColSpec("a", CInt, 50), ColSpec("b", CInt, 50)))
+        .dropDuplicates().df),
+      Some(s"""SELECT DISTINCT a, b
+              |FROM ${RandFrame.valuesSql(100, 3001L, ColSpec("a", CInt, 50), ColSpec("b", CInt, 50))} _t
+              |${orderAll("a", "b")}""".stripMargin)),
+
+    // COALESCE over half-null columns of every scalar type (suite:694-816)
+    Q("rf10_coalesce", {
+      (s, dir) =>
+        val spec = Seq(ColSpec("a", CFloat, 50), ColSpec("b", CFloat, 50),
+          ColSpec("c", CFloat, 50), ColSpec("d", CInt, 50), ColSpec("e", CInt, 50),
+          ColSpec("f", CStr, 50), ColSpec("g", CStr, 50),
+          ColSpec("h", CDateTime, 50), ColSpec("i", CDateTime, 50))
+        sortAll(RandFrame.df(s, 100, 4001L, spec: _*).select(
+          coalesce(col("a"), col("b"), col("c")).as("fl"),
+          coalesce(col("d"), col("e")).as("it"),
+          coalesce(col("f"), col("g")).as("st"),
+          coalesce(col("h"), col("i")).as("dt")))
+    },
+      Some {
+        val spec = Seq(ColSpec("a", CFloat, 50), ColSpec("b", CFloat, 50),
+          ColSpec("c", CFloat, 50), ColSpec("d", CInt, 50), ColSpec("e", CInt, 50),
+          ColSpec("f", CStr, 50), ColSpec("g", CStr, 50),
+          ColSpec("h", CDateTime, 50), ColSpec("i", CDateTime, 50))
+        s"""SELECT COALESCE(a, b, c) AS fl, COALESCE(d, e) AS it,
+           | COALESCE(f, g) AS st, COALESCE(h, i) AS dt
+           |FROM ${RandFrame.valuesSql(100, 4001L, spec: _*)} _t
+           |${orderAll("fl", "it", "st", "dt")}""".stripMargin
+      }),
+
+    // BETWEEN 3VL over random NULL patterns (suite:653)
+    Q("rf11_between", {
+      (s, dir) =>
+        val spec = Seq(ColSpec("a", CFloat, 20), ColSpec("b", CFloat, 20),
+          ColSpec("c", CFloat, 20))
+        sortAll(RandFrame.df(s, 100, 5001L, spec: _*).select(
+          col("a"), col("b"), col("c"),
+          Kernels.isBetween(col("a"), col("b"), col("c"), positive = true).as("btw"),
+          Kernels.isBetween(col("a"), col("b"), col("c"), positive = false).as("nbtw")))
+    },
+      Some {
+        val spec = Seq(ColSpec("a", CFloat, 20), ColSpec("b", CFloat, 20),
+          ColSpec("c", CFloat, 20))
+        s"""SELECT a, b, c, a >= b AND a <= c AS btw,
+           | NOT (a >= b AND a <= c) AS nbtw
+           |FROM ${RandFrame.valuesSql(100, 5001L, spec: _*)} _t
+           |${orderAll("a", "b", "c", "btw", "nbtw")}""".stripMargin
+      }),
+
+    // CASE WHEN with bool branches over random strings (suite:853-902)
+    Q("rf12_casewhen", {
+      (s, dir) =>
+        val spec = Seq(ColSpec("a", CBool, 0), ColSpec("b", CStr, 0),
+          ColSpec("c", CBool, 5), ColSpec("d", CStr, 10), ColSpec("e", CStr, 10))
+        sortAll(RandFrame.df(s, 20, 6001L, spec: _*).select(
+          col("a"), col("b"), col("c"), col("d"), col("e"),
+          Kernels.caseWhen(
+            Seq((col("a"): Column) -> col("b"), (col("c"): Column) -> col("d")),
+            col("e")).as("cw")))
+    },
+      Some {
+        val spec = Seq(ColSpec("a", CBool, 0), ColSpec("b", CStr, 0),
+          ColSpec("c", CBool, 5), ColSpec("d", CStr, 10), ColSpec("e", CStr, 10))
+        s"""SELECT a, b, c, d, e,
+           | CASE WHEN a THEN b WHEN c THEN d ELSE e END AS cw
+           |FROM ${RandFrame.valuesSql(20, 6001L, spec: _*)} _t
+           |${orderAll("a", "b", "c", "d", "e", "cw")}""".stripMargin
+      })
+  )
+}

@@ -56,11 +56,13 @@ object Dedup {
 
   private val P: Long = 2147483647L // 2^31 - 1, Mersenne prime
 
-  /** deterministic MinHash coefficient streams (seeded) */
+  /** deterministic MinHash coefficient streams (seeded): odd 64-bit
+    * multipliers for multiply-shift hashing in Z_2^64 (overflow wraps by
+    * design)
+    */
   private def coeffs(numHashes: Int, seed: Long): Array[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
-    Array.fill(numHashes)((1L + rnd.nextInt((P - 1).toInt).toLong,
-      rnd.nextInt(P.toInt).toLong))
+    Array.fill(numHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
   }
 
   /** MinHash signatures + LSH banding in a single partition-local typed
@@ -119,7 +121,11 @@ object Dedup {
             val g = it.next()
             var k = 0
             while (k < numHashes) {
-              val v = java.lang.Math.floorMod(cs(k)._1 * g + cs(k)._2, P)
+              // multiply-shift universal hash — no division in the hot
+              // loop (floorMod costs a ~30-cycle divide per shingle×hash;
+              // the exact-verify step makes hash-family choice purely a
+              // recall knob, and recall is spec-gated)
+              val v = (cs(k)._1 * g + cs(k)._2) >>> 16
               if (v < sig(k)) sig(k) = v
               k += 1
             }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Dev tool (Test/runMain): replicate an SF dir K times with offset keys
+  * into an output dir, preserving join semantics — the input for the
+  * bench scaling proof (Spark's fixed overhead amortizes with scale
+  * while an in-process engine grows linearly). Key offsets keep the
+  * replicas disjoint: each copy's orders still join only its own
+  * customers/lineitems, so per-copy query semantics are preserved and
+  * result sizes scale linearly like a real larger SF.
+  *
+  * Usage: Test/runMain graft.ScaleUp <srcDir> <dstDir> <copies>
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val Array(src, dst, kStr) = args
+    val k = kStr.toInt
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head().getLong(0) + 1
+
+    val cust = Tables.load(spark, src, "customer")
+    val supp = Tables.load(spark, src, "supplier")
+    val part = Tables.load(spark, src, "part")
+    val ord = Tables.load(spark, src, "orders")
+    val li = Tables.load(spark, src, "lineitem")
+    val docs = Tables.load(spark, src, "documents")
+    val emb = Tables.load(spark, src, "embeddings")
+    val (nC, nS, nP, nO, nD, nE) = (maxOf(cust, "c_custkey"), maxOf(supp, "s_suppkey"),
+      maxOf(part, "p_partkey"), maxOf(ord, "o_orderkey"),
+      maxOf(docs, "doc_id"), maxOf(emb, "vec_id"))
+
+    def replicate(df: DataFrame, offsets: Map[String, Long]): DataFrame =
+      (0 until k).map { i =>
+        offsets.foldLeft(df) { case (d, (c, base)) =>
+          d.withColumn(c, col(c) + lit(i * base))
+        }
+      }.reduce(_.unionAll(_))
+
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+
+    write(Tables.load(spark, src, "region"), "region")
+    write(Tables.load(spark, src, "nation"), "nation")
+    write(replicate(cust, Map("c_custkey" -> nC)), "customer")
+    write(replicate(supp, Map("s_suppkey" -> nS)), "supplier")
+    write(replicate(part, Map("p_partkey" -> nP)), "part")
+    write(replicate(ord, Map("o_orderkey" -> nO, "o_custkey" -> nC)), "orders")
+    write(replicate(li, Map("l_orderkey" -> nO, "l_partkey" -> nP,
+      "l_suppkey" -> nS)), "lineitem")
+    write(replicate(docs, Map("doc_id" -> nD)), "documents")
+    write(replicate(emb, Map("vec_id" -> nE)), "embeddings")
+    println(s"SCALEUP done: $dst = $src x $k")
+    spark.stop()
+  }
+}

@@ -297,6 +297,42 @@ object Functions {
              | COUNT(*) AS cnt
              |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
 
+    // Decimal arithmetic surface: add/sub/mul propagation, round,
+    // string round-trip, floor-to-int — every output width pinned on
+    // both sides because Spark and DuckDB promote sums/products to
+    // different precisions (division is intentionally absent: the
+    // engines disagree on result scale and rounding; the engine exposes
+    // it only through explicit-cast forms)
+    Q("d2_decimal_arith",
+      (s, dir) => t(s, dir, "orders")
+        .filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast(DecimalType(12, 2)).as("p"))
+        .select(
+          col("o_orderkey"),
+          col("p"),
+          (col("p") + col("p")).cast(DecimalType(14, 2)).as("dadd"),
+          (col("p") - lit(BigDecimal("0.01")).cast(DecimalType(4, 2))).cast(DecimalType(14, 2)).as("dsub"),
+          (col("p") * lit(BigDecimal("1.05")).cast(DecimalType(4, 2))).cast(DecimalType(18, 4)).as("dmul"),
+          (-col("p")).cast(DecimalType(12, 2)).as("dneg"),
+          round(col("p"), -2).cast(DecimalType(12, 0)).as("dround"),
+          col("p").cast(StringType).as("dstr"),
+          col("p").cast(StringType).cast(DecimalType(12, 2)).as("drt"),
+          floor(col("p")).cast(LongType).as("dfloor"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, p,
+             | CAST(p + p AS DECIMAL(14,2)) AS dadd,
+             | CAST(p - CAST('0.01' AS DECIMAL(4,2)) AS DECIMAL(14,2)) AS dsub,
+             | CAST(p * CAST('1.05' AS DECIMAL(4,2)) AS DECIMAL(18,4)) AS dmul,
+             | CAST(-p AS DECIMAL(12,2)) AS dneg,
+             | CAST(ROUND(p, -2) AS DECIMAL(12,0)) AS dround,
+             | CAST(p AS VARCHAR) AS dstr,
+             | CAST(CAST(p AS VARCHAR) AS DECIMAL(12,2)) AS drt,
+             | CAST(FLOOR(p) AS BIGINT) AS dfloor
+             |FROM (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS p
+             |      FROM orders WHERE o_orderkey % 50 = 0)
+             |ORDER BY o_orderkey""".stripMargin)),
+
     Q("h1_histogram",
       (s, dir) => t(s, dir, "orders")
         .select(floor(col("o_totalprice") / 50000).cast(LongType).as("bin"))

@@ -125,6 +125,53 @@ class LlmOpsSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("IVF recall@10 >= 0.9 on the real corpus at the gated nprobe") {
+    // the embeddings table has NO tight neighbors (max cosine ~0.5) —
+    // the worst regime for ANN pruning — so the gate runs where ss3
+    // runs: k=8 cells, nprobe=6. Measured curve in README.
+    val centroids = Similarity.trainIvfCentroids(emb, "embedding", "vec_id", k = 8, iters = 3)
+    val recalls = Seq(0L, 7L, 42L, 99L, 123L).map { id =>
+      val q = emb.filter(col("vec_id") === id)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val rest = emb.filter(col("vec_id") =!= id)
+      val exact = Similarity.bruteForceTopK(rest, "embedding", "vec_id", q, 10)
+        .collect().map(_.getLong(0)).toSet
+      val ivf = Similarity.ivfTopK(rest, "embedding", "vec_id", q, 10, centroids, nprobe = 6)
+        .collect().map(_.getLong(0)).toSet
+      ivf.intersect(exact).size / 10.0
+    }
+    assert(recalls.forall(_ >= 0.9), s"recalls: $recalls")
+  }
+
+  test("LSH recall@10 >= 0.9 across seeds in its design regime") {
+    // LSH buckets pay off when neighbors are tight (cosine >= ~0.9) —
+    // plant 10 neighbors at cosine ~0.98 around each of 3 query points
+    // in a random corpus and require recall across 3 hyperplane seeds
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def perturb(b: Array[Float]): Array[Float] = {
+      val scale = (0.15 * math.sqrt(b.map(x => x.toDouble * x).sum) / 8.0).toFloat
+      b.map(x => x + scale * rnd.nextGaussian().toFloat)
+    }
+    val bases = Seq.fill(3)(vec())
+    val noise = (0 until 200).map(i => (1000L + i, vec()))
+    val planted = bases.zipWithIndex.flatMap { case (b, qi) =>
+      (0 until 10).map(j => (qi * 100L + j, perturb(b)))
+    }
+    val corpus = (noise ++ planted).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    for (seed <- Seq(42L, 1L, 2L)) {
+      val recalls = bases.zipWithIndex.map { case (b, qi) =>
+        val exact = Similarity.bruteForceTopK(corpus, "embedding", "vec_id", b, 10)
+          .collect().map(_.getLong(0)).toSet
+        val ann = Similarity.lshTopK(corpus, "embedding", "vec_id", b, 10, seed = seed)
+          .collect().map(_.getLong(0)).toSet
+        ann.intersect(exact).size / 10.0
+      }
+      assert(recalls.sum / recalls.size >= 0.9, s"seed=$seed recalls: $recalls")
+    }
+  }
+
   test("rolling hash is deterministic and order-sensitive") {
     val r = Seq((1L, "abc"), (2L, "abc"), (3L, "acb"), (4L, ""))
       .toDF("id", "t")

@@ -85,4 +85,60 @@ class StreamingSpec extends SparkSpec {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("mapGroupsWithState state survives a checkpointed restart") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.Dataset
+    val work = Files.createTempDirectory("graft_restart").toString
+    val srcDir = s"$work/src"
+    val ckpt = s"$work/ckpt"
+    new java.io.File(srcDir).mkdirs()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(EventStreams.rawSchema).parquet(s"$sf/events.parquet")
+
+    // the emitted (cnt, total) per user, latest write wins — foreachBatch
+    // runs on the driver, so a plain concurrent map collects safely
+    val results = new scala.collection.concurrent.TrieMap[Long, (Long, Long)]()
+    def startQuery() = {
+      val stream = spark.readStream.schema(EventStreams.rawSchema).parquet(srcDir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      EventStreams.runningUserTotals(spark, stream)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: Dataset[(Long, Long, Long)], _: Long) =>
+          batch.collect().foreach { case (u, c, t) => results(u) = (c, t) }
+        }
+        .start()
+    }
+
+    // phase 1: first half of the events
+    raw.filter(col("event_id") % 2 === 0).write.mode("append").parquet(srcDir)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop() // hard stop — state must live in the checkpoint, not the JVM
+
+    // phase 2: second half arrives after a restart from the checkpoint
+    raw.filter(col("event_id") % 2 =!= 0).write.mode("append").parquet(srcDir)
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      val expected = Tables.load(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("value") * 100).cast(LongType)).as("total_c"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val phase2Users = raw.filter(col("event_id") % 2 =!= 0)
+        .select("user_id").distinct().collect().map(_.getLong(0))
+      assert(phase2Users.nonEmpty)
+      // users updated after the restart carry totals over BOTH halves —
+      // only possible if phase-1 state was restored from the checkpoint
+      phase2Users.foreach { u =>
+        assert(results(u) === expected(u), s"user $u lost state across restart")
+      }
+      // and the state store itself reports every user ever seen
+      val stateRows = q2.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows === expected.size,
+        s"state store holds $stateRows rows, expected ${expected.size}")
+    } finally q2.stop()
+  }
 }

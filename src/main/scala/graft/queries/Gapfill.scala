@@ -289,6 +289,32 @@ object Gapfill {
              | SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type FROM events)
              |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
 
+    // Batch form of the stream-stream interval join (EventStreams.
+    // viewToPurchase): view → purchase attribution within 1h, per user
+    Q("st6_view_attribution",
+      (s, dir) => {
+        val base = t(s, dir, "events")
+        val views = base.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+            col("event_id").as("view_id"))
+        val purchases = base.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("event_id").as("purchase_id"))
+        views.join(purchases,
+          col("v_user") === col("p_user") &&
+            col("p_ts") >= col("v_ts") &&
+            col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+          .select(col("v_user").as("user_id"), col("view_id"),
+            col("purchase_id"))
+          .orderBy("user_id", "view_id", "purchase_id")
+      },
+      Some("""SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+             |FROM (SELECT * FROM events WHERE event_type = 'view') v
+             |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             | ON v.user_id = p.user_id
+             | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
     // Sessionization: 30-min-gap sessions per user via lag + cumulative flag
     Q("st2_sessionize",
       (s, dir) => {

@@ -184,6 +184,58 @@ object RandDiff {
            |${orderAll("a", "b", "c", "btw", "nbtw")}""".stripMargin
       }),
 
+    // groupBy-agg with NULL keys over random frames (suite:2020-2153's
+    // group semantics at fuzz density). Float columns only pass through
+    // min/max/count — never SUM/AVG, whose result depends on summation
+    // order once values are off the exact-integer grid.
+    Q("rf13_groupby_agg", {
+      (s, dir) =>
+        val spec = Seq(ColSpec("a", CInt, 30), ColSpec("b", CFloat, 20),
+          ColSpec("c", CInt, 20))
+        Frame(RandFrame.df(s, 100, 7001L, spec: _*))
+          .groupAgg(Seq("a"),
+            "cnt" -> count(lit(1)),
+            "cnt_b" -> count(col("b")),
+            "sum_c" -> sum(col("c")),
+            "min_b" -> min(col("b")),
+            "max_b" -> max(col("b")))
+          .df.orderBy(asc_nulls_first("a"))
+    },
+      Some {
+        val spec = Seq(ColSpec("a", CInt, 30), ColSpec("b", CFloat, 20),
+          ColSpec("c", CInt, 20))
+        s"""SELECT a, COUNT(*) AS cnt, COUNT(b) AS cnt_b,
+           | CAST(SUM(c) AS BIGINT) AS sum_c,
+           | MIN(b) AS min_b, MAX(b) AS max_b
+           |FROM ${RandFrame.valuesSql(100, 7001L, spec: _*)} _t
+           |GROUP BY a ORDER BY a NULLS FIRST""".stripMargin
+      }),
+
+    // rank-family windows over random NULL patterns: rank/dense_rank/
+    // percent_rank are value-determined (safe under ties), row_number is
+    // not — deliberately absent
+    Q("rf14_window_rank", {
+      (s, dir) =>
+        val spec = Seq(ColSpec("a", CInt, 20), ColSpec("b", CFloat, 10))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("a")).orderBy(asc_nulls_first("b"))
+        sortAll(RandFrame.df(s, 100, 8001L, spec: _*).select(
+          col("a"), col("b"),
+          rank().over(w).cast(org.apache.spark.sql.types.LongType).as("rk"),
+          dense_rank().over(w).cast(org.apache.spark.sql.types.LongType).as("drk"),
+          percent_rank().over(w).as("prk")))
+    },
+      Some {
+        val spec = Seq(ColSpec("a", CInt, 20), ColSpec("b", CFloat, 10))
+        s"""SELECT a, b,
+           | CAST(RANK() OVER w AS BIGINT) AS rk,
+           | CAST(DENSE_RANK() OVER w AS BIGINT) AS drk,
+           | PERCENT_RANK() OVER w AS prk
+           |FROM ${RandFrame.valuesSql(100, 8001L, spec: _*)} _t
+           |WINDOW w AS (PARTITION BY a ORDER BY b NULLS FIRST)
+           |${orderAll("a", "b", "rk", "drk", "prk")}""".stripMargin
+      }),
+
     // CASE WHEN with bool branches over random strings (suite:853-902)
     Q("rf12_casewhen", {
       (s, dir) =>

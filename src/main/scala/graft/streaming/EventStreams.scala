@@ -74,6 +74,44 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact-dedup — the standing-pipeline form of `dd1`: drop
+    * re-delivered events by key, keeping state only within the watermark
+    * horizon (`dropDuplicatesWithinWatermark`), so state is bounded by
+    * (arrival rate × horizon) instead of growing forever. The batch
+    * equivalent at any point in time is `dropDuplicates(keys)` over the
+    * files seen so far.
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+      horizon: String = "1 hour"): DataFrame =
+    events.withColumn("ts", col("ts").cast(TimestampType))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Stream-stream interval join: view → purchase attribution per user
+    * within `window` after the view. Both sides are watermarked; the
+    * time-bound condition lets Spark expire join state — an unbounded
+    * stream join would otherwise hold every row forever. State is
+    * partitioned by the equi-key (user), the same shuffle shape as the
+    * batch join.
+    */
+  def viewToPurchase(events: DataFrame, window: String = "1 hour"): DataFrame = {
+    val base = events.withColumn("ts", col("ts").cast(TimestampType))
+    val views = base.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", window)
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", window)
+    views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr(s"INTERVAL $window"))
+      .select(col("v_user").as("user_id"), col("view_id"),
+        col("purchase_id"), col("v_ts"), col("p_ts"))
+  }
+
   /** start a complete-mode in-memory sink (testing / local inspection) */
   def startMemorySink(df: DataFrame, name: String): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream.format("memory").queryName(name)

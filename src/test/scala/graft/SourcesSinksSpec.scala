@@ -35,6 +35,54 @@ class SourcesSinksSpec extends SparkSpec {
     assert(names.nonEmpty)
   }
 
+  test("orc sink/source round-trips with schema intact") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val customer = Tables.load(spark, sf, "customer")
+    customer.write.mode("overwrite").orc(s"$dir/customer_orc")
+    val back = spark.read.orc(s"$dir/customer_orc")
+    assert(back.schema === customer.schema)
+    assert(back.collect().map(_.toSeq).toSet ===
+      customer.collect().map(_.toSeq).toSet)
+  }
+
+  test("bucketed tables co-locate the join: no Exchange in the plan") {
+    // the 100 TB repeated-join layout: both sides bucketed+sorted on the
+    // key make every future equi-join on it shuffle-free (SMJ reads
+    // bucket i against bucket i). The plan must contain no Exchange.
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("b_orders")
+    Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("b_lineitem")
+    val savedBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the join exercises the bucketed sort-merge
+      // path (at real scale both sides are far beyond any threshold)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ over buckets:\n$plan")
+      val expected = Tables.load(spark, sf, "lineitem").join(
+        Tables.load(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() === expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBcast)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("csv and json sinks/sources round-trip with declared schema") {
     val dir = Files.createTempDirectory("graft_fmt").toString
     val nation = Tables.load(spark, sf, "nation")

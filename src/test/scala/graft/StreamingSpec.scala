@@ -86,6 +86,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered events (batch parity)") {
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("graft_dedup").toString
+    val srcDir = s"$work/src"
+    new java.io.File(srcDir).mkdirs()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(EventStreams.rawSchema).parquet(s"$sf/events.parquet")
+    // simulate at-least-once delivery: the same events arrive twice
+    raw.write.mode("append").parquet(srcDir)
+    raw.write.mode("append").parquet(srcDir)
+    val stream = spark.readStream.schema(EventStreams.rawSchema).parquet(srcDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = EventStreams.dedupStream(stream, Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_test")
+      assert(got.count() === raw.count()) // every event exactly once
+      assert(got.select("event_id").distinct().count() === raw.count())
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join matches its batch form") {
+    val stream = EventStreams.readEventsStream(spark, sf)
+    val q = EventStreams.viewToPurchase(stream)
+      .writeStream.format("memory").queryName("attr_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("attr_test")
+        .select("user_id", "view_id", "purchase_id")
+        .collect().map(_.toSeq).toSet
+      val base = Tables.load(spark, sf, "events")
+      val views = base.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("event_id").as("view_id"))
+      val purchases = base.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+      val batch = views.join(purchases,
+        col("v_user") === col("p_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState state survives a checkpointed restart") {
     import java.nio.file.Files
     import org.apache.spark.sql.Dataset

@@ -329,6 +329,127 @@ object Tpch {
              |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
              |GROUP BY 1 ORDER BY code""".stripMargin)),
 
+    // Q8-shaped: national market share — revenue share of one supplier
+    // nation within a region's market for a part type, by order year.
+    // Share integerized as permille of exact cent sums.
+    Q("q8_market_share",
+      (s, dir) => {
+        val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+        val n = t(s, dir, "nation")
+        val custN = t(s, dir, "customer").join(
+          broadcast(n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+            .select(col("n_nationkey").as("cn_key"))),
+          col("c_nationkey") === col("cn_key"))
+          .select("c_custkey")
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1998-01-01"))
+          .join(custN, col("o_custkey") === custN("c_custkey"))
+          .select(col("o_orderkey"), year(col("o_orderdate")).cast(LongType).as("o_year"))
+        val p = t(s, dir, "part").filter(col("p_type") === "PROMO")
+          .select("p_partkey")
+        val supN = t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val l = t(s, dir, "lineitem")
+        l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+          .join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(supN), l("l_suppkey") === supN("s_suppkey"))
+          .withColumn("rev_c", cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .groupBy("o_year")
+          .agg(
+            sum(when(col("s_nationkey") === 3, col("rev_c")).otherwise(0L)).as("nat_c"),
+            sum(col("rev_c")).as("total_c"))
+          .select(col("o_year"),
+            // integral div on both sides: a double-division detour can
+            // round up across an integer boundary before the truncation
+            expr("CAST(nat_c * 1000 div total_c AS BIGINT)").as("share_pm"),
+            col("nat_c"), col("total_c"))
+          .orderBy("o_year")
+      },
+      Some("""SELECT o_year,
+             | CAST(nat_c * 1000 // total_c AS BIGINT) AS share_pm,
+             | nat_c, total_c
+             |FROM (
+             | SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             |  CAST(SUM(CASE WHEN s_nationkey = 3
+             |    THEN CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+             |    ELSE 0 END) AS BIGINT) AS nat_c,
+             |  CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS total_c
+             | FROM lineitem, orders, customer, nation, region, part, supplier
+             | WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+             |   AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             |   AND r_name = 'ASIA' AND l_partkey = p_partkey
+             |   AND p_type = 'PROMO' AND l_suppkey = s_suppkey
+             |   AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+             | GROUP BY 1)
+             |ORDER BY o_year""".stripMargin)),
+
+    // Q11-shaped (no partsupp table → supply value from lineitem):
+    // parts whose total supply value exceeds 0.1% of the global value —
+    // the global scalar rides a broadcast 1-row cross join, one plan
+    Q("q11_important_parts",
+      (s, dir) => {
+        val value = t(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("partkey"))
+          .agg(sum(cents(col("l_extendedprice"))).as("value_c"))
+        val total = value.agg(sum("value_c").as("_tot"))
+        value.crossJoin(broadcast(total))
+          .filter(col("value_c") * 1000L > col("_tot"))
+          .select("partkey", "value_c")
+          .orderBy(desc_nulls_last("value_c"), asc_nulls_first("partkey"))
+      },
+      Some("""WITH v AS (
+             | SELECT l_partkey AS partkey,
+             |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS value_c
+             | FROM lineitem GROUP BY 1)
+             |SELECT partkey, value_c FROM v
+             |WHERE value_c * 1000 > (SELECT SUM(value_c) FROM v)
+             |ORDER BY value_c DESC NULLS LAST, partkey NULLS FIRST""".stripMargin)),
+
+    // Q21-shaped (schema has no receipt/commit dates): suppliers that
+    // were the LAST to ship in multi-supplier orders — the double
+    // correlated EXISTS / NOT EXISTS decorrelation pattern of Q21
+    Q("q21_last_shipper",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+        val l1 = l.groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(max("l_shipdate").as("ship"))
+        // EXISTS another supplier in the order
+        val other = l1.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"),
+          col("ship").as("ship2"))
+        val multi = l1.join(other,
+          l1("l_orderkey") === other("o2") && l1("l_suppkey") =!= other("s2"),
+          "left_semi")
+        // NOT EXISTS another supplier shipping strictly later
+        val later = l1.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"),
+          col("ship").as("ship3"))
+        val lastOnes = multi.join(later,
+          multi("l_orderkey") === later("o3") && multi("l_suppkey") =!= later("s3") &&
+            later("ship3") > multi("ship"),
+          "left_anti")
+        lastOnes.join(t(s, dir, "supplier"),
+          lastOnes("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(desc_nulls_last("numwait"), asc_nulls_first("s_name"))
+          .limit(20)
+      },
+      Some("""WITH l1 AS (
+             | SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS ship
+             | FROM lineitem GROUP BY 1, 2)
+             |SELECT s_name, COUNT(*) AS numwait
+             |FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+             |WHERE EXISTS (
+             |  SELECT 1 FROM l1 l2 WHERE l2.l_orderkey = l1.l_orderkey
+             |   AND l2.l_suppkey <> l1.l_suppkey)
+             | AND NOT EXISTS (
+             |  SELECT 1 FROM l1 l3 WHERE l3.l_orderkey = l1.l_orderkey
+             |   AND l3.l_suppkey <> l1.l_suppkey AND l3.ship > l1.ship)
+             |GROUP BY s_name
+             |ORDER BY numwait DESC NULLS LAST, s_name NULLS FIRST
+             |LIMIT 20""".stripMargin)),
+
     // Q19-shaped: disjunction of conjunctive ranges (OR pushdown)
     Q("q19_disjunctive",
       (s, dir) => {

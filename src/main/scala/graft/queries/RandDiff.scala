@@ -236,6 +236,45 @@ object RandDiff {
            |${orderAll("a", "b", "rk", "drk", "prk")}""".stripMargin
       }),
 
+    // group-apply (flatMapGroups) over random NULL-key groups: per-group
+    // closure logic checked against a window oracle — NULL keys form a
+    // group like any other (suite:2020-2153 at fuzz density). Ints are
+    // the only payload so the closure's arithmetic is exact.
+    Q("rf15_group_apply", {
+      (s, dir) =>
+        val spec = Seq(ColSpec("a", CInt, 30), ColSpec("b", CInt, 10),
+          ColSpec("c", CStr, 10))
+        val out = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("a",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("b_sum",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("c_max",
+            org.apache.spark.sql.types.StringType)))
+        Frame(RandFrame.df(s, 100, 9001L, spec: _*))
+          .groupApply(Seq("a"), out) { it =>
+            val rows = it.toVector
+            val key = rows.head.isNullAt(0) match {
+              case true => null; case false => java.lang.Long.valueOf(rows.head.getLong(0))
+            }
+            val bs = rows.collect { case r if !r.isNullAt(1) => r.getLong(1) }
+            val cs = rows.collect { case r if !r.isNullAt(2) => r.getString(2) }
+            Iterator(org.apache.spark.sql.Row(key, rows.size.toLong,
+              if (bs.isEmpty) null else java.lang.Long.valueOf(bs.sum),
+              if (cs.isEmpty) null else cs.max))
+          }.df.orderBy(asc_nulls_first("a"))
+    },
+      Some {
+        val spec = Seq(ColSpec("a", CInt, 30), ColSpec("b", CInt, 10),
+          ColSpec("c", CStr, 10))
+        s"""SELECT a, COUNT(*) AS n, CAST(SUM(b) AS BIGINT) AS b_sum,
+           | MAX(c) AS c_max
+           |FROM ${RandFrame.valuesSql(100, 9001L, spec: _*)} _t
+           |GROUP BY a ORDER BY a NULLS FIRST""".stripMargin
+      }),
+
     // CASE WHEN with bool branches over random strings (suite:853-902)
     Q("rf12_casewhen", {
       (s, dir) =>

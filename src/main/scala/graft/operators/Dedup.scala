@@ -170,9 +170,12 @@ object Dedup {
     // candidates are a vanishing fraction of the corpus
     val candIds = candidates.select(col("ida").as("id"))
       .union(candidates.select(col("idb").as("id"))).distinct()
+    // the shingle sets join in twice (ida side, idb side); materialize
+    // them once — they cover candidate docs only, so this is tiny
     val sets = df.select(col(idCol).as("id"), col(textCol))
       .join(candIds, Seq("id"), "left_semi")
       .select(col("id"), shingler(col(textCol), n).as("grams"))
+      .localCheckpoint(true)
     val withSets = candidates
       .join(sets.withColumnRenamed("id", "ida").withColumnRenamed("grams", "ga"), "ida")
       .join(sets.withColumnRenamed("id", "idb").withColumnRenamed("grams", "gb"), "idb")
@@ -191,7 +194,13 @@ object Dedup {
   def minHashDedup(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
       threshNum: Int = 4, threshDen: Int = 5): DataFrame = {
+    // candidates feed the plan THREE times (candIds union twice + the
+    // pair join) — without materialization the whole signature+bucket
+    // pipeline recomputes per appearance. The frame is tiny (pairs that
+    // share a bucket), so an eager local checkpoint is the right trade
+    // at any scale.
     val cands = lshCandidates(minHashBands(df, idCol, textCol, n, numHashes, bands))
+      .localCheckpoint(true)
     verifyJaccard(cands, df, idCol, textCol, n, threshNum, threshDen)
   }
 

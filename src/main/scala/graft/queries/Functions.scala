@@ -297,6 +297,81 @@ object Functions {
              | COUNT(*) AS cnt
              |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
 
+    // struct construction + field access + nested struct in a struct —
+    // flattened back to scalars so the comparator never sees the struct
+    Q("e26_struct_funcs",
+      (s, dir) => t(s, dir, "orders")
+        .filter(col("o_orderkey") % 250 === 0)
+        .select(col("o_orderkey"),
+          struct(
+            col("o_orderpriority").as("pri"),
+            round(col("o_totalprice") * 100).cast(LongType).as("total_c"),
+            struct(col("o_custkey").as("ck")).as("who")).as("o"))
+        .select(
+          col("o_orderkey"),
+          col("o").getField("pri").as("pri"),
+          col("o").getField("total_c").as("total_c"),
+          col("o").getField("who").getField("ck").as("custkey"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o.pri AS pri, o.total_c AS total_c,
+             | o.who.ck AS custkey
+             |FROM (
+             | SELECT o_orderkey,
+             |  struct_pack(pri := o_orderpriority,
+             |    total_c := CAST(ROUND(o_totalprice*100) AS BIGINT),
+             |    who := struct_pack(ck := o_custkey)) AS o
+             | FROM orders WHERE o_orderkey % 250 = 0)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // map construction + lookup + keys/size, flattened to scalars; a
+    // missing key is NULL in both engines (DuckDB's m[k] yields a list —
+    // [1] unwraps it, out-of-bounds → NULL, matching Spark element_at)
+    Q("e28_map_funcs",
+      (s, dir) => t(s, dir, "orders")
+        .filter(col("o_orderkey") % 250 === 0)
+        .select(col("o_orderkey"),
+          map_from_arrays(
+            array(lit("cust"), lit("total_c")),
+            array(col("o_custkey"),
+              round(col("o_totalprice") * 100).cast(LongType))).as("m"))
+        .select(
+          col("o_orderkey"),
+          element_at(col("m"), "cust").as("cust"),
+          element_at(col("m"), "total_c").as("total_c"),
+          element_at(col("m"), "absent").as("missing"),
+          size(col("m")).cast(LongType).as("n"),
+          array_join(map_keys(col("m")), ",").as("ks"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, m['cust'][1] AS cust,
+             | m['total_c'][1] AS total_c, m['absent'][1] AS missing,
+             | CAST(cardinality(m) AS BIGINT) AS n,
+             | array_to_string(map_keys(m), ',') AS ks
+             |FROM (
+             | SELECT o_orderkey, MAP(['cust', 'total_c'],
+             |  [o_custkey, CAST(ROUND(o_totalprice*100) AS BIGINT)]) AS m
+             | FROM orders WHERE o_orderkey % 250 = 0)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // greatest/least: both engines skip NULLs and return NULL only when
+    // every argument is NULL (verified cell-by-cell)
+    Q("e27_greatest_least",
+      (s, dir) => {
+        import s.implicits._
+        val df = Seq[(Int, java.lang.Long, java.lang.Long, java.lang.Long)](
+          (1, 1L, 5L, 3L), (2, null, 5L, 3L), (3, null, null, 3L),
+          (4, null, null, null), (5, -2L, null, 7L)
+        ).toDF("id", "x", "y", "z")
+        df.select(col("id"),
+          greatest(col("x"), col("y"), col("z")).as("g"),
+          least(col("x"), col("y"), col("z")).as("l"))
+          .orderBy("id")
+      },
+      Some("""SELECT id, greatest(x, y, z) AS g, least(x, y, z) AS l
+             |FROM (VALUES (1, CAST(1 AS BIGINT), CAST(5 AS BIGINT), CAST(3 AS BIGINT)),
+             | (2, NULL, 5, 3), (3, NULL, NULL, 3), (4, NULL, NULL, NULL),
+             | (5, -2, NULL, 7)) t(id, x, y, z)
+             |ORDER BY id""".stripMargin)),
+
     // Decimal arithmetic surface: add/sub/mul propagation, round,
     // string round-trip, floor-to-int — every output width pinned on
     // both sides because Spark and DuckDB promote sums/products to

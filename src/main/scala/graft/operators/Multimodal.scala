@@ -56,6 +56,58 @@ object Multimodal {
     }(Encoders.row(imageMetaSchema))
   }
 
+  /** Resize planning over decoded metadata: fit the longest side to
+    * `target` preserving aspect ratio, integer arithmetic only (so the
+    * plan is oracle-expressible). This is the transform step of a real
+    * resize pipeline; the pixel work happens wherever [[decodeImageMeta]]'s
+    * stub would hand off to a codec. Output bytes = out_w × out_h ×
+    * channels — the column a storage planner sizes batches with.
+    */
+  def resizeMeta(meta: DataFrame, target: Long = 224L): DataFrame =
+    meta.select(col("doc_id"), col("width"), col("height"),
+      when(col("width") >= col("height"), lit(target))
+        .otherwise(expr(s"width * $target div height")).as("out_w"),
+      when(col("width") >= col("height"), expr(s"height * $target div width"))
+        .otherwise(lit(target)).as("out_h"),
+      col("channels"))
+      .withColumn("out_bytes", col("out_w") * col("out_h") * col("channels"))
+
+  /** Audio-feature stub over a binary column: per-payload energy /
+    * peak / zero-crossing count computed in one partition-local pass
+    * (the batch shape of a real DSP kernel — swap the byte loop for an
+    * FFT and nothing else changes). Byte-level arithmetic is not
+    * SQL-portable → spec-checked, rows-only at the driver gate.
+    */
+  def audioFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_samples", LongType),
+      StructField("energy", LongType),
+      StructField("peak", LongType),
+      StructField("zero_crossings", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        var energy = 0L; var peak = 0L; var zc = 0L
+        var prevSign = 0
+        var i = 0
+        while (i < bytes.length) {
+          val v = (bytes(i) & 0xff) - 128 // center like a PCM sample
+          energy += v.toLong * v
+          if (math.abs(v) > peak) peak = math.abs(v).toLong
+          val sign = Integer.signum(v)
+          if (sign != 0 && prevSign != 0 && sign != prevSign) zc += 1
+          if (sign != 0) prevSign = sign
+          i += 1
+        }
+        Row(id, bytes.length.toLong, energy, peak, zc)
+      }
+    }(Encoders.row(out))
+  }
+
   /** Frame-sampling stub for video-like payloads: emits every k-th
     * "frame" (fixed-size byte slice) as its own row — the UDTF shape
     * (one row in, n rows out) a real frame sampler has.

@@ -529,6 +529,41 @@ object LlmData {
              |  ascii(substring(text, 1, 1)) AS first FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // MM3 — resize planning over the decoded metadata: integer
+    // aspect-fit, fully oracle-expressible
+    Q("mm3_resize_meta",
+      (s, dir) => Multimodal.resizeMeta(
+        Multimodal.decodeImageMeta(
+          t(s, dir, "documents").select(col("doc_id"),
+            encode(col("text"), "UTF-8").as("payload")),
+          "doc_id", "payload"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, width, height,
+             | CASE WHEN width >= height THEN 224
+             |      ELSE width * 224 // height END AS out_w,
+             | CASE WHEN width >= height THEN height * 224 // width
+             |      ELSE 224 END AS out_h,
+             | CAST(3 AS BIGINT) AS channels,
+             | (CASE WHEN width >= height THEN 224
+             |       ELSE width * 224 // height END) *
+             | (CASE WHEN width >= height THEN height * 224 // width
+             |       ELSE 224 END) * 3 AS out_bytes
+             |FROM (SELECT doc_id,
+             |  64 + CAST(octet_length(encode(text)) AS BIGINT) % 192 AS width,
+             |  64 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 192 AS height
+             | FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // MM4 — audio-feature batch shape (byte-level DSP kernel stub; not
+    // SQL-portable → spec-checked, rows-only)
+    Q("mm4_audio_features",
+      (s, dir) => Multimodal.audioFeatures(
+        t(s, dir, "documents").select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload")),
+        "doc_id", "payload")
+        .orderBy("doc_id"),
+      None),
+
     // MM2 — frame-sampling UDTF shape (1 row → n frame rows); rolling
     // hash is not SQL-portable → spec-checked
     Q("mm2_frame_sample",

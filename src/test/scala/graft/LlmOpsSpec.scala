@@ -208,6 +208,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(frames.forall(_.getLong(0) === 7L))
   }
 
+  test("resize planning fits the longest side and preserves aspect") {
+    val meta = Seq((1L, 0L, 448L, 224L, 3L, "jpeg"), (2L, 0L, 100L, 400L, 3L, "png"))
+      .toDF("doc_id", "n_bytes", "width", "height", "channels", "format")
+    val r = Multimodal.resizeMeta(meta).collect()
+      .map(x => x.getLong(0) -> (x.getLong(3), x.getLong(4), x.getLong(6))).toMap
+    assert(r(1L) === ((224L, 112L, 224L * 112L * 3L))) // landscape: w pinned
+    assert(r(2L) === ((56L, 224L, 56L * 224L * 3L)))   // portrait: h pinned
+  }
+
+  test("audio features: energy/peak/zero-crossings over centered bytes") {
+    // bytes 128±v: [130, 126, 130, 128] → v = [2, -2, 2, 0]
+    val payload = Array[Byte](130.toByte, 126.toByte, 130.toByte, 128.toByte)
+    val df = Seq((5L, payload)).toDF("doc_id", "payload")
+    val row = Multimodal.audioFeatures(df, "doc_id", "payload").head()
+    assert(row.getLong(1) === 4L)  // n_samples
+    assert(row.getLong(2) === 12L) // 4 + 4 + 4 + 0
+    assert(row.getLong(3) === 2L)  // peak |v|
+    assert(row.getLong(4) === 2L)  // sign flips: +→-, -→+ (trailing 0 ignored)
+  }
+
   test("image meta stub is a pure function of the bytes") {
     val df = Seq((1L, "hello".getBytes("UTF-8"))).toDF("doc_id", "payload")
     val m = Multimodal.decodeImageMeta(df, "doc_id", "payload").head()

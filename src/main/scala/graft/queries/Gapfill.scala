@@ -160,6 +160,61 @@ object Gapfill {
              |  RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW)
              |ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
 
+    // first_value/last_value/nth_value with explicit frames — the
+    // navigation family over a deterministic (unique-key) order
+    Q("w7_first_last_nth",
+      (s, dir) => {
+        val wRun = Window.partitionBy("o_orderpriority").orderBy(col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("o_orderpriority").orderBy(col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "orders")
+          .filter(col("o_custkey") % 40 === 0)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            cents(col("o_totalprice")).as("total_c"))
+          .select(col("o_orderpriority"), col("o_orderkey"), col("total_c"),
+            first(col("total_c")).over(wRun).as("first_c"),
+            last(col("total_c")).over(wAll).as("last_c"),
+            nth_value(col("total_c"), 2).over(wAll).as("second_c"))
+          .orderBy("o_orderpriority", "o_orderkey")
+      },
+      Some("""SELECT o_orderpriority, o_orderkey, total_c,
+             | FIRST_VALUE(total_c) OVER wr AS first_c,
+             | LAST_VALUE(total_c) OVER wa AS last_c,
+             | NTH_VALUE(total_c, 2) OVER wa AS second_c
+             |FROM (SELECT o_orderpriority, o_orderkey,
+             |  CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c
+             |  FROM orders WHERE o_custkey % 40 = 0)
+             |WINDOW wr AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             | wa AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
+
+    // Interval (day-time) arithmetic over event timestamps: shifted
+    // stamps, minute truncation, exact second offsets from the hour
+    Q("e29_interval_arith",
+      (s, dir) => t(s, dir, "events")
+        .filter(col("event_id") % 37 === 0)
+        .select(col("event_id"), col("ts"),
+          (col("ts") + expr("INTERVAL 90 MINUTE")).as("plus90m"),
+          (col("ts") - expr("INTERVAL 2 HOUR")).as("minus2h"),
+          date_trunc("minute", col("ts")).as("minute_start"),
+          // integral div (not /): a double detour can round up across
+          // an integer boundary before the cast truncates
+          expr("CAST((unix_micros(CAST(ts AS TIMESTAMP)) - " +
+            "unix_micros(CAST(date_trunc('hour', ts) AS TIMESTAMP))) div 1000000 " +
+            "AS BIGINT)").as("secs_into_hour"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, ts,
+             | ts + INTERVAL 90 MINUTE AS plus90m,
+             | ts - INTERVAL 2 HOUR AS minus2h,
+             | date_trunc('minute', ts) AS minute_start,
+             | CAST((epoch_us(ts) - epoch_us(date_trunc('hour', ts))) // 1000000
+             |   AS BIGINT) AS secs_into_hour
+             |FROM events WHERE event_id % 37 = 0
+             |ORDER BY event_id""".stripMargin)),
+
     // Sort + limit (top-k → TakeOrderedAndProject, no global sort at scale)
     Q("s1_orderby_limit",
       (s, dir) => t(s, dir, "orders")

@@ -37,6 +37,35 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"no LeftSemi in:\n$p")
   }
 
+  test("LSH pair search is a bucket equi-join, never a cartesian (dd5)") {
+    val p = plan("dd5_embed_cosine")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"cartesian in dd5:\n$p")
+  }
+
+  test("scalar subqueries live inside one plan (q15/q11)") {
+    // the 1-row aggregate must appear as a subtree (broadcast side),
+    // not as a separate driver-side job
+    val p15 = plan("q15_top_supplier")
+    assert(p15.contains("BroadcastHashJoin") || p15.contains("BroadcastExchange"),
+      s"q15 lost its broadcast scalar:\n$p15")
+    val p11 = plan("q11_important_parts")
+    assert(p11.contains("BroadcastNestedLoopJoin") || p11.contains("BroadcastExchange"),
+      s"q11 lost its broadcast scalar:\n$p11")
+  }
+
+  test("double-correlated existence stays semi/anti (q21)") {
+    val p = plan("q21_last_shipper")
+    assert(p.contains("LeftSemi"), s"no LeftSemi in q21:\n$p")
+    assert(p.contains("LeftAnti"), s"no LeftAnti in q21:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"q21 sorts globally:\n$p")
+  }
+
+  test("interval join is an equi-join with range residual, not a cross (st6)") {
+    val p = plan("st6_view_attribution")
+    assert(!p.contains("CartesianProduct"), s"cartesian in st6:\n$p")
+  }
+
   test("partition-local kernels produce no shuffle before banding (dd2)") {
     val bands = graft.operators.Dedup.minHashBands(
       Tables.load(spark, sf, "documents"), "doc_id", "text")

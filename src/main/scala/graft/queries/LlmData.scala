@@ -316,6 +316,47 @@ object LlmData {
               |SELECT doc_id, copies, quality, lang_pred, quality >= 40 AS keep
               |FROM scored ORDER BY doc_id""".stripMargin)),
 
+    // CUR2 — the full training-data pipeline composed from the scale
+    // operators: MinHash near-dup dedup (keep cluster representative) →
+    // token-budget gate → deterministic per-language cap. One plan:
+    // LSH shuffle + anti-join + scan-side expressions + one window.
+    Q("cur2_dedup_budget_cap",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val deduped = Dedup.dropNearDuplicates(docs, "doc_id", "text")
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+          .filter(col("n_tokens") >= 10)
+        graft.operators.Sampling.stratifiedLimit(
+          deduped, Seq("lang"), Seq(col("doc_id")), n = 50)
+          .orderBy("lang", "doc_id")
+      },
+      Some(s"""WITH RECURSIVE base AS ($bruteJaccardSql),
+              |nodes AS (SELECT ida AS id FROM base UNION SELECT idb FROM base),
+              |edges AS (SELECT ida AS a, idb AS b FROM base
+              |          UNION ALL SELECT idb, ida FROM base),
+              |reach(id, label) AS (
+              | SELECT id, id FROM nodes
+              | UNION
+              | SELECT e.a, r.label FROM edges e JOIN reach r ON r.id = e.b
+              |),
+              |clusters AS (SELECT id, MIN(label) AS cluster FROM reach GROUP BY id),
+              |deduped AS (
+              | SELECT doc_id, lang,
+              |  CAST(CASE WHEN nrm = '' THEN 0
+              |   ELSE length(nrm) - length(replace(nrm, ' ', '')) + 1 END AS BIGINT) AS n_tokens
+              | FROM (SELECT doc_id, lang,
+              |   trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nrm
+              |  FROM documents
+              |  WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster))
+              | ),
+              |gated AS (SELECT * FROM deduped WHERE n_tokens >= 10)
+              |SELECT lang, doc_id, n_tokens FROM (
+              | SELECT lang, doc_id, n_tokens,
+              |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+              | FROM gated)
+              |WHERE rn <= 50 ORDER BY lang, doc_id""".stripMargin)),
+
     // E16 — embedding normalization stats + int8 quantization scale
     // (per-vector max-abs), the preprocessing step before ANN indexing
     Q("e16_embed_quantize",

@@ -275,6 +275,38 @@ object RandDiff {
            |GROUP BY a ORDER BY a NULLS FIRST""".stripMargin
       }),
 
+    // as-of join fuzz vs DuckDB's native ASOF JOIN. The right side is
+    // pre-aggregated to one row per (key, time) — with duplicate right
+    // times "latest value" is undefined in both engines, so the dedup
+    // is part of the operator contract here, mirrored in the oracle.
+    Q("rf16_asof_join", {
+      (s, dir) =>
+        val lSpec = Seq(ColSpec("k", CInt, 0), ColSpec("lt", CInt, 0),
+          ColSpec("payload", CFloat, 10))
+        val rSpec = Seq(ColSpec("k", CInt, 0), ColSpec("rt", CInt, 0),
+          ColSpec("rv", CInt, 5))
+        val left = RandFrame.df(s, 60, 10001L, lSpec: _*)
+        val right = RandFrame.df(s, 40, 10002L, rSpec: _*)
+          .groupBy("k", "rt").agg(max("rv").as("rv"))
+        graft.operators.AsOf.join(left, right, "k", "lt", "rt", "rv")
+          .orderBy(asc_nulls_first("k"), asc_nulls_first("lt"),
+            asc_nulls_first("payload"))
+    },
+      Some {
+        val lSpec = Seq(ColSpec("k", CInt, 0), ColSpec("lt", CInt, 0),
+          ColSpec("payload", CFloat, 10))
+        val rSpec = Seq(ColSpec("k", CInt, 0), ColSpec("rt", CInt, 0),
+          ColSpec("rv", CInt, 5))
+        s"""SELECT l.k, l.lt, l.payload, r.rv AS asof_rv
+           |FROM ${RandFrame.valuesSql(60, 10001L, lSpec: _*)} l
+           |ASOF LEFT JOIN (
+           | SELECT k, rt, CAST(MAX(rv) AS BIGINT) AS rv
+           | FROM ${RandFrame.valuesSql(40, 10002L, rSpec: _*)} _r
+           | GROUP BY k, rt) r
+           | ON l.k = r.k AND r.rt <= l.lt
+           |ORDER BY l.k NULLS FIRST, l.lt NULLS FIRST, l.payload NULLS FIRST""".stripMargin
+      }),
+
     // CASE WHEN with bool branches over random strings (suite:853-902)
     Q("rf12_casewhen", {
       (s, dir) =>

@@ -450,6 +450,47 @@ object Tpch {
              |ORDER BY numwait DESC NULLS LAST, s_name NULLS FIRST
              |LIMIT 20""".stripMargin)),
 
+    // Q20-shaped (no partsupp → shipped quantities stand in for stock):
+    // suppliers that shipped >30% of a PROMO part's 1996 volume — the
+    // nested-aggregate (HAVING against a per-part total) decorrelation
+    Q("q20_dominant_suppliers",
+      (s, dir) => {
+        val p = t(s, dir, "part").filter(col("p_type") === "PROMO")
+          .select("p_partkey")
+        val l = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1997-01-01"))
+          .join(broadcast(p), col("l_partkey") === p("p_partkey"))
+          .select(col("l_partkey"), col("l_suppkey"),
+            col("l_quantity").cast(LongType).as("qty"))
+        val perSupp = l.groupBy("l_partkey", "l_suppkey")
+          .agg(sum("qty").as("supp_qty"))
+        val perPart = l.groupBy(col("l_partkey").as("pk"))
+          .agg(sum("qty").as("part_qty"))
+        perSupp.join(perPart, perSupp("l_partkey") === perPart("pk"))
+          .filter(col("supp_qty") * 10L > col("part_qty") * 3L)
+          .select(col("l_suppkey")).distinct()
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .select("s_suppkey", "s_name")
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH l AS (
+             | SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+             | FROM lineitem, part
+             | WHERE l_partkey = p_partkey AND p_type = 'PROMO'
+             |   AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'),
+             |per_supp AS (
+             | SELECT l_partkey, l_suppkey, SUM(qty) AS supp_qty
+             | FROM l GROUP BY 1, 2),
+             |per_part AS (
+             | SELECT l_partkey, SUM(qty) AS part_qty FROM l GROUP BY 1)
+             |SELECT DISTINCT s_suppkey, s_name
+             |FROM per_supp ps
+             |JOIN per_part pp ON ps.l_partkey = pp.l_partkey
+             |JOIN supplier ON ps.l_suppkey = s_suppkey
+             |WHERE ps.supp_qty * 10 > pp.part_qty * 3
+             |ORDER BY s_suppkey""".stripMargin)),
+
     // Q19-shaped: disjunction of conjunctive ranges (OR pushdown)
     Q("q19_disjunctive",
       (s, dir) => {

@@ -275,6 +275,36 @@ object RandDiff {
            |GROUP BY a ORDER BY a NULLS FIRST""".stripMargin
       }),
 
+    // non-unique intersect/except (reference semantics: keep df1's
+    // duplicate rows by existence against dedup'd df2, NULLs compare
+    // equal) — fuzzes the null-safe existence-join path
+    Q("rf17_setops_dups", {
+      (s, dir) =>
+        val spec = Seq(ColSpec("b", CInt, 40), ColSpec("c", CStr, 40))
+        val x = Frame(RandFrame.df(s, 80, 11001L, spec: _*))
+        val y = Frame(RandFrame.df(s, 80, 11002L, spec: _*))
+        sortAll(x.intersect(y, unique = false).df
+          .withColumn("op", lit("i"))
+          .unionByName(x.except(y, unique = false).df
+            .withColumn("op", lit("e"))))
+    },
+      Some {
+        val spec = Seq(ColSpec("b", CInt, 40), ColSpec("c", CStr, 40))
+        val xs = RandFrame.valuesSql(80, 11001L, spec: _*)
+        val ys = RandFrame.valuesSql(80, 11002L, spec: _*)
+        s"""SELECT b, c, op FROM (
+           | SELECT b, c, 'i' AS op FROM $xs x
+           | WHERE EXISTS (SELECT 1 FROM $ys y
+           |   WHERE y.b IS NOT DISTINCT FROM x.b
+           |     AND y.c IS NOT DISTINCT FROM x.c)
+           | UNION ALL
+           | SELECT b, c, 'e' AS op FROM $xs x
+           | WHERE NOT EXISTS (SELECT 1 FROM $ys y
+           |   WHERE y.b IS NOT DISTINCT FROM x.b
+           |     AND y.c IS NOT DISTINCT FROM x.c))
+           |${orderAll("b", "c", "op")}""".stripMargin
+      }),
+
     // as-of join fuzz vs DuckDB's native ASOF JOIN. The right side is
     // pre-aggregated to one row per (key, time) — with duplicate right
     // times "latest value" is undefined in both engines, so the dedup

@@ -87,6 +87,27 @@ object Advanced {
              | FROM lineitem GROUP BY 1)
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // exact multi-quantile profile (linear interpolation over exact
+    // cents — both engines interpolate a + (b-a)*frac over sorted ints,
+    // so the doubles agree bit-for-bit)
+    Q("a9_percentiles",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          expr("percentile(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.25)").as("p25_c"),
+          expr("percentile(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.5)").as("p50_c"),
+          expr("percentile(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.9)").as("p90_c"),
+          expr("percentile(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.99)").as("p99_c"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             | quantile_cont(c, 0.25) AS p25_c,
+             | quantile_cont(c, 0.5) AS p50_c,
+             | quantile_cont(c, 0.9) AS p90_c,
+             | quantile_cont(c, 0.99) AS p99_c
+             |FROM (SELECT o_orderpriority,
+             |  CAST(ROUND(o_totalprice*100) AS BIGINT) AS c FROM orders)
+             |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
+
     // TPC-H Q6: forecast revenue change — scan + pushed filters + agg
     Q("q6_revenue_delta",
       (s, dir) => t(s, dir, "lineitem")

@@ -275,6 +275,28 @@ object RandDiff {
            |GROUP BY a ORDER BY a NULLS FIRST""".stripMargin
       }),
 
+    // name-based union with NULL fill for missing columns, fuzzed —
+    // DuckDB's UNION ALL BY NAME is the exact oracle semantics
+    Q("rf18_union_byname", {
+      (s, dir) =>
+        val xSpec = Seq(ColSpec("a", CInt, 20), ColSpec("b", CStr, 20))
+        val ySpec = Seq(ColSpec("b", CStr, 10), ColSpec("a", CInt, 10),
+          ColSpec("extra", CFloat, 10))
+        val x = RandFrame.df(s, 50, 12001L, xSpec: _*)
+        val y = RandFrame.df(s, 50, 12002L, ySpec: _*)
+        sortAll(x.unionByName(y, allowMissingColumns = true))
+    },
+      Some {
+        val xSpec = Seq(ColSpec("a", CInt, 20), ColSpec("b", CStr, 20))
+        val ySpec = Seq(ColSpec("b", CStr, 10), ColSpec("a", CInt, 10),
+          ColSpec("extra", CFloat, 10))
+        s"""SELECT a, b, extra FROM (
+           | SELECT * FROM ${RandFrame.valuesSql(50, 12001L, xSpec: _*)} _x
+           | UNION ALL BY NAME
+           | SELECT * FROM ${RandFrame.valuesSql(50, 12002L, ySpec: _*)} _y)
+           |${orderAll("a", "b", "extra")}""".stripMargin
+      }),
+
     // non-unique intersect/except (reference semantics: keep df1's
     // duplicate rows by existence against dedup'd df2, NULLs compare
     // equal) — fuzzes the null-safe existence-join path

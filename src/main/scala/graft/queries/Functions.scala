@@ -142,6 +142,27 @@ object Functions {
              |  FROM lineitem WHERE l_orderkey % 500 = 0 GROUP BY 1))
              |GROUP BY 1 ORDER BY l_orderkey""".stripMargin)),
 
+    // explode_outer: rows with empty arrays survive with NULL — the
+    // outer-generator semantics (vs e20's inner explode)
+    Q("e30_explode_outer",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 500 === 0)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(
+          when(col("l_quantity") > 45, col("l_linenumber").cast(LongType))
+            .otherwise(lit(null)))).as("highs"))
+        // filter(x -> x IS NOT NULL) empties most arrays → outer keeps rows
+        .select(col("l_orderkey"),
+          explode_outer(filter(col("highs"), _.isNotNull)).as("line"))
+        .orderBy(asc_nulls_first("l_orderkey"), asc_nulls_first("line")),
+      Some("""SELECT l_orderkey, u.line FROM (
+             | SELECT l_orderkey,
+             |  list_filter(list(CASE WHEN l_quantity > 45
+             |    THEN CAST(l_linenumber AS BIGINT) END), x -> x IS NOT NULL) AS highs
+             | FROM lineitem WHERE l_orderkey % 500 = 0 GROUP BY 1) t
+             |LEFT JOIN LATERAL (SELECT unnest(t.highs) AS line) u ON TRUE
+             |ORDER BY l_orderkey NULLS FIRST, u.line NULLS FIRST""".stripMargin)),
+
     // the Frame API end-to-end: conform -> truthy filter -> join ->
     // groupAgg -> orderBy, nothing but graft surface
     Q("fr1_frame_pipeline",

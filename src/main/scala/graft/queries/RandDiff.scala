@@ -275,6 +275,36 @@ object RandDiff {
            |GROUP BY a ORDER BY a NULLS FIRST""".stripMargin
       }),
 
+    // cast-matrix fuzz: numeric-shaped strings (int/float/sci text,
+    // 'naN', garbage, empty) through the SqlCast kernel — the
+    // reference's most test-covered surface (§2.3) at fuzz density.
+    // Oracle replicates the reference semantics exactly as e12 does:
+    // via-double truncation for integral targets, naN→NULL,
+    // invalid→NULL.
+    Q("rf19_cast_fuzz", {
+      (s, dir) =>
+        import graft.functions.SqlCast
+        import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
+        val spec = Seq(ColSpec("v", CNumStr, 15))
+        sortAll(RandFrame.df(s, 120, 13001L, spec: _*).select(
+          col("v"),
+          SqlCast.to(col("v"), StringType, LongType).as("as_long"),
+          SqlCast.to(col("v"), StringType, IntegerType).as("as_int"),
+          SqlCast.to(col("v"), StringType, DoubleType).as("as_double")))
+    },
+      Some {
+        val spec = Seq(ColSpec("v", CNumStr, 15))
+        s"""SELECT v,
+           | CAST(TRUNC(CASE WHEN lower(v) = 'nan' THEN NULL
+           |   ELSE TRY_CAST(v AS DOUBLE) END) AS BIGINT) AS as_long,
+           | CAST(TRUNC(CASE WHEN lower(v) = 'nan' THEN NULL
+           |   ELSE TRY_CAST(v AS DOUBLE) END) AS INTEGER) AS as_int,
+           | CASE WHEN lower(v) = 'nan' THEN NULL
+           |   ELSE TRY_CAST(v AS DOUBLE) END AS as_double
+           |FROM ${RandFrame.valuesSql(120, 13001L, spec: _*)} _t
+           |${orderAll("v", "as_long", "as_int", "as_double")}""".stripMargin
+      }),
+
     // name-based union with NULL fill for missing columns, fuzzed —
     // DuckDB's UNION ALL BY NAME is the exact oracle semantics
     Q("rf18_union_byname", {

@@ -34,6 +34,12 @@ object RandFrame {
   case object CStr extends ColType
   case object CDateTime extends ColType
 
+  /** extension beyond the reference's domains: numeric-shaped strings
+    * for fuzzing the cast matrix (int text, one-decimal float text,
+    * scientific notation, 'naN', garbage, empty)
+    */
+  case object CNumStr extends ColType
+
   /** one column: name, type, exact NULL count */
   final case class ColSpec(name: String, tpe: ColType, nulls: Int = 0)
 
@@ -53,6 +59,16 @@ object RandFrame {
         case CFloat    => Array.fill[Any](size)(rnd.nextInt(1000000) / 1000000.0)
         case CStr      => Array.fill[Any](size)(s"ssssss${rnd.nextInt(10)}")
         case CDateTime => Array.fill[Any](size)(epoch.plusDays(rnd.nextInt(10)))
+        case CNumStr => Array.fill[Any](size)(rnd.nextInt(6) match {
+          case 0 => (rnd.nextInt(201) - 100).toString            // "37", "-99"
+          case 1 => // one-decimal float text, e.g. "-2.7"
+            val d = rnd.nextInt(1001) - 500
+            s"${d / 10}.${math.abs(d % 10)}"
+          case 2 => "naN"
+          case 3 => "x" + rnd.nextInt(10)                        // garbage
+          case 4 => s"${rnd.nextInt(9) + 1}e${rnd.nextInt(3)}"   // "2e2"
+          case _ => ""
+        })
       }
       require(c.nulls <= size, s"${c.name}: nulls > size")
       // Fisher-Yates prefix = sample without replacement
@@ -73,6 +89,7 @@ object RandFrame {
     case CFloat    => DoubleType
     case CStr      => StringType
     case CDateTime => TimestampNTZType
+    case CNumStr   => StringType
   }
 
   private def duckType(t: ColType): String = t match {
@@ -81,6 +98,7 @@ object RandFrame {
     case CFloat    => "DOUBLE"
     case CStr      => "VARCHAR"
     case CDateTime => "TIMESTAMP"
+    case CNumStr   => "VARCHAR"
   }
 
   def df(spark: SparkSession, size: Int, seed: Long, cols: ColSpec*): DataFrame = {

@@ -316,6 +316,37 @@ object LlmData {
               |SELECT doc_id, copies, quality, lang_pred, quality >= 40 AS keep
               |FROM scored ORDER BY doc_id""".stripMargin)),
 
+    // TX8 — corpus-statistics rarity score (unigram-LM proxy): each
+    // document scored by the average inverse corpus frequency of its
+    // tokens, integer-rationalized (1e6 // count, then // n_tokens) so
+    // both engines agree exactly. Two shuffles at scale: one corpus
+    // unigram count, one token→count join back (the count table is
+    // vocabulary-sized — broadcastable).
+    Q("tx8_rarity_score", {
+      (s, dir) =>
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(split(trim(col("text")), "\\s+")).as("tok"))
+          .filter(col("tok") =!= "")
+        val counts = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+        toks.join(broadcast(counts), "tok")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(expr("1000000 div n")).as("rarity_sum"))
+          .select(col("doc_id"), col("n_tokens"),
+            expr("CAST(rarity_sum div n_tokens AS BIGINT)").as("rarity_ppm"))
+          .orderBy("doc_id")
+    },
+      Some("""WITH toks AS (
+             | SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+             | FROM documents),
+             |toks2 AS (SELECT * FROM toks WHERE tok <> ''),
+             |counts AS (SELECT tok, COUNT(*) AS n FROM toks2 GROUP BY 1)
+             |SELECT doc_id, COUNT(*) AS n_tokens,
+             | CAST(SUM(1000000 // n) // COUNT(*) AS BIGINT) AS rarity_ppm
+             |FROM toks2 JOIN counts USING (tok)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // CUR2 — the full training-data pipeline composed from the scale
     // operators: MinHash near-dup dedup (keep cluster representative) →
     // token-budget gate → deterministic per-language cap. One plan:

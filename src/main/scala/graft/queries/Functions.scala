@@ -142,6 +142,29 @@ object Functions {
              |  FROM lineitem WHERE l_orderkey % 500 = 0 GROUP BY 1))
              |GROUP BY 1 ORDER BY l_orderkey""".stripMargin)),
 
+    // padding/slicing/repetition string surface (complements e13's
+    // case/trim/substring family)
+    Q("e31_string_pad_slice",
+      (s, dir) => t(s, dir, "nation")
+        .select(col("n_nationkey"),
+          lpad(col("n_name"), 12, "*").as("lp"),
+          rpad(col("n_name"), 12, "-").as("rp"),
+          repeat(substring(col("n_name"), 1, 3), 2).as("rep"),
+          reverse(col("n_name")).as("rev"),
+          translate(col("n_name"), "_N", "-n").as("tr"),
+          substring(col("n_name"), 1, 4).as("lft"),
+          substring(col("n_name"), -4, 4).as("rgt"))
+        .orderBy("n_nationkey"),
+      Some("""SELECT n_nationkey,
+             | lpad(n_name, 12, '*') AS lp,
+             | rpad(n_name, 12, '-') AS rp,
+             | repeat(substring(n_name, 1, 3), 2) AS rep,
+             | reverse(n_name) AS rev,
+             | translate(n_name, '_N', '-n') AS tr,
+             | substring(n_name, 1, 4) AS lft,
+             | right(n_name, 4) AS rgt
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
     // explode_outer: rows with empty arrays survive with NULL — the
     // outer-generator semantics (vs e20's inner explode)
     Q("e30_explode_outer",

@@ -275,6 +275,34 @@ object RandDiff {
            |GROUP BY a ORDER BY a NULLS FIRST""".stripMargin
       }),
 
+    // lag/lead fuzz — tie-safe because the window ORDER BY covers every
+    // non-partition column: tied sort keys then mean fully identical
+    // rows, so the output multiset is unique regardless of tiebreak
+    Q("rf20_window_nav", {
+      (s, dir) =>
+        val spec = Seq(ColSpec("a", CInt, 20), ColSpec("b", CFloat, 10),
+          ColSpec("c", CStr, 10))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("a"))
+          .orderBy(asc_nulls_first("b"), asc_nulls_first("c"))
+        sortAll(RandFrame.df(s, 100, 14001L, spec: _*).select(
+          col("a"), col("b"), col("c"),
+          lag(col("b"), 1).over(w).as("prev_b"),
+          lead(col("b"), 1).over(w).as("next_b"),
+          lag(col("c"), 2, "none").over(w).as("prev2_c")))
+    },
+      Some {
+        val spec = Seq(ColSpec("a", CInt, 20), ColSpec("b", CFloat, 10),
+          ColSpec("c", CStr, 10))
+        s"""SELECT a, b, c,
+           | LAG(b, 1) OVER w AS prev_b,
+           | LEAD(b, 1) OVER w AS next_b,
+           | LAG(c, 2, 'none') OVER w AS prev2_c
+           |FROM ${RandFrame.valuesSql(100, 14001L, spec: _*)} _t
+           |WINDOW w AS (PARTITION BY a ORDER BY b NULLS FIRST, c NULLS FIRST)
+           |${orderAll("a", "b", "c", "prev_b", "next_b", "prev2_c")}""".stripMargin
+      }),
+
     // cast-matrix fuzz: numeric-shaped strings (int/float/sci text,
     // 'naN', garbage, empty) through the SqlCast kernel — the
     // reference's most test-covered surface (§2.3) at fuzz density.

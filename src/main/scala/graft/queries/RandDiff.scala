@@ -275,6 +275,30 @@ object RandDiff {
            |GROUP BY a ORDER BY a NULLS FIRST""".stripMargin
       }),
 
+    // rollup fuzz: NULL group keys vs subtotal NULLs are only
+    // distinguishable via GROUPING() — both engines must agree on the
+    // indicator AND the aggregate at every level
+    Q("rf21_rollup_fuzz", {
+      (s, dir) =>
+        val spec = Seq(ColSpec("a", CInt, 30), ColSpec("b", CStr, 30),
+          ColSpec("c", CInt, 10))
+        RandFrame.df(s, 100, 15001L, spec: _*)
+          .rollup("a", "b")
+          .agg(count(lit(1)).as("cnt"), sum("c").as("sum_c"),
+            grouping_id(col("a"), col("b")).as("gid"))
+          .orderBy(asc_nulls_first("gid"), asc_nulls_first("a"),
+            asc_nulls_first("b"))
+    },
+      Some {
+        val spec = Seq(ColSpec("a", CInt, 30), ColSpec("b", CStr, 30),
+          ColSpec("c", CInt, 10))
+        s"""SELECT a, b, COUNT(*) AS cnt, CAST(SUM(c) AS BIGINT) AS sum_c,
+           | CAST(GROUPING(a, b) AS BIGINT) AS gid
+           |FROM ${RandFrame.valuesSql(100, 15001L, spec: _*)} _t
+           |GROUP BY ROLLUP (a, b)
+           |ORDER BY gid NULLS FIRST, a NULLS FIRST, b NULLS FIRST""".stripMargin
+      }),
+
     // lag/lead fuzz — tie-safe because the window ORDER BY covers every
     // non-partition column: tied sort keys then mean fully identical
     // rows, so the output multiset is unique regardless of tiebreak

@@ -53,6 +53,20 @@ object ProbeMain {
       Frame(Seq("a").toDF("s")).filter(col("s")); println("BAD: string truthy allowed")
     } catch { case e: GraftException => println("string truthy rejected ok") }
 
+    // Arrow interchange round-trip smoke
+    val arrowSrc = Seq((1L, "x", Seq(1, 2)), (2L, null, Seq.empty[Int]))
+      .toDF("id", "s", "arr")
+    val arrowBytes = Frame(arrowSrc).toArrowStream
+    val arrowBack = graft.operators.ArrowInterchange.fromStream(spark, arrowBytes)
+    println("arrow roundtrip ok: " +
+      (arrowBack.schema == arrowSrc.schema &&
+        arrowBack.collect().map(_.toSeq).toSet == arrowSrc.collect().map(_.toSeq).toSet))
+
+    // rename swap in one pass
+    val swapped = Frame(Seq((1L, "v")).toDF("k", "v"))
+      .rename("k" -> "v", "v" -> "k").df.columns.toSeq
+    println("rename swap ok: " + (swapped == Seq("v", "k")))
+
     spark.stop()
   }
 }

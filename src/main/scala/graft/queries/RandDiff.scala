@@ -275,6 +275,29 @@ object RandDiff {
            |GROUP BY a ORDER BY a NULLS FIRST""".stripMargin
       }),
 
+    // distinct aggregates fuzz — COUNT/SUM(DISTINCT) take the
+    // Expand-based plan path, a different execution shape from rf13's
+    // plain aggregation
+    Q("rf22_distinct_aggs", {
+      (s, dir) =>
+        val spec = Seq(ColSpec("a", CInt, 30), ColSpec("b", CInt, 20),
+          ColSpec("c", CInt, 20))
+        Frame(RandFrame.df(s, 100, 16001L, spec: _*))
+          .groupAgg(Seq("a"),
+            "nd_b" -> countDistinct(col("b")),
+            "sd_c" -> sum_distinct(col("c")),
+            "n" -> count(lit(1)))
+          .df.orderBy(asc_nulls_first("a"))
+    },
+      Some {
+        val spec = Seq(ColSpec("a", CInt, 30), ColSpec("b", CInt, 20),
+          ColSpec("c", CInt, 20))
+        s"""SELECT a, COUNT(DISTINCT b) AS nd_b,
+           | CAST(SUM(DISTINCT c) AS BIGINT) AS sd_c, COUNT(*) AS n
+           |FROM ${RandFrame.valuesSql(100, 16001L, spec: _*)} _t
+           |GROUP BY a ORDER BY a NULLS FIRST""".stripMargin
+      }),
+
     // rollup fuzz: NULL group keys vs subtotal NULLs are only
     // distinguishable via GROUPING() — both engines must agree on the
     // indicator AND the aggregate at every level

@@ -450,6 +450,44 @@ object Tpch {
              |ORDER BY numwait DESC NULLS LAST, s_name NULLS FIRST
              |LIMIT 20""".stripMargin)),
 
+    // Q2-shaped (no partsupp → per-(part,supplier) unit cost derived
+    // from lineitem): for each PROMO part, the supplier(s) with the
+    // minimum unit cost — the correlated per-group scalar (argmin)
+    // decorrelation, distinct from q15's global max
+    Q("q2_min_cost_supplier",
+      (s, dir) => {
+        val p = t(s, dir, "part").filter(col("p_type") === "PROMO")
+          .select("p_partkey")
+        val costs = t(s, dir, "lineitem")
+          .join(broadcast(p), col("l_partkey") === p("p_partkey"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          // unit cost in cents, integer div on exact cents/quantity sums
+          .agg(expr("CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) div " +
+            "SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)").as("unit_c"))
+        val minCost = costs.groupBy(col("l_partkey").as("pk"))
+          .agg(min("unit_c").as("min_c"))
+        costs.join(minCost,
+          costs("l_partkey") === minCost("pk") &&
+            costs("unit_c") === minCost("min_c"))
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .select(col("l_partkey").as("partkey"), col("s_suppkey"),
+            col("s_name"), col("unit_c"))
+          .orderBy("partkey", "s_suppkey")
+      },
+      Some("""WITH costs AS (
+             | SELECT l_partkey, l_suppkey,
+             |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) //
+             |   SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS unit_c
+             | FROM lineitem, part
+             | WHERE l_partkey = p_partkey AND p_type = 'PROMO'
+             | GROUP BY 1, 2)
+             |SELECT c.l_partkey AS partkey, s_suppkey, s_name, unit_c
+             |FROM costs c
+             |JOIN supplier ON c.l_suppkey = s_suppkey
+             |WHERE unit_c = (SELECT MIN(unit_c) FROM costs c2
+             |                WHERE c2.l_partkey = c.l_partkey)
+             |ORDER BY partkey, s_suppkey""".stripMargin)),
+
     // Q20-shaped (no partsupp → shipped quantities stand in for stock):
     // suppliers that shipped >30% of a PROMO part's 1996 volume — the
     // nested-aggregate (HAVING against a per-part total) decorrelation

@@ -106,6 +106,12 @@ class StreamingSpec extends SparkSpec {
       val got = spark.table("dedup_test")
       assert(got.count() === raw.count()) // every event exactly once
       assert(got.select("event_id").distinct().count() === raw.count())
+      // the state store must be bounded: at most one row per distinct
+      // key seen inside the watermark horizon — never per delivery
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows <= raw.count(),
+        s"dedup state grew past distinct keys: $stateRows")
+      assert(stateRows > 0)
     } finally q.stop()
   }
 

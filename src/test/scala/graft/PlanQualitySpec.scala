@@ -66,6 +66,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in st6:\n$p")
   }
 
+  test("hot paths stay inside whole-stage codegen (q1, ss1, tx2)") {
+    // the scan→expression→aggregate pipeline must fuse: a codegen break
+    // (interpreted expression, UDF) would show as a missing span. AQE
+    // only materializes codegen nodes in the FINAL plan, so execute
+    // first, then inspect.
+    Seq("q1_pricing_summary", "ss1_cosine_topk", "tx2_quality").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // the simpleString renders WholeStageCodegen spans as "*(n) "
+      assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined,
+        s"$q runs interpreted:\n$p")
+    }
+  }
+
   test("partition-local kernels produce no shuffle before banding (dd2)") {
     val bands = graft.operators.Dedup.minHashBands(
       Tables.load(spark, sf, "documents"), "doc_id", "text")

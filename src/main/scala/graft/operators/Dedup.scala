@@ -263,6 +263,32 @@ object Dedup {
     out
   }
 
+  /** Edit-distance near-dup pairs with LOSSLESS length blocking:
+    * `levenshtein(a,b) >= |len(a)-len(b)|`, so pairs within `maxDist`
+    * must sit in the same or adjacent length band of width `maxDist+1`
+    * — the candidate join key is the band, never a cross product, and
+    * no true pair can be missed. Each left row probes its own band and
+    * the one below; the verify step is the exact levenshtein.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int): DataFrame = {
+    val width = maxDist + 1
+    val base = df.select(col(idCol).as("id"), col(textCol).as("t"),
+      expr(s"CAST(length(t) AS BIGINT) div $width").as("band"))
+    // each row probes its own band and the one below; every qualifying
+    // unordered pair meets at least once in SOME order, so canonicalize
+    // to (min, max) and dedupe — no order-dependent filter to get wrong
+    val probe = base.select(col("id").as("ida"), col("t").as("ta"),
+      explode(array(col("band"), col("band") - 1L)).as("band"))
+    probe.join(base.select(col("id").as("idb"), col("t").as("tb"), col("band")),
+      Seq("band"))
+      .filter(col("ida") =!= col("idb"))
+      .filter(levenshtein(col("ta"), col("tb")) <= maxDist)
+      .select(least(col("ida"), col("idb")).as("ida"),
+        greatest(col("ida"), col("idb")).as("idb"))
+      .distinct()
+  }
+
   /** The apply step: drop every near-dup cluster member except its
     * representative (minimum id). Composes the full pipeline —
     * MinHash-LSH pairs → connected components → anti-join — and returns

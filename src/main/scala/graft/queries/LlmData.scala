@@ -231,6 +231,24 @@ object LlmData {
              | ON a.doc_id < b.doc_id
              |ORDER BY ida, idb""".stripMargin)),
 
+    // DD9 — edit-distance near-dups via LOSSLESS length banding (the
+    // scale form of dd6: levenshtein >= length difference, so adjacent
+    // length bands cover every pair within maxDist — band equi-join,
+    // no cross product). Sampled to keep the DuckDB oracle's exact
+    // levenshtein affordable; the operator itself runs full-corpus.
+    Q("dd9_edit_banded",
+      (s, dir) => Dedup.editDistancePairs(
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", maxDist = 20)
+        .orderBy("ida", "idb"),
+      Some("""SELECT a.doc_id AS ida, b.doc_id AS idb
+             |FROM (SELECT * FROM documents WHERE doc_id % 5 = 0) a
+             |JOIN (SELECT * FROM documents WHERE doc_id % 5 = 0) b
+             | ON a.doc_id < b.doc_id
+             | AND abs(length(a.text) - length(b.text)) <= 20
+             | AND levenshtein(a.text, b.text) <= 20
+             |ORDER BY ida, idb""".stripMargin)),
+
     // SS1 — brute-force cosine top-k (query = vec 0's embedding)
     Q("ss1_cosine_topk",
       (s, dir) => {

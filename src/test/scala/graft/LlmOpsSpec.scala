@@ -107,6 +107,20 @@ class LlmOpsSpec extends SparkSpec {
       s"IVF recall too low: ${ivf.toSet.intersect(exact)}")
   }
 
+  test("length-banded edit distance finds pairs across band boundaries") {
+    // maxDist=3 → band width 4; lengths 7 and 9 sit in bands 1 and 2 —
+    // the adjacent-band probe must still surface the pair
+    val fixture = Seq(
+      (1L, "aaaaaaa"),      // len 7, band 1
+      (2L, "aaaaaaabb"),    // len 9, band 2, dist 2 — MUST be found
+      (3L, "aaaaaaab"),     // len 8, band 2, dist 1 to #1, 1 to #2
+      (4L, "zzzzzzzzzzzzzzzz") // far away
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.editDistancePairs(fixture, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("banded-LSH cosine pairs == exact all-pairs (recall 1 on corpus)") {
     // dd5's gate: the banded LSH candidate join followed by exact scoring
     // must reproduce the crossJoin verifier pair-for-pair on the real

@@ -328,16 +328,20 @@ object Functions {
     // DecimalType end-to-end: exact money aggregation without the cents
     // convention (both engines' decimal sums are exact; result width
     // pinned to DECIMAL(18,2) since sum-type promotion differs)
+    // Decimal aggregation (exact sum, no float drift); the output is
+    // integerized to cents — a raw DECIMAL(18,2) column is a latent
+    // comparator flake when a sum lands on whole-ten cents (trailing-zero
+    // decimal string vs float shortest-repr), same failure mode as d2.
     Q("d1_decimal_sum",
       (s, dir) => t(s, dir, "orders")
         .select(col("o_orderpriority"),
           col("o_totalprice").cast(DecimalType(12, 2)).as("p"))
         .groupBy("o_orderpriority")
-        .agg(sum("p").cast(DecimalType(18, 2)).as("total_dec"),
+        .agg((sum("p").cast(DecimalType(18, 2)) * 100).cast(LongType).as("total_c"),
           count(lit(1)).as("cnt"))
         .orderBy("o_orderpriority"),
       Some("""SELECT o_orderpriority,
-             | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_dec,
+             | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_c,
              | COUNT(*) AS cnt
              |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
 
@@ -422,6 +426,12 @@ object Functions {
     // different precisions (division is intentionally absent: the
     // engines disagree on result scale and rounding; the engine exposes
     // it only through explicit-cast forms)
+    // All arithmetic runs in DecimalType; outputs are integerized to
+    // BIGINT (value * 10^scale) plus the VARCHAR round-trip witness.
+    // Round 2's driver run hash-mismatched when decimal columns reached
+    // the comparator directly (scale-0 / trailing-zero decimals stringify
+    // differently than their float repr), even though every cell matched
+    // value-for-value in DuckDB locally — so decimal stays internal.
     Q("d2_decimal_arith",
       (s, dir) => t(s, dir, "orders")
         .filter(col("o_orderkey") % 50 === 0)
@@ -429,24 +439,25 @@ object Functions {
           col("o_totalprice").cast(DecimalType(12, 2)).as("p"))
         .select(
           col("o_orderkey"),
-          col("p"),
-          (col("p") + col("p")).cast(DecimalType(14, 2)).as("dadd"),
-          (col("p") - lit(BigDecimal("0.01")).cast(DecimalType(4, 2))).cast(DecimalType(14, 2)).as("dsub"),
-          (col("p") * lit(BigDecimal("1.05")).cast(DecimalType(4, 2))).cast(DecimalType(18, 4)).as("dmul"),
-          (-col("p")).cast(DecimalType(12, 2)).as("dneg"),
-          round(col("p"), -2).cast(DecimalType(12, 0)).as("dround"),
+          (col("p") * 100).cast(LongType).as("p_c"),
+          ((col("p") + col("p")).cast(DecimalType(14, 2)) * 100).cast(LongType).as("dadd_c"),
+          ((col("p") - lit(BigDecimal("0.01")).cast(DecimalType(4, 2))).cast(DecimalType(14, 2)) * 100).cast(LongType).as("dsub_c"),
+          ((col("p") * lit(BigDecimal("1.05")).cast(DecimalType(4, 2))).cast(DecimalType(18, 4)) * 10000).cast(LongType).as("dmul_dm"),
+          ((-col("p")).cast(DecimalType(12, 2)) * 100).cast(LongType).as("dneg_c"),
+          round(col("p"), -2).cast(LongType).as("dround"),
           col("p").cast(StringType).as("dstr"),
-          col("p").cast(StringType).cast(DecimalType(12, 2)).as("drt"),
+          (col("p").cast(StringType).cast(DecimalType(12, 2)) * 100).cast(LongType).as("drt_c"),
           floor(col("p")).cast(LongType).as("dfloor"))
         .orderBy("o_orderkey"),
-      Some("""SELECT o_orderkey, p,
-             | CAST(p + p AS DECIMAL(14,2)) AS dadd,
-             | CAST(p - CAST('0.01' AS DECIMAL(4,2)) AS DECIMAL(14,2)) AS dsub,
-             | CAST(p * CAST('1.05' AS DECIMAL(4,2)) AS DECIMAL(18,4)) AS dmul,
-             | CAST(-p AS DECIMAL(12,2)) AS dneg,
-             | CAST(ROUND(p, -2) AS DECIMAL(12,0)) AS dround,
+      Some("""SELECT o_orderkey,
+             | CAST(p * 100 AS BIGINT) AS p_c,
+             | CAST(CAST(p + p AS DECIMAL(14,2)) * 100 AS BIGINT) AS dadd_c,
+             | CAST(CAST(p - CAST('0.01' AS DECIMAL(4,2)) AS DECIMAL(14,2)) * 100 AS BIGINT) AS dsub_c,
+             | CAST(CAST(p * CAST('1.05' AS DECIMAL(4,2)) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS dmul_dm,
+             | CAST(CAST(-p AS DECIMAL(12,2)) * 100 AS BIGINT) AS dneg_c,
+             | CAST(ROUND(p, -2) AS BIGINT) AS dround,
              | CAST(p AS VARCHAR) AS dstr,
-             | CAST(CAST(p AS VARCHAR) AS DECIMAL(12,2)) AS drt,
+             | CAST(CAST(CAST(p AS VARCHAR) AS DECIMAL(12,2)) * 100 AS BIGINT) AS drt_c,
              | CAST(FLOOR(p) AS BIGINT) AS dfloor
              |FROM (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS p
              |      FROM orders WHERE o_orderkey % 50 = 0)

@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.Corpus
+import graft.sources.Tables
+
+/** Corpus-level training-data pipeline queries: benchmark-contamination
+  * detection, boilerplate n-gram discovery, token-window chunking, and
+  * term document-frequency statistics. All are exactly SQL-expressible,
+  * so each carries a full DuckDB oracle (shingling spelled with
+  * string_split + generate_series + list slices).
+  */
+object CorpusOps {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** DuckDB-side distinct word n-gram extraction over a docs relation
+    * `rel(id, text)` — mirrors Corpus.shingles (whitespace words,
+    * space-joined n-grams).
+    */
+  private def gramsSql(rel: String, id: String, n: Int): String =
+    s"""SELECT DISTINCT $id, array_to_string(ws[g:g+${n - 1}], ' ') AS gram
+       |FROM (SELECT $id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS ws
+       |      FROM $rel) w,
+       |LATERAL (SELECT unnest(generate_series(1, len(ws)-${n - 1})) AS g) _t""".stripMargin
+
+  def all: Seq[Q] = Seq(
+
+    // CC1 — benchmark-contamination check: the probe set is a simulated
+    // benchmark (every 10th doc re-keyed, as the dedup suite does);
+    // contaminated = shares ≥10 distinct 5-grams with a probe. The probe
+    // side is broadcast; the corpus streams through one explode + join.
+    Q("cc1_contamination",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val probes = t(s, dir, "documents")
+          .filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("probe_id"),
+            col("text").as("probe_text"))
+        Corpus.contamination(docs, "doc_id", "text",
+            probes, "probe_id", "probe_text", n = 5, minOverlap = 10)
+          .orderBy("doc_id", "probe_id")
+      },
+      Some(s"""WITH dg AS (${gramsSql("documents", "doc_id", 5)}),
+              |pg AS (
+              | ${gramsSql(
+                  "(SELECT doc_id + 1000000 AS probe_id, text FROM documents WHERE doc_id % 10 = 0)",
+                  "probe_id", 5)})
+              |SELECT dg.doc_id, pg.probe_id, COUNT(*) AS overlap
+              |FROM dg JOIN pg USING (gram)
+              |GROUP BY 1, 2 HAVING COUNT(*) >= 10
+              |ORDER BY doc_id, probe_id""".stripMargin)),
+
+    // BP1 — boilerplate trigrams: word 3-grams occurring in ≥5 distinct
+    // documents (the repeated-template detector of a curation pipeline)
+    Q("bp1_boilerplate",
+      (s, dir) => Corpus.boilerplate(
+          t(s, dir, "documents"), "doc_id", "text", n = 3, minDocs = 5)
+        .orderBy("gram"),
+      Some(s"""SELECT gram, COUNT(*) AS ndocs
+              |FROM (${gramsSql("documents", "doc_id", 3)})
+              |GROUP BY 1 HAVING COUNT(*) >= 5
+              |ORDER BY gram""".stripMargin)),
+
+    // CH1 — token-window chunking (32-word windows, stride 24, ragged
+    // tail kept): the pre-tokenization step of a training pipeline.
+    // chunk_idx is the 0-based window ordinal; both engines enumerate
+    // starts as 1, 1+24, 1+48, …
+    Q("ch1_chunk",
+      (s, dir) => Corpus.chunk(
+          t(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+            .select(col("doc_id"), col("text")),
+          "text", chunkSize = 32, stride = 24)
+        .select(col("doc_id"), col("chunk_idx").cast(LongType).as("chunk_idx"),
+          col("n_tokens"), col("chunk"))
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""SELECT doc_id, CAST((g - 1) // 24 AS BIGINT) AS chunk_idx,
+             | CAST(LEAST(32, len(ws) - g + 1) AS BIGINT) AS n_tokens,
+             | array_to_string(ws[g:g+31], ' ') AS chunk
+             |FROM (SELECT doc_id,
+             |        string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+             |      FROM documents WHERE doc_id % 25 = 0) w,
+             |LATERAL (SELECT unnest(generate_series(1, len(ws), 24)) AS g) _t
+             |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // TF1 — per-term corpus stats: document frequency + total term
+    // frequency (exact integers; the idf inputs of a tf-idf ranker)
+    Q("tf1_term_stats",
+      (s, dir) => Corpus.termStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("term"),
+      Some("""SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+             | CAST(SUM(tf_doc) AS BIGINT) AS tf
+             |FROM (
+             | SELECT term, doc_id, COUNT(*) AS tf_doc
+             | FROM (SELECT doc_id,
+             |         unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS term
+             |       FROM documents)
+             | GROUP BY 1, 2)
+             |GROUP BY 1 ORDER BY term""".stripMargin)))
+}

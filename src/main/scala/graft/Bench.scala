@@ -15,7 +15,7 @@ object Bench {
     // at 60 MB inputs — the stage-materialization cost is repaid by
     // runtime partition coalescing — so AQE stays on at every scale,
     // which is also the 100 TB posture.
-    val spark = GraftSession.tune(
+    val builder = GraftSession.tune(
       SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
@@ -33,6 +33,24 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BCAST", "10485760"))
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BCAST_AQE", "67108864"))
+      // Single-node bench posture (measured ~8% total, min-of-3): shuffle
+      // files on tmpfs and skip codecs — at local scale the lz4 latency
+      // and page-cache round-trip cost more than they save. On a real
+      // cluster both revert (network + SSD make compression a win).
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+    val shmDir = new java.io.File("/dev/shm")
+    val withShm =
+      if (shmDir.isDirectory && shmDir.canWrite)
+        builder.config("spark.local.dir", "/dev/shm/graft-shuffle")
+      else builder
+    // extra conf passthrough for tuning experiments: "k=v;k=v"
+    val spark = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';')).map(_.trim).filter(_.contains("="))
+      .foldLeft(withShm) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k, v)
+      }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -445,6 +445,29 @@ object LlmData {
       },
       None),
 
+    // SS4 — IVF probed exhaustively (nprobe = nlist): the candidate set
+    // is the whole corpus, so the result is the exact top-k — which makes
+    // the entire IVF machinery (k-means training, cell assignment, probe
+    // ordering, in-cell scoring) oracle-checkable, unlike the recall-
+    // gated ss3 operating point
+    Q("ss4_ivf_exhaustive",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val query = emb.filter(col("vec_id") === 1)
+          .select("embedding").head().getSeq[Float](0).toArray
+        val base = emb.filter(col("vec_id") =!= 1)
+        val centroids = Similarity.trainIvfCentroids(base, "embedding", "vec_id", k = 8, iters = 3)
+        Similarity.ivfTopK(base, "embedding", "vec_id", query, 10,
+          centroids, nprobe = 8)
+          .select("vec_id")
+      },
+      Some("""SELECT e.vec_id
+             |FROM embeddings e,
+             |  (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 1) _q
+             |WHERE e.vec_id <> 1
+             |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q) DESC,
+             |  e.vec_id LIMIT 10""".stripMargin)),
+
     // TX1 — n-gram/stopword language ID with per-language scores
     Q("tx1_langid",
       (s, dir) => {

@@ -61,11 +61,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // optional subset (comma-separated) for scaling experiments
-    val wanted = sys.env.get("SPARK_GRAFT_BENCH_QS")
+    // optional subset (comma-separated) for scaling experiments — any
+    // registered query, not just the bench-flagged headliners
+    val selected = sys.env.get("SPARK_GRAFT_BENCH_QS")
       .map(_.split(",").toSet)
-    val selected = SparkEntry.benchQueries
-      .filter(n => wanted.forall(_.contains(n)))
+      .map(ws => SparkEntry.registry.map(_.name).filter(ws.contains))
+      .getOrElse(SparkEntry.benchQueries)
     val results = selected.map { name =>
       once(name) // warmup (JIT + codegen + page cache)
       // min of 3 warm runs: the scheduler-noise floor, not the noise

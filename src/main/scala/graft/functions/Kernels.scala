@@ -104,4 +104,17 @@ object Kernels {
     val m = if (ignoreCase) c.ilike(pattern) else c.like(pattern)
     if (positive) m else !m
   }
+
+  /** Let-binding for Column expressions: evaluate `e` ONCE per row and
+    * reference the result from `f` via a lambda variable. Without this, an
+    * expensive subexpression referenced inside a higher-order-function
+    * lambda (e.g. `transform(seq, i => slice(words(text), i, n))`) is
+    * inlined and re-evaluated per array ELEMENT — Catalyst's subexpression
+    * elimination does not reach across lambda scopes (measured 10×+ on
+    * shingling: the regex+split ran once per shingle instead of once per
+    * document). Implemented as a single-element `transform`, whose lambda
+    * parameter is exactly a bound variable.
+    */
+  def letBind(e: Column)(f: Column => Column): Column =
+    element_at(transform(array(e), x => f(x)), 1)
 }

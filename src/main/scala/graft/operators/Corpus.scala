@@ -28,15 +28,17 @@ object Corpus {
   }
 
   /** Array of word n-gram strings (space-joined); empty when the text has
-    * fewer than n words. slice() is 1-based.
+    * fewer than n words. slice() is 1-based. The word array is let-bound
+    * (Kernels.letBind) so the regex+split runs once per document, not once
+    * per shingle.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val w = words(text)
-    when(size(w) >= n,
-      transform(sequence(lit(1), size(w) - (n - 1)),
-        i => concat_ws(" ", slice(w, i, lit(n)))))
-      .otherwise(array().cast(ArrayType(StringType)))
-  }
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.Kernels.letBind(words(text)) { w =>
+      when(size(w) >= n,
+        transform(sequence(lit(1), size(w) - (n - 1)),
+          i => concat_ws(" ", slice(w, i, lit(n)))))
+        .otherwise(array().cast(ArrayType(StringType)))
+    }
 
   /** Benchmark-contamination check: which corpus documents share at least
     * `minOverlap` distinct word `n`-grams with some probe (benchmark)

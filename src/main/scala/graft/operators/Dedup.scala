@@ -46,13 +46,17 @@ object Dedup {
     * the banding degenerates to all-pairs (measured: 6.3M candidates on
     * 5k docs); word shingles put unrelated pairs below j=0.1.
     */
-  def wordShingles(text: Column, w: Int): Column = {
-    val ws = split(trim(regexp_replace(text, "\\s+", " ")), " ")
-    when(size(ws) < w, array().cast(ArrayType(StringType)))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(ws) - (w - 1)),
-        i => concat_ws(" ", slice(ws, i, lit(w))))))
-  }
+  def wordShingles(text: Column, w: Int): Column =
+    graft.functions.Kernels.letBind(
+      split(trim(regexp_replace(text, "\\s+", " ")), " ")) { ws =>
+      // let-bound: otherwise the regex+split re-runs per shingle inside
+      // the transform lambda (subexpression elimination stops at lambda
+      // scope boundaries)
+      when(size(ws) < w, array().cast(ArrayType(StringType)))
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), size(ws) - (w - 1)),
+          i => concat_ws(" ", slice(ws, i, lit(w))))))
+    }
 
   private val P: Long = 2147483647L // 2^31 - 1, Mersenne prime
 

@@ -38,6 +38,50 @@ object Advanced {
              |ON l.user_id = r.user_id AND l.ts >= r.ets
              |ORDER BY l.event_id""".stripMargin)),
 
+    // Forward as-of: earliest following error per user (DuckDB expresses
+    // it as ASOF with the inequality flipped)
+    Q("a10_asof_forward",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val left = ev.select(col("user_id"), col("ts"), col("event_id"))
+        val right = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts").as("ets"), cents(col("value")).as("err_c"))
+        AsOf.joinForward(left, right, "user_id", "ts", "ets", "err_c")
+          .select(col("event_id"), col("asof_err_c"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT l.event_id, r.err_c AS asof_err_c
+             |FROM events l ASOF LEFT JOIN
+             | (SELECT user_id, ts AS ets, CAST(ROUND(value*100) AS BIGINT) AS err_c
+             |  FROM events WHERE event_type = 'error') r
+             |ON l.user_id = r.user_id AND l.ts <= r.ets
+             |ORDER BY l.event_id""".stripMargin)),
+
+    // Nearest as-of (no native DuckDB form): oracle is a LEFT JOIN
+    // LATERAL argmin over |Δt| with the same backward tie rule the
+    // operator pins (equal distance → earlier right row). Comparison in
+    // epoch_us space — see Temporal's nanosecond note.
+    Q("a11_asof_nearest",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val left = ev.select(col("user_id"), col("ts"), col("event_id"))
+        val right = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts").as("ets"), cents(col("value")).as("err_c"))
+        AsOf.joinNearest(left, right, "user_id", "ts", "ets", "err_c")
+          .select(col("event_id"), col("asof_err_c"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT l.event_id, x.err_c AS asof_err_c
+             |FROM events l LEFT JOIN LATERAL (
+             |  SELECT r.err_c
+             |  FROM (SELECT user_id, ts AS ets,
+             |          CAST(ROUND(value*100) AS BIGINT) AS err_c
+             |        FROM events WHERE event_type = 'error') r
+             |  WHERE r.user_id = l.user_id
+             |  ORDER BY abs(epoch_us(r.ets) - epoch_us(l.ts)), r.ets
+             |  LIMIT 1) x ON TRUE
+             |ORDER BY l.event_id""".stripMargin)),
+
     // Self as-of via window lag: previous order date + day delta
     Q("a2_prev_order",
       (s, dir) => {

@@ -275,6 +275,41 @@ object RandDiff {
            |GROUP BY a ORDER BY a NULLS FIRST""".stripMargin
       }),
 
+    // temporal fuzz: interval add, hour-truncation, dow, minute spans
+    // and greatest/least over minute-granularity timestamps at 17–33%
+    // null density. mins_between goes through greatest-least so the
+    // dividend is non-negative (Spark `div` truncates toward zero,
+    // DuckDB `//` floors — they only agree on non-negatives; minute
+    // granularity additionally makes the division exact).
+    Q("rf23_temporal_fuzz", {
+      (s, dir) =>
+        val spec = Seq(ColSpec("t1", CTs, 20), ColSpec("t2", CTs, 40),
+          ColSpec("k", CInt, 10))
+        sortAll(RandFrame.df(s, 120, 17001L, spec: _*).select(
+          col("k"), col("t1"), col("t2"),
+          (col("t1") + expr("INTERVAL 1 DAY")).as("plus_d"),
+          date_trunc("HOUR", col("t1")).as("tr_h"),
+          dayofweek(col("t1")).cast("long").as("dow"),
+          expr("CAST((unix_micros(CAST(greatest(t1, t2) AS TIMESTAMP))" +
+            " - unix_micros(CAST(least(t1, t2) AS TIMESTAMP)))" +
+            " div 60000000 AS BIGINT)").as("mins_between"),
+          greatest(col("t1"), col("t2")).as("tmax")))
+    },
+      Some {
+        val spec = Seq(ColSpec("t1", CTs, 20), ColSpec("t2", CTs, 40),
+          ColSpec("k", CInt, 10))
+        s"""SELECT k, t1, t2,
+           | t1 + INTERVAL 1 DAY AS plus_d,
+           | date_trunc('hour', t1) AS tr_h,
+           | CAST(dayofweek(t1) + 1 AS BIGINT) AS dow,
+           | CAST((epoch_us(greatest(t1, t2)) - epoch_us(least(t1, t2)))
+           |      // 60000000 AS BIGINT) AS mins_between,
+           | greatest(t1, t2) AS tmax
+           |FROM ${RandFrame.valuesSql(120, 17001L, spec: _*)} _t
+           |${orderAll("k", "t1", "t2", "plus_d", "tr_h", "dow",
+                "mins_between", "tmax")}""".stripMargin
+      }),
+
     // distinct aggregates fuzz — COUNT/SUM(DISTINCT) take the
     // Expand-based plan path, a different execution shape from rf13's
     // plain aggregation

@@ -34,6 +34,15 @@ object RandFrame {
   case object CStr extends ColType
   case object CDateTime extends ColType
 
+  /** extension beyond the reference's domains: minute-granularity
+    * timestamps (2020-01-01 + [0, 14400) minutes ≈ 10 days) for fuzzing
+    * interval arithmetic / truncation / field extraction — whole-day
+    * CDateTime values leave every sub-day field trivially zero. Minute
+    * (not second) granularity keeps the VALUES rendering exact
+    * (LocalTime.toString emits HH:mm, the renderer appends ":00").
+    */
+  case object CTs extends ColType
+
   /** extension beyond the reference's domains: numeric-shaped strings
     * for fuzzing the cast matrix (int text, one-decimal float text,
     * scientific notation, 'naN', garbage, empty)
@@ -59,6 +68,7 @@ object RandFrame {
         case CFloat    => Array.fill[Any](size)(rnd.nextInt(1000000) / 1000000.0)
         case CStr      => Array.fill[Any](size)(s"ssssss${rnd.nextInt(10)}")
         case CDateTime => Array.fill[Any](size)(epoch.plusDays(rnd.nextInt(10)))
+        case CTs       => Array.fill[Any](size)(epoch.plusMinutes(rnd.nextInt(14400)))
         case CNumStr => Array.fill[Any](size)(rnd.nextInt(6) match {
           case 0 => (rnd.nextInt(201) - 100).toString            // "37", "-99"
           case 1 => // one-decimal float text, e.g. "-2.7"
@@ -89,6 +99,7 @@ object RandFrame {
     case CFloat    => DoubleType
     case CStr      => StringType
     case CDateTime => TimestampNTZType
+    case CTs       => TimestampNTZType
     case CNumStr   => StringType
   }
 
@@ -98,6 +109,7 @@ object RandFrame {
     case CFloat    => "DOUBLE"
     case CStr      => "VARCHAR"
     case CDateTime => "TIMESTAMP"
+    case CTs       => "TIMESTAMP"
     case CNumStr   => "VARCHAR"
   }
 

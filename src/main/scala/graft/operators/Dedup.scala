@@ -326,22 +326,67 @@ object Dedup {
     sums.select(col("id"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup candidates by 16-bit-chunk equality (pigeonhole: any
-    * pair within hamming distance 3 shares ≥1 of 4 chunks), then exact
-    * hamming filter ≤ maxHamming.
+  /** SimHash near-dup candidates by chunk equality (pigeonhole: any pair
+    * within hamming distance `nChunks - 1` differs in fewer chunks than
+    * exist, so it shares ≥1 — candidate recall is GUARANTEED, not
+    * probabilistic, for `maxHamming ≤ nChunks - 1`), then exact hamming
+    * filter ≤ maxHamming. More chunks ⇒ wider guaranteed radius but
+    * shallower buckets (64/nChunks bits each), so more false candidates;
+    * the `maxBucket` guard caps degenerate chunk values the same way
+    * [[lshCandidates]] caps LSH buckets.
     */
-  def simHashPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simHashPairs(sigs: DataFrame, maxHamming: Int = 3, nChunks: Int = 4,
+      maxBucket: Int = 10000): DataFrame = {
+    require(64 % nChunks == 0, s"nChunks must divide 64, got $nChunks")
+    require(maxHamming <= nChunks - 1,
+      s"pigeonhole banding only guarantees recall for maxHamming <= ${nChunks - 1}; " +
+        s"got $maxHamming with $nChunks chunks")
+    val cb = 64 / nChunks // bits per chunk
+    val mask = if (cb == 64) -1L else (1L << cb) - 1L
     val chunked = sigs.select(col("id"), col("simhash"),
-      explode(array((0 until 4).map(k =>
+      explode(array((0 until nChunks).map(k =>
         struct(lit(k).as("chunk"),
-          shiftright(col("simhash"), k * 16).bitwiseAND(0xffffL).as("cv"))): _*)).as("cc"))
+          shiftright(col("simhash"), k * cb).bitwiseAND(mask).as("cv"))): _*)).as("cc"))
       .select(col("id"), col("simhash"), col("cc.chunk").as("chunk"), col("cc.cv").as("cv"))
-    val l = chunked.select(col("chunk"), col("cv"), col("id").as("ida"), col("simhash").as("sa"))
-    val r = chunked.select(col("chunk"), col("cv"), col("id").as("idb"), col("simhash").as("sb"))
-    l.join(r, Seq("chunk", "cv")).filter(col("ida") < col("idb"))
-      .select(col("ida"), col("idb"),
-        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+    // bucket-local pair generation with the same degenerate-bucket guard
+    // as MinHash-LSH (a chunk value shared by m docs yields m² pairs)
+    val buckets = chunked.groupBy("chunk", "cv")
+      .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("ms"))
+      .filter(size(col("ms")).between(2, maxBucket))
+    buckets
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Full SimHash near-dup pipeline, gated the same way as
+    * [[minHashDedup]]: SimHash blocking (chunk-equality candidates, exact
+    * hamming ≤ maxHamming) followed by the exact n-shingle Jaccard verify.
+    * Output = verified near-dup pairs, which equals the brute-force
+    * all-pairs Jaccard oracle whenever every true pair sits within
+    * `maxHamming` simhash bits (the recall-1 argument; measured margin on
+    * this corpus is asserted in LlmOpsSpec). Same scale shape as MinHash:
+    * one signature aggregation, one chunk-bucket shuffle, candidate-only
+    * verification — no all-pairs stage.
+    *
+    * Defaults are sized for THIS corpus: its documents are short (~10–100
+    * tokens), so true j ≥ 0.8 pairs scatter up to 12 of 64 simhash bits
+    * (measured; ProbeSimHash) and the guaranteed-recall radius must be 15
+    * (16 chunks of 4 bits). Long-document corpora concentrate near-dups
+    * within a few bits — there, tighten to the classic nChunks=4,
+    * maxHamming=3 point where chunk buckets are 16 bits deep and the
+    * candidate count stays near-linear at 100 TB.
+    */
+  def simHashDedup(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 15, nChunks: Int = 16, n: Int = 3,
+      threshNum: Int = 4, threshDen: Int = 5): DataFrame = {
+    val cands = simHashPairs(simHash(df, idCol, textCol), maxHamming, nChunks)
+      .select("ida", "idb")
+      .localCheckpoint(true) // feeds verifyJaccard three times (see minHashDedup)
+    verifyJaccard(cands, df, idCol, textCol, n, threshNum, threshDen)
   }
 }

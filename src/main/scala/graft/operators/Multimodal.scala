@@ -75,8 +75,9 @@ object Multimodal {
   /** Audio-feature stub over a binary column: per-payload energy /
     * peak / zero-crossing count computed in one partition-local pass
     * (the batch shape of a real DSP kernel — swap the byte loop for an
-    * FFT and nothing else changes). Byte-level arithmetic is not
-    * SQL-portable → spec-checked, rows-only at the driver gate.
+    * FFT and nothing else changes). The kernel is byte-generic; on ASCII
+    * payloads it reduces to codepoint arithmetic, which is how the mm4
+    * DuckDB oracle replays it (see LlmData).
     */
   def audioFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val out = StructType(Seq(
@@ -111,6 +112,12 @@ object Multimodal {
   /** Frame-sampling stub for video-like payloads: emits every k-th
     * "frame" (fixed-size byte slice) as its own row — the UDTF shape
     * (one row in, n rows out) a real frame sampler has.
+    *
+    * The frame hash is a base-31 polynomial over the slice bytes reduced
+    * mod 1e9+7 at every step, NOT a wrapping 64-bit hash: the intermediate
+    * stays < 31×(1e9+7)+255, so engines with checked integer arithmetic
+    * (DuckDB errors on BIGINT overflow where a Long silently wraps) compute
+    * the identical value — which is what makes this stub oracle-checkable.
     */
   def sampleFrames(df: DataFrame, idCol: String, binCol: String,
       frameBytes: Int = 64, every: Int = 2): DataFrame = {
@@ -127,7 +134,8 @@ object Multimodal {
         val nFrames = bytes.length / frameBytes
         (0 until nFrames by every).iterator.map { f =>
           val slice = java.util.Arrays.copyOfRange(bytes, f * frameBytes, (f + 1) * frameBytes)
-          Row(id, f.toLong, slice.foldLeft(0L)((acc, b) => acc * 31L + (b & 0xff)))
+          Row(id, f.toLong,
+            slice.foldLeft(0L)((acc, b) => (acc * 31L + (b & 0xff)) % 1000000007L))
         }
       }
     }(Encoders.row(out))

@@ -48,13 +48,17 @@ object Similarity {
       .limit(k)
   }
 
-  /** ANN top-k: prefilter to the query's LSH bucket ∪ hamming-1 buckets,
-    * exact-score inside. Recall measured against [[bruteForceTopK]] in the
-    * spec suite.
+  /** ANN top-k: prefilter to the buckets within `probeHamming` bit flips
+    * of the query's LSH bucket (default 1 = own bucket ∪ hamming-1
+    * multiprobe), exact-score inside. Recall measured against
+    * [[bruteForceTopK]] in the spec suite. `probeHamming = nbits` probes
+    * every bucket — the candidate set becomes the whole corpus and the
+    * result is the EXACT top-k, which makes the full bucketing machinery
+    * oracle-checkable (the ss2x gate, same trick as IVF's nprobe=nlist).
     */
   def lshTopK(df: DataFrame, vecCol: String, idCol: String,
       query: Array[Float], k: Int, nbits: Int = 4, dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, probeHamming: Int = 1): DataFrame = {
     // nbits sizes the bucket fan-out: candidates ≈ corpus × (nbits+1)/2^nbits.
     // 4 bits (≈31% probed) suits 10²–10⁴ rows; at 10⁹+ rows use 16–20 bits
     // so a query probes a few thousandths of the corpus.
@@ -64,7 +68,8 @@ object Similarity {
       val d = p.zip(query).map { case (a, b) => a * b.toDouble }.sum
       if (d >= 0.0) 1L << i else 0L
     }.sum
-    val probes = qBits +: (0 until nbits).map(i => qBits ^ (1L << i))
+    val probes = (0L until (1L << nbits))
+      .filter(b => java.lang.Long.bitCount(b ^ qBits) <= probeHamming)
     val q = array(query.map(x => lit(x)): _*) // float literals: CosineSim input type
     val Seq(bkt, cos) = Cols.fresh(Seq("_bucket", "cos"), df.columns)
     df.withColumn(bkt, lshBucket(col(vecCol), planes))

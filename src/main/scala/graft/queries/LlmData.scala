@@ -12,12 +12,16 @@ import graft.sources.Tables
   * quality, tokens, fingerprints), multimodal binary columns.
   *
   * Oracle strategy: where the pipeline is hash-free it is expressed 1:1 in
-  * DuckDB SQL; the MinHash-LSH pipeline ends in an *exact verify* stage,
-  * so its output equals the brute-force all-pairs oracle whenever LSH
-  * recall is 1 — which the band configuration guarantees for this data
-  * (all true pairs have j ≥ 0.95; P(miss) < 1e-20 at 32 bands × 4 rows).
-  * Hash-dependent ops (SimHash, ANN buckets, rolling hashes) have no SQL
-  * oracle and are spec-checked instead.
+  * DuckDB SQL; the MinHash-LSH and SimHash pipelines end in an *exact
+  * verify* stage, so their output equals the brute-force all-pairs oracle
+  * whenever blocking recall is 1 — guaranteed probabilistically for
+  * MinHash (all true pairs have j ≥ 0.95; P(miss) < 1e-20 at 32 bands × 4
+  * rows) and combinatorially for SimHash (pigeonhole over 16 chunks covers
+  * hamming ≤ 15; true pairs measure ≤ 12). ANN bucket queries get exact-
+  * mode gates (probe everything ⇒ exact top-k: ss2x, ss4); the rolling
+  * frame hash is defined mod 1e9+7 so checked-arithmetic engines can
+  * replay it. Only the PRUNED ANN operating points (ss2, ss3) stay
+  * recall-spec-checked — approximation itself isn't SQL-expressible.
   */
 object LlmData {
 
@@ -114,13 +118,16 @@ object LlmData {
       Some(bruteJaccardSql),
       bench = true),
 
-    // DD3 — SimHash near-dup candidates (hash-specific: no SQL oracle,
-    // spec-checked; driver records rows-only)
+    // DD3 — SimHash near-dup pipeline, gated like dd2/dd5: chunk-equality
+    // blocking (recall GUARANTEED by pigeonhole for hamming ≤ 15 over 16
+    // chunks; true pairs on this corpus measure ≤ 12 — margin asserted in
+    // LlmOpsSpec) → exact shingle-Jaccard verify, so the output equals the
+    // brute-force all-pairs oracle. The raw hamming-pairs form stays
+    // spec-checked (hash-specific values have no SQL counterpart).
     Q("dd3_simhash",
-      (s, dir) => Dedup.simHashPairs(
-        Dedup.simHash(t(s, dir, "documents"), "doc_id", "text"), maxHamming = 3)
+      (s, dir) => Dedup.simHashDedup(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("ida", "idb"),
-      None),
+      Some(bruteJaccardSql)),
 
     // DD4 — n-gram Jaccard similarity matrix over a deterministic sample,
     // permille-integerized
@@ -279,6 +286,29 @@ object LlmData {
           .select("vec_id")
       },
       None),
+
+    // SS2X — LSH probed exhaustively (probeHamming = nbits): every bucket
+    // is probed, the candidate set is the whole corpus, and the result is
+    // the exact top-k — which oracle-checks the entire bucketing machinery
+    // (plane projection, sign-bit bucket assembly, probe filter, in-bucket
+    // scoring), the same trick ss4 plays with IVF's nprobe = nlist. The
+    // pruned ss2 operating point stays recall-gated in LlmOpsSpec.
+    Q("ss2x_lsh_exhaustive",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val query = emb.filter(col("vec_id") === 2)
+          .select("embedding").head().getSeq[Float](0).toArray
+        Similarity.lshTopK(
+          emb.filter(col("vec_id") =!= 2), "embedding", "vec_id", query, 10,
+          probeHamming = 4)
+          .select("vec_id")
+      },
+      Some("""SELECT e.vec_id
+             |FROM embeddings e,
+             |  (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 2) _q
+             |WHERE e.vec_id <> 2
+             |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q) DESC,
+             |  e.vec_id LIMIT 10""".stripMargin)),
 
     // CUR1 — end-to-end curation pipeline: exact-dup removal (fingerprint
     // groups keep min id) → quality gate → language routing. The composed
@@ -667,24 +697,49 @@ object LlmData {
              | FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
-    // MM4 — audio-feature batch shape (byte-level DSP kernel stub; not
-    // SQL-portable → spec-checked, rows-only)
+    // MM4 — audio-feature kernel over the byte payload. The oracle is the
+    // ASCII specialization of the generic kernel: every payload byte is a
+    // codepoint ≤ 127 (the corpus is pure ASCII — octet_length == length,
+    // asserted in LlmOpsSpec), so the centered sample v = c − 128 is
+    // always in [−128, −1]: peak = 128 − min(code), energy = Σ(c−128)²,
+    // and the sign never flips ⇒ zero_crossings ≡ 0. The Scala kernel
+    // stays byte-generic; the gate checks it on real data end to end.
     Q("mm4_audio_features",
       (s, dir) => Multimodal.audioFeatures(
         t(s, dir, "documents").select(col("doc_id"),
           encode(col("text"), "UTF-8").as("payload")),
         "doc_id", "payload")
         .orderBy("doc_id"),
-      None),
+      Some("""SELECT doc_id,
+             | CAST(length(text) AS BIGINT) AS n_samples,
+             | CAST(list_sum(list_transform(codes, c -> (c-128)*(c-128))) AS BIGINT) AS energy,
+             | CAST(128 - list_min(codes) AS BIGINT) AS peak,
+             | CAST(0 AS BIGINT) AS zero_crossings
+             |FROM (SELECT doc_id, text,
+             |  list_transform(range(1, length(text)+1),
+             |    i -> ascii(substring(text, CAST(i AS INTEGER), 1))) AS codes
+             | FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
 
-    // MM2 — frame-sampling UDTF shape (1 row → n frame rows); rolling
-    // hash is not SQL-portable → spec-checked
+    // MM2 — frame-sampling UDTF shape (1 row → n frame rows). The frame
+    // hash is a mod-1e9+7 base-31 polynomial (see Multimodal.sampleFrames)
+    // precisely so that engines with CHECKED integer arithmetic can
+    // replay it: DuckDB folds the same recurrence with list_reduce, and
+    // ASCII payloads make byte == codepoint.
     Q("mm2_frame_sample",
       (s, dir) => Multimodal.sampleFrames(
         t(s, dir, "documents").select(col("doc_id"),
           encode(col("text"), "UTF-8").as("payload")),
         "doc_id", "payload")
         .orderBy("doc_id", "frame_idx"),
-      None)
+      Some("""SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+             | list_reduce(
+             |  list_prepend(CAST(0 AS BIGINT),
+             |   list_transform(range(1, 65),
+             |    i -> CAST(ascii(substring(text, CAST(f*64 + i AS INTEGER), 1)) AS BIGINT))),
+             |  (acc, b) -> (acc * 31 + b) % 1000000007) AS frame_hash
+             |FROM documents,
+             | LATERAL (SELECT unnest(range(0, length(text)//64, 2)) AS f) _f
+             |ORDER BY doc_id, frame_idx""".stripMargin))
   )
 }

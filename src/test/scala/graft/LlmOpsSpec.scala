@@ -31,6 +31,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simHashDedup == minHashDedup on the corpus (dd3's recall-1 gate)") {
+    // both pipelines end in the same exact shingle-Jaccard verify, so
+    // equality holds iff simhash chunk blocking reaches every true pair.
+    // Blocking recall is GUARANTEED for hamming ≤ 15 (pigeonhole, 16
+    // chunks); the margin assertion below keeps the guarantee honest if
+    // the corpus drifts.
+    val truePairs = Dedup.minHashDedup(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val simPairs = Dedup.simHashDedup(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(simPairs === truePairs,
+      s"missed: ${truePairs -- simPairs}, spurious: ${simPairs -- truePairs}")
+    // margin: every true pair within the guaranteed hamming radius
+    val sigs = Dedup.simHash(docs, "doc_id", "text")
+    val maxHam = Dedup.minHashDedup(docs, "doc_id", "text")
+      .join(sigs.select(col("id").as("ida"), col("simhash").as("sa")), "ida")
+      .join(sigs.select(col("id").as("idb"), col("simhash").as("sb")), "idb")
+      .select(bit_count(col("sa").bitwiseXOR(col("sb"))).as("h"))
+      .agg(max("h")).head().getInt(0)
+    assert(maxHam <= 15, s"true-pair simhash hamming $maxHam exceeds the " +
+      "guaranteed blocking radius 15 — dd3's oracle equality is at risk")
+  }
+
+  test("documents corpus is pure ASCII (mm2/mm4 oracle precondition)") {
+    // the mm2/mm4 DuckDB oracles replay byte kernels via codepoints,
+    // which is only sound when every byte IS a codepoint
+    val nonAscii = docs
+      .filter(octet_length(col("text")) =!= length(col("text"))).count()
+    assert(nonAscii === 0L,
+      "documents.text contains multi-byte characters; mm2/mm4 oracles unsound")
+  }
+
   test("minhash-LSH finds exact and near duplicates") {
     // long enough that a single-word edit keeps word-3-shingle j ≥ 0.8
     val base = "spark shuffles partition data across executors while catalyst " +
@@ -87,6 +119,13 @@ class LlmOpsSpec extends SparkSpec {
     // reasonable share of the true top-10
     assert(ann.toSet.intersect(exact).size >= 3,
       s"recall too low: ${ann.toSet.intersect(exact)}")
+    // probing ALL buckets is exact — ss2x's gate, checked here against
+    // the brute-force path on the same query
+    val exhaustive = Similarity.lshTopK(rest, "embedding", "vec_id", query, 10,
+      probeHamming = 4).collect().map(_.getLong(0)).toSeq
+    val exactOrdered = Similarity.bruteForceTopK(rest, "embedding", "vec_id", query, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(exhaustive === exactOrdered)
   }
 
   test("IVF ANN: trained centroids, probed cells, reasonable recall") {

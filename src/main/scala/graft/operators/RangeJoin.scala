@@ -99,4 +99,80 @@ object RangeJoin {
       gridded.unionByName(broadcasted)
     }
   }
+
+  /** Interval-overlap join: all (left, right) pairs whose closed
+    * intervals intersect — `lStart <= rEnd AND rStart <= lEnd`. The other
+    * common range-join shape (point-in-interval is the special case of a
+    * zero-length left interval). Column names must be disjoint between
+    * the two inputs (rename before joining yourself to another view of
+    * the same table).
+    *
+    * Same grid trick as [[pointInInterval]], with one twist: BOTH sides
+    * explode onto their covered bins, so an overlapping pair would meet
+    * in every bin the overlap spans. Rather than `distinct()` away the
+    * duplicates (a full extra shuffle on wide rows), the join keeps a
+    * pair only in the FIRST shared bin — the bin of `greatest(lStart,
+    * rStart)`. That bin is covered by both sides whenever the intervals
+    * overlap (the later start lies inside both), so every true pair
+    * survives exactly once and the output needs no deduplication.
+    *
+    * Long intervals (> maxBinsPerInterval bins) from either side split
+    * off to broadcast paths, partitioned so no pair is produced twice:
+    * grid(shortL × shortR) ∪ bcast(longL × all R) ∪ bcast(shortL × longR).
+    */
+  def intervalOverlap(
+      left: DataFrame, lStart: String, lEnd: String,
+      right: DataFrame, rStart: String, rEnd: String,
+      binWidthMicros: Long,
+      maxBinsPerInterval: Int = 4096,
+      longTail: Boolean = true): DataFrame = {
+    require(binWidthMicros > 0, "binWidthMicros must be positive")
+    val overlapping = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlapping.isEmpty,
+      s"column names must be disjoint; both sides have: ${overlapping.mkString(", ")}")
+    val bin = Cols.fresh("_bin", left.columns ++ right.columns)
+
+    def us(c: Column): Column = unix_micros(c.cast(TimestampType))
+    def binOf(c: Column): Column = {
+      val w = lit(binWidthMicros)
+      // expr-free integral div (Column.div is not exposed pre-projection):
+      // truncation vs floor is fine — monotone, see pointInInterval
+      (us(c) - pmod(us(c), w)) / w
+    }
+
+    def exploded(df: DataFrame, s: String, e: String, within: Boolean) = {
+      val nBins = binOf(col(e)) - binOf(col(s)) + 1
+      val kept =
+        if (!longTail) df
+        else if (within) df.filter(nBins <= maxBinsPerInterval)
+        else df.filter(nBins > maxBinsPerInterval)
+      if (within)
+        kept.withColumn(bin, explode(sequence(
+          binOf(col(s)).cast(LongType), binOf(col(e)).cast(LongType))))
+      else kept
+    }
+
+    val lx = exploded(left, lStart, lEnd, within = true)
+    val rx = exploded(right, rStart, rEnd, within = true)
+    val overlapPred: (DataFrame, DataFrame) => Column = (a, b) =>
+      a(lStart) <= b(rEnd) && b(rStart) <= a(lEnd)
+
+    val gridded = lx.join(rx,
+        lx(bin) === rx(bin) && overlapPred(lx, rx) &&
+          // first-shared-bin guard: emit the pair only in the bin of the
+          // later start (covered by both sides iff the pair overlaps)
+          lx(bin) === binOf(greatest(lx(lStart), rx(rStart))).cast(LongType))
+      .drop(bin)
+
+    if (!longTail) gridded
+    else {
+      val lLong = broadcast(exploded(left, lStart, lEnd, within = false))
+      val rLong = broadcast(exploded(right, rStart, rEnd, within = false))
+      val lShort =
+        left.filter(binOf(col(lEnd)) - binOf(col(lStart)) + 1 <= maxBinsPerInterval)
+      val p1 = lLong.join(right, overlapPred(lLong, right))
+      val p2 = lShort.join(rLong, overlapPred(lShort, rLong))
+      gridded.unionByName(p1).unionByName(p2)
+    }
+  }
 }

@@ -87,6 +87,37 @@ object Temporal {
               | AND epoch_us(e.ts) <= epoch_us(w.ws) + w.len_us
               |GROUP BY 1 ORDER BY win_id""".stripMargin)),
 
+    // RJ3 — interval-OVERLAP join (the other range-join shape): 30-min
+    // error windows × 45-min purchase windows, pairs whose intervals
+    // intersect. Grid path with the first-shared-bin guard — no distinct,
+    // no nested-loop node (asserted in TemporalCorpusSpec); oracle is the
+    // naive inequality join.
+    Q("rj3_interval_overlap",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val errw = ev
+          .filter(col("event_type") === "error" && col("event_id") % 20 === 0)
+          .select(col("event_id").as("ewin_id"), col("ts").as("es"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("ee"))
+        val purw = ev
+          .filter(col("event_type") === "purchase" && col("event_id") % 15 === 0)
+          .select(col("event_id").as("pwin_id"), col("ts").as("ps"),
+            (col("ts") + expr("INTERVAL 45 MINUTES")).as("pe"))
+        RangeJoin.intervalOverlap(
+          errw, "es", "ee", purw, "ps", "pe",
+          binWidthMicros = 30L * 60 * 1000000, longTail = false)
+          .select(col("ewin_id"), col("pwin_id"))
+          .orderBy("ewin_id", "pwin_id")
+      },
+      Some("""SELECT e.event_id AS ewin_id, p.event_id AS pwin_id
+             |FROM (SELECT event_id, ts FROM events
+             |      WHERE event_type = 'error' AND event_id % 20 = 0) e
+             |JOIN (SELECT event_id, ts FROM events
+             |      WHERE event_type = 'purchase' AND event_id % 15 = 0) p
+             | ON epoch_us(e.ts) <= epoch_us(p.ts) + 2700000000
+             | AND epoch_us(p.ts) <= epoch_us(e.ts) + 1800000000
+             |ORDER BY 1, 2""".stripMargin)),
+
     // I1 — interval arithmetic + field extraction. dayofweek numbering
     // differs: Spark 1=Sunday..7, DuckDB dow 0=Sunday..6 → dow+1.
     Q("i1_ts_interval",

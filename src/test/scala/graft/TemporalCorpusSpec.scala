@@ -44,6 +44,46 @@ class TemporalCorpusSpec extends SparkSpec {
     assert(!gridPlan.contains("CartesianProduct"), gridPlan)
   }
 
+  test("interval overlap equals the naive inequality join (hybrid paths)") {
+    // left: error windows incl. rare 2-day long tails; right: purchase
+    // windows, all short — exercises grid, longL×R broadcast, and the
+    // first-shared-bin dedup guard (multi-bin overlaps must not duplicate)
+    val l = windows.select(col("win_id").as("lid"), col("ws").as("ls"), col("we").as("le"))
+    val r = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("rid"), col("ts").as("rs"),
+        (col("ts") + expr("INTERVAL 90 MINUTES")).as("re"))
+    val got = RangeJoin.intervalOverlap(l, "ls", "le", r, "rs", "re",
+        binWidthMicros = 30L * 60 * 1000000, maxBinsPerInterval = 48)
+      .select("lid", "rid").collect().map(_.toSeq)
+    val naive = l.crossJoin(r)
+      .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").collect().map(_.toSeq)
+    assert(got.length === got.toSet.size, "pair emitted more than once")
+    assert(got.toSet === naive.toSet)
+    assert(got.nonEmpty)
+  }
+
+  test("interval overlap grid path emits no nested-loop join") {
+    val l = windows.filter(col("win_id") % 100 =!= 0)
+      .select(col("win_id").as("lid"), col("ws").as("ls"), col("we").as("le"))
+    val r = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("rid"), col("ts").as("rs"),
+        (col("ts") + expr("INTERVAL 90 MINUTES")).as("re"))
+    val plan = RangeJoin.intervalOverlap(l, "ls", "le", r, "rs", "re",
+        binWidthMicros = 30L * 60 * 1000000, longTail = false)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("interval overlap rejects colliding column names") {
+    val l = windows
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(l, "ws", "we", l, "ws", "we",
+        binWidthMicros = 1000000L)
+    }
+  }
+
   test("range join survives a user column named _bin") {
     val pts = events.select(col("event_id"), col("ts"), lit(7).as("_bin"))
     val got = RangeJoin.pointInInterval(pts, "ts", windows, "ws", "we",

@@ -115,6 +115,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed-agg state plateaus under sustained input (watermark evicts)") {
+    // 5 file batches, each advancing event time by 24 hours. If the
+    // watermark evicts finalized windows, state-store rows stay a small
+    // constant (windows within ~the horizon); if it doesn't, state
+    // accumulates one row per window ever seen (120 by the end).
+    import java.nio.file.Files
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_evict").toString
+    val srcDir = s"$work/src"
+    new java.io.File(srcDir).mkdirs()
+    val stream = spark.readStream.schema(EventStreams.rawSchema).parquet(srcDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = EventStreams.hourlyByType(stream)
+      .writeStream.format("memory").queryName("evict_test")
+      .outputMode("append").start()
+    try {
+      val baseNs = 1600000000L * 1000000000L
+      val stateSizes = (0 until 5).map { b =>
+        val rows = for (h <- 0 until 24; i <- 0 until 2) yield (
+          b * 48L + h * 2L + i,
+          baseNs + ((b * 24L + h) * 3600L + i * 60L) * 1000000000L,
+          1L, "click", 1.0, "")
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .write.mode("append").parquet(srcDir)
+        q.processAllAvailable()
+        q.lastProgress.stateOperators.head.numRowsTotal
+      }
+      // plateau, not growth: the last batch holds no more state than the
+      // first (+slack for the watermark's one-trigger lag), and no point
+      // in time ever held anything near the 120 windows seen overall
+      assert(stateSizes.last <= stateSizes.head + 4, s"state grew: $stateSizes")
+      assert(stateSizes.max <= 10, s"state not bounded by horizon: $stateSizes")
+      // eviction IS emission in append mode: all but the last hours left
+      val emitted = spark.table("evict_test").count()
+      assert(emitted >= 110, s"only $emitted windows finalized")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches its batch form") {
     val stream = EventStreams.readEventsStream(spark, sf)
     val q = EventStreams.viewToPurchase(stream)

@@ -41,7 +41,8 @@ object Bench {
       .config("spark.shuffle.spill.compress", "false")
     val shmDir = new java.io.File("/dev/shm")
     val withShm =
-      if (shmDir.isDirectory && shmDir.canWrite)
+      if (shmDir.isDirectory && shmDir.canWrite &&
+          sys.env.getOrElse("SPARK_GRAFT_SHM", "1") != "0")
         builder.config("spark.local.dir", "/dev/shm/graft-shuffle")
       else builder
     // extra conf passthrough for tuning experiments: "k=v;k=v"

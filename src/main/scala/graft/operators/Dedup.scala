@@ -194,15 +194,25 @@ object Dedup {
   /** Full MinHash-LSH near-dup pipeline over word `n`-shingles:
     * shingle → sign → band → bucket group → exact verify.
     * Output: verified near-dup pairs.
+    *
+    * Default 64 hashes / 16 bands (4 rows per band): candidate
+    * probability 1−(1−j⁴)^16 keeps miss < 2e-12 for true pairs (j ≥
+    * 0.95 on this corpus) and < 3e-4 even at the j = 0.8 verify
+    * threshold, at half the signature-kernel cost of 128/32 (measured
+    * 1.7 → 1.1 s at sf0.1 with identical output — the exact verify
+    * makes band count a recall knob only, and recall is oracle-gated).
     */
   def minHashDedup(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshNum: Int = 4, threshDen: Int = 5): DataFrame = {
     // candidates feed the plan THREE times (candIds union twice + the
     // pair join) — without materialization the whole signature+bucket
     // pipeline recomputes per appearance. The frame is tiny (pairs that
     // share a bucket), so an eager local checkpoint is the right trade
-    // at any scale.
+    // at any scale. (A lazy .cache() measures WORSE here — the three
+    // consuming stages run concurrently inside one action and race the
+    // cache population, each recomputing the full signature lineage:
+    // 1.48 → 2.0 s at sf0.1.)
     val cands = lshCandidates(minHashBands(df, idCol, textCol, n, numHashes, bands))
       .localCheckpoint(true)
     verifyJaccard(cands, df, idCol, textCol, n, threshNum, threshDen)
@@ -300,7 +310,7 @@ object Dedup {
     * dropped ids (vanishingly small at scale), so Catalyst broadcasts it.
     */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshNum: Int = 4, threshDen: Int = 5): DataFrame = {
     val pairs = minHashDedup(df, idCol, textCol, n, numHashes, bands, threshNum, threshDen)
     val clusters = connectedComponents(pairs)

@@ -31,9 +31,17 @@ object ProfileDd2 {
     time("verifyJaccard") {
       Dedup.verifyJaccard(cands, docs, "doc_id", "text").count()
     }
-    time("full dd2") {
+    time("full dd2 (default 64/16)") {
       Dedup.minHashDedup(docs, "doc_id", "text").count()
     }
+    time("full dd2 (128 hashes / 32 bands)") {
+      Dedup.minHashDedup(docs, "doc_id", "text", numHashes = 128, bands = 32).count()
+    }
+    val a = Dedup.minHashDedup(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Dedup.minHashDedup(docs, "doc_id", "text", numHashes = 128, bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(s"64/16 pairs=${a.size}, 128/32 pairs=${b.size}, equal=${a == b}")
     spark.stop()
   }
 }

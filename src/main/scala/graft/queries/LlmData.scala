@@ -436,6 +436,115 @@ object LlmData {
               | FROM gated)
               |WHERE rn <= 50 ORDER BY lang, doc_id""".stripMargin)),
 
+    // CUR3 — token-budget shard packing: greedy sequential assignment of
+    // documents to fixed-token-budget training shards, one running sum
+    // per language partition (shard = budget-quotient of the doc's START
+    // offset, so a doc spilling past a boundary opens the next shard).
+    // At scale this is one window per partition key — the packing
+    // parallelizes across languages/sources, never a global sort.
+    Q("cur3_token_budget_pack",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+          .withColumn("cum_tokens", sum("n_tokens").over(w))
+          .withColumn("shard",
+            expr("CAST((cum_tokens - n_tokens) div 2000 AS BIGINT)"))
+          .orderBy("lang", "doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_tokens, cum_tokens,
+             | CAST((cum_tokens - n_tokens) // 2000 AS BIGINT) AS shard
+             |FROM (
+             | SELECT doc_id, lang, n_tokens,
+             |  SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+             | FROM (
+             |  SELECT doc_id, lang,
+             |   CAST(CASE WHEN nrm = '' THEN 0
+             |    ELSE length(nrm) - length(replace(nrm, ' ', '')) + 1 END AS BIGINT) AS n_tokens
+             |  FROM (SELECT doc_id, lang,
+             |    trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nrm
+             |   FROM documents)))
+             |ORDER BY lang, doc_id""".stripMargin)),
+
+    // CUR4 — training-mix rebalancing: per-source token shares and the
+    // integer re-weighting factor that equalizes the mix (weight_ppm =
+    // what you'd multiply each source's sampling rate by to hit a
+    // uniform target). One aggregate + one scalar window over the
+    // vocabulary-sized per-source table.
+    Q("cur4_source_mix",
+      (s, dir) => {
+        val perSrc = t(s, dir, "documents")
+          .select(col("source"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tot_tokens"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy().rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        perSrc
+          .withColumn("grand", sum("tot_tokens").over(w))
+          .withColumn("n_sources", count(lit(1)).over(w))
+          .select(col("source"), col("n_docs"), col("tot_tokens"),
+            expr("CAST(tot_tokens * 1000000 div grand AS BIGINT)").as("share_ppm"),
+            expr("CAST((grand div n_sources) * 1000000 div tot_tokens AS BIGINT)")
+              .as("weight_ppm"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, n_docs, tot_tokens,
+             | CAST(tot_tokens * 1000000 // grand AS BIGINT) AS share_ppm,
+             | CAST((grand // n_sources) * 1000000 // tot_tokens AS BIGINT) AS weight_ppm
+             |FROM (
+             | SELECT source, n_docs, tot_tokens,
+             |  SUM(tot_tokens) OVER () AS grand,
+             |  COUNT(*) OVER () AS n_sources
+             | FROM (
+             |  SELECT source, COUNT(*) AS n_docs,
+             |   CAST(SUM(CAST(CASE WHEN nrm = '' THEN 0
+             |    ELSE length(nrm) - length(replace(nrm, ' ', '')) + 1 END AS BIGINT)) AS BIGINT) AS tot_tokens
+             |  FROM (SELECT source,
+             |    trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nrm
+             |   FROM documents)
+             |  GROUP BY source))
+             |ORDER BY source""".stripMargin)),
+
+    // S4 — deterministic train/val/test split on a PORTABLE content
+    // hash: bucket = first 16 bits of md5(text) mod 100 (Spark `conv`,
+    // DuckDB hex-digit fold — same value in both engines, unlike
+    // xxhash64), 80/10/10. Content-keyed ⇒ identical assignment on any
+    // cluster at any scale; the audit output is the per-(split, lang)
+    // count matrix.
+    Q("s4_three_way_split",
+      (s, dir) => {
+        val bucket = expr("CAST(conv(substring(md5(text), 1, 4), 16, 10) AS BIGINT) % 100")
+        t(s, dir, "documents")
+          .withColumn("split",
+            when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("split", "lang")
+      },
+      Some("""SELECT split, lang, COUNT(*) AS n
+             |FROM (
+             | SELECT lang,
+             |  CASE WHEN bucket < 80 THEN 'train'
+             |       WHEN bucket < 90 THEN 'val'
+             |       ELSE 'test' END AS split
+             | FROM (
+             |  SELECT lang,
+             |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(str_split(substring(md5(text), 1, 4), ''),
+             |     c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+             |    (a, d) -> a * 16 + d) % 100 AS bucket
+             |  FROM documents))
+             |GROUP BY split, lang
+             |ORDER BY split, lang""".stripMargin)),
+
     // E16 — embedding normalization stats + int8 quantization scale
     // (per-vector max-abs), the preprocessing step before ANN indexing
     Q("e16_embed_quantize",

@@ -81,6 +81,36 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("simhash pipeline has no all-pairs stage (dd3)") {
+    val p = plan("dd3_simhash")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs node in dd3:\n$p")
+  }
+
+  test("interval-overlap join is a bin equi-join (rj3)") {
+    val p = plan("rj3_interval_overlap")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop node in rj3:\n$p")
+  }
+
+  test("shard packing is one window, no extra exchange (cur3)") {
+    val p = plan("cur3_token_budget_pack")
+    // one hash-partitioning exchange for the window's partition key plus
+    // the final order — never a per-row join or nested loop
+    assert(p.contains("Window"), s"no window in cur3:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      s"unexpected join in cur3:\n$p")
+  }
+
+  test("split audit is a single aggregation pass (s4)") {
+    val p = plan("s4_three_way_split")
+    assert(p.contains("HashAggregate"), s"no hash aggregate in s4:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"unexpected join in s4:\n$p")
+  }
+
   test("partition-local kernels produce no shuffle before banding (dd2)") {
     val bands = graft.operators.Dedup.minHashBands(
       Tables.load(spark, sf, "documents"), "doc_id", "text")

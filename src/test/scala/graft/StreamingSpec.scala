@@ -181,6 +181,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join matches batch (dim side broadcast)") {
+    // the standing-pipeline form of dimension enrichment: a static dim
+    // table joined to every micro-batch. No state store involved — the
+    // static side is planned per batch, so it broadcasts like any small
+    // dim and the stream stays append-mode.
+    val dim = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val stream = EventStreams.readEventsStream(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast(LongType).as("v_c"))
+    val q = stream.join(broadcast(dim), stream("user_id") === dim("c_custkey"))
+      .select(col("event_id"), col("c_mktsegment"), col("v_c"))
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_test").collect().map(_.toSeq).toSet
+      val batchEv = Tables.load(spark, sf, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          round(col("value") * 100).cast(LongType).as("v_c"))
+      val batch = batchEv.join(dim, batchEv("user_id") === dim("c_custkey"))
+        .select(col("event_id"), col("c_mktsegment"), col("v_c"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState state survives a checkpointed restart") {
     import java.nio.file.Files
     import org.apache.spark.sql.Dataset

@@ -218,6 +218,41 @@ object Dedup {
     verifyJaccard(cands, df, idCol, textCol, n, threshNum, threshDen)
   }
 
+  /** Incremental near-dup detection: which documents of a NEW `batch`
+    * duplicate the existing `corpus` — or each other? This is the shape
+    * production dedup actually runs day to day: the corpus band index is
+    * precomputed (and ~10³–10⁶× larger than the batch), so the batch's
+    * bands probe it with one (band, bhash) equi-join and the corpus is
+    * NEVER paired against itself — cost scales with the batch, not the
+    * corpus². Candidates are exact-verified like every other pipeline
+    * here, so output = all pairs (ida < idb, ≥1 side in batch) with
+    * n-shingle Jaccard ≥ threshold.
+    *
+    * Ids must be disjoint between corpus and batch (re-ingests arrive
+    * under new ids by construction in any content-addressed pipeline).
+    */
+  def incrementalNearDups(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshNum: Int = 4, threshDen: Int = 5): DataFrame = {
+    val cb = minHashBands(corpus, idCol, textCol, n, numHashes, bands)
+    val bb = minHashBands(batch, idCol, textCol, n, numHashes, bands)
+    // batch bands probe (corpus ∪ batch) bands: batch-corpus pairs AND
+    // batch-batch pairs fall out of the same join; corpus-corpus never
+    // materializes. Normalize to ida < idb, dedup across bands.
+    val probe = bb.select(col("band"), col("bhash"), col("id").as("_pid"))
+    val index = cb.unionByName(bb)
+      .select(col("band"), col("bhash"), col("id").as("_iid"))
+    val cands = probe.join(index, Seq("band", "bhash"))
+      .filter(col("_pid") =!= col("_iid"))
+      .select(least(col("_pid"), col("_iid")).as("ida"),
+        greatest(col("_pid"), col("_iid")).as("idb"))
+      .distinct()
+      .localCheckpoint(true) // feeds verifyJaccard three times
+    verifyJaccard(cands, corpus.unionByName(batch), idCol, textCol,
+      n, threshNum, threshDen)
+  }
+
   /** Connected components over near-dup pairs → cluster labels (minimum
     * member id), the step that turns pairs into dedup decisions ("keep
     * the cluster representative, drop the rest").

@@ -256,6 +256,35 @@ object LlmData {
              | AND levenshtein(a.text, b.text) <= 20
              |ORDER BY ida, idb""".stripMargin)),
 
+    // DD10 — incremental dedup: the daily-ingest shape. The re-crawl
+    // batch (every 10th doc under a shifted id) probes the corpus's band
+    // index; corpus×corpus pairs never materialize. Oracle = brute-force
+    // Jaccard over the union, restricted to pairs touching the batch
+    // (batch ids are all ≥ 1000000, so idb ≥ 1000000 ⟺ ≥1 new side).
+    Q("dd10_incremental_dedup",
+      (s, dir) => {
+        val corpus = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val batch = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        Dedup.incrementalNearDups(corpus, batch, "doc_id", "text")
+          .orderBy("ida", "idb")
+      },
+      Some(s"""WITH pool AS ($docsWithDupsSql),
+              |grams AS (
+              |  SELECT DISTINCT doc_id, ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2] AS gram
+              |  FROM (SELECT doc_id,
+              |          string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS ws
+              |        FROM pool) w,
+              |  LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS g) _t
+              |), gc AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+              |i AS (SELECT x.doc_id AS ida, y.doc_id AS idb, COUNT(*) AS inter
+              |      FROM grams x JOIN grams y ON x.gram = y.gram AND x.doc_id < y.doc_id
+              |      GROUP BY 1, 2)
+              |SELECT i.ida, i.idb FROM i
+              |JOIN gc a ON a.doc_id = i.ida JOIN gc b ON b.doc_id = i.idb
+              |WHERE 5 * i.inter >= 4 * (a.n + b.n - i.inter) AND i.idb >= 1000000
+              |ORDER BY i.ida, i.idb""".stripMargin)),
+
     // SS1 — brute-force cosine top-k (query = vec 0's embedding)
     Q("ss1_cosine_topk",
       (s, dir) => {

@@ -98,6 +98,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(kept === Set(1L, 4L, 5L))
   }
 
+  test("incremental dedup == full-pipeline pairs touching the batch") {
+    // probing the corpus index with only the batch's bands must find
+    // exactly the pairs the full (corpus ∪ batch) pipeline finds that
+    // involve ≥1 batch doc — and none of the corpus-internal ones
+    val corpus = docs.select(col("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val inc = Dedup.incrementalNearDups(corpus, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minHashDedup(corpus.unionByName(batch), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc === full.filter { case (_, b) => b >= 1000000L })
+    assert(inc.nonEmpty)
+    assert(inc.forall { case (_, b) => b >= 1000000L },
+      "incremental output contains a corpus-internal pair")
+  }
+
   test("connectedComponents labels chains transitively") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("ida", "idb")
     val cc = Dedup.connectedComponents(pairs)

@@ -156,6 +156,123 @@ object Similarity {
       .limit(k)
   }
 
+  // ---- Product quantization (PQ) ----
+
+  /** Train per-block PQ codebooks: the vector splits into `nBlocks`
+    * contiguous sub-vectors, each with its own k-centroid codebook.
+    * ALL blocks train simultaneously — each Lloyd iteration is ONE scan
+    * of the data (per-row block codes, posexplode, one
+    * (block, code, pos) aggregation), not nBlocks separate loops, so
+    * the pass count is independent of nBlocks at 100 TB. Init is the k
+    * lowest-id vectors' slices (deterministic, same as IVF). Only
+    * nBlocks×k×subDim aggregated means reach the driver per iteration.
+    */
+  def trainPqCodebooks(df: DataFrame, vecCol: String, idCol: String,
+      nBlocks: Int = 8, k: Int = 16, iters: Int = 4): Array[Array[Array[Float]]] = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(dim % nBlocks == 0, s"dim $dim not divisible into $nBlocks blocks")
+    val sub = dim / nBlocks
+    val src = df.select(col(idCol), col(vecCol)).cache()
+    try {
+      var books: Array[Array[Array[Float]]] = {
+        val seeds = src.orderBy(col(idCol)).limit(k)
+          .select(vecCol).collect().map(_.getSeq[Float](0).toArray)
+        Array.tabulate(nBlocks)(b =>
+          seeds.map(v => v.slice(b * sub, (b + 1) * sub)))
+      }
+      for (_ <- 0 until iters) {
+        val codes = array((0 until nBlocks).map { b =>
+          assignCentroid(slice(col(vecCol), b * sub + 1, sub), books(b))
+        }: _*)
+        val blk = expr(s"_pos div $sub").cast("int")
+        val updated = src
+          .select(codes.as("_codes"), posexplode(col(vecCol)).as(Seq("_pos", "_v")))
+          .select(blk.as("_blk"),
+            element_at(col("_codes"), blk + 1).as("_code"),
+            pmod(col("_pos"), lit(sub)).as("_bpos"), col("_v"))
+          .groupBy("_blk", "_code", "_bpos")
+          .agg(avg(col("_v")).as("_m"))
+          .collect()
+        val byCell = updated.groupBy(r => (r.getInt(0), r.getInt(1)))
+        books = Array.tabulate(nBlocks) { b =>
+          Array.tabulate(k) { c =>
+            byCell.get((b, c)) match {
+              case Some(rows) =>
+                rows.sortBy(_.getInt(2)).map(_.getDouble(3).toFloat).toArray
+              case None => books(b)(c) // empty cell keeps its centroid
+            }
+          }
+        }
+      }
+      books
+    } finally src.unpersist()
+  }
+
+  /** PQ-encode: per-block nearest-codebook-entry codes as one small int
+    * array per row. At 100 TB this is the point of PQ — a 64-float
+    * embedding (256 B) becomes nBlocks codes (8 B at 8×16): the index
+    * fits in memory 32× over, and scans of the code column never touch
+    * the original vectors.
+    */
+  def pqEncode(df: DataFrame, vecCol: String, idCol: String,
+      codebooks: Array[Array[Array[Float]]],
+      codesCol: String = "codes"): DataFrame = {
+    val sub = codebooks(0)(0).length
+    val codes = array(codebooks.zipWithIndex.map { case (cb, b) =>
+      assignCentroid(slice(col(vecCol), b * sub + 1, sub), cb)
+    }: _*)
+    df.withColumn(codesCol, codes)
+  }
+
+  /** PQ ANN top-k by ADC (asymmetric distance computation): the query
+    * precomputes, per block, the partial dot product and squared norm of
+    * every codebook entry (nBlocks×k doubles, driver-side), and each
+    * row's approximate cosine is then pure table lookups over its codes
+    * — nBlocks adds and one sqrt, no vector math. The top `rerank`
+    * candidates by ADC are exact-scored against the true vectors.
+    *
+    * `rerank` ≥ corpus size makes the output the EXACT top-k (ADC only
+    * ordered a pool that is then exactly re-ranked) — the ss5 oracle
+    * gate, same pattern as exhaustive LSH/IVF probing. Bounded `rerank`
+    * is the operating point: recall depends on quantization coarseness
+    * and is spec-gated, while precision of the final scores is always
+    * exact (re-rank uses true vectors).
+    */
+  def pqTopK(df: DataFrame, vecCol: String, idCol: String,
+      query: Array[Float], k: Int, codebooks: Array[Array[Array[Float]]],
+      rerank: Int = 50): DataFrame = {
+    val nBlocks = codebooks.length
+    val kCodes = codebooks(0).length
+    val sub = codebooks(0)(0).length
+    require(query.length == nBlocks * sub,
+      s"query dim ${query.length} != $nBlocks blocks × $sub")
+    // per-(block, code) partial dot with the query and partial ‖c‖² —
+    // flattened to literal arrays indexed b*kCodes + code
+    val dots = codebooks.zipWithIndex.flatMap { case (cb, b) =>
+      cb.map(c => (0 until sub).map(i => c(i).toDouble * query(b * sub + i)).sum)
+    }
+    val norms2 = codebooks.flatMap(_.map(_.map(x => x.toDouble * x).sum))
+    val qNorm = math.sqrt(query.map(x => x.toDouble * x).sum)
+    val dotLit = array(dots.map(lit).toIndexedSeq: _*)
+    val n2Lit = array(norms2.map(lit).toIndexedSeq: _*)
+    val Seq(adcC, cosC, codesC) = Cols.fresh(Seq("_adc", "cos", "_codes"), df.columns)
+    val blocks = sequence(lit(0), lit(nBlocks - 1))
+    def lookup(tbl: Column, b: Column): Column =
+      element_at(tbl, (b * kCodes + element_at(col(codesC), b + 1) + 1).cast("int"))
+    val dotSum = aggregate(blocks, lit(0.0), (acc, b) => acc + lookup(dotLit, b))
+    val n2Sum = aggregate(blocks, lit(0.0), (acc, b) => acc + lookup(n2Lit, b))
+    val adc = when(lit(qNorm) === 0.0 || n2Sum === 0.0, lit(-2.0))
+      .otherwise(dotSum / (lit(qNorm) * sqrt(n2Sum)))
+    val q = array(query.map(lit): _*)
+    pqEncode(df, vecCol, idCol, codebooks, codesC)
+      .withColumn(adcC, adc)
+      .orderBy(desc_nulls_last(adcC), asc_nulls_first(idCol))
+      .limit(rerank) // TakeOrderedAndProject — the ADC candidate pool
+      .select(col(idCol), VectorOps.cosineNative(col(vecCol), q).as(cosC))
+      .orderBy(desc_nulls_last(cosC), asc_nulls_first(idCol))
+      .limit(k)
+  }
+
   /** All pairs with cosine ≥ threshold — embedding near-dup detection.
     * Exact O(n²) form for oracle checking; the scale path buckets by LSH
     * first (same as [[lshTopK]]) so the join key is the bucket, not a

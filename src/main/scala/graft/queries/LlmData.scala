@@ -636,6 +636,32 @@ object LlmData {
              |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q) DESC,
              |  e.vec_id LIMIT 10""".stripMargin)),
 
+    // SS5 — product quantization with exhaustive re-rank: ADC (table-
+    // lookup approximate cosine over 8×16 codebooks, the 32× memory-
+    // compression ANN path) orders the pool; re-ranking the WHOLE corpus
+    // exactly makes the result the exact top-k — so codebook training,
+    // encoding, the ADC lookup math, and the re-rank plumbing are all
+    // oracle-gated, same pattern as ss2x/ss4. The bounded-re-rank
+    // operating point is recall-gated in LlmOpsSpec.
+    Q("ss5_pq_exhaustive",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val query = emb.filter(col("vec_id") === 3)
+          .select("embedding").head().getSeq[Float](0).toArray
+        val base = emb.filter(col("vec_id") =!= 3)
+        val codebooks = Similarity.trainPqCodebooks(base, "embedding", "vec_id")
+        // rerank = corpus size ⇒ the ADC pool is everything ⇒ exact
+        Similarity.pqTopK(base, "embedding", "vec_id", query, 10,
+          codebooks, rerank = base.count().toInt)
+          .select("vec_id")
+      },
+      Some("""SELECT e.vec_id
+             |FROM embeddings e,
+             |  (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 3) _q
+             |WHERE e.vec_id <> 3
+             |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q) DESC,
+             |  e.vec_id LIMIT 10""".stripMargin)),
+
     // TX1 — n-gram/stopword language ID with per-language scores
     Q("tx1_langid",
       (s, dir) => {

@@ -242,6 +242,55 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("PQ: codes in range, exhaustive re-rank exact, planted recall") {
+    // shape invariants on the real corpus
+    val codebooks = Similarity.trainPqCodebooks(emb, "embedding", "vec_id")
+    assert(codebooks.length === 8)
+    assert(codebooks.forall(_.length === 16))
+    assert(codebooks.forall(_.forall(_.length === 8)))
+    val enc = Similarity.pqEncode(emb, "embedding", "vec_id", codebooks)
+    val codeStats = enc.select(
+      min(array_min(col("codes"))), max(array_max(col("codes"))),
+      min(size(col("codes")))).head()
+    assert(codeStats.getInt(0) >= 0 && codeStats.getInt(1) <= 15)
+    assert(codeStats.getInt(2) === 8)
+    // exhaustive re-rank == brute force (the ss5 gate, checked locally)
+    val q0 = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val exact = Similarity.bruteForceTopK(rest, "embedding", "vec_id", q0, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val pqAll = Similarity.pqTopK(rest, "embedding", "vec_id", q0, 10,
+      codebooks, rerank = rest.count().toInt)
+      .collect().map(_.getLong(0)).toSeq
+    assert(pqAll === exact)
+    // bounded re-rank in PQ's design regime: planted cosine-0.98
+    // neighbors quantize near their base, so a 50-candidate ADC pool
+    // must recover most of the true top-10
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val bases = Seq.fill(3)(vec())
+    def perturb(b: Array[Float]): Array[Float] = {
+      val scale = (0.15 * math.sqrt(b.map(x => x.toDouble * x).sum) / 8.0).toFloat
+      b.map(x => x + scale * rnd.nextGaussian().toFloat)
+    }
+    import spark.implicits._
+    val corpus = ((0 until 200).map(i => (1000L + i, vec())) ++
+      bases.zipWithIndex.flatMap { case (b, qi) =>
+        (0 until 10).map(j => (qi * 100L + j, perturb(b)))
+      }).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val cb2 = Similarity.trainPqCodebooks(corpus, "embedding", "vec_id")
+    val recalls = bases.map { b =>
+      val ex = Similarity.bruteForceTopK(corpus, "embedding", "vec_id", b, 10)
+        .collect().map(_.getLong(0)).toSet
+      val pq = Similarity.pqTopK(corpus, "embedding", "vec_id", b, 10, cb2, rerank = 50)
+        .collect().map(_.getLong(0)).toSet
+      pq.intersect(ex).size / 10.0
+    }
+    assert(recalls.sum / recalls.size >= 0.8, s"PQ recalls: $recalls")
+  }
+
   test("rolling hash is deterministic and order-sensitive") {
     val r = Seq((1L, "abc"), (2L, "abc"), (3L, "acb"), (4L, ""))
       .toDF("id", "t")

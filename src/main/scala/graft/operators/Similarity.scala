@@ -117,13 +117,22 @@ object Similarity {
     } finally src.unpersist()
   }
 
-  /** index of the highest-cosine centroid for a vector column */
-  def assignCentroid(vec: Column, centroids: Array[Array[Float]]): Column = {
-    val sims = array(centroids.map { c =>
-      coalesce(VectorOps.cosineNative(vec, array(c.map(lit): _*)), lit(-2.0))
-    }: _*)
-    (array_position(sims, array_max(sims)) - 1).cast("int")
-  }
+  /** index of the highest-cosine centroid for a vector column. Both the
+    * input vector and the similarity array are let-bound (lambda-scoped)
+    * so the expression tree holds ONE copy of each — without this the
+    * vector expression is duplicated per centroid and the sims array
+    * twice more by argmax, which multiplies analysis/codegen cost when
+    * `vec` is itself a computed slice (measured 7.5 → 1.9 s on PQ
+    * codebook training).
+    */
+  def assignCentroid(vec: Column, centroids: Array[Array[Float]]): Column =
+    graft.functions.Kernels.letBind(vec) { v =>
+      graft.functions.Kernels.letBind(array(centroids.map { c =>
+        coalesce(VectorOps.cosineNative(v, array(c.map(lit): _*)), lit(-2.0))
+      }: _*)) { sims =>
+        (array_position(sims, array_max(sims)) - 1).cast("int")
+      }
+    }
 
   /** IVF ANN top-k: probe the `nprobe` centroids nearest the query, exact
     * cosine inside the probed cells only.

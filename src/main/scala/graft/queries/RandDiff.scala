@@ -497,6 +497,33 @@ object RandDiff {
            | ON l.k = r.k AND r.rt <= l.lt""".stripMargin
       }),
 
+    // RANGE-frame windows at fuzz density (w6's shape): value-based
+    // frame bounds over random ints. The order column carries no NULLs —
+    // NULL peer-group semantics in RANGE frames is the one window corner
+    // the engines define differently, and the operator contract here is
+    // the numeric-bounds frame, not NULL ordering.
+    multi("rf24_range_frame", Seq("g", "o", "v", "rsum", "rcnt"), {
+      (s, off) =>
+        val spec = Seq(ColSpec("g", CInt, 20), ColSpec("o", CInt, 0),
+          ColSpec("v", CInt, 20))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(col("o")).rangeBetween(-2, 2)
+        RandFrame.df(s, 100, 18001L + off, spec: _*).select(
+          col("g"), col("o"), col("v"),
+          sum("v").over(w).cast(org.apache.spark.sql.types.LongType).as("rsum"),
+          count(col("v")).over(w).as("rcnt"))
+    },
+      { off =>
+        val spec = Seq(ColSpec("g", CInt, 20), ColSpec("o", CInt, 0),
+          ColSpec("v", CInt, 20))
+        s"""SELECT g, o, v,
+           | CAST(SUM(v) OVER w AS BIGINT) AS rsum,
+           | CAST(COUNT(v) OVER w AS BIGINT) AS rcnt
+           |FROM ${RandFrame.valuesSql(100, 18001L + off, spec: _*)} _t
+           |WINDOW w AS (PARTITION BY g ORDER BY o
+           |  RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING)""".stripMargin
+      }),
+
     // CASE WHEN with bool branches over random strings (suite:853-902)
     multi("rf12_casewhen", Seq("a", "b", "c", "d", "e", "cw"), {
       (s, off) =>

@@ -574,6 +574,53 @@ object LlmData {
              |GROUP BY split, lang
              |ORDER BY split, lang""".stripMargin)),
 
+    // S5 — deterministic weighted sampling: APPLY cur4's equalizing
+    // weights by content-hash rejection — keep a row iff its portable
+    // md5 bucket (ppm) falls below its source's weight. Fully
+    // deterministic ⇒ the exact kept row set is oracle-checkable, unlike
+    // rand()-based sampling; at scale this is one broadcast join (the
+    // weight table is source-cardinality) + a scan-side filter.
+    Q("s5_weighted_sample",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val perSrc = docs
+          .select(col("source"), TextAnalysis.tokenCount(col("text")).as("nt"))
+          .groupBy("source").agg(sum("nt").as("tot"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy().rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        val weights = perSrc
+          .withColumn("grand", sum("tot").over(w))
+          .withColumn("ns", count(lit(1)).over(w))
+          .select(col("source"),
+            expr("CAST((grand div ns) * 1000000 div tot AS BIGINT)").as("w_ppm"))
+        val bucket = expr(
+          "CAST(conv(substring(md5(text), 1, 6), 16, 10) AS BIGINT) % 1000000")
+        docs.join(broadcast(weights), "source")
+          .filter(bucket < least(col("w_ppm"), lit(1000000L)))
+          .select(col("doc_id"), col("source"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH persrc AS (
+             | SELECT source, CAST(SUM(CAST(CASE WHEN nrm = '' THEN 0
+             |   ELSE length(nrm) - length(replace(nrm, ' ', '')) + 1 END AS BIGINT)) AS BIGINT) AS tot
+             | FROM (SELECT source,
+             |   trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nrm
+             |  FROM documents)
+             | GROUP BY source),
+             |weights AS (
+             | SELECT source,
+             |  CAST((SUM(tot) OVER () // COUNT(*) OVER ()) * 1000000 // tot AS BIGINT) AS w_ppm
+             | FROM persrc)
+             |SELECT d.doc_id, d.source
+             |FROM documents d JOIN weights w ON d.source = w.source
+             |WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |   list_transform(str_split(substring(md5(d.text), 1, 6), ''),
+             |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+             |   (a, x) -> a * 16 + x) % 1000000 < LEAST(w.w_ppm, 1000000)
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // E16 — embedding normalization stats + int8 quantization scale
     // (per-vector max-abs), the preprocessing step before ANN indexing
     Q("e16_embed_quantize",

@@ -371,6 +371,21 @@ object Dedup {
     sums.select(col("id"), sig.as("simhash"))
   }
 
+  /** one row per (doc, chunk): the simhash split into `nChunks` equal bit
+    * slices — the blocking key space for [[simHashPairs]] and the
+    * dropped-bucket audit in [[simHashDedup]].
+    */
+  private def simHashChunks(sigs: DataFrame, nChunks: Int): DataFrame = {
+    require(64 % nChunks == 0, s"nChunks must divide 64, got $nChunks")
+    val cb = 64 / nChunks // bits per chunk
+    val mask = if (cb == 64) -1L else (1L << cb) - 1L
+    sigs.select(col("id"), col("simhash"),
+      explode(array((0 until nChunks).map(k =>
+        struct(lit(k).as("chunk"),
+          shiftright(col("simhash"), k * cb).bitwiseAND(mask).as("cv"))): _*)).as("cc"))
+      .select(col("id"), col("simhash"), col("cc.chunk").as("chunk"), col("cc.cv").as("cv"))
+  }
+
   /** SimHash near-dup candidates by chunk equality (pigeonhole: any pair
     * within hamming distance `nChunks - 1` differs in fewer chunks than
     * exist, so it shares ≥1 — candidate recall is GUARANTEED, not
@@ -382,17 +397,10 @@ object Dedup {
     */
   def simHashPairs(sigs: DataFrame, maxHamming: Int = 3, nChunks: Int = 4,
       maxBucket: Int = 10000): DataFrame = {
-    require(64 % nChunks == 0, s"nChunks must divide 64, got $nChunks")
     require(maxHamming <= nChunks - 1,
       s"pigeonhole banding only guarantees recall for maxHamming <= ${nChunks - 1}; " +
         s"got $maxHamming with $nChunks chunks")
-    val cb = 64 / nChunks // bits per chunk
-    val mask = if (cb == 64) -1L else (1L << cb) - 1L
-    val chunked = sigs.select(col("id"), col("simhash"),
-      explode(array((0 until nChunks).map(k =>
-        struct(lit(k).as("chunk"),
-          shiftright(col("simhash"), k * cb).bitwiseAND(mask).as("cv"))): _*)).as("cc"))
-      .select(col("id"), col("simhash"), col("cc.chunk").as("chunk"), col("cc.cv").as("cv"))
+    val chunked = simHashChunks(sigs, nChunks)
     // bucket-local pair generation with the same degenerate-bucket guard
     // as MinHash-LSH (a chunk value shared by m docs yields m² pairs)
     val buckets = chunked.groupBy("chunk", "cv")
@@ -425,11 +433,38 @@ object Dedup {
     * within a few bits — there, tighten to the classic nChunks=4,
     * maxHamming=3 point where chunk buckets are 16 bits deep and the
     * candidate count stays near-linear at 100 TB.
+    *
+    * The operating-point tradeoff is explicit: with 4-bit chunks a chunk
+    * value has only 16 possible values, so average bucket depth is ~N/16
+    * and the pair stage is near-quadratic — the 16×4 point is only valid
+    * for corpora small enough that N/16 ≤ `maxBucket` (≈160k docs at the
+    * default cap). Beyond that, buckets overflow; since silently dropping
+    * them would void the pigeonhole recall guarantee that dd3's oracle
+    * equality rests on, this path AUDITS the blocking stage: it counts
+    * over-`maxBucket` buckets and fails (`strictRecall = true`, default)
+    * or warns to stderr (`false`, degrading to best-effort recall like
+    * plain LSH). The audit reuses the checkpointed signatures, so its
+    * cost is one count over the chunk aggregation — not a second scan of
+    * the corpus.
     */
   def simHashDedup(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 15, nChunks: Int = 16, n: Int = 3,
-      threshNum: Int = 4, threshDen: Int = 5): DataFrame = {
-    val cands = simHashPairs(simHash(df, idCol, textCol), maxHamming, nChunks)
+      threshNum: Int = 4, threshDen: Int = 5, maxBucket: Int = 10000,
+      strictRecall: Boolean = true): DataFrame = {
+    val sigs = simHash(df, idCol, textCol)
+      .localCheckpoint(true) // feeds the bucket audit + the pair stage
+    val dropped = simHashChunks(sigs, nChunks)
+      .groupBy("chunk", "cv").count()
+      .filter(col("count") > maxBucket).count()
+    if (dropped > 0) {
+      val msg = s"simHashDedup: $dropped chunk bucket(s) exceed maxBucket=" +
+        s"$maxBucket and would be dropped — the pigeonhole recall guarantee " +
+        s"does not hold at this (nChunks=$nChunks, corpus size) operating " +
+        "point; use deeper chunks (smaller nChunks) or raise maxBucket"
+      if (strictRecall) throw new IllegalStateException(msg)
+      else Console.err.println(s"WARN $msg")
+    }
+    val cands = simHashPairs(sigs, maxHamming, nChunks, maxBucket)
       .select("ida", "idb")
       .localCheckpoint(true) // feeds verifyJaccard three times (see minHashDedup)
     verifyJaccard(cands, df, idCol, textCol, n, threshNum, threshDen)

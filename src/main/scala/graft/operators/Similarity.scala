@@ -68,8 +68,15 @@ object Similarity {
       val d = p.zip(query).map { case (a, b) => a * b.toDouble }.sum
       if (d >= 0.0) 1L << i else 0L
     }.sum
-    val probes = (0L until (1L << nbits))
-      .filter(b => java.lang.Long.bitCount(b ^ qBits) <= probeHamming)
+    // probes = qBits XOR every flip-mask of popcount ≤ probeHamming —
+    // C(nbits,0..probeHamming) masks, built combinatorially so the cost is
+    // the probe count itself, never a 2^nbits scan (at nbits=20,
+    // probeHamming=1 that is 21 iterations, not 1M).
+    def flipMasks(start: Int, k: Int): Seq[Long] =
+      if (k == 0) Seq(0L)
+      else (start to nbits - k).flatMap(i => flipMasks(i + 1, k - 1).map(_ | (1L << i)))
+    val probes = (0 to math.min(probeHamming, nbits))
+      .flatMap(k => flipMasks(0, k)).map(_ ^ qBits)
     val q = array(query.map(x => lit(x)): _*) // float literals: CosineSim input type
     val Seq(bkt, cos) = Cols.fresh(Seq("_bucket", "cos"), df.columns)
     df.withColumn(bkt, lshBucket(col(vecCol), planes))

@@ -485,7 +485,8 @@ object LlmData {
             expr("CAST((cum_tokens - n_tokens) div 2000 AS BIGINT)"))
           .orderBy("lang", "doc_id")
       },
-      Some("""SELECT doc_id, lang, n_tokens, cum_tokens,
+      Some("""SELECT doc_id, lang, n_tokens,
+             | CAST(cum_tokens AS BIGINT) AS cum_tokens,
              | CAST((cum_tokens - n_tokens) // 2000 AS BIGINT) AS shard
              |FROM (
              | SELECT doc_id, lang, n_tokens,
@@ -923,8 +924,8 @@ object LlmData {
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
              | CAST(length(text) AS BIGINT) AS n_samples,
-             | CAST(list_sum(list_transform(codes, c -> (c-128)*(c-128))) AS BIGINT) AS energy,
-             | CAST(128 - list_min(codes) AS BIGINT) AS peak,
+             | CAST(COALESCE(list_sum(list_transform(codes, c -> (c-128)*(c-128))), 0) AS BIGINT) AS energy,
+             | CAST(COALESCE(128 - list_min(codes), 0) AS BIGINT) AS peak,
              | CAST(0 AS BIGINT) AS zero_crossings
              |FROM (SELECT doc_id, text,
              |  list_transform(range(1, length(text)+1),

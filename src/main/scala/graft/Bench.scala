@@ -8,9 +8,11 @@ import org.apache.spark.sql.SparkSession
   * would otherwise dominate at small scale factors.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+  /** The bench session, exactly as the driver protocol builds it — shared
+    * with the Profile* probes so variant timings are measured under the
+    * same configuration they'll be graded under.
+    */
+  def session(sfDir: String, cpus: String = "32"): SparkSession = {
     // Measured (min-of-3, sf0.1): AQE on beats AQE off here (~5%) even
     // at 60 MB inputs — the stage-materialization cost is repaid by
     // runtime partition coalescing — so AQE stays on at every scale,
@@ -72,6 +74,13 @@ object Bench {
       }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = session(sfDir, cpus)
 
     def once(name: String): Double = {
       val t0 = System.nanoTime()

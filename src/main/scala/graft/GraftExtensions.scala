@@ -21,5 +21,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSim(children.head, children(1))
       }))
     ext.injectOptimizerRule(_ => graft.rules.CosineFusion)
+    ext.injectPlannerStrategy(s => graft.plans.GraftStrategy(s))
   }
 }

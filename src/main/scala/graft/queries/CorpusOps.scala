@@ -86,6 +86,25 @@ object CorpusOps {
              |LATERAL (SELECT unnest(generate_series(1, len(ws), 24)) AS g) _t
              |ORDER BY doc_id, chunk_idx""".stripMargin)),
 
+    // HP1 — hive-partition pruning: documents re-laid-out as
+    // .../lang=<v>/ directories (Tables.documentsByLang), filtered on the
+    // partition column. The scan must show non-empty PartitionFilters and
+    // list only the matching directories — planning-time pruning, the
+    // 100 TB read posture (PlanQualitySpec asserts exactly that). The
+    // oracle reads the ORIGINAL single-file table: same rows by
+    // construction, which is itself the layout-invariance check.
+    Q("hp1_partition_prune",
+      (s, dir) => Tables.documentsByLang(s, dir)
+        .filter(col("lang") === "en" && col("n_chars") >= 100)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(asc_nulls_first("source")),
+      Some("""SELECT source, COUNT(*) AS n_docs,
+             | CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents WHERE lang = 'en' AND n_chars >= 100
+             |GROUP BY source ORDER BY source NULLS FIRST""".stripMargin)),
+
     // TF1 — per-term corpus stats: document frequency + total term
     // frequency (exact integers; the idf inputs of a tf-idf ranker)
     Q("tf1_term_stats",

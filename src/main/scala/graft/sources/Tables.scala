@@ -29,4 +29,27 @@ object Tables {
       case None => df
     }
   }
+
+  /** The `documents` table re-laid-out as a hive-partitioned dataset
+    * (`.../lang=en/...`), the 100 TB read posture: a filter on `lang`
+    * prunes whole directories at PLANNING time (`PartitionFilters` in the
+    * scan, fewer files listed+read), which no row-group statistic can do.
+    * Built lazily per source dir under java.io.tmpdir and reused; the
+    * write itself is a one-time layout job, exactly like a production
+    * ingest repartitioning into its partition scheme.
+    */
+  def documentsByLang(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val out = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft-partitioned/$key/documents_by_lang")
+    if (!new java.io.File(out, "_SUCCESS").isFile) {
+      load(spark, dir, "documents")
+        // one file per partition dir: at this SF a per-lang directory is
+        // a single task's worth; at 100 TB you'd keep the natural task
+        // fan-out instead of coalescing
+        .repartition(org.apache.spark.sql.functions.col("lang"))
+        .write.mode("overwrite").partitionBy("lang").parquet(out.toString)
+    }
+    spark.read.parquet(out.toString)
+  }
 }

@@ -54,3 +54,19 @@ object ArrowBridge {
     df.asInstanceOf[ClassicDataset[Row]].sparkSession
       .sessionState.conf.sessionLocalTimeZone
 }
+
+/** `private[sql]` plan-construction surface: build a DataFrame from a
+  * hand-assembled logical plan (used by graft.operators.ClusteredAgg to
+  * insert its verified-clustering node).
+  */
+object PlanBridge {
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    ClassicDataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
+
+  def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[ClassicDataset[Row]].queryExecution.analyzed
+
+  def semanticHash(df: DataFrame): Int =
+    analyzed(df).canonicalized.hashCode()
+}

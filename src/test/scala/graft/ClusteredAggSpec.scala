@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ClusteredAgg
+
+/** groupByClustered: exchange-free on verified layouts, standard plan on
+  * unverifiable ones, identical results always.
+  */
+class ClusteredAggSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-clusteredagg/$name"
+
+  private lazy val clusteredPath: String = {
+    val p = tmp("clustered")
+    spark.range(0, 100000)
+      .select((col("id") / 7).cast("long").as("k"), (col("id") % 13).as("v"))
+      .repartitionByRange(8, col("k"))
+      .write.mode("overwrite").parquet(p)
+    p
+  }
+
+  private lazy val randomPath: String = {
+    val p = tmp("random")
+    spark.range(0, 100000)
+      .select(pmod(hash(col("id")), lit(500)).cast("long").as("k"),
+        (col("id") % 13).as("v"))
+      .repartition(8) // round-robin: keys scattered across every file
+      .write.mode("overwrite").parquet(p)
+    p
+  }
+
+  test("clustered layout: no exchange, results equal the shuffle plan") {
+    val df = spark.read.parquet(clusteredPath)
+    assert(ClusteredAgg.isKeyClustered(df, "k"), "range-written layout not detected")
+    val fast = ClusteredAgg.groupByClustered(df, "k",
+      Seq(sum("v").as("s"), count(lit(1)).as("c")))
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"clustered agg still shuffles:\n$plan")
+    val slow = df.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("c"))
+    assert(fast.orderBy("k").collect().toSeq == slow.orderBy("k").collect().toSeq)
+  }
+
+  test("random layout: falls back to the standard shuffle aggregate") {
+    val df = spark.read.parquet(randomPath)
+    assert(!ClusteredAgg.isKeyClustered(df, "k"), "scattered layout misdetected as clustered")
+    val agg = ClusteredAgg.groupByClustered(df, "k", Seq(sum("v").as("s")))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange"), s"fallback lost its exchange:\n$plan")
+    assert(agg.orderBy("k").collect().toSeq ==
+      df.groupBy("k").agg(sum("v").as("s")).orderBy("k").collect().toSeq)
+  }
+
+  test("NULL keys force the fallback even on a clustered layout") {
+    val p = tmp("nulls")
+    spark.range(0, 1000)
+      .select(when(col("id") % 100 === 0, lit(null)).otherwise(col("id")).as("k"),
+        lit(1L).as("v"))
+      .repartitionByRange(4, col("k"))
+      .write.mode("overwrite").parquet(p)
+    val df = spark.read.parquet(p)
+    assert(!ClusteredAgg.isKeyClustered(df, "k"))
+    val agg = ClusteredAgg.groupByClustered(df, "k", Seq(sum("v").as("s")))
+    assert(agg.count() === df.select("k").distinct().count())
+  }
+}

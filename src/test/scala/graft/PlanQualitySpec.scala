@@ -118,6 +118,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"unexpected shuffle in signature stage:\n$p")
   }
 
+  test("partition-column filter prunes hive partitions at planning time (hp1)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = SparkEntry.queries("hp1_partition_prune")(spark, sf)
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "no file scan in hp1 plan")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      s"no PartitionFilters on the partitioned scan:\n${df.queryExecution.executedPlan}")
+    // only the lang=en directory may survive pruning — fewer partitions
+    // read than exist in the dataset
+    val selected = scan.selectedPartitions.partitionCount
+    val total = Tables.documentsByLang(spark, sf)
+      .select("lang").distinct().count()
+    assert(selected == 1 && total > 1,
+      s"pruning read $selected of $total partitions (want 1 of >1)")
+  }
+
   test("bucketed tables join without a shuffle") {
     val db = spark
     val orders = Tables.load(spark, sf, "orders")

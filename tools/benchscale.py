@@ -73,12 +73,12 @@ def ensure_replica(dst, copies, force):
 
 
 def ensure_oracle(force):
+    # always regenerate: DumpOracle needs no Spark session (seconds), and
+    # a stale dump silently hides newly registered queries from the
+    # DuckDB timing side (bit round 4 - 181-query dump vs 190 registered)
     p = Path(ORACLE_DIR, "oracle_sql.json")
-    if force or not p.exists():
-        print("[benchscale] dumping oracle SQL", flush=True)
-        # filter matches nothing -> no queries execute, SQL still dumps
-        run(["sbt", "-batch",
-             f"runMain graft.Verify {SRC} {ORACLE_DIR} __none__"])
+    print("[benchscale] dumping oracle SQL", flush=True)
+    run(["sbt", "-batch", f"runMain graft.DumpOracle {p}"])
     return str(p)
 
 

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.PlanBridge
 
@@ -14,57 +15,64 @@ import org.apache.spark.sql.graftbridge.PlanBridge
   *
   * `groupByClustered` exploits that without trusting it:
   *
-  *  1. one cheap key-column pass records each scan partition's
-  *     [min(k), max(k)] and NULL count (cached per layout, so repeated
-  *     queries pay it once);
-  *  2. if the ranges are pairwise disjoint and no key is NULL, the
-  *     aggregate runs over [[graft.plans.AssumeClustered]] — a
-  *     pass-through plan node that reports the verified co-location as
-  *     its `outputPartitioning`, so Catalyst's own codegen'd
+  *  1. one verification pass measures the EXACT property the plan needs:
+  *     no key value appears in two scan partitions, and no key is NULL.
+  *     The check is `max(countDistinct(partition_id) per key)` — its
+  *     shuffle carries one row per distinct (key, partition) pair after
+  *     map-side partial aggregation, i.e. roughly what the fallback
+  *     aggregate's own shuffle would carry, paid once per layout (cached);
+  *  2. if verified, the aggregate runs over [[graft.plans.AssumeClustered]]
+  *     — a pass-through plan node whose `ClusteredOnlyPartitioning`
+  *     reports the measured co-location, so Catalyst's own codegen'd
   *     HashAggregate executes WITHOUT its exchange (partial and final
-  *     collapse into one stage);
-  *  3. any overlap, or NULL keys, and the standard shuffle plan runs
-  *     unchanged — layout quality is a performance knob, never a
-  *     correctness assumption.
+  *     collapse into one stage) while downstream joins still shuffle
+  *     this side (the partitioning refuses co-partitioning contracts);
+  *  3. any key straddling two partitions, or NULL keys, or an ambiguous
+  *     key name, and the standard shuffle plan runs unchanged — layout
+  *     quality is a performance knob, never a correctness assumption.
+  *
+  * Unlike a per-partition [min,max]-disjointness test, the per-key check
+  * is immune to `FileSourceScan` bin-packing: small files are packed into
+  * scan partitions in SIZE order, so one partition may hold several
+  * disjoint key ranges — which is still a valid clustering. Only a key
+  * genuinely split across partitions (a file split mid-key, or a random
+  * layout) fails the check.
   *
   * This is the storage-partitioned (KeyGroupedPartitioning) idea applied
   * to plain parquet directories, with the grouping property measured at
   * runtime instead of promised by a catalog. At 100 TB the check costs
-  * one columnar scan of the key; the win is the fact table's entire
-  * aggregation shuffle.
+  * one columnar scan of the key plus a distinct-key shuffle; the win is
+  * the fact table's entire aggregation shuffle, every query thereafter.
   */
 object ClusteredAgg {
 
-  /** layout verdicts keyed by the canonicalized source plan — the check
-    * is per (files, splits) layout, which is stable within a session
+  /** Layout verdicts keyed by the full canonicalized source plan —
+    * structural equality, so two different layouts can never share a
+    * verdict (a 32-bit hash key could collide and elide an exchange on a
+    * layout that was never measured). Valid within a session: scan
+    * splits are re-derived per plan from the same files + confs.
     */
-  private val layoutDisjoint =
-    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Boolean]()
+  private val layoutVerdicts =
+    new java.util.concurrent.ConcurrentHashMap[LogicalPlan, java.lang.Boolean]()
 
   /** Is every key of `df(keyCol)` confined to a single scan partition,
-    * with no NULLs? (cached; safe to call repeatedly)
+    * with no NULLs? Exact, not a range heuristic. (cached; safe to call
+    * repeatedly)
     */
   def isKeyClustered(df: DataFrame, keyCol: String): Boolean = {
-    val keyed = df.select(col(keyCol).cast("long").as("k"))
-    val cacheKey = PlanBridge.semanticHash(keyed)
-    layoutDisjoint.computeIfAbsent(cacheKey, _ => {
-      // per-partition (nulls, min, max) as a plain codegen'd aggregate on
-      // spark_partition_id() — scan-speed, no row deserialization; the
-      // shuffle moves one row per partition
-      val stats = keyed
-        .groupBy(spark_partition_id().as("pid"))
-        .agg(sum(when(col("k").isNull, 1L).otherwise(0L)).as("nulls"),
-          min("k").as("lo"), max("k").as("hi"))
-        .collect()
-      val clean = stats.forall(_.getLong(1) == 0L)
-      val ranges = stats.filter(!_.isNullAt(2))
-        .map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1)
-      val disjoint = ranges.isEmpty ||
-        ranges.sliding(2).forall {
-          case Array((_, hi1), (lo2, _)) => hi1 < lo2
-          case _ => true
-        }
-      java.lang.Boolean.valueOf(clean && disjoint)
+    val keyed = df.select(col(keyCol).as("k"))
+    val cacheKey = PlanBridge.analyzed(keyed).canonicalized
+    layoutVerdicts.computeIfAbsent(cacheKey, _ => {
+      // worst = max over keys of #partitions holding that key, with NULL
+      // keys forced to 2 (= fallback). Both aggregates are codegen'd with
+      // map-side partials: the wire carries distinct (k, pid) pairs.
+      val row = keyed
+        .select(col("k"), spark_partition_id().as("pid"))
+        .groupBy("k")
+        .agg(countDistinct(col("pid")).as("np"))
+        .agg(max(when(col("k").isNull, lit(2L)).otherwise(col("np"))).as("worst"))
+        .head()
+      java.lang.Boolean.valueOf(row.isNullAt(0) || row.getLong(0) <= 1L)
     })
   }
 
@@ -75,13 +83,18 @@ object ClusteredAgg {
     */
   def groupByClustered(df: DataFrame, keyCol: String,
       aggs: Seq[Column]): DataFrame = {
+    val analyzed = PlanBridge.analyzed(df)
+    val caseSensitive =
+      df.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    val keyAttr = analyzed.output.filter(a =>
+      if (caseSensitive) a.name == keyCol else a.name.equalsIgnoreCase(keyCol))
+    // exactly one resolved key attribute, or the claim would be vacuous
+    // (HashAggregate over an empty/ambiguous clustering) — fall back
     val grouped =
-      if (isKeyClustered(df, keyCol)) {
-        val analyzed = PlanBridge.analyzed(df)
-        val keyAttr = analyzed.output.filter(_.name == keyCol)
+      if (keyAttr.size == 1 && isKeyClustered(df, keyCol))
         PlanBridge.ofRows(df.sparkSession,
           graft.plans.AssumeClustered(keyAttr, analyzed))
-      } else df
+      else df
     grouped.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
 }

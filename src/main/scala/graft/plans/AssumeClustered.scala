@@ -4,8 +4,44 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning, RangeShuffleSpec, ShuffleSpec, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+
+/** A co-location claim and NOTHING more: rows sharing a value of `keys`
+  * live in one partition, but partition placement is arbitrary — NOT the
+  * result of Spark's hash function.
+  *
+  * This is the honest physical property of an ingest-clustered layout
+  * (range-partitioned files by a natural key: orderkey ranges, time
+  * shards). It satisfies `ClusteredDistribution` — aggregates, distinct
+  * and window operators over the keys need no exchange — while refusing
+  * every co-partitioning contract:
+  *
+  *  - `satisfies0` mirrors `HashPartitioning`'s subset rule for
+  *    `ClusteredDistribution` only; `OrderedDistribution` and friends are
+  *    rejected, so no sort elision is possible.
+  *  - `createShuffleSpec` returns a [[RangeShuffleSpec]], whose
+  *    `isCompatibleWith` is false against every hash spec and whose
+  *    `canCreatePartitioning` is false. When this side feeds a join,
+  *    `EnsureRequirements` therefore picks the OTHER side's spec and
+  *    inserts a real shuffle on THIS side — correct results, never an
+  *    elided join exchange on data that is co-located but not
+  *    hash-placed. (The earlier design claimed `HashPartitioning` here;
+  *    that elides the join shuffle and silently mis-joins.)
+  */
+case class ClusteredOnlyPartitioning(expressions: Seq[Expression],
+    numPartitions: Int) extends Partitioning {
+  override def satisfies0(required: Distribution): Boolean = required match {
+    case UnspecifiedDistribution => true
+    case AllTuples => numPartitions == 1
+    case c @ ClusteredDistribution(requiredClustering, requireAllClusterKeys, _) =>
+      if (requireAllClusterKeys) c.areAllClusterKeysMatched(expressions)
+      else expressions.forall(x => requiredClustering.exists(_.semanticEquals(x)))
+    case _ => false
+  }
+  override def createShuffleSpec(distribution: ClusteredDistribution): ShuffleSpec =
+    RangeShuffleSpec(numPartitions, distribution)
+}
 
 /** Declares a VERIFIED physical property to Catalyst: every row of a
   * given key lives in exactly one of the child's partitions.
@@ -16,16 +52,14 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * Spark formalizes this for V2 sources as KeyGroupedPartitioning /
   * storage-partitioned joins; for plain parquet directories the planner
   * has no channel to learn it. This node is that channel: a pass-through
-  * whose `outputPartitioning` reports `HashPartitioning(keys)`, so
+  * whose `outputPartitioning` is [[ClusteredOnlyPartitioning]], so
   * `EnsureRequirements` sees `ClusteredDistribution(keys)` satisfied and
-  * plans the aggregate WITHOUT its exchange.
+  * plans the aggregate WITHOUT its exchange — while joins downstream
+  * still shuffle this side (see the partitioning's scaladoc).
   *
-  * The claim is a co-location claim, not a hash-placement claim — safe
-  * for distribution requirements (aggregates, distinct), NOT for
-  * co-partitioned joins against genuinely hash-partitioned sides. It must
-  * only be asserted after measuring the layout (see
-  * [[graft.operators.ClusteredAgg]], which checks per-partition key-range
-  * disjointness first and falls back to the standard plan otherwise).
+  * It must only be asserted after measuring the layout (see
+  * [[graft.operators.ClusteredAgg]], which verifies that no key spans two
+  * scan partitions and falls back to the standard plan otherwise).
   */
 case class AssumeClustered(keys: Seq[Attribute], child: LogicalPlan)
     extends UnaryNode {
@@ -39,7 +73,8 @@ case class AssumeClusteredExec(keys: Seq[Expression], child: SparkPlan)
     extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning =
-    HashPartitioning(keys, math.max(child.outputPartitioning.numPartitions, 1))
+    org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(keys,
+      math.max(child.outputPartitioning.numPartitions, 1))
   override def outputOrdering: Seq[SortOrder] = child.outputOrdering
   override protected def doExecute(): RDD[InternalRow] = child.execute()
   override protected def withNewChildInternal(newChild: SparkPlan): AssumeClusteredExec =

@@ -51,6 +51,28 @@ class ClusteredAggSpec extends SparkSpec {
       df.groupBy("k").agg(sum("v").as("s")).orderBy("k").collect().toSeq)
   }
 
+  test("join downstream of a clustered agg shuffles this side and is correct") {
+    // the adversarial shape from the r5 verdict: the other join side is
+    // genuinely hash-partitioned by the key with the SAME partition count
+    // the clustered side claims. A partitioning that over-claims (the old
+    // HashPartitioning) makes EnsureRequirements elide this side's join
+    // exchange and silently mis-join; ClusteredOnlyPartitioning must
+    // refuse the co-partitioning contract and take a real shuffle.
+    val df = spark.read.parquet(clusteredPath)
+    assert(ClusteredAgg.isKeyClustered(df, "k"))
+    val agg = ClusteredAgg.groupByClustered(df, "k",
+      Seq(sum("v").as("s")))
+    val claimed = agg.rdd.getNumPartitions // scan-partition count the claim carries
+    val dim = spark.range(0, 20000)
+      .select(col("id").as("k"), (col("id") % 5).as("grp"))
+      .repartition(claimed, col("k"))
+    val fast = agg.join(dim.hint("merge"), "k")
+      .orderBy("k").collect().toSeq
+    val slow = df.groupBy("k").agg(sum("v").as("s"))
+      .join(dim.hint("merge"), "k").orderBy("k").collect().toSeq
+    assert(fast == slow, "join downstream of groupByClustered diverged")
+  }
+
   test("NULL keys force the fallback even on a clustered layout") {
     val p = tmp("nulls")
     spark.range(0, 1000)

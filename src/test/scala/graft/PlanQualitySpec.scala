@@ -121,7 +121,10 @@ class PlanQualitySpec extends SparkSpec {
   test("partition-column filter prunes hive partitions at planning time (hp1)") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val df = SparkEntry.queries("hp1_partition_prune")(spark, sf)
-    val scans = df.queryExecution.executedPlan.collect {
+    // under AQE the executedPlan is an AdaptiveSparkPlanExec holder whose
+    // tree-collect never reaches the scan — inspect the pre-adaptive
+    // physical plan, where partitionFilters/selectedPartitions live
+    val scans = df.queryExecution.sparkPlan.collect {
       case s: FileSourceScanExec => s
     }
     assert(scans.nonEmpty, "no file scan in hp1 plan")

@@ -73,7 +73,7 @@ case class AssumeClusteredExec(keys: Seq[Expression], child: SparkPlan)
     extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning =
-    org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(keys,
+    ClusteredOnlyPartitioning(keys,
       math.max(child.outputPartitioning.numPartitions, 1))
   override def outputOrdering: Seq[SortOrder] = child.outputOrdering
   override protected def doExecute(): RDD[InternalRow] = child.execute()

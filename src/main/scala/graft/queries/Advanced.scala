@@ -167,13 +167,21 @@ object Advanced {
              |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin),
       bench = true),
 
-    // TPC-H Q18-shaped: large-quantity orders (HAVING over a join)
+    // TPC-H Q18-shaped: large-quantity orders (HAVING over a join). The
+    // HAVING keeps ~1/500 of orderkeys, so the filtered aggregate is tiny
+    // relative to orders — but Spark's static estimate for agg+filter is
+    // useless and AQE only converts to broadcast after the orders-side
+    // shuffle write has started. Broadcasts.gated measures the actual
+    // post-HAVING size and broadcasts it, skipping the orders shuffle
+    // entirely; at a scale where the filtered set outgrows the gate it
+    // degrades to the shuffle join unchanged.
     Q("q18_big_orders",
       (s, dir) => {
         val l = t(s, dir, "lineitem")
-        val big = l.groupBy("l_orderkey")
-          .agg(sum(col("l_quantity").cast(LongType)).as("total_qty"))
-          .filter(col("total_qty") > 150)
+        val big = graft.operators.Broadcasts.gated(
+          l.groupBy("l_orderkey")
+            .agg(sum(col("l_quantity").cast(LongType)).as("total_qty"))
+            .filter(col("total_qty") > 150))
         val o = t(s, dir, "orders")
         o.join(big, o("o_orderkey") === big("l_orderkey"))
           .select(col("o_custkey"), col("o_orderkey"),

@@ -370,6 +370,47 @@ object Gapfill {
              | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
              |ORDER BY 1, 2, 3""".stripMargin)),
 
+    // st7: LAST-TOUCH attribution — the production form of the interval
+    // join (st6 keeps every (view, purchase) pair; real attribution
+    // credits each purchase to its LATEST qualifying view, then
+    // aggregates revenue per user). Interval join → per-purchase
+    // dedup-to-latest (row_number over purchase) → agg. At scale: the
+    // join shuffles both sides on user_id; the row_number re-shuffles on
+    // purchase_id (narrower — one row per surviving pair); the final agg
+    // reuses nothing but carries only (user, long, long) rows.
+    Q("st7_last_touch",
+      (s, dir) => {
+        val base = t(s, dir, "events")
+        val views = base.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+            col("event_id").as("view_id"))
+        val purchases = base.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"),
+            col("event_id").as("purchase_id"), col("value"))
+        val w = Window.partitionBy("purchase_id")
+          .orderBy(desc("v_ts"), desc("view_id"))
+        purchases.join(views,
+            col("v_user") === col("user_id") &&
+              col("v_ts") <= col("p_ts") &&
+              col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_attr"), sum(cents(col("value"))).as("rev_c"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, COUNT(*) AS n_attr,
+             | CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS rev_c
+             |FROM (
+             | SELECT p.user_id, p.value,
+             |  ROW_NUMBER() OVER (PARTITION BY p.event_id
+             |    ORDER BY v.ts DESC, v.event_id DESC) AS rn
+             | FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             | JOIN (SELECT * FROM events WHERE event_type = 'view') v
+             |  ON v.user_id = p.user_id
+             |  AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+             |) WHERE rn = 1 GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // Sessionization: 30-min-gap sessions per user via lag + cumulative flag
     Q("st2_sessionize",
       (s, dir) => {

@@ -42,13 +42,26 @@ object Tables {
     val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
     val out = new java.io.File(
       s"${System.getProperty("java.io.tmpdir")}/graft-partitioned/$key/documents_by_lang")
-    if (!new java.io.File(out, "_SUCCESS").isFile) {
+    // cache validity is keyed on the SOURCE's content signature (file
+    // names + sizes + mtimes), not just the path: regenerating the source
+    // in place must invalidate the copy, or this layout would silently
+    // diverge from what an oracle reading the original sees
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val sig = Option(src.listFiles()).map(_.filter(_.isFile)).getOrElse(Array(src))
+      .sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("\n")
+    val sigFile = new java.io.File(out.getParentFile, "documents_by_lang.sig")
+    val fresh = new java.io.File(out, "_SUCCESS").isFile && sigFile.isFile &&
+      new String(java.nio.file.Files.readAllBytes(sigFile.toPath), "UTF-8") == sig
+    if (!fresh) {
       load(spark, dir, "documents")
         // one file per partition dir: at this SF a per-lang directory is
         // a single task's worth; at 100 TB you'd keep the natural task
         // fan-out instead of coalescing
         .repartition(org.apache.spark.sql.functions.col("lang"))
         .write.mode("overwrite").partitionBy("lang").parquet(out.toString)
+      sigFile.getParentFile.mkdirs()
+      java.nio.file.Files.write(sigFile.toPath, sig.getBytes("UTF-8"))
     }
     spark.read.parquet(out.toString)
   }

@@ -181,6 +181,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join state is evicted at the watermark (bounded)") {
+    // 5 file batches, each advancing event time by 24 hours, each with 20
+    // (view, purchase-10-min-later) pairs. The interval bound + watermark
+    // makes join state evictable: a view is dead once the watermark passes
+    // v_ts + 1h, a purchase once it passes p_ts. If eviction works, state
+    // plateaus at ~one batch's rows; if not, it grows to all 200 rows.
+    import java.nio.file.Files
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_joinevict").toString
+    val srcDir = s"$work/src"
+    new java.io.File(srcDir).mkdirs()
+    val stream = spark.readStream.schema(EventStreams.rawSchema).parquet(srcDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = EventStreams.viewToPurchase(stream)
+      .writeStream.format("memory").queryName("joinevict_test")
+      .outputMode("append").start()
+    try {
+      val baseNs = 1600000000L * 1000000000L
+      val stateSizes = (0 until 5).map { b =>
+        val rows = (0 until 20).flatMap { u =>
+          val t0 = baseNs + (b * 24L * 3600L + u * 60L) * 1000000000L
+          Seq((b * 100L + u * 2L, t0, u.toLong, "view", 0.0, ""),
+            (b * 100L + u * 2L + 1L, t0 + 600L * 1000000000L,
+              u.toLong, "purchase", 5.0, ""))
+        }
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .write.mode("append").parquet(srcDir)
+        q.processAllAvailable()
+        q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      }
+      // every in-window pair joined exactly once (inner join emits eagerly)
+      assert(spark.table("joinevict_test").count() === 100L)
+      // plateau, not growth: last batch holds no more than the first
+      // (+slack for the watermark's one-trigger lag), and no point in
+      // time ever held anything near the 200 rows seen overall
+      assert(stateSizes.last <= stateSizes.head + 8, s"join state grew: $stateSizes")
+      assert(stateSizes.max <= 100, s"join state not bounded: $stateSizes")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join matches batch (dim side broadcast)") {
     // the standing-pipeline form of dimension enrichment: a static dim
     // table joined to every micro-batch. No state store involved — the

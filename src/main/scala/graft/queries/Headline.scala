@@ -89,21 +89,33 @@ object Headline {
     // TPC-H Q5-shaped: local supplier volume — 6-way join; dims broadcast
     Q("q5_local_supplier",
       (s, dir) => {
+        // the q3 shape applied to q5: reduce (filtered orders ⋈ bcast
+        // customer) to its two live columns and gated-broadcast it into
+        // the lineitem scan, so the fact table never shuffles — measured
+        // 3.64 -> 2.37 s at the 100x replica (DuckDB parity). The gate
+        // is 256 MB here (the oc side is ~2M slim rows at 100x; at a
+        // scale where it outgrows the gate, the plan degrades to the
+        // shuffle join this query used before). Only remaining exchange:
+        // the 5-row final aggregate's.
         val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
         val n = t(s, dir, "nation")
-        val c = t(s, dir, "customer")
+        val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
         val o = t(s, dir, "orders")
           .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+          .select("o_orderkey", "o_custkey")
+        val oc = graft.operators.Broadcasts.gated(
+          o.join(broadcast(c), c("c_custkey") === o("o_custkey"))
+            .select("o_orderkey", "c_nationkey"),
+          maxBytes = 256L << 20)
+        val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
         val l = t(s, dir, "lineitem")
-        val su = t(s, dir, "supplier")
-        val j = o
-          .join(l, o("o_orderkey") === l("l_orderkey"))
-          .join(broadcast(c), c("c_custkey") === o("o_custkey"))
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        l.join(oc, oc("o_orderkey") === l("l_orderkey"))
           .join(broadcast(su),
-            su("s_suppkey") === l("l_suppkey") && su("s_nationkey") === c("c_nationkey"))
+            su("s_suppkey") === l("l_suppkey") && su("s_nationkey") === col("c_nationkey"))
           .join(broadcast(n), n("n_nationkey") === su("s_nationkey"))
           .join(broadcast(r), r("r_regionkey") === n("n_regionkey"))
-        j.groupBy(col("n_name"))
+          .groupBy(col("n_name"))
           .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"))
           .orderBy(desc_nulls_last("revenue_c"), asc_nulls_first("n_name"))
       },

@@ -69,14 +69,32 @@ case class AssumeClustered(keys: Seq[Attribute], child: LogicalPlan)
     copy(child = newChild)
 }
 
+/** Whole-stage-codegen PASS-THROUGH: the node changes only the declared
+  * partitioning, so it must not cost anything at runtime. Without
+  * `CodegenSupport` it would sit as an iterator boundary between the
+  * scan and the aggregate it exists to serve — splitting one fused
+  * stage into two and materializing every row at the seam.
+  */
 case class AssumeClusteredExec(keys: Seq[Expression], child: SparkPlan)
-    extends UnaryExecNode {
+    extends UnaryExecNode
+    with org.apache.spark.sql.execution.CodegenSupport {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning =
     ClusteredOnlyPartitioning(keys,
       math.max(child.outputPartitioning.numPartitions, 1))
   override def outputOrdering: Seq[SortOrder] = child.outputOrdering
   override protected def doExecute(): RDD[InternalRow] = child.execute()
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    child.asInstanceOf[org.apache.spark.sql.execution.CodegenSupport].inputRDDs()
+  override protected def doProduce(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext): String =
+    child.asInstanceOf[org.apache.spark.sql.execution.CodegenSupport]
+      .produce(ctx, this)
+  override def doConsume(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      input: Seq[org.apache.spark.sql.catalyst.expressions.codegen.ExprCode],
+      row: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode): String =
+    parent.doConsume(ctx, input, row)
   override protected def withNewChildInternal(newChild: SparkPlan): AssumeClusteredExec =
     copy(child = newChild)
 }

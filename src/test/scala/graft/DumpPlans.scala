@@ -17,7 +17,7 @@ object DumpPlans {
       "q3_shipping_priority" ->
         "Filters pushed to all three scans; customer dim broadcast; TakeOrderedAndProject top-10 (no global sort).",
       "q5_local_supplier" ->
-        "Six-way join: all dims broadcast, fact tables join on keys AQE can re-plan; single aggregation exchange.",
+        "Fact table never shuffles: the reduced (orders x customer) side is measured and broadcast into the lineitem scan (Broadcasts.gated, 256 MB gate with shuffle-join fallback); supplier/nation/region broadcast; the only exchange is the 5-row final aggregate's.",
       "dd2_minhash_lsh" ->
         "Signature stage is shuffle-free mapPartitions; one bucket-group exchange; verify joins only candidate ids (left-semi pushdown).",
       "ss1_cosine_topk" ->
@@ -31,7 +31,7 @@ object DumpPlans {
       "q6_revenue_delta" ->
         "Single scan with every predicate pushed into parquet; one partial+final aggregate, no exchange beyond the final singleton.",
       "q18_big_orders" ->
-        "Semi-join against the >300-qty aggregate; shuffle joins AQE can re-plan; top-100 via TakeOrderedAndProject.",
+        "groupByClustered elides the 60M-row aggregate exchange when the verified layout allows (AssumeClustered; shuffle-agg fallback otherwise); the post-HAVING side is measured and broadcast (Broadcasts.gated) so orders never shuffles; top-100 via TakeOrderedAndProject.",
       "q19_disjunctive" ->
         "Disjunctive predicate stays a single scan+filter over the part join — no union-of-scans blowup; part dim broadcast.",
       "dd3_simhash" ->

@@ -221,6 +221,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("RocksDB state store: same results, state still bounded") {
+    // the production state backend (spark.sql.streaming.stateStore
+    // .providerClass): at 100 TB the state of a streaming agg/join/dedup
+    // lives off-heap in RocksDB per partition, not on the JVM heap. The
+    // pipeline must be provider-agnostic — same results, same eviction
+    // bound, only the storage engine changes.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = EventStreams.readEventsStream(spark, sf)
+      val q = EventStreams.startMemorySink(
+        EventStreams.hourlyByType(stream, watermark = false), "rocksdb_test")
+      try {
+        q.processAllAvailable()
+        val streamed = spark.table("rocksdb_test").collect().map(_.toSeq).toSet
+        val batch = EventStreams.hourlyByType(
+          Tables.load(spark, sf, "events"), watermark = false)
+          .collect().map(_.toSeq).toSet
+        assert(streamed === batch)
+        assert(q.lastProgress.stateOperators.head.numRowsTotal > 0)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-static enrichment join matches batch (dim side broadcast)") {
     // the standing-pipeline form of dimension enrichment: a static dim
     // table joined to every micro-batch. No state store involved — the

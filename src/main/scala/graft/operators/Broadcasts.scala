@@ -60,10 +60,20 @@ object Broadcasts {
     val ck = df.persist(StorageLevel.MEMORY_AND_DISK)
     val n = ck.count() // materializes the cache; the side is consumed next
     if (n == 0L) return broadcast(ck)
-    val sample = ck.head(math.min(n, sampleRows.toLong).toInt)
-    // object-graph bytes per external row ≥ UnsafeRow bytes the broadcast
-    // relation actually stores — a conservative (over-)estimate
-    val width = math.max(SizeEstimator.estimate(sample) / sample.length, 1L)
-    if (n * width <= maxBytes) broadcast(ck) else ck
+    // measured size, best first: the materialized InMemoryRelation reports
+    // the EXACT byte size of the cached data (its stats accumulator) —
+    // re-deriving the optimized plan after the count picks the cache up.
+    // Fallback (cache lookup failed): SizeEstimator over a head sample —
+    // boxed-row object-graph bytes, a conservative over-estimate.
+    val cacheBytes = ck.queryExecution.optimizedPlan.collectFirst {
+      case im: org.apache.spark.sql.execution.columnar.InMemoryRelation
+          if im.cacheBuilder.isCachedColumnBuffersLoaded =>
+        BigInt(im.cacheBuilder.sizeInBytesStats.value.longValue)
+    }
+    val bytes: BigInt = cacheBytes.getOrElse {
+      val sample = ck.head(math.min(n, sampleRows.toLong).toInt)
+      BigInt(n) * math.max(SizeEstimator.estimate(sample) / sample.length, 1L)
+    }
+    if (bytes <= maxBytes) broadcast(ck) else ck
   }
 }

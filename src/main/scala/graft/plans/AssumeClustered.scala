@@ -33,7 +33,14 @@ case class ClusteredOnlyPartitioning(expressions: Seq[Expression],
     numPartitions: Int) extends Partitioning {
   override def satisfies0(required: Distribution): Boolean = required match {
     case UnspecifiedDistribution => true
-    case AllTuples => numPartitions == 1
+    // NEVER claim AllTuples: numPartitions comes from the child's declared
+    // partitioning, and a FileSourceScan declares UnknownPartitioning(0) —
+    // clamping that to 1 once made this claim vacuously true, so a global
+    // aggregate (count, global sum) over the clustered output skipped its
+    // singleton exchange and silently returned PARTITION 0's result only
+    // (caught at the 100x replica: count() = 1/100 of the truth; spec:
+    // "global aggregates over groupByClustered get their exchange").
+    case AllTuples => false
     case c @ ClusteredDistribution(requiredClustering, requireAllClusterKeys, _) =>
       if (requireAllClusterKeys) c.areAllClusterKeysMatched(expressions)
       else expressions.forall(x => requiredClustering.exists(_.semanticEquals(x)))
@@ -79,9 +86,11 @@ case class AssumeClusteredExec(keys: Seq[Expression], child: SparkPlan)
     extends UnaryExecNode
     with org.apache.spark.sql.execution.CodegenSupport {
   override def output: Seq[Attribute] = child.output
+  // child numPartitions passes through UNCLAMPED: 0 = "unknown" is the
+  // honest value for a file scan, and must stay 0 so no requiredNumPartitions
+  // check can ever match vacuously (see ClusteredOnlyPartitioning.AllTuples)
   override def outputPartitioning: Partitioning =
-    ClusteredOnlyPartitioning(keys,
-      math.max(child.outputPartitioning.numPartitions, 1))
+    ClusteredOnlyPartitioning(keys, child.outputPartitioning.numPartitions)
   override def outputOrdering: Seq[SortOrder] = child.outputOrdering
   override protected def doExecute(): RDD[InternalRow] = child.execute()
   override def inputRDDs(): Seq[RDD[InternalRow]] =

@@ -175,12 +175,13 @@ object Advanced {
     //     two scan partitions; if it does (file split mid-key, random
     //     layout), the standard shuffle aggregate runs unchanged.
     //     Measured at the 100x replica: 2.46 -> 1.60 s.
-    //  2. Broadcasts.gated: the post-HAVING side is ~1/500 of orderkeys,
-    //     but Spark's static estimate for agg+filter is useless and AQE
+    //  2. Broadcasts.gated: the post-HAVING side is ~20% of orderkeys but
+    //     only two 8-byte columns (~16 B/row measured from the cache
+    //     stats), so it broadcasts comfortably at the tested scales —
+    //     Spark's static estimate for agg+filter can't see that, and AQE
     //     only converts to broadcast after the orders-side shuffle write
-    //     has started. The gate measures the actual size, broadcasts it,
-    //     and the orders shuffle disappears; when the filtered set
-    //     outgrows the gate it degrades to the shuffle join.
+    //     has started. When the filtered set outgrows the gate it
+    //     degrades to the shuffle join.
     Q("q18_big_orders",
       (s, dir) => {
         val l = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")

@@ -92,11 +92,11 @@ object Headline {
         // the q3 shape applied to q5: reduce (filtered orders ⋈ bcast
         // customer) to its two live columns and gated-broadcast it into
         // the lineitem scan, so the fact table never shuffles — measured
-        // 3.64 -> 2.37 s at the 100x replica (DuckDB parity). The gate
-        // is 256 MB here (the oc side is ~2M slim rows at 100x; at a
-        // scale where it outgrows the gate, the plan degrades to the
-        // shuffle join this query used before). Only remaining exchange:
-        // the 5-row final aggregate's.
+        // 3.64 -> 2.37 s at the 100x replica (DuckDB parity). The oc side
+        // is ~2M 16-byte rows at 100x (~36 MB by cache stats), inside the
+        // default gate; at a scale where it outgrows the gate the plan
+        // degrades to the shuffle join this query used before. Only
+        // remaining exchange: the 5-row final aggregate's.
         val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
         val n = t(s, dir, "nation")
         val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
@@ -105,8 +105,7 @@ object Headline {
           .select("o_orderkey", "o_custkey")
         val oc = graft.operators.Broadcasts.gated(
           o.join(broadcast(c), c("c_custkey") === o("o_custkey"))
-            .select("o_orderkey", "c_nationkey"),
-          maxBytes = 256L << 20)
+            .select("o_orderkey", "c_nationkey"))
         val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
         val l = t(s, dir, "lineitem")
           .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")

@@ -73,6 +73,30 @@ class ClusteredAggSpec extends SparkSpec {
     assert(fast == slow, "join downstream of groupByClustered diverged")
   }
 
+  test("global aggregates over groupByClustered get their exchange (multi-partition)") {
+    // regression for the AllTuples hole: the scan declares
+    // UnknownPartitioning(0); a partitioning that clamps that to 1 claims
+    // AllTuples vacuously, and a global aggregate (count, global sum)
+    // over the clustered output then skips its singleton exchange and
+    // returns PARTITION 0's result only. Caught at the 100x replica as
+    // count() = exactly 1/100 of the truth. Force a genuinely
+    // multi-partition scan (one partition per file) and require global
+    // aggregates to match the shuffle plan.
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    try {
+      val df = spark.read.parquet(clusteredPath)
+      assert(df.rdd.getNumPartitions > 1, "layout must span several scan partitions")
+      assert(ClusteredAgg.isKeyClustered(df, "k"))
+      val agg = ClusteredAgg.groupByClustered(df, "k",
+        Seq(sum("v").as("s"), count(lit(1)).as("c")))
+      val plain = df.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("c"))
+      assert(agg.count() === plain.count(), "count() lost partitions")
+      assert(agg.agg(sum("s"), sum("c")).head().toSeq ===
+        plain.agg(sum("s"), sum("c")).head().toSeq, "global sum lost partitions")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
   test("NULL keys force the fallback even on a clustered layout") {
     val p = tmp("nulls")
     spark.range(0, 1000)

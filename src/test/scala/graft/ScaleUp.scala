@@ -55,6 +55,15 @@ object ScaleUp {
       "l_suppkey" -> nS)), "lineitem")
     write(replicate(docs, Map("doc_id" -> nD)), "documents")
     write(replicate(emb, Map("vec_id" -> nE)), "embeddings")
+    // events: ids and users offset (user_id tracks the customer offset so
+    // per-copy funnels/enrichment joins stay closed); timestamps are kept,
+    // so windows aggregate across copies — well-defined, linearly larger
+    // per-user results
+    // Tables.load already normalizes ts to TimestampNTZ micros, which is
+    // what both engines read back — the replica just persists that form
+    val ev = Tables.load(spark, src, "events")
+    val nEv = maxOf(ev, "event_id")
+    write(replicate(ev, Map("event_id" -> nEv, "user_id" -> nC)), "events")
     println(s"SCALEUP done: $dst = $src x $k")
     spark.stop()
   }

@@ -45,7 +45,9 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if Path(p).exists():
+        if Path(p).is_dir():  # Spark-written replica: directory of part files
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif Path(p).exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.loads(Path(f"{out_dir}/oracle_sql.json").read_text())
     n_pass = n_fail = 0

@@ -99,11 +99,20 @@ case class AssumeClusteredExec(keys: Seq[Expression], child: SparkPlan)
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext): String =
     child.asInstanceOf[org.apache.spark.sql.execution.CodegenSupport]
       .produce(ctx, this)
+  // Forward to the parent THROUGH consume(), never parent.doConsume
+  // directly: consume() owns the bookkeeping this node must not skip —
+  // materializing the child's loop-local input variables and deciding
+  // when the parent's consume path is split into a separate Java method.
+  // Bypassing it generated split functions that referenced the scan's
+  // loop locals out of scope (janino: `Unknown variable
+  // "columnartorow_value_1"` / local redefinition), and Spark silently
+  // ran the whole span interpreted. Same shape as Spark's own
+  // pass-through node (execution/debug's DebugExec.doConsume).
   override def doConsume(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       input: Seq[org.apache.spark.sql.catalyst.expressions.codegen.ExprCode],
       row: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode): String =
-    parent.doConsume(ctx, input, row)
+    consume(ctx, input)
   override protected def withNewChildInternal(newChild: SparkPlan): AssumeClusteredExec =
     copy(child = newChild)
 }

@@ -97,6 +97,43 @@ class ClusteredAggSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
+  test("clustered agg span COMPILES under whole-stage codegen (no silent fallback)") {
+    // r6 verdict: AssumeClusteredExec.doConsume forwarded directly to
+    // parent.doConsume, bypassing consume()'s bookkeeping (input-variable
+    // materialization, function splitting), so when the aggregate's consume
+    // path was split into a separate Java method it referenced the scan's
+    // loop-local variable out of scope — janino failed and Spark SILENTLY
+    // ran the whole span interpreted. 133 green tests missed it because
+    // results stay correct. Compile every generated span explicitly here:
+    // a codegen regression now fails the build instead of logging a WARN.
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    import graft.plans.AssumeClusteredExec
+    val df = spark.read.parquet(clusteredPath)
+    assert(ClusteredAgg.isKeyClustered(df, "k"))
+    // the q18 shape: many aggregates widen the consume path past the
+    // method-split threshold, which is exactly the path that broke
+    val fast = ClusteredAgg.groupByClustered(df, "k",
+      Seq(sum("v").as("s"), count(lit(1)).as("c"), avg("v").as("m"),
+        min("v").as("lo"), max("v").as("hi"), sum(col("v") * col("v")).as("s2"),
+        count(when(col("v") > 6, 1)).as("chi"), sum(when(col("v") % 2 === 0, col("v"))).as("se")))
+    fast.collect() // materialize the AQE final plan (fallback keeps results right)
+    // AdaptiveSparkPlanExec and QueryStageExec are leaf wrappers; the
+    // helper's collect sees through both
+    val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    val finalPlan = fast.queryExecution.executedPlan
+    val spans = helper.collect(finalPlan) {
+      case w: WholeStageCodegenExec => w
+    }
+    val fused = spans.filter(_.exists(_.isInstanceOf[AssumeClusteredExec]))
+    assert(fused.nonEmpty,
+      s"AssumeClusteredExec sits outside every codegen span:\n$finalPlan")
+    fused.foreach { w =>
+      val (_, src) = w.doCodeGen()
+      CodeGenerator.compile(src) // throws CompileException on invalid codegen
+    }
+  }
+
   test("NULL keys force the fallback even on a clustered layout") {
     val p = tmp("nulls")
     spark.range(0, 1000)

@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Inherit the forked JVM's stdio instead of routing it through sbt's
+// logger: Bench's one-line JSON contract must reach stdout BARE — the
+// "[info] " prefix sbt would add defeats a line-oriented json.loads.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

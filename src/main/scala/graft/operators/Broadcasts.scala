@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions.broadcast
@@ -21,59 +19,114 @@ import org.apache.spark.util.SizeEstimator
   * latency at the 60M-row replica.
   *
   * `gated` materializes the candidate side once (it is about to be
-  * consumed anyway), reads its ACTUAL row count and a MEASURED average
-  * row width (SizeEstimator over a head sample — schema `defaultSize`
-  * flat-rates every string at 20 bytes and can under-gate by orders of
-  * magnitude on text-heavy rows; the object-graph estimate errs the safe
-  * direction), and broadcasts only if `rows × width` fits the threshold —
-  * otherwise it returns the materialized frame for a normal shuffle join.
-  * At 100 TB the same query's filtered side is billions of rows, the gate
-  * fails, and the plan degrades gracefully to the scale-correct shuffle
-  * join: no hand-tuned constant ever broadcasts an unboundedly-growing
-  * side.
+  * consumed anyway), reads its ACTUAL row count and a MEASURED size, and
+  * broadcasts only if the estimated DESERIALIZED relation fits the
+  * threshold — otherwise it returns the materialized frame for a normal
+  * shuffle join. At 100 TB the same query's filtered side is billions of
+  * rows, the gate fails, and the plan degrades gracefully to the
+  * scale-correct shuffle join: no hand-tuned constant ever broadcasts an
+  * unboundedly-growing side.
   *
   * Materialization is `persist(MEMORY_AND_DISK)` + count, NOT
   * `localCheckpoint`: persisted blocks keep their lineage, so a lost
   * executor recomputes its partitions instead of aborting the job — the
   * fault-tolerance posture a 1000-executor cluster requires — and blocks
   * spill rather than OOM. Decisions are cached per (session, canonical
-  * plan): re-running the same query reuses the already-materialized side
-  * instead of checkpointing a fresh orphan copy each run (which both
-  * leaked storage across bench iterations and perturbed their timings).
+  * plan, gate): re-running the same query reuses the already-materialized
+  * side instead of checkpointing a fresh orphan copy each run. The cache
+  * is a bounded LRU that unpersists what it evicts, and [[reset]] drops
+  * everything — a long-lived session running many distinct queries can
+  * no longer accumulate pinned storage without bound, and a caller that
+  * regenerates source files in-session resets to drop stale frames.
   */
 object Broadcasts {
-  /** Decision cache keyed by (session, canonicalized plan) — structural
-    * plan equality (collision-proof, unlike a 32-bit hash), session-scoped
-    * so a frame never outlives or crosses its SparkSession.
-    */
-  private val decided =
-    new ConcurrentHashMap[(SparkSession, LogicalPlan), DataFrame]()
 
-  def gated(df: DataFrame, maxBytes: Long = 64L << 20,
+  /** Compressed-columnar cache bytes → deserialized broadcast-hash-relation
+    * heap bytes. The cache stats measure the EXACT size of the encoded
+    * columnar buffers, but what a broadcast actually pins on every
+    * executor is the row-format hash relation — dictionary/RLE encoding
+    * undone, plus hash-table overhead — typically several times larger.
+    * Gating on raw cache bytes therefore under-gates; the factor keeps
+    * the measurement exact while pricing in the expansion. (The
+    * SizeEstimator fallback needs no factor: it already walks the boxed
+    * object graph, an over-estimate of the unsafe-row relation.)
+    */
+  private val CacheExpansion = 4L
+
+  /** Default gate on the estimated DESERIALIZED relation size. 256 MB of
+    * hash relation ≈ 64 MB of compressed cache (the pre-r7 gate measured
+    * in compressed bytes) — same operating point, honest units. Well
+    * under Spark's 8 GB broadcast cap and a sane per-executor pin on a
+    * real cluster.
+    */
+  val DefaultMaxBytes: Long = 256L << 20
+
+  private final case class Entry(result: DataFrame, materialized: DataFrame)
+
+  /** Decision LRU keyed by (session, canonicalized plan, gate) —
+    * structural plan equality (collision-proof, unlike a 32-bit hash),
+    * session-scoped so a frame never outlives or crosses its
+    * SparkSession, gate-scoped so the same plan gated at 64 MB and
+    * 512 MB cannot alias to one decision. Bounded: eviction unpersists
+    * the evicted side's storage.
+    */
+  private val MaxEntries = 64
+  private val decided =
+    new java.util.LinkedHashMap[(SparkSession, LogicalPlan, Long), Entry](
+        16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, LogicalPlan, Long), Entry]): Boolean =
+        if (size > MaxEntries) { e.getValue.materialized.unpersist(false); true }
+        else false
+    }
+
+  /** Drop every cached decision and unpersist its storage. Call between
+    * benchmark iterations for cold-cache timings, or after regenerating
+    * source files whose plans were gated in this session.
+    */
+  def reset(): Unit = decided.synchronized {
+    decided.values.forEach(e => e.materialized.unpersist(false))
+    decided.clear()
+  }
+
+  /** Number of live cached decisions (spec hook). */
+  def cachedCount: Int = decided.synchronized(decided.size)
+
+  def gated(df: DataFrame, maxBytes: Long = DefaultMaxBytes,
       sampleRows: Int = 1024): DataFrame = {
-    val key = (df.sparkSession, PlanBridge.analyzed(df).canonicalized)
-    decided.computeIfAbsent(key, _ => decide(df, maxBytes, sampleRows))
+    val key = (df.sparkSession, PlanBridge.analyzed(df).canonicalized, maxBytes)
+    val hit = decided.synchronized(decided.get(key))
+    if (hit != null) return hit.result
+    // decide() runs Spark jobs — outside the lock. A concurrent racer may
+    // decide the same plan; the loser's copy is unpersisted, first wins.
+    val fresh = decide(df, maxBytes, sampleRows)
+    decided.synchronized {
+      val race = decided.get(key)
+      if (race != null) { fresh.materialized.unpersist(false); race.result }
+      else { decided.put(key, fresh); fresh.result }
+    }
   }
 
   private def decide(df: DataFrame, maxBytes: Long,
-      sampleRows: Int): DataFrame = {
+      sampleRows: Int): Entry = {
     val ck = df.persist(StorageLevel.MEMORY_AND_DISK)
     val n = ck.count() // materializes the cache; the side is consumed next
-    if (n == 0L) return broadcast(ck)
+    if (n == 0L) return Entry(broadcast(ck), ck)
     // measured size, best first: the materialized InMemoryRelation reports
     // the EXACT byte size of the cached data (its stats accumulator) —
-    // re-deriving the optimized plan after the count picks the cache up.
+    // re-deriving the optimized plan after the count picks the cache up;
+    // × CacheExpansion prices the columnar→hash-relation decode (above).
     // Fallback (cache lookup failed): SizeEstimator over a head sample —
     // boxed-row object-graph bytes, a conservative over-estimate.
     val cacheBytes = ck.queryExecution.optimizedPlan.collectFirst {
       case im: org.apache.spark.sql.execution.columnar.InMemoryRelation
           if im.cacheBuilder.isCachedColumnBuffersLoaded =>
-        BigInt(im.cacheBuilder.sizeInBytesStats.value.longValue)
+        BigInt(im.cacheBuilder.sizeInBytesStats.value.longValue) * CacheExpansion
     }
     val bytes: BigInt = cacheBytes.getOrElse {
       val sample = ck.head(math.min(n, sampleRows.toLong).toInt)
       BigInt(n) * math.max(SizeEstimator.estimate(sample) / sample.length, 1L)
     }
-    if (bytes <= maxBytes) broadcast(ck) else ck
+    Entry(if (bytes <= maxBytes) broadcast(ck) else ck, ck)
   }
 }

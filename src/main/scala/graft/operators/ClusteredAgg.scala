@@ -55,6 +55,11 @@ object ClusteredAgg {
   private val layoutVerdicts =
     new java.util.concurrent.ConcurrentHashMap[LogicalPlan, java.lang.Boolean]()
 
+  /** Drop all cached layout verdicts (bench cold-run hook; also correct
+    * to call after rewriting files behind a measured layout in-session).
+    */
+  def reset(): Unit = layoutVerdicts.clear()
+
   /** Is every key of `df(keyCol)` confined to a single scan partition,
     * with no NULLs? Exact, not a range heuristic. (cached; safe to call
     * repeatedly)

@@ -17,7 +17,7 @@ object DumpPlans {
       "q3_shipping_priority" ->
         "Filters pushed to all three scans; customer dim broadcast; TakeOrderedAndProject top-10 (no global sort).",
       "q5_local_supplier" ->
-        "Fact table never shuffles: the reduced (orders x customer) side is measured and broadcast into the lineitem scan (Broadcasts.gated, 256 MB gate with shuffle-join fallback); supplier/nation/region broadcast; the only exchange is the 5-row final aggregate's.",
+        "Fact table never shuffles: the reduced (orders x customer) side is measured and broadcast into the lineitem scan (Broadcasts.gated, default gate = 256 MB deserialized estimate, shuffle-join fallback); supplier/nation/region broadcast; the only exchange is the 5-row final aggregate's.",
       "dd2_minhash_lsh" ->
         "Signature stage is shuffle-free mapPartitions; one bucket-group exchange; verify joins only candidate ids (left-semi pushdown).",
       "ss1_cosine_topk" ->

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.PlanBridge
+
+/** Top-k pushdown through a key-preserving join — the third
+  * runtime-verified physical shortcut (with [[ClusteredAgg]] and
+  * [[Broadcasts]]): measure the property the rewrite needs, cache the
+  * verdict per layout, fall back to the standard plan when it fails.
+  *
+  * `ORDER BY s LIMIT k` over `dim ⨝ fact` commutes with the join when
+  * the join is MULTIPLICITY-PRESERVING on `fact` — every fact row
+  * appears in the join result exactly once — and the sort refers only
+  * to fact columns. Then the top-k fact rows ARE the top-k join rows,
+  * so the plan becomes: TakeOrderedAndProject over fact (k rows), then
+  * a k-row broadcast probe of dim. What that replaces at the 60M-row
+  * replica is the q18 tail cost: building and shipping a 2.9M-entry
+  * broadcast hash relation per run just to keep 100 rows of its output.
+  *
+  * Multiplicity preservation is exactly (verified, not assumed):
+  *  1. `dim(dimKey)` has no duplicate non-NULL value (each fact row
+  *     matches at most one dim row), and
+  *  2. every `fact(factKey)` value — NULLs included, which never
+  *     equi-join — has a match in `dim` (no fact row is dropped).
+  * These are the PRIMARY KEY and FOREIGN KEY constraints a warehouse
+  * catalog would declare; plain parquet has no catalog, so both are
+  * measured: one aggregate over dim's key, one anti-join probe, cached
+  * per (session, canonical fact plan, canonical dim plan, keys). A
+  * duplicate dim key, an orphaned or NULL fact key — and the standard
+  * join + global top-k runs unchanged.
+  *
+  * At 100 TB the verified path is the difference between broadcasting
+  * k rows and hash-building billions: the fact side is materialized
+  * once (lineage-preserving persist, [[Broadcasts]] cache discipline),
+  * its top-k is a TakeOrderedAndProject (per-partition heaps, no global
+  * sort), and dim is probed by a k-row broadcast — dim never shuffles
+  * at any scale. The fallback path degrades to [[Broadcasts.gated]] on
+  * the fact side, which itself degrades to a shuffle join past the
+  * gate.
+  */
+object TopKJoin {
+
+  /** Key-preservation verdicts, keyed like [[ClusteredAgg.layoutVerdicts]]
+    * on canonicalized plans — structural equality, session-implied via
+    * the plans' exprIds.
+    */
+  private val verdicts =
+    new java.util.concurrent.ConcurrentHashMap[
+      (LogicalPlan, LogicalPlan, String, String), java.lang.Boolean]()
+
+  /** Bench cold-run hook; also correct after regenerating source files. */
+  def reset(): Unit = verdicts.clear()
+
+  /** Is `fact ⨝ dim ON fact(factKey) = dim(dimKey)` multiplicity-
+    * preserving on fact? (cached; safe to call repeatedly)
+    */
+  def isKeyPreserving(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String): Boolean = {
+    val key = (PlanBridge.analyzed(fact).canonicalized,
+      PlanBridge.analyzed(dim).canonicalized, factKey, dimKey)
+    verdicts.computeIfAbsent(key, _ => {
+      // PK side: no non-NULL dim key twice. count==countDistinct both
+      // ignore NULLs; the aggregate's wire is dim's distinct keys after
+      // map-side partials — what the avoided join shuffle would carry.
+      val pk = dim.agg(
+        (count(col(dimKey)) === countDistinct(col(dimKey))).as("u")).head()
+      val unique = !pk.isNullAt(0) && pk.getBoolean(0)
+      // FK side: no fact key (NULL included — NULL never equi-joins and
+      // survives the anti-join) without a dim match.
+      lazy val orphans = fact.select(col(factKey))
+        .join(dim.select(col(dimKey)), col(factKey) === col(dimKey), "left_anti")
+        .isEmpty
+      java.lang.Boolean.valueOf(unique && orphans)
+    })
+  }
+
+  /** `dim ⨝ fact ON dim(dimKey) = fact(factKey)`, truncated to the top
+    * `k` rows by `sort` — which must reference ONLY fact columns and,
+    * for a deterministic result, totally order fact (include factKey as
+    * tiebreaker). Returns ≤ k rows carrying both sides' columns; callers
+    * project and re-sort the k-row output (cost-free) for presentation.
+    *
+    * Verified key-preserving layout: top-k BEFORE the join, k-row
+    * broadcast probe. Otherwise: the standard stats-gated join with the
+    * global top-k after.
+    */
+  def limitJoin(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String, sort: Seq[Column], k: Int): DataFrame = {
+    if (isKeyPreserving(fact, dim, factKey, dimKey)) {
+      // fact is typically an aggregate the session reuses: materialize it
+      // through the Broadcasts cache (persist + LRU + reset discipline)
+      // with a 0-byte gate — cache, never broadcast the full side.
+      val factM = Broadcasts.gated(fact, maxBytes = 0L)
+      val top = factM.orderBy(sort: _*).limit(k)
+      dim.join(broadcast(top), dim(dimKey) === top(factKey))
+    } else {
+      val factG = Broadcasts.gated(fact)
+      dim.join(factG, dim(dimKey) === factG(factKey))
+        .orderBy(sort: _*).limit(k)
+    }
+  }
+}

@@ -175,22 +175,26 @@ object Advanced {
     //     two scan partitions; if it does (file split mid-key, random
     //     layout), the standard shuffle aggregate runs unchanged.
     //     Measured at the 100x replica: 2.46 -> 1.60 s.
-    //  2. Broadcasts.gated: the post-HAVING side is ~20% of orderkeys but
-    //     only two 8-byte columns (~16 B/row measured from the cache
-    //     stats), so it broadcasts comfortably at the tested scales —
-    //     Spark's static estimate for agg+filter can't see that, and AQE
-    //     only converts to broadcast after the orders-side shuffle write
-    //     has started. When the filtered set outgrows the gate it
-    //     degrades to the shuffle join.
+    //  2. TopKJoin.limitJoin: orders.o_orderkey is a measured PRIMARY
+    //     KEY and the aggregate's keys a measured FOREIGN KEY into it,
+    //     so the join is multiplicity-preserving and the top-100
+    //     commutes below it — TakeOrderedAndProject over the 2.9M-row
+    //     HAVING side, then a 100-row broadcast probe of orders,
+    //     replacing a 2.9M-entry broadcast hash build per run. A
+    //     duplicate order key or an orphaned lineitem demotes to the
+    //     stats-gated join (which itself demotes to a shuffle join past
+    //     the broadcast gate). The sort carries l_orderkey (= the
+    //     join key, so identical to o_orderkey on every surviving row)
+    //     as tiebreaker: a total order makes top-100 deterministic.
     Q("q18_big_orders",
       (s, dir) => {
         val l = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
-        val big = graft.operators.Broadcasts.gated(
-          graft.operators.ClusteredAgg.groupByClustered(l, "l_orderkey",
-            Seq(sum(col("l_quantity").cast(LongType)).as("total_qty")))
-            .filter(col("total_qty") > 150))
+        val big = graft.operators.ClusteredAgg.groupByClustered(l, "l_orderkey",
+          Seq(sum(col("l_quantity").cast(LongType)).as("total_qty")))
+          .filter(col("total_qty") > 150)
         val o = t(s, dir, "orders")
-        o.join(big, o("o_orderkey") === big("l_orderkey"))
+        graft.operators.TopKJoin.limitJoin(big, o, "l_orderkey", "o_orderkey",
+          Seq(desc_nulls_last("total_qty"), asc_nulls_first("l_orderkey")), 100)
           .select(col("o_custkey"), col("o_orderkey"),
             cents(col("o_totalprice")).as("total_c"), col("total_qty"))
           .orderBy(desc_nulls_last("total_qty"), asc_nulls_first("o_orderkey"))

@@ -37,7 +37,17 @@ def main():
     n_pass = n_fail = n_skip = 0
     for name in names:
         t0 = time.time()
-        timer = threading.Timer(timeout_s, con.interrupt)
+        # the flag closes the cancel() race: if the timer fires after the
+        # oracle fetch completes but before cancel(), the interrupt lands
+        # on the NEXT duckdb call — without the flag a passing query gets
+        # miscounted as FAIL on its spark-output read
+        fired = threading.Event()
+
+        def _interrupt():
+            fired.set()
+            con.interrupt()
+
+        timer = threading.Timer(timeout_s, _interrupt)
         timer.start()
         try:
             want = con.execute(oracle[name]).fetchall()
@@ -45,7 +55,7 @@ def main():
         except Exception as e:
             timer.cancel()
             msg = str(e)
-            if "interrupt" in msg.lower():
+            if fired.is_set() or "interrupt" in msg.lower():
                 print(f"SKIP {name} :: oracle >{timeout_s}s at this scale",
                       flush=True)
                 n_skip += 1
@@ -54,11 +64,23 @@ def main():
                 n_fail += 1
             continue
         timer.cancel()
-        try:
-            got = con.execute(
+
+        def read_spark():
+            rows = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
             ).fetchall()
-            gcols = [d[0] for d in con.description]
+            return rows, [d[0] for d in con.description]
+
+        try:
+            try:
+                got, gcols = read_spark()
+            except Exception as e:
+                if fired.is_set() and "interrupt" in str(e).lower():
+                    # stale interrupt from the race above, now consumed —
+                    # the oracle DID finish; retry the read once
+                    got, gcols = read_spark()
+                else:
+                    raise
         except Exception as e:
             print(f"FAIL {name} :: spark read error {e}", flush=True)
             n_fail += 1

@@ -8,9 +8,20 @@ import org.apache.spark.sql.types._
 /** Structured Streaming surface over the events table: the same logical
   * plans as the batch queries (`st1_tumbling_window`/`st2_sessionize`),
   * run incrementally. At scale this is the standing-pipeline form of the
-  * engine: file/Kafka source → watermarked event-time aggregation →
+  * engine: a streaming source → watermarked event-time aggregation →
   * sink, with state kept in the state store (RocksDB in production),
   * partitioned by group key.
+  *
+  * Every transform here takes a plain `DataFrame`, so the SOURCE is a
+  * free variable: the file source ([[readEventsStream]]) is implemented
+  * and tested end-to-end; a log bus plugs in through [[eventsFromWire]],
+  * which adapts the (key, value: binary) record shape Kafka's connector
+  * emits into the typed events frame. The Kafka connector jar itself
+  * (`spark-sql-kafka-0-10`) is NOT shipped in this zero-egress build —
+  * with it on the classpath, `spark.readStream.format("kafka")...` feeds
+  * the same adapter; without it, the adapter is proven source-agnostic
+  * against a MemoryStream delivering Kafka-shaped records (see
+  * StreamingSpec "wire-format source").
   */
 object EventStreams {
 
@@ -37,6 +48,24 @@ object EventStreams {
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast(TimestampNTZType))
   }
+
+  /** Wire-format adapter: a log-bus record stream (Kafka's connector
+    * emits `key: binary, value: binary, topic, partition, offset, …`)
+    * carrying one JSON event per record value, `ts` in epoch nanoseconds
+    * (the unit the parquet files carry), becomes the SAME typed frame
+    * [[readEventsStream]] produces — so every downstream transform
+    * (windows, dedup, interval joins, custom state) is source-agnostic.
+    * Malformed records parse to NULL structs and are dropped explicitly
+    * rather than poisoning the aggregation with all-NULL rows.
+    */
+  def eventsFromWire(records: DataFrame): DataFrame =
+    records
+      .select(from_json(col("value").cast(StringType), rawSchema).as("e"))
+      .filter(col("e").isNotNull)
+      .select(col("e.event_id").as("event_id"), col("e.ts").as("ts"),
+        col("e.user_id").as("user_id"), col("e.event_type").as("event_type"),
+        col("e.value").as("value"), col("e.props").as("props"))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast(TimestampNTZType))
 
   /** tumbling event-time window aggregation; `withWatermark` bounds state
     * for append-mode sinks (late events beyond 1h are dropped). Watermarks

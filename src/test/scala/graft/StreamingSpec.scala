@@ -336,4 +336,60 @@ class StreamingSpec extends SparkSpec {
         s"state store holds $stateRows rows, expected ${expected.size}")
     } finally q2.stop()
   }
+
+  test("wire-format source (Kafka-shaped records): window agg and interval join match batch") {
+    // the Kafka connector jar isn't in this zero-egress build, so the
+    // claim under test is the adapter contract: ANY source delivering
+    // (value: binary) JSON records — which is exactly what
+    // format("kafka") emits — produces the same results as the file
+    // source. MemoryStream plays the bus; eventsFromWire is the shared
+    // decode path either source would feed.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.types.BinaryType
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(EventStreams.rawSchema).parquet(s"$sf/events.parquet")
+    val jsonRecords = raw
+      .select(to_json(struct(raw.columns.map(col): _*)).as("v"))
+      .as[String].collect().toSeq
+
+    val ms = MemoryStream[String]
+    // Kafka value shape: binary payload, delivered in several batches
+    val wire = ms.toDF().select(col("value").cast(BinaryType).as("value"))
+    val events = EventStreams.eventsFromWire(wire)
+    val qAgg = EventStreams.startMemorySink(
+      EventStreams.hourlyByType(events, watermark = false), "wire_hourly")
+    val qJoin = EventStreams.viewToPurchase(events)
+      .writeStream.format("memory").queryName("wire_attr")
+      .outputMode("append").start()
+    try {
+      jsonRecords.grouped(math.max(1, jsonRecords.size / 3)).foreach { batch =>
+        ms.addData(batch ++ Seq("{not json", "")) // malformed records dropped
+        qAgg.processAllAvailable()
+        qJoin.processAllAvailable()
+      }
+      val hourly = spark.table("wire_hourly").collect().map(_.toSeq).toSet
+      val hourlyBatch = EventStreams.hourlyByType(
+        Tables.load(spark, sf, "events"), watermark = false)
+        .collect().map(_.toSeq).toSet
+      assert(hourly === hourlyBatch)
+      assert(hourly.nonEmpty)
+      val attr = spark.table("wire_attr")
+        .select("user_id", "view_id", "purchase_id")
+        .collect().map(_.toSeq).toSet
+      val fileAttr = EventStreams.viewToPurchase(
+        EventStreams.readEventsStream(spark, sf))
+      val qFile = fileAttr.writeStream.format("memory").queryName("wire_attr_file")
+        .outputMode("append").start()
+      try {
+        qFile.processAllAvailable()
+        val fileSet = spark.table("wire_attr_file")
+          .select("user_id", "view_id", "purchase_id")
+          .collect().map(_.toSeq).toSet
+        assert(attr === fileSet, "wire source and file source diverge on the interval join")
+        assert(attr.nonEmpty)
+      } finally qFile.stop()
+    } finally { qAgg.stop(); qJoin.stop() }
+  }
 }

@@ -19,6 +19,7 @@ events table since round 6).
 import json
 import subprocess
 import sys
+import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
@@ -58,18 +59,39 @@ def main():
         cwd=REPO)
     if r.returncode != 0:
         raise SystemExit("verify run failed")
+    # timeout-guarded referee: a superlinear DuckDB oracle (correlated
+    # subquery, token explosion) reports SKIP instead of hanging the audit
     chk = subprocess.run(
-        ["python3", "tools/check.py", replica, out],
+        ["python3", "tools/check_timeout.py", replica, out],
         cwd=REPO, capture_output=True, text=True)
     lines = chk.stdout.splitlines()
     missing_ok = {n for n in oracle} - set(keep)
     real_fail = [l for l in lines if l.startswith("FAIL")
                  and l.split()[1] not in missing_ok]
+    skipped = [l.split()[1] for l in lines if l.startswith("SKIP")]
     n_pass = sum(1 for l in lines if l.startswith("PASS"))
-    print(f"[audit] {n_pass} pass, {len(real_fail)} fail "
+    print(f"[audit] {n_pass} pass, {len(real_fail)} fail, "
+          f"{len(skipped)} oracle-timeout skips "
           f"({len(missing_ok)} excluded quadratic-oracle queries)")
     for l in real_fail:
         print("[audit] " + l)
+    # committed artifact: which replica, which HEAD, what passed — the
+    # round loop regenerates this next to CORRECTNESS so partition-count-
+    # dependent regressions can't land green (the AllTuples class)
+    head = subprocess.run(["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+                          capture_output=True, text=True).stdout.strip()
+    scale = Path(replica).name.replace("sfx", "") + "x" \
+        if "sfx" in Path(replica).name else Path(replica).name
+    artifact = {
+        "metric": "replica_audit", "replica": replica, "scale": scale,
+        "bounded": bounded, "head": head, "generated_unix": int(time.time()),
+        "queries_run": len(keep), "pass": n_pass,
+        "fail": [l.split()[1] for l in real_fail], "oracle_timeout_skip": skipped,
+        "excluded_quadratic_oracle": len(missing_ok),
+    }
+    dest = REPO / f"REPLICA_AUDIT_{scale}.json"
+    dest.write_text(json.dumps(artifact, indent=2) + "\n")
+    print(f"[audit] wrote {dest}", flush=True)
     raise SystemExit(1 if real_fail else 0)
 
 

@@ -126,7 +126,17 @@ object Bench {
     // failed queries report -1 individually but must not corrupt the total
     val total = results.map(_._2).filter(_ >= 0).sum
     val coldTotal = results.map(_._4).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"cold":$colds,"cold_total":$coldTotal,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"cold":$colds,"cold_total":$coldTotal,"sf":"$sfDir"}"""
+    // Write the result line to the RAW stdout file descriptor, bypassing
+    // sbt's swapped System.out: under `sbt runMain` the logger prefixes
+    // every println with "[info] ", which breaks any consumer that
+    // json-parses the line as-is (the round driver records parsed:null).
+    // FileDescriptor.out lands unprefixed on the terminal, like log4j's
+    // console appender, and is still fd 1 under plain `java -cp` runs.
+    val raw = new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
+    raw.println(json)
     spark.stop()
   }
 }

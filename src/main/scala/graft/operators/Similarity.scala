@@ -358,4 +358,46 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select("ida", "idb")
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * clustering embeddings and keeping, within each cluster, only rows
+    * with no higher-priority near-duplicate. A row is DROPPED iff some
+    * same-cluster row with a smaller `idCol` value has cosine ≥ `tau`
+    * with it; survivors keep all original columns. (This is the
+    * priority-greedy retention rule — deterministic and locally checkable
+    * per row, unlike keep-one-per-connected-component which is
+    * [[graft.operators.Dedup.connectedComponents]]'s job.)
+    *
+    * `cluster` is any deterministic assignment expression: sign-bucket
+    * projections for an oracle-checkable variant, or
+    * [[assignCentroid]] over [[trainIvfCentroids]] for the paper's
+    * k-means form (spec-verified against the brute-force rule). The
+    * candidate scope is one equi-join on the cluster key — per-cluster
+    * pairwise work bounded by cluster size, never corpus × corpus. At
+    * 100 TB: grow k (more, smaller clusters) to bound the per-cluster
+    * quadratic term; the join shuffles on the cluster key so clusters
+    * parallelize across executors.
+    */
+  def semDedup(df: DataFrame, vecCol: String, idCol: String,
+      cluster: Column, tau: Double): DataFrame = {
+    val Seq(c, cb, idb, vb) =
+      Cols.fresh(Seq("_cluster", "_cluster_b", "_id_b", "_vec_b"), df.columns)
+    val withC = df.withColumn(c, cluster)
+    val probe = withC.select(col(c).as(cb), col(idCol).as(idb), col(vecCol).as(vb))
+    withC.join(probe,
+        col(c) === col(cb) && col(idb) < col(idCol) &&
+          VectorOps.cosineNative(col(vecCol), col(vb)) >= lit(tau),
+        "left_anti")
+      .drop(c)
+  }
+
+  /** Deterministic coordinate-sign cluster id over the first `bits`
+    * vector components — the SQL-expressible clustering used by the
+    * oracle-checked semDedup query (`element_at` is 1-based, matching
+    * DuckDB's list indexing).
+    */
+  def signCluster(vec: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      when(element_at(vec, i + 1) >= 0f, 1L << (bits - 1 - i)).otherwise(0L)
+    }.reduce(_ + _)
 }

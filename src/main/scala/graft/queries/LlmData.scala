@@ -179,6 +179,32 @@ object LlmData {
              |  CAST(b.embedding AS DOUBLE[])) >= 0.4
              |ORDER BY ida, idb""".stripMargin)),
 
+    // DD11 — SemDeDup (arXiv:2303.09540): cluster-scoped semantic dedup.
+    // The registered variant clusters by a deterministic 3-bit coordinate-
+    // sign bucket so DuckDB can recompute the assignment exactly; the
+    // k-means (IVF-centroid) clustering the paper uses has no SQL oracle
+    // and is spec-verified against the brute-force retention rule instead
+    // (LlmOpsSpec). Survivor rule: no same-cluster lower-id neighbor at
+    // cosine >= 0.4.
+    Q("dd11_semdedup",
+      (s, dir) => Similarity.semDedup(
+        t(s, dir, "embeddings"), "embedding", "vec_id",
+        Similarity.signCluster(col("embedding"), 3), tau = 0.4)
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id"),
+      Some("""SELECT a.vec_id, a.label FROM embeddings a WHERE NOT EXISTS (
+             | SELECT 1 FROM embeddings b
+             | WHERE (CASE WHEN b.embedding[1] >= 0 THEN 4 ELSE 0 END
+             |      + CASE WHEN b.embedding[2] >= 0 THEN 2 ELSE 0 END
+             |      + CASE WHEN b.embedding[3] >= 0 THEN 1 ELSE 0 END)
+             |     = (CASE WHEN a.embedding[1] >= 0 THEN 4 ELSE 0 END
+             |      + CASE WHEN a.embedding[2] >= 0 THEN 2 ELSE 0 END
+             |      + CASE WHEN a.embedding[3] >= 0 THEN 1 ELSE 0 END)
+             |   AND b.vec_id < a.vec_id
+             |   AND list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+             |     CAST(a.embedding AS DOUBLE[])) >= 0.4)
+             |ORDER BY vec_id""".stripMargin)),
+
     // DD7 — near-dup clusters: connected components over the verified
     // MinHash pairs, labeled by minimum member (the kept representative);
     // oracle = DuckDB recursive CTE reachability over the same pairs

@@ -163,6 +163,33 @@ class LlmOpsSpec extends SparkSpec {
       s"IVF recall too low: ${ivf.toSet.intersect(exact)}")
   }
 
+  test("semDedup with IVF clusters == brute-force retention rule") {
+    // the paper's k-means form has no SQL oracle (centroid training is
+    // not SQL-expressible); verify the operator against a driver-side
+    // replay of the rule — drop iff a same-cluster lower-id neighbor has
+    // cosine >= tau — on the real corpus
+    val tau = 0.35
+    val centroids = Similarity.trainIvfCentroids(emb, "embedding", "vec_id", k = 8, iters = 3)
+    val clusterExpr = Similarity.assignCentroid(col("embedding"), centroids)
+    val got = Similarity.semDedup(emb, "embedding", "vec_id", clusterExpr, tau)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+
+    val rows = emb.select(col("vec_id"), col("embedding"), clusterExpr.as("c"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = rows.filter { case (id, v, c) =>
+      !rows.exists { case (id2, v2, c2) => c2 == c && id2 < id && cos(v2, v) >= tau }
+    }.map(_._1).toSet
+    assert(want.nonEmpty && want.size < rows.length,
+      s"degenerate fixture: ${want.size} of ${rows.length} survive")
+    assert(got === want)
+  }
+
   test("length-banded edit distance finds pairs across band boundaries") {
     // maxDist=3 → band width 4; lengths 7 and 9 sit in bands 1 and 2 —
     // the adjacent-band probe must still surface the pair

@@ -120,6 +120,47 @@ object DedupFuzz {
        |FROM ($corpusSql) x JOIN ($corpusSql) y ON x.doc_id < y.doc_id
        |WHERE levenshtein(x.text, y.text) <= $maxDist""".stripMargin
 
+  // ---- ddf4: SemDeDup retention on seeded embedding corpora ----
+
+  /** per-seed corpus: slice vec_id % 5 = seed, plus a twin (id+1000000)
+    * for every 3rd member whose vector is DOUBLED. ×2 is exact in float
+    * in both engines (no rounding, so the corpora are byte-identical),
+    * preserves every coordinate sign (same sign-bucket cluster), and has
+    * cosine exactly 1 with its original — every twin MUST be dropped,
+    * and a-vs-twin(b) cosines equal a-vs-b exactly, so threshold ties
+    * break identically in both engines.
+    */
+  private def embCorpus(s: SparkSession, dir: String, seed: Int): DataFrame = {
+    val base = t(s, dir, "embeddings")
+      .filter(col("vec_id") % 5 === seed)
+      .select(col("vec_id"), col("embedding"))
+    val twins = base
+      .filter((col("vec_id") / 5).cast("long") % 3 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    base.unionAll(twins)
+  }
+
+  private def embCorpusSql(seed: Int): String =
+    s"""SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = $seed
+       |UNION ALL
+       |SELECT vec_id + 1000000 AS vec_id,
+       |  list_transform(embedding, x -> CAST(x * 2 AS FLOAT)) AS embedding
+       |FROM embeddings WHERE vec_id % 5 = $seed AND (vec_id // 5) % 3 = 0""".stripMargin
+
+  private def bruteSemDedupOver(corpusSql: String, seed: Int, tau: Double): String =
+    s"""SELECT $seed AS seedoff, a.vec_id FROM ($corpusSql) a WHERE NOT EXISTS (
+       | SELECT 1 FROM ($corpusSql) b
+       | WHERE (CASE WHEN b.embedding[1] >= 0 THEN 4 ELSE 0 END
+       |      + CASE WHEN b.embedding[2] >= 0 THEN 2 ELSE 0 END
+       |      + CASE WHEN b.embedding[3] >= 0 THEN 1 ELSE 0 END)
+       |     = (CASE WHEN a.embedding[1] >= 0 THEN 4 ELSE 0 END
+       |      + CASE WHEN a.embedding[2] >= 0 THEN 2 ELSE 0 END
+       |      + CASE WHEN a.embedding[3] >= 0 THEN 1 ELSE 0 END)
+       |   AND b.vec_id < a.vec_id
+       |   AND list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+       |     CAST(a.embedding AS DOUBLE[])) >= $tau)""".stripMargin
+
   def all: Seq[Q] = Seq(
 
     // DDF1 — MinHash-LSH dedup over 5 seeded corpora with planted
@@ -156,5 +197,19 @@ object DedupFuzz {
           .select(lit(seed).as("seedoff"), col("ida"), col("idb"))
       }.reduce(_ unionAll _).orderBy("seedoff", "ida", "idb"),
       Some(seeds.map(seed => bruteJaccardOver(jaccardCorpusSql(seed), seed))
-        .mkString("", "\nUNION ALL\n", "\nORDER BY seedoff, ida, idb"))))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY seedoff, ida, idb"))),
+
+    // DDF4 — SemDeDup retention over 5 seeded embedding corpora with
+    // planted doubled twins (cosine exactly 1, same sign-cluster):
+    // survivors must equal the brute-force NOT EXISTS rule on every
+    // seed — every twin dropped, every natural decision matched
+    Q("ddf4_semdedup_fuzz",
+      (s, dir) => seeds.map { seed =>
+        graft.operators.Similarity.semDedup(embCorpus(s, dir, seed),
+            "embedding", "vec_id",
+            graft.operators.Similarity.signCluster(col("embedding"), 3), tau = 0.4)
+          .select(lit(seed).as("seedoff"), col("vec_id"))
+      }.reduce(_ unionAll _).orderBy("seedoff", "vec_id"),
+      Some(seeds.map(seed => bruteSemDedupOver(embCorpusSql(seed), seed, tau = 0.4))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY seedoff, vec_id"))))
 }

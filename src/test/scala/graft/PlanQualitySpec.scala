@@ -43,6 +43,27 @@ class PlanQualitySpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), s"cartesian in dd5:\n$p")
   }
 
+  test("q18: clustered agg + top-k pushdown survive in the plan") {
+    val p = plan("q18_big_orders")
+    // the verified layout elides the aggregate exchange (AssumeClustered
+    // between scan and HashAggregate); a fallback here is a regression
+    // at this fixture (sorted single-partition lineitem always verifies)
+    assert(p.contains("AssumeClustered"), s"clustered agg fell back:\n$p")
+    // top-100 commuted below the key-preserving join: the broadcast
+    // build side must itself be a TakeOrderedAndProject (k rows), not a
+    // full hash relation over the HAVING side
+    val bi = p.indexOf("BroadcastExchange")
+    assert(bi >= 0 && p.indexOf("TakeOrderedAndProject", bi) >= 0,
+      s"no top-k below the broadcast probe:\n$p")
+  }
+
+  test("semDedup candidates come from a cluster-key equi-join (dd11)") {
+    val p = plan("dd11_semdedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"cartesian in dd11:\n$p")
+    assert(p.contains("LeftAnti"), s"retention is not an anti-join:\n$p")
+  }
+
   test("scalar subqueries live inside one plan (q15/q11)") {
     // the 1-row aggregate must appear as a subtree (broadcast side),
     // not as a separate driver-side job

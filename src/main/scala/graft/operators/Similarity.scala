@@ -391,6 +391,40 @@ object Similarity {
       .drop(c)
   }
 
+  /** Incremental [[semDedup]]: dedup a NEW batch against an existing
+    * corpus (standing-pipeline ingestion). A batch row survives iff it
+    * has (1) no same-cluster corpus neighbor at cosine ≥ `tau` — corpus
+    * rows always outrank the batch — and (2) no same-cluster LOWER-id
+    * batch neighbor at cosine ≥ `tau`. Equals `semDedup(corpus ∪ batch)`
+    * restricted to the batch whenever corpus ids order below batch ids,
+    * because the retention rule checks against all rows, not survivors.
+    *
+    * Scale posture is dd10's: the batch probes the corpus through one
+    * cluster-key equi-join (anti-join, so nothing materializes past the
+    * first match) — corpus × corpus never forms, and the corpus side
+    * ships only (cluster, vector) probe columns.
+    */
+  def semDedupIncremental(batch: DataFrame, corpus: DataFrame,
+      vecCol: String, idCol: String, cluster: Column, tau: Double): DataFrame = {
+    val Seq(c, cb, idb, vb) =
+      Cols.fresh(Seq("_cluster", "_cluster_b", "_id_b", "_vec_b"), batch.columns)
+    val bc = batch.withColumn(c, cluster)
+    val corpusProbe = corpus.select(cluster.as(cb), col(vecCol).as(vb))
+    val afterCorpus = bc.join(corpusProbe,
+        col(c) === col(cb) &&
+          VectorOps.cosineNative(col(vecCol), col(vb)) >= lit(tau),
+        "left_anti")
+    // intra-batch probe is the FULL batch (not corpus survivors): the
+    // greedy rule is defined against all rows, which is what keeps it
+    // equal to semDedup on the union (and locally checkable per row)
+    val batchProbe = bc.select(col(c).as(cb), col(idCol).as(idb), col(vecCol).as(vb))
+    afterCorpus.join(batchProbe,
+        col(c) === col(cb) && col(idb) < col(idCol) &&
+          VectorOps.cosineNative(col(vecCol), col(vb)) >= lit(tau),
+        "left_anti")
+      .drop(c)
+  }
+
   /** Deterministic coordinate-sign cluster id over the first `bits`
     * vector components — the SQL-expressible clustering used by the
     * oracle-checked semDedup query (`element_at` is 1-based, matching

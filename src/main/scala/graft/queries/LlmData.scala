@@ -205,6 +205,56 @@ object LlmData {
              |     CAST(a.embedding AS DOUBLE[])) >= 0.4)
              |ORDER BY vec_id""".stripMargin)),
 
+    // DD12 — incremental SemDeDup: a constructed batch (doubled twins of
+    // vec_id%7=0 — exact float, cosine 1, MUST drop via the corpus probe;
+    // negated vectors of vec_id%7=3 — flipped cluster, mostly novel)
+    // deduped against the full embeddings corpus. Corpus always outranks
+    // the batch; within the batch, lower id wins.
+    Q("dd12_semdedup_incr",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val corpus = emb.select(col("vec_id"), col("embedding"))
+        val batch = emb.filter(col("vec_id") % 7 === 0)
+          .select((col("vec_id") + 2000000L).as("vec_id"),
+            transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+          .unionAll(emb.filter(col("vec_id") % 7 === 3)
+            .select((col("vec_id") + 3000000L).as("vec_id"),
+              transform(col("embedding"), x => -x).as("embedding")))
+        Similarity.semDedupIncremental(batch, corpus, "embedding", "vec_id",
+          Similarity.signCluster(col("embedding"), 3), tau = 0.4)
+          .select(col("vec_id")).orderBy("vec_id")
+      },
+      Some("""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+             |batch AS (
+             | SELECT vec_id + 2000000 AS vec_id,
+             |   list_transform(embedding, x -> CAST(x * 2 AS FLOAT)) AS embedding
+             | FROM embeddings WHERE vec_id % 7 = 0
+             | UNION ALL
+             | SELECT vec_id + 3000000 AS vec_id,
+             |   list_transform(embedding, x -> CAST(-x AS FLOAT)) AS embedding
+             | FROM embeddings WHERE vec_id % 7 = 3)
+             |SELECT a.vec_id FROM batch a
+             |WHERE NOT EXISTS (SELECT 1 FROM corpus b
+             |  WHERE (CASE WHEN b.embedding[1] >= 0 THEN 4 ELSE 0 END
+             |       + CASE WHEN b.embedding[2] >= 0 THEN 2 ELSE 0 END
+             |       + CASE WHEN b.embedding[3] >= 0 THEN 1 ELSE 0 END)
+             |      = (CASE WHEN a.embedding[1] >= 0 THEN 4 ELSE 0 END
+             |       + CASE WHEN a.embedding[2] >= 0 THEN 2 ELSE 0 END
+             |       + CASE WHEN a.embedding[3] >= 0 THEN 1 ELSE 0 END)
+             |    AND list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+             |      CAST(a.embedding AS DOUBLE[])) >= 0.4)
+             |  AND NOT EXISTS (SELECT 1 FROM batch b
+             |  WHERE (CASE WHEN b.embedding[1] >= 0 THEN 4 ELSE 0 END
+             |       + CASE WHEN b.embedding[2] >= 0 THEN 2 ELSE 0 END
+             |       + CASE WHEN b.embedding[3] >= 0 THEN 1 ELSE 0 END)
+             |      = (CASE WHEN a.embedding[1] >= 0 THEN 4 ELSE 0 END
+             |       + CASE WHEN a.embedding[2] >= 0 THEN 2 ELSE 0 END
+             |       + CASE WHEN a.embedding[3] >= 0 THEN 1 ELSE 0 END)
+             |    AND b.vec_id < a.vec_id
+             |    AND list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+             |      CAST(a.embedding AS DOUBLE[])) >= 0.4)
+             |ORDER BY vec_id""".stripMargin)),
+
     // DD7 — near-dup clusters: connected components over the verified
     // MinHash pairs, labeled by minimum member (the kept representative);
     // oracle = DuckDB recursive CTE reachability over the same pairs

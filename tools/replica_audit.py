@@ -60,9 +60,13 @@ def main():
     if r.returncode != 0:
         raise SystemExit("verify run failed")
     # timeout-guarded referee: a superlinear DuckDB oracle (correlated
-    # subquery, token explosion) reports SKIP instead of hanging the audit
+    # subquery, token explosion) reports SKIP instead of hanging the audit.
+    # At 10x every kept oracle is known-linear-ish, so give the borderline
+    # ones (cur2's gram self-join sits near 150s) headroom; the tight
+    # budget is for the 100x bounded run where superlinear = runaway.
+    referee_timeout = "150" if bounded else "400"
     chk = subprocess.run(
-        ["python3", "tools/check_timeout.py", replica, out],
+        ["python3", "tools/check_timeout.py", replica, out, referee_timeout],
         cwd=REPO, capture_output=True, text=True)
     lines = chk.stdout.splitlines()
     missing_ok = {n for n in oracle} - set(keep)

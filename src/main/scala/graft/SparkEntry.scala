@@ -12,7 +12,8 @@ object SparkEntry {
   def registry: Seq[Q] =
     Headline.all ++ Relational.all ++ Expressions.all ++ Gapfill.all ++
       LlmData.all ++ Advanced.all ++ Tpch.all ++ Functions.all ++
-      RandDiff.all ++ Temporal.all ++ CorpusOps.all ++ DedupFuzz.all
+      RandDiff.all ++ Temporal.all ++ CorpusOps.all ++ DedupFuzz.all ++
+      SketchOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

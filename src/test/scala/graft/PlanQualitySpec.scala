@@ -102,6 +102,32 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("sketch pass is partial-aggregated; recount is a broadcast semi " +
+    "join (sk1)") {
+    // pass 1: the MG sketch must partial-aggregate (one k-entry buffer
+    // per partition into a single-partition merge) — a hash exchange on
+    // the key column here would mean the key space shuffles, the exact
+    // thing the sketch exists to avoid
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_partkey").cast("string").as("k"))
+    import spark.implicits._
+    val sketch = li.as[String]
+      .select(new graft.operators.Sketches.MisraGries(100).toColumn)
+    val sp = sketch.queryExecution.executedPlan.toString
+    assert(sp.contains("ObjectHashAggregate") || sp.contains("SortAggregate"),
+      s"no object aggregate in sketch pass:\n$sp")
+    assert(sp.contains("Exchange SinglePartition"),
+      s"sketch pass missing the single-partition merge:\n$sp")
+    assert(!sp.contains("hashpartitioning"),
+      s"sketch pass shuffles the key space:\n$sp")
+    // pass 2: candidates are broadcast, the probe is a semi join, and
+    // the final count partial-aggregates before its exchange
+    val p = plan("sk1_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"recount is not a broadcast semi join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"recount shuffles:\n$p")
+  }
+
   test("simhash pipeline has no all-pairs stage (dd3)") {
     val p = plan("dd3_simhash")
     assert(!p.contains("CartesianProduct") &&

@@ -344,6 +344,22 @@ object Gapfill {
              | SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type FROM events)
              |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
 
+    // Batch form of the streaming distinct-count (EventStreams.
+    // hourlyUniques: event-time dedup chained into a windowed count —
+    // both state stores watermark-bounded); exact per-window uniques
+    Q("st8_hourly_uniques",
+      (s, dir) => t(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .select(window(col("ts"), "1 hour").as("win"), col("user_id"))
+        .dropDuplicates("win", "user_id")
+        .groupBy(col("win"))
+        .agg(count(lit(1)).as("uniques"))
+        .select(col("win.start").cast(TimestampType).as("hour"), col("uniques"))
+        .orderBy(asc_nulls_first("hour")),
+      Some("""SELECT date_trunc('hour', ts) AS hour,
+             | COUNT(DISTINCT user_id) AS uniques
+             |FROM events GROUP BY 1 ORDER BY hour NULLS FIRST""".stripMargin)),
+
     // Batch form of the stream-stream interval join (EventStreams.
     // viewToPurchase): view → purchase attribution within 1h, per user
     Q("st6_view_attribution",

@@ -83,6 +83,26 @@ object EventStreams {
         col("cnt"), col("sum_c"))
   }
 
+  /** Hourly unique users — streaming distinct-count via CHAINED stateful
+    * operators: event-time dedup on (window, user) feeding a windowed
+    * count. The dedup keys include the time-window column, so its state
+    * expires with the watermark exactly like the aggregation's — both
+    * stores stay bounded by (active windows × users per window), the
+    * cardinality the query itself outputs, never by stream length. NULL
+    * users are excluded (COUNT(DISTINCT …) semantics). The batch form is
+    * the same plan; `st8_hourly_uniques` oracle-checks it.
+    */
+  def hourlyUniques(events: DataFrame, watermark: Boolean = true): DataFrame = {
+    val cast = events.withColumn("ts", col("ts").cast(TimestampType))
+    val src = if (watermark) cast.withWatermark("ts", "1 hour") else cast
+    src.filter(col("user_id").isNotNull)
+      .select(window(col("ts"), "1 hour").as("win"), col("user_id"))
+      .dropDuplicates("win", "user_id")
+      .groupBy(col("win"))
+      .agg(count(lit(1)).as("uniques"))
+      .select(col("win.start").as("hour"), col("uniques"))
+  }
+
   /** running per-user aggregate via mapGroupsWithState — the custom-state
     * extension point (the streaming analog of the reference's
     * `sql_groupby_apply`, SURVEY §2.5)

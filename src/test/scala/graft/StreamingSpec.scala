@@ -65,6 +65,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chained stateful ops: windowed dedup -> distinct count matches batch") {
+    // hourlyUniques chains two stateful operators (dedup, then windowed
+    // agg) — the streaming run must equal the batch plan AND the
+    // registered st8 oracle shape
+    val stream = EventStreams.readEventsStream(spark, sf)
+    val q = EventStreams.startMemorySink(
+      EventStreams.hourlyUniques(stream, watermark = false), "uniq_test")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("uniq_test").collect().map(_.toSeq).toSet
+      val batch = EventStreams.hourlyUniques(
+        Tables.load(spark, sf, "events"), watermark = false)
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+      // cross-check against plain COUNT(DISTINCT) semantics
+      val direct = Tables.load(spark, sf, "events")
+        .filter(col("user_id").isNotNull)
+        .groupBy(date_trunc("hour", col("ts")).cast("timestamp").as("hour"))
+        .agg(countDistinct(col("user_id")).as("uniques"))
+        .collect().map(_.toSeq).toSet
+      assert(batch.map(r => Seq(r.head, r(1))) === direct)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals match batch aggregate") {
     val stream = EventStreams.readEventsStream(spark, sf)
     val totals = EventStreams.runningUserTotals(spark, stream)

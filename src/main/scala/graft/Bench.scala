@@ -104,7 +104,6 @@ object Bench {
       // reuse as plan improvement.
       graft.operators.Broadcasts.reset()
       graft.operators.ClusteredAgg.reset()
-      graft.operators.TopKJoin.reset()
       val cold = once(name)
       // min of 3 warm runs: the scheduler-noise floor, not the noise
       val times = Seq.fill(3)(once(name))

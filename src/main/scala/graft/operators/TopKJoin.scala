@@ -1,110 +1,87 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftbridge.PlanBridge
 
-/** Top-k pushdown through a key-preserving join — the third
-  * runtime-verified physical shortcut (with [[ClusteredAgg]] and
-  * [[Broadcasts]]): measure the property the rewrite needs, cache the
-  * verdict per layout, fall back to the standard plan when it fails.
+/** Top-k pushdown through a join by ADAPTIVE REFILL — no precondition,
+  * no verification pass, unconditionally correct.
   *
-  * `ORDER BY s LIMIT k` over `dim ⨝ fact` commutes with the join when
-  * the join is MULTIPLICITY-PRESERVING on `fact` — every fact row
-  * appears in the join result exactly once — and the sort refers only
-  * to fact columns. Then the top-k fact rows ARE the top-k join rows,
-  * so the plan becomes: TakeOrderedAndProject over fact (k rows), then
-  * a k-row broadcast probe of dim. What that replaces at the 60M-row
-  * replica is the q18 tail cost: building and shipping a 2.9M-entry
-  * broadcast hash relation per run just to keep 100 rows of its output.
+  * `ORDER BY s LIMIT k` over `dim ⨝ fact` wants to avoid joining (or
+  * even hash-building) anything but the k surviving rows. The previous
+  * design proved the join multiplicity-preserving first (a PK scan of
+  * dim plus a fact⟕dim anti-join — 4.9 s of the 7 s cold q18 total at
+  * the 60 M-row replica, measured) and fell back when the proof failed.
+  * The refill design needs no proof at all:
   *
-  * Multiplicity preservation is exactly (verified, not assumed):
-  *  1. `dim(dimKey)` has no duplicate non-NULL value (each fact row
-  *     matches at most one dim row), and
-  *  2. every `fact(factKey)` value — NULLs included, which never
-  *     equi-join — has a match in `dim` (no fact row is dropped).
-  * These are the PRIMARY KEY and FOREIGN KEY constraints a warehouse
-  * catalog would declare; plain parquet has no catalog, so both are
-  * measured: one aggregate over dim's key, one anti-join probe, cached
-  * per (session, canonical fact plan, canonical dim plan, keys). A
-  * duplicate dim key, an orphaned or NULL fact key — and the standard
-  * join + global top-k runs unchanged.
+  *   take the top k′ fact rows (k′ = k initially), broadcast-probe dim,
+  *   and count the join output. If it has ≥ k rows, its top k ARE the
+  *   global top k: `sort` totally orders fact, join rows inherit their
+  *   fact row's rank, so every join row born of a fact row outside the
+  *   top k′ sorts below all k of them — duplicate dim keys (extra
+  *   multiplicity) and orphaned or NULL fact keys (dropped rows) can
+  *   only move rows INTO the probed prefix's output, never above it.
+  *   Fewer than k rows means orphans ate the prefix: escalate k′ and
+  *   re-probe. The loop is bounded; past the cap (or if fact is
+  *   exhausted, which just returns everything that matches) the
+  *   stats-gated join runs unchanged.
   *
-  * At 100 TB the verified path is the difference between broadcasting
-  * k rows and hash-building billions: the fact side is materialized
-  * once (lineage-preserving persist, [[Broadcasts]] cache discipline),
-  * its top-k is a TakeOrderedAndProject (per-partition heaps, no global
-  * sort), and dim is probed by a k-row broadcast — dim never shuffles
-  * at any scale. The fallback path degrades to [[Broadcasts.gated]] on
-  * the fact side, which itself degrades to a shuffle join past the
-  * gate.
+  * At 100 TB the probe path is the difference between broadcasting k
+  * rows and hash-building billions: fact is materialized once
+  * ([[Broadcasts]] persist + LRU discipline), its top-k is a
+  * TakeOrderedAndProject (per-partition heaps, no global sort), and dim
+  * is probed by a k-row broadcast — dim never shuffles at any scale.
+  * Each refill attempt is one driver-side `count()` of an ≤ k′·m row
+  * join (m = max dim-key multiplicity); the common catalog-clean case
+  * (unique dim key, no orphans) resolves in exactly one probe with zero
+  * verification jobs — that is where the cold-path seconds went.
   */
 object TopKJoin {
 
-  /** Key-preservation verdicts, keyed like [[ClusteredAgg.layoutVerdicts]]
-    * on canonicalized plans — structural equality, session-implied via
-    * the plans' exprIds.
+  /** Escalation factor between refill attempts. */
+  private val Refill = 8
+  /** Probe-prefix cap: past this the broadcast side is no longer "a few
+    * rows" and the stats-gated join is the honest plan.
     */
-  private val verdicts =
-    new java.util.concurrent.ConcurrentHashMap[
-      (LogicalPlan, LogicalPlan, String, String), java.lang.Boolean]()
-
-  /** Bench cold-run hook; also correct after regenerating source files. */
-  def reset(): Unit = verdicts.clear()
-
-  /** Is `fact ⨝ dim ON fact(factKey) = dim(dimKey)` multiplicity-
-    * preserving on fact? (cached; safe to call repeatedly)
-    */
-  def isKeyPreserving(fact: DataFrame, dim: DataFrame,
-      factKey: String, dimKey: String): Boolean = {
-    val key = (PlanBridge.analyzed(fact).canonicalized,
-      PlanBridge.analyzed(dim).canonicalized, factKey, dimKey)
-    verdicts.computeIfAbsent(key, _ => {
-      // PK side: no non-NULL dim key twice. count==countDistinct both
-      // ignore NULLs; the aggregate's wire is dim's distinct keys after
-      // map-side partials — what the avoided join shuffle would carry.
-      val pk = dim.agg(
-        (count(col(dimKey)) === countDistinct(col(dimKey))).as("u")).head()
-      val unique = !pk.isNullAt(0) && pk.getBoolean(0)
-      // FK side: no fact key (NULL included — NULL never equi-joins and
-      // survives the anti-join) without a dim match.
-      lazy val orphans = fact.select(col(factKey))
-        .join(dim.select(col(dimKey)), col(factKey) === col(dimKey), "left_anti")
-        .isEmpty
-      java.lang.Boolean.valueOf(unique && orphans)
-    })
-  }
+  private val MaxProbe = 1 << 20
 
   /** `dim ⨝ fact ON dim(dimKey) = fact(factKey)`, truncated to the top
-    * `k` rows by `sort` — which must reference ONLY fact columns and,
-    * for a deterministic result, totally order fact (include factKey as
-    * tiebreaker). Returns ≤ k rows carrying both sides' columns; callers
+    * `k` rows by `sort` — which must reference ONLY fact columns and
+    * totally order fact (include factKey as tiebreaker; ties introduced
+    * by duplicate dim keys are broken arbitrarily, as in the plain
+    * plan). Returns ≤ k rows carrying both sides' columns; callers
     * project and re-sort the k-row output (cost-free) for presentation.
-    *
-    * Verified key-preserving layout: top-k BEFORE the join, k-row
-    * broadcast probe. Otherwise: the standard stats-gated join with the
-    * global top-k after.
     */
   def limitJoin(fact: DataFrame, dim: DataFrame,
       factKey: String, dimKey: String, sort: Seq[Column], k: Int): DataFrame = {
-    // Materialize fact FIRST (Broadcasts cache: persist + LRU + reset
+    // Materialize fact once (Broadcasts cache: persist + LRU + reset
     // discipline; 0-byte gate = cache, never broadcast the full side):
-    // the FK orphan probe and the top-k both read the persisted rows.
-    // Verifying the raw plan instead recomputed the typically-expensive
-    // aggregate behind `fact` once more on every cold run — measured
-    // 6.9 s -> ~3.5 s cold on q18 at the 60M-row replica.
+    // every refill attempt and the fallback read the persisted rows, so
+    // the typically-expensive aggregate behind `fact` runs exactly once
+    // per session however many probes the loop takes.
     val factM = Broadcasts.gated(fact, maxBytes = 0L)
-    if (isKeyPreserving(factM, dim, factKey, dimKey)) {
-      val top = factM.orderBy(sort: _*).limit(k)
-      dim.join(broadcast(top), dim(dimKey) === top(factKey))
-    } else {
-      // fallback: stats-gated join over the ALREADY-persisted side (the
-      // gate decision layers on factM, so nothing is recomputed; the
-      // second persist only ever holds the post-aggregation rows)
-      val factG = Broadcasts.gated(factM)
-      dim.join(factG, dim(dimKey) === factG(factKey))
-        .orderBy(sort: _*).limit(k)
+    var kp = math.max(k, 1)
+    var n = -1L // fact row count, measured on first refill miss only
+    while (kp <= MaxProbe) {
+      val top = factM.orderBy(sort: _*).limit(kp)
+      // Gated-persist the probe output too: the count() below is its
+      // materialization, the returned frame reads the cache (no second
+      // dim scan), and warm re-plans of the same query hit the same
+      // cache entry by canonical-plan key.
+      val joined = Broadcasts.gated(
+        dim.join(broadcast(top), dim(dimKey) === top(factKey)), maxBytes = 0L)
+      val c = joined.count()
+      if (c >= k) return joined.orderBy(sort: _*).limit(k)
+      if (n < 0) n = factM.count()
+      // fact exhausted: everything that matches is already here
+      if (kp >= n) return joined
+      kp =
+        if (kp >= MaxProbe) MaxProbe + 1
+        else math.min(kp.toLong * Refill, MaxProbe.toLong).toInt
     }
+    // refill cap exceeded — orphan-dominated fact: stats-gated join over
+    // the already-persisted side (nothing recomputed), global top-k after
+    val factG = Broadcasts.gated(factM)
+    dim.join(factG, dim(dimKey) === factG(factKey))
+      .orderBy(sort: _*).limit(k)
   }
 }

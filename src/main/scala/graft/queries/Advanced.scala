@@ -175,17 +175,15 @@ object Advanced {
     //     two scan partitions; if it does (file split mid-key, random
     //     layout), the standard shuffle aggregate runs unchanged.
     //     Measured at the 100x replica: 2.46 -> 1.60 s.
-    //  2. TopKJoin.limitJoin: orders.o_orderkey is a measured PRIMARY
-    //     KEY and the aggregate's keys a measured FOREIGN KEY into it,
-    //     so the join is multiplicity-preserving and the top-100
-    //     commutes below it — TakeOrderedAndProject over the 2.9M-row
-    //     HAVING side, then a 100-row broadcast probe of orders,
-    //     replacing a 2.9M-entry broadcast hash build per run. A
-    //     duplicate order key or an orphaned lineitem demotes to the
-    //     stats-gated join (which itself demotes to a shuffle join past
-    //     the broadcast gate). The sort carries l_orderkey (= the
-    //     join key, so identical to o_orderkey on every surviving row)
-    //     as tiebreaker: a total order makes top-100 deterministic.
+    //  2. TopKJoin.limitJoin: TakeOrderedAndProject over the 2.9M-row
+    //     HAVING side, then a 100-row broadcast probe of orders —
+    //     adaptive refill (probe returns 100 rows ⇒ they are the global
+    //     top-100; fewer ⇒ escalate the prefix) replaces both the
+    //     2.9M-entry broadcast hash build per run AND the PK/FK
+    //     verification scans the round-7 verified variant paid once per
+    //     session. The sort carries l_orderkey (= the join key, so
+    //     identical to o_orderkey on every surviving row) as
+    //     tiebreaker: a total order makes top-100 deterministic.
     Q("q18_big_orders",
       (s, dir) => {
         val l = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")

@@ -31,7 +31,7 @@ object DumpPlans {
       "q6_revenue_delta" ->
         "Single scan with every predicate pushed into parquet; one partial+final aggregate, no exchange beyond the final singleton.",
       "q18_big_orders" ->
-        "groupByClustered elides the 60M-row aggregate exchange when the verified layout allows (AssumeClustered; shuffle-agg fallback otherwise); TopKJoin then commutes the top-100 below the measured key-preserving join — TakeOrderedAndProject over the post-HAVING side, 100-row broadcast probe of orders (fallback: stats-gated join, then shuffle join past the gate). Orders never shuffles; nothing larger than 100 rows is broadcast.",
+        "groupByClustered elides the 60M-row aggregate exchange when the verified layout allows (AssumeClustered; shuffle-agg fallback otherwise); TopKJoin then commutes the top-100 below the join by adaptive refill — TakeOrderedAndProject over the post-HAVING side, 100-row broadcast probe of orders, escalate only if the probe under-fills (refill-cap fallback: stats-gated join, then shuffle join past the gate). No verification jobs; orders never shuffles; nothing larger than 100 rows is broadcast.",
       "q19_disjunctive" ->
         "Disjunctive predicate stays a single scan+filter over the part join — no union-of-scans blowup; part dim broadcast.",
       "dd3_simhash" ->

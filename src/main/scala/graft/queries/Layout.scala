@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Physical-layout and incremental-maintenance operators: z-order
+  * multi-dimensional clustering ([[graft.operators.ZOrder]]) and CDC
+  * changelog apply ([[graft.operators.Cdc]]). Both are 100 TB write-path
+  * ops whose READ-side semantics must be invariant — which is exactly
+  * what their oracles check (the same query against the original
+  * layout / a windowed recompute of the merge rule).
+  */
+object LayoutOps {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def cents(c: Column): Column = round(c * 100).cast(LongType)
+
+  def all: Seq[Q] = Seq(
+
+    // Box query over the z-ordered events copy: same rows as the
+    // original layout (the oracle reads the original), but every file /
+    // row group is a small (user_id, value) rectangle, so BOTH range
+    // predicates prune via parquet min/max stats — ZOrderSpec measures
+    // the scan reading a fraction of the rows a linear layout reads.
+    Q("zo1_zorder_box",
+      (s, dir) => Tables.eventsZOrdered(s, dir)
+        .filter(col("user_id").between(3, 7) && col("value").between(50, 200))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_c"))
+        .orderBy(asc_nulls_first("event_type")),
+      Some("""SELECT event_type, COUNT(*) AS n,
+             | CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_c
+             |FROM events
+             |WHERE user_id BETWEEN 3 AND 7 AND value BETWEEN 50 AND 200
+             |GROUP BY 1 ORDER BY event_type NULLS FIRST""".stripMargin)),
+
+    // CDC merge: a changelog derived from orders (latest order per
+    // customer; every 10th customer a delete) applied to the customer
+    // base — upsert + delete + untouched-keys-kept, recomputed by the
+    // oracle as the same window + NOT EXISTS + union.
+    Q("cd1_cdc_merge",
+      (s, dir) => {
+        val base = t(s, dir, "customer").select(col("c_custkey"),
+          col("c_name"), cents(col("c_acctbal")).as("c_acct_c"))
+        val changes = t(s, dir, "orders").select(
+          col("o_custkey").as("c_custkey"),
+          concat(lit("o"), col("o_orderkey").cast(StringType)).as("c_name"),
+          cents(col("o_totalprice")).as("c_acct_c"),
+          when(col("o_custkey") % 10 === 0, "D").otherwise("U").as("op"),
+          col("o_orderdate").as("cts"),
+          col("o_orderkey").as("seq"))
+        graft.operators.Cdc.applyChangelog(base, changes, Seq("c_custkey"),
+          Seq(desc_nulls_last("cts"), desc_nulls_last("seq")))
+          .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("c_name"))
+      },
+      Some("""WITH latest AS (
+             | SELECT c_custkey, c_name, c_acct_c, op FROM (
+             |  SELECT o_custkey AS c_custkey,
+             |   'o' || CAST(o_orderkey AS VARCHAR) AS c_name,
+             |   CAST(ROUND(o_totalprice*100) AS BIGINT) AS c_acct_c,
+             |   CASE WHEN o_custkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+             |   ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate DESC NULLS LAST, o_orderkey DESC NULLS LAST) AS rn
+             |  FROM orders) WHERE rn = 1)
+             |SELECT c_custkey, c_name, c_acct_c FROM (
+             | SELECT c.c_custkey, c.c_name,
+             |  CAST(ROUND(c.c_acctbal*100) AS BIGINT) AS c_acct_c
+             | FROM customer c
+             | WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = c.c_custkey)
+             | UNION ALL
+             | SELECT c_custkey, c_name, c_acct_c FROM latest WHERE op <> 'D')
+             |ORDER BY c_custkey NULLS FIRST, c_name NULLS FIRST""".stripMargin)))
+}

@@ -38,28 +38,52 @@ object Tables {
     * write itself is a one-time layout job, exactly like a production
     * ingest repartitioning into its partition scheme.
     */
-  def documentsByLang(spark: SparkSession, dir: String): DataFrame = {
-    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
-    val out = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft-partitioned/$key/documents_by_lang")
-    // cache validity is keyed on the SOURCE's content signature (file
-    // names + sizes + mtimes), not just the path: regenerating the source
-    // in place must invalidate the copy, or this layout would silently
-    // diverge from what an oracle reading the original sees
-    val src = new java.io.File(s"$dir/documents.parquet")
-    val sig = Option(src.listFiles()).map(_.filter(_.isFile)).getOrElse(Array(src))
-      .sortBy(_.getName)
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("\n")
-    val sigFile = new java.io.File(out.getParentFile, "documents_by_lang.sig")
-    val fresh = new java.io.File(out, "_SUCCESS").isFile && sigFile.isFile &&
-      new String(java.nio.file.Files.readAllBytes(sigFile.toPath), "UTF-8") == sig
-    if (!fresh) {
-      load(spark, dir, "documents")
+  def documentsByLang(spark: SparkSession, dir: String): DataFrame =
+    derivedCopy(spark, dir, "documents", "documents_by_lang") { (df, out) =>
+      df
         // one file per partition dir: at this SF a per-lang directory is
         // a single task's worth; at 100 TB you'd keep the natural task
         // fan-out instead of coalescing
         .repartition(org.apache.spark.sql.functions.col("lang"))
-        .write.mode("overwrite").partitionBy("lang").parquet(out.toString)
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+    }
+
+  /** The `events` table re-laid-out on the z-curve of (user_id, value)
+    * ([[graft.operators.ZOrder.layout]]): every file and row group
+    * covers a small rectangle of (user_id, value) space, so a box
+    * predicate on BOTH columns — with no z column in the query — skips
+    * row groups via ordinary parquet min/max stats in both dimensions,
+    * where a linear sort is selective in one. Cached per source dir and
+    * content signature, like [[documentsByLang]].
+    */
+  def eventsZOrdered(spark: SparkSession, dir: String): DataFrame =
+    derivedCopy(spark, dir, "events", "events_zorder") { (df, out) =>
+      graft.operators.ZOrder.layout(df, Seq("user_id", "value"), bits = 10)
+        .write.mode("overwrite").parquet(out)
+    }
+
+  /** Signature-cached derived layout under java.io.tmpdir: rebuild only
+    * when the SOURCE's content signature (file names + sizes + mtimes)
+    * changes — regenerating the source in place must invalidate the
+    * copy, or the layout would silently diverge from what an oracle
+    * reading the original sees. The write itself is a one-time layout
+    * job, exactly like a production ingest repartitioning into its
+    * layout scheme.
+    */
+  private def derivedCopy(spark: SparkSession, dir: String, table: String,
+      name: String)(write: (DataFrame, String) => Unit): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val out = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft-partitioned/$key/$name")
+    val src = new java.io.File(s"$dir/$table.parquet")
+    val sig = Option(src.listFiles()).map(_.filter(_.isFile)).getOrElse(Array(src))
+      .sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("\n")
+    val sigFile = new java.io.File(out.getParentFile, s"$name.sig")
+    val fresh = new java.io.File(out, "_SUCCESS").isFile && sigFile.isFile &&
+      new String(java.nio.file.Files.readAllBytes(sigFile.toPath), "UTF-8") == sig
+    if (!fresh) {
+      write(load(spark, dir, table), out.toString)
       sigFile.getParentFile.mkdirs()
       java.nio.file.Files.write(sigFile.toPath, sig.getBytes("UTF-8"))
     }

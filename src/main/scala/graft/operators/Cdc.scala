@@ -47,4 +47,23 @@ object Cdc {
       .unionByName(latest.filter(col(opCol) =!= lit(deleteOp))
         .select(base.columns.map(col): _*))
   }
+
+  /** SCD type-2 history build: one row per change with its validity
+    * interval — `valid_from` = the change's own timestamp, `valid_to` =
+    * the NEXT change's timestamp for the same key (NULL while current),
+    * half-open [from, to). `orderBy` sorts oldest-first and must
+    * totally order each key's changes. One shuffle on the key (the
+    * window's), nothing else — at 100 TB the history of a key lives in
+    * one partition and the build is a single pass.
+    */
+  def scd2(changes: DataFrame, keys: Seq[String], orderBy: Seq[Column],
+      tsCol: String, validFrom: String = "valid_from",
+      validTo: String = "valid_to",
+      currentCol: String = "is_current"): DataFrame = {
+    require(keys.nonEmpty, "scd2 needs key columns")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy: _*)
+    changes.withColumn(validFrom, col(tsCol))
+      .withColumn(validTo, lead(col(tsCol), 1).over(w))
+      .withColumn(currentCol, col(validTo).isNull)
+  }
 }

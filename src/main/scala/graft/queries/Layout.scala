@@ -73,5 +73,32 @@ object LayoutOps {
              | WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = c.c_custkey)
              | UNION ALL
              | SELECT c_custkey, c_name, c_acct_c FROM latest WHERE op <> 'D')
-             |ORDER BY c_custkey NULLS FIRST, c_name NULLS FIRST""".stripMargin)))
+             |ORDER BY c_custkey NULLS FIRST, c_name NULLS FIRST""".stripMargin)),
+
+    // SCD type-2 dimension history from a changelog: per-key validity
+    // intervals, half-open [valid_from, valid_to), NULL while current —
+    // the oracle recomputes the same LEAD window
+    Q("cd2_scd2_history",
+      (s, dir) => {
+        val changes = t(s, dir, "orders")
+          .filter(col("o_custkey") % 50 === 0)
+          .select(col("o_custkey").as("k"),
+            col("o_orderpriority").as("attr"),
+            col("o_orderdate"), col("o_orderkey"))
+        graft.operators.Cdc.scd2(changes, Seq("k"),
+          Seq(asc_nulls_first("o_orderdate"), asc_nulls_first("o_orderkey")),
+          "o_orderdate")
+          .select(col("k"), col("attr"), col("valid_from"),
+            col("valid_to"), col("is_current"))
+          .orderBy(asc_nulls_first("k"), asc_nulls_first("valid_from"),
+            asc_nulls_first("attr"))
+      },
+      Some("""SELECT o_custkey AS k, o_orderpriority AS attr,
+             | o_orderdate AS valid_from,
+             | LEAD(o_orderdate) OVER w AS valid_to,
+             | (LEAD(o_orderdate) OVER w IS NULL) AS is_current
+             |FROM orders WHERE o_custkey % 50 = 0
+             |WINDOW w AS (PARTITION BY o_custkey
+             | ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST)
+             |ORDER BY k NULLS FIRST, valid_from NULLS FIRST, attr NULLS FIRST""".stripMargin)))
 }

@@ -64,6 +64,23 @@ class CdcSpec extends SparkSpec {
     assert(out == Seq((1L, "a"), (2L, "b")))
   }
 
+  test("scd2 intervals chain per key: contiguous, one current row") {
+    val ch = changes((1L, "v1", "U", 1L), (1L, "v2", "U", 2L),
+      (1L, "v3", "U", 3L), (2L, "w1", "U", 5L))
+    val h = Cdc.scd2(ch, Seq("k"), Seq(asc_nulls_first("seq")), "seq")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
+        r.getAs[Long]("valid_from"), Option(r.getAs[java.lang.Long]("valid_to")),
+        r.getAs[Boolean]("is_current")))
+      .sortBy(t => (t._1, t._3))
+    assert(h.toSeq == Seq(
+      (1L, "v1", 1L, Some(2L), false),
+      (1L, "v2", 2L, Some(3L), false),
+      (1L, "v3", 3L, None, true),
+      (2L, "w1", 5L, None, true)))
+    // exactly one current row per key, intervals contiguous
+    assert(h.groupBy(_._1).forall(_._2.count(_._5) == 1))
+  }
+
   test("ordering columns and op do not leak into the result schema") {
     val res = Cdc.applyChangelog(base((1L, "a")),
       changes((1L, "a2", "U", 1L)), Seq("k"), Seq(desc_nulls_last("seq")))

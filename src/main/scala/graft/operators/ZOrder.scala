@@ -56,31 +56,64 @@ object ZOrder {
       lit(0L)), lit(buckets - 1))
   }
 
-  /** The same rows, clustered on the z-curve of `cols`: one min/max
-    * stats pass, then a range repartition + local sort on the
-    * interleaved value. Row content is untouched — the operator is
-    * semantics-preserving by construction, and the registered
-    * `zo1_zorder_box` query proves it against an oracle reading the
-    * original layout.
+  /** The same rows, clustered on the z-curve of `cols`: one stats pass,
+    * then a range repartition + local sort on the interleaved value.
+    * Row content is untouched — the operator is semantics-preserving by
+    * construction, and the registered `zo1_zorder_box` query proves it
+    * against an oracle reading the original layout.
+    *
+    * `rankSpace = true` (default) bucketizes each dimension by
+    * EQUI-DEPTH boundaries (approx quantiles — ≤ 2^bits doubles per
+    * dimension to the driver, the bounded-codebook discipline), so
+    * every bucket holds ~the same row count regardless of skew: a
+    * zipf-ish dimension still yields tiles with narrow min/max stats
+    * where value-space buckets would dump most rows into a few buckets
+    * and leave row groups wide. `rankSpace = false` uses min/max
+    * scaling (one cheap aggregate, no quantile pass).
     */
   def layout(df: DataFrame, cols: Seq[String], bits: Int = 12,
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0, rankSpace: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "layout needs curve columns")
-    val aggs = cols.flatMap(c => Seq(
-      min(col(c).cast("double")).as(s"lo_$c"),
-      max(col(c).cast("double")).as(s"hi_$c")))
-    val stats = df.agg(aggs.head, aggs.tail: _*).head()
-    val z = zvalue(bits, cols.zipWithIndex.map { case (c, i) =>
-      // an all-NULL column has NULL stats: degrade that dimension to 0
-      val lo = if (stats.isNullAt(2 * i)) 0.0 else stats.getDouble(2 * i)
-      val hi = if (stats.isNullAt(2 * i + 1)) 0.0 else stats.getDouble(2 * i + 1)
-      bucketize(col(c), lo, hi, bits)
-    }: _*)
+    val dims: Seq[Column] =
+      if (rankSpace) {
+        val buckets = 1 << bits
+        val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+        cols.map { c =>
+          val qs = df.select(col(c).cast("double").as("__q")).na.drop("any")
+            .stat.approxQuantile("__q", probs, 0.25 / buckets)
+          rankBucketize(col(c), qs.distinct.sorted)
+        }
+      } else {
+        val aggs = cols.flatMap(c => Seq(
+          min(col(c).cast("double")).as(s"lo_$c"),
+          max(col(c).cast("double")).as(s"hi_$c")))
+        val stats = df.agg(aggs.head, aggs.tail: _*).head()
+        cols.zipWithIndex.map { case (c, i) =>
+          // an all-NULL column has NULL stats: degrade that dimension to 0
+          val lo = if (stats.isNullAt(2 * i)) 0.0 else stats.getDouble(2 * i)
+          val hi = if (stats.isNullAt(2 * i + 1)) 0.0 else stats.getDouble(2 * i + 1)
+          bucketize(col(c), lo, hi, bits)
+        }
+      }
+    val z = zvalue(bits, dims: _*)
     val n = if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     df.withColumn("__z", z)
       .repartitionByRange(n, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
+  }
+
+  /** Equi-depth bucket id: how many of the (sorted, distinct) split
+    * points lie at or below the value — a fold over a broadcast-literal
+    * boundary array, codegen'd, NULL-preserving. O(|splits|) per row on
+    * the one-time layout pass; the read side never sees it.
+    */
+  def rankBucketize(c: Column, splits: Array[Double]): Column = {
+    val bucket =
+      if (splits.isEmpty) lit(0L)
+      else aggregate(typedlit(splits.toSeq), lit(0L),
+        (acc, b) => acc + when(c.cast("double") >= b, 1L).otherwise(0L))
+    when(c.isNull, lit(null)).otherwise(bucket)
   }
 }

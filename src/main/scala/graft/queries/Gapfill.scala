@@ -360,6 +360,27 @@ object Gapfill {
              | COUNT(DISTINCT user_id) AS uniques
              |FROM events GROUP BY 1 ORDER BY hour NULLS FIRST""".stripMargin)),
 
+    // Batch form of the stream-static enrichment join (EventStreams.
+    // hourlyBySegment): events broadcast-join the customer dim, then the
+    // windowed per-segment revenue aggregate
+    Q("st9_segment_revenue",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val c = t(s, dir, "customer")
+        e.join(broadcast(c.select(col("c_custkey"), col("c_mktsegment"))),
+            col("user_id") === col("c_custkey"))
+          .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("sum_c"))
+          .select(col("window.start").cast(TimestampType).as("hour"),
+            col("c_mktsegment").as("segment"), col("cnt"), col("sum_c"))
+          .orderBy(asc_nulls_first("hour"), asc_nulls_first("segment"))
+      },
+      Some("""SELECT date_trunc('hour', e.ts) AS hour, c.c_mktsegment AS segment,
+             | COUNT(*) AS cnt, CAST(SUM(CAST(ROUND(e.value*100) AS BIGINT)) AS BIGINT) AS sum_c
+             |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             |GROUP BY 1, 2
+             |ORDER BY hour NULLS FIRST, segment NULLS FIRST""".stripMargin)),
+
     // Batch form of the stream-stream interval join (EventStreams.
     // viewToPurchase): view → purchase attribution within 1h, per user
     Q("st6_view_attribution",

@@ -58,8 +58,25 @@ object Tables {
     */
   def eventsZOrdered(spark: SparkSession, dir: String): DataFrame =
     derivedCopy(spark, dir, "events", "events_zorder") { (df, out) =>
-      graft.operators.ZOrder.layout(df, Seq("user_id", "value"), bits = 10)
-        .write.mode("overwrite").parquet(out)
+      // skip granularity is the row group: write small groups (256 KB
+      // blocks) and scale the file fan-out with the data so each file
+      // holds a few narrow z-tiles. At warehouse scale the same layout
+      // uses production-sized files with the row-group size tuned to
+      // the scan's skip granularity — the mechanism (group-level
+      // min/max on the curve dimensions) is identical.
+      val rows = df.count()
+      val parts = math.max(32L, math.min(512L, rows / 32768L)).toInt
+      // curve resolution matched to the group count (2^(dims*bits) ≈
+      // #groups): finer buckets shred a box predicate into more Morton
+      // runs than there are group z-ranges and every group overlaps one
+      val groups = math.max(1L, rows / 4000L)
+      val bits = math.max(3, math.min(10,
+        (math.log(groups.toDouble) / math.log(2) / 2).toInt))
+      graft.operators.ZOrder.layout(df, Seq("user_id", "value"), bits = bits,
+          numPartitions = parts)
+        .write.mode("overwrite")
+        .option("parquet.block.size", 256 * 1024)
+        .parquet(out)
     }
 
   /** Signature-cached derived layout under java.io.tmpdir: rebuild only

@@ -103,6 +103,27 @@ object EventStreams {
       .select(col("win.start").as("hour"), col("uniques"))
   }
 
+  /** Stream-static enrichment join: every event joins a STATIC dimension
+    * snapshot (re-planned per micro-batch, broadcast — the stream never
+    * shuffles for the join), then flows into the watermarked windowed
+    * aggregate. This is the standing-pipeline form of fact-enrichment:
+    * at 100 TB/day the stream side stays partition-local and only the
+    * (small, measured) dim is shipped. Batch twin: `st9_segment_revenue`
+    * (same plan over the static tables; oracle-checked).
+    */
+  def hourlyBySegment(events: DataFrame, customers: DataFrame,
+      watermark: Boolean = true): DataFrame = {
+    val cast = events.withColumn("ts", col("ts").cast(TimestampType))
+    val src = if (watermark) cast.withWatermark("ts", "1 hour") else cast
+    val dim = broadcast(customers.select(col("c_custkey"), col("c_mktsegment")))
+    src.join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100).cast(LongType)).as("sum_c"))
+      .select(col("window.start").as("hour"),
+        col("c_mktsegment").as("segment"), col("cnt"), col("sum_c"))
+  }
+
   /** running per-user aggregate via mapGroupsWithState — the custom-state
     * extension point (the streaming analog of the reference's
     * `sql_groupby_apply`, SURVEY §2.5)

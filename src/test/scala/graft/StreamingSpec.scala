@@ -90,6 +90,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join composed with windowed aggregate matches batch (st9)") {
+    // the row-level enrichment test above proves the join; this proves
+    // it COMPOSES with downstream stateful aggregation — the streaming
+    // run must equal st9's registered batch twin on the same inputs
+    val stream = EventStreams.readEventsStream(spark, sf)
+    val dim = Tables.load(spark, sf, "customer")
+    val q = EventStreams.startMemorySink(
+      EventStreams.hourlyBySegment(stream, dim, watermark = false), "seg_test")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("seg_test").collect().map(_.toSeq).toSet
+      val batch = EventStreams.hourlyBySegment(
+        Tables.load(spark, sf, "events"), dim, watermark = false)
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals match batch aggregate") {
     val stream = EventStreams.readEventsStream(spark, sf)
     val totals = EventStreams.runningUserTotals(spark, stream)

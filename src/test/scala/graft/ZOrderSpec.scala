@@ -73,7 +73,11 @@ class ZOrderSpec extends SparkSpec {
     val parts = 64
     val grid = spark.range(256L * 256L)
       .select((col("id") % 256).as("a"), expr("id div 256").as("b"))
-    ZOrder.layout(grid, Seq("a", "b"), bits = 8, numPartitions = parts)
+    // min/max buckets: on a uniform grid they equal rank space but stay
+    // exactly tile-aligned — approxQuantile boundaries wobble run-to-run
+    // (partition merge order) and can smear tiles across the box edge
+    ZOrder.layout(grid, Seq("a", "b"), bits = 8, numPartitions = parts,
+        rankSpace = false)
       .write.mode("overwrite").parquet(s"$tmp/z")
     grid.repartitionByRange(parts, col("a"))
       .sortWithinPartitions("a")

@@ -381,6 +381,33 @@ object Gapfill {
              |GROUP BY 1, 2
              |ORDER BY hour NULLS FIRST, segment NULLS FIRST""".stripMargin)),
 
+    // Batch form of the streaming session-window aggregation
+    // (EventStreams.userSessions): native session_window vs the
+    // gaps-and-islands rewrite the oracle runs. Boundary semantics: an
+    // event exactly `gap` after the previous one opens a NEW session
+    // (half-open window), hence `>=` in the oracle's flag where st2's
+    // lag-based count uses `>`.
+    Q("st10_session_stats",
+      (s, dir) => graft.streaming.EventStreams.userSessions(
+          t(s, dir, "events"), watermark = false)
+        .orderBy("user_id", "s_start"),
+      Some("""WITH flagged AS (
+             | SELECT user_id, ts, value,
+             |  CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w >= 1800000000
+             |    OR LAG(epoch_us(ts), 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+             | FROM events WHERE user_id IS NOT NULL
+             | WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+             |), sess AS (
+             | SELECT user_id, ts, value,
+             |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |    ROWS UNBOUNDED PRECEDING) AS sid
+             | FROM flagged)
+             |SELECT MIN(ts) AS s_start, MAX(ts) + INTERVAL 30 MINUTE AS s_end,
+             | user_id, COUNT(*) AS n_events,
+             | CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_c
+             |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id, s_start""".stripMargin)),
+
     // Batch form of the stream-stream interval join (EventStreams.
     // viewToPurchase): view → purchase attribution within 1h, per user
     Q("st6_view_attribution",

@@ -103,6 +103,32 @@ object EventStreams {
       .select(col("win.start").as("hour"), col("uniques"))
   }
 
+  /** Session-window aggregation — the third event-time window kind next
+    * to tumbling ([[hourlyByType]]) and sliding: a per-user session stays
+    * open while events keep arriving within `gap` of the previous one and
+    * spans [first event, last event + gap). Streaming state is one
+    * (possibly merging) window per open session per user and expires with
+    * the watermark, so it is bounded by concurrently-open sessions, never
+    * stream length. An event landing exactly `gap` after the previous one
+    * starts a NEW session (the window is half-open). Batch twin:
+    * `st10_session_stats` — same plan over the static table, oracle-checked
+    * against the gaps-and-islands rewrite (`LAG` + cumulative flag), which
+    * is also how the sessionization would be expressed without native
+    * session windows (st2).
+    */
+  def userSessions(events: DataFrame, gap: String = "30 minutes",
+      watermark: Boolean = true): DataFrame = {
+    val cast = events.withColumn("ts", col("ts").cast(TimestampType))
+    val src = if (watermark) cast.withWatermark("ts", gap) else cast
+    src.filter(col("user_id").isNotNull)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast(LongType)).as("value_c"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n_events"), col("value_c"))
+  }
+
   /** Stream-static enrichment join: every event joins a STATIC dimension
     * snapshot (re-planned per micro-batch, broadcast — the stream never
     * shuffles for the join), then flows into the watermarked windowed

@@ -109,6 +109,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows: streaming sessions finalize at the watermark and match batch (st10)") {
+    // session_window state MERGES adjacent windows per key (unlike
+    // tumbling/sliding, a window's extent depends on the data), so the
+    // parity worth proving is the watermarked append path: sessions are
+    // emitted exactly once, closed, and equal to the batch twin. A
+    // sentinel event 10 days out pushes the watermark past every real
+    // session; the sentinel's own still-open session stays in state.
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("graft_sessions").toString
+    val srcDir = s"$work/src"
+    new java.io.File(srcDir).mkdirs()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(EventStreams.rawSchema).parquet(s"$sf/events.parquet")
+    raw.write.mode("overwrite").parquet(srcDir)
+    val maxNs = raw.agg(max("ts")).head().getLong(0)
+
+    val stream = spark.readStream.schema(EventStreams.rawSchema).parquet(srcDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+    val q = EventStreams.userSessions(stream).writeStream.format("parquet")
+      .option("path", s"$work/out").option("checkpointLocation", s"$work/ckpt")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      spark.range(1).selectExpr(
+        "999999 AS event_id", s"${maxNs + 10L * 86400 * 1000000000L} AS ts",
+        "CAST(1 AS LONG) AS user_id", "'click' AS event_type",
+        "CAST(1.0 AS DOUBLE) AS value", "'{}' AS props")
+        .write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      val emitted = spark.read.parquet(s"$work/out").collect().map(_.toSeq).toSet
+      val batch = EventStreams.userSessions(
+        Tables.load(spark, sf, "events"), watermark = false)
+        .collect().map(_.toSeq).toSet
+      assert(emitted === batch)
+      assert(emitted.nonEmpty)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals match batch aggregate") {
     val stream = EventStreams.readEventsStream(spark, sf)
     val totals = EventStreams.runningUserTotals(spark, stream)

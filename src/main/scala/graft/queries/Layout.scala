@@ -75,6 +75,37 @@ object LayoutOps {
              | SELECT c_custkey, c_name, c_acct_c FROM latest WHERE op <> 'D')
              |ORDER BY c_custkey NULLS FIRST, c_name NULLS FIRST""".stripMargin)),
 
+    // Incremental aggregate refresh: the stored per-part aggregate of the
+    // pre-cutoff facts folds the post-cutoff delta in WITHOUT rescanning
+    // the base facts (IncrementalAggSpec proves the no-rescan property on
+    // real files); the oracle recomputes the whole aggregate from scratch
+    // — refresh(aggregate(base), delta) must equal aggregate(base+delta).
+    Q("inc1_agg_refresh",
+      (s, dir) => {
+        import graft.operators.IncrementalAgg
+        import graft.operators.IncrementalAgg.AggSpec
+        val li = t(s, dir, "lineitem").select(col("l_partkey"),
+          cents(col("l_extendedprice")).as("price_c"), col("l_shipdate"))
+        val cutoff = lit("1996-01-01").cast(DateType)
+        val keys = Seq("l_partkey")
+        val aggs = Seq(AggSpec("price_c", "sum", "rev_c"),
+          AggSpec("price_c", "count", "cnt"),
+          AggSpec("l_shipdate", "min", "first_ship"),
+          AggSpec("l_shipdate", "max", "last_ship"))
+        val stored = IncrementalAgg.aggregate(
+          li.filter(col("l_shipdate") < cutoff), keys, aggs)
+        val delta = li.filter(col("l_shipdate") >= cutoff ||
+          col("l_shipdate").isNull)
+        IncrementalAgg.refresh(stored, delta, keys, aggs)
+          .orderBy(asc_nulls_first("l_partkey"))
+      },
+      Some("""SELECT l_partkey,
+             | CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev_c,
+             | COUNT(l_extendedprice) AS cnt,
+             | MIN(l_shipdate) AS first_ship, MAX(l_shipdate) AS last_ship
+             |FROM lineitem GROUP BY l_partkey
+             |ORDER BY l_partkey NULLS FIRST""".stripMargin)),
+
     // SCD type-2 dimension history from a changelog: per-key validity
     // intervals, half-open [valid_from, valid_to), NULL while current —
     // the oracle recomputes the same LEAD window

@@ -1028,6 +1028,33 @@ object LlmData {
              |  (acc, b) -> (acc * 31 + b) % 1000000007) AS frame_hash
              |FROM documents,
              | LATERAL (SELECT unnest(range(0, length(text)//64, 2)) AS f) _f
-             |ORDER BY doc_id, frame_idx""".stripMargin))
+             |ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // EP1 — deterministic epoch shuffle + batch packing
+    // (operators/EpochShuffle): a seeded Lehmer permutation of the corpus
+    // ranked WITHOUT a single-partition sort (range shuffle + two-pass
+    // count/offset), cut into 64-doc batches. The per-batch id-sum pins
+    // the full permutation — any mis-ranked row moves an id across a
+    // batch boundary. The oracle replays the identical BIGINT hash and a
+    // ROW_NUMBER in DuckDB.
+    Q("ep1_epoch_shuffle",
+      (s, dir) => graft.operators.EpochShuffle.epoch(
+          t(s, dir, "documents").select(col("doc_id")),
+          "doc_id", epochNo = 1, batchSize = 64)
+        .groupBy("batch_id")
+        .agg(count(lit(1)).as("n_docs"),
+          min("rank").as("rank_lo"), max("rank").as("rank_hi"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("batch_id"),
+      Some("""WITH ranked AS (
+             | SELECT doc_id,
+             |  ROW_NUMBER() OVER (
+             |   ORDER BY ((doc_id % 2147483647) * 48271) % 2147483647
+             |     NULLS FIRST, doc_id NULLS FIRST) AS rnk
+             | FROM documents)
+             |SELECT (rnk - 1) // 64 AS batch_id, COUNT(*) AS n_docs,
+             | MIN(rnk) AS rank_lo, MAX(rnk) AS rank_hi,
+             | CAST(SUM(doc_id) AS BIGINT) AS id_sum
+             |FROM ranked GROUP BY 1 ORDER BY batch_id""".stripMargin))
   )
 }

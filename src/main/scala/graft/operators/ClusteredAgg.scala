@@ -63,22 +63,39 @@ object ClusteredAgg {
   /** Is every key of `df(keyCol)` confined to a single scan partition,
     * with no NULLs? Exact, not a range heuristic. (cached; safe to call
     * repeatedly)
+    *
+    * Two tiers: [[LayoutStats.footerProvenClustered]] first — a
+    * metadata-only proof from parquet row-group min/max stats, zero
+    * Spark jobs, which resolves the common sorted-ingest layout in
+    * milliseconds (at the 60 M-row replica the scan check below was the
+    * bulk of a cold `groupByClustered` query). Layouts the footers
+    * can't prove (interleaved-but-bin-packed ranges, missing stats,
+    * non-parquet sources, float keys) fall through to the exact scan
+    * check — the footer tier returns only "proven" or "unknown",
+    * never "not clustered".
     */
   def isKeyClustered(df: DataFrame, keyCol: String): Boolean = {
     val keyed = df.select(col(keyCol).as("k"))
     val cacheKey = PlanBridge.analyzed(keyed).canonicalized
-    layoutVerdicts.computeIfAbsent(cacheKey, _ => {
-      // worst = max over keys of #partitions holding that key, with NULL
-      // keys forced to 2 (= fallback). Both aggregates are codegen'd with
-      // map-side partials: the wire carries distinct (k, pid) pairs.
-      val row = keyed
-        .select(col("k"), spark_partition_id().as("pid"))
-        .groupBy("k")
-        .agg(countDistinct(col("pid")).as("np"))
-        .agg(max(when(col("k").isNull, lit(2L)).otherwise(col("np"))).as("worst"))
-        .head()
-      java.lang.Boolean.valueOf(row.isNullAt(0) || row.getLong(0) <= 1L)
-    })
+    layoutVerdicts.computeIfAbsent(cacheKey, _ =>
+      java.lang.Boolean.valueOf(
+        LayoutStats.footerProvenClustered(df, keyCol) || scanVerdict(keyed)))
+  }
+
+  /** The exact fallback: one pass over the key column + distinct-key
+    * shuffle, measuring `max(countDistinct(partition_id) per key)`.
+    */
+  private def scanVerdict(keyed: DataFrame): Boolean = {
+    // worst = max over keys of #partitions holding that key, with NULL
+    // keys forced to 2 (= fallback). Both aggregates are codegen'd with
+    // map-side partials: the wire carries distinct (k, pid) pairs.
+    val row = keyed
+      .select(col("k"), spark_partition_id().as("pid"))
+      .groupBy("k")
+      .agg(countDistinct(col("pid")).as("np"))
+      .agg(max(when(col("k").isNull, lit(2L)).otherwise(col("np"))).as("worst"))
+      .head()
+    row.isNullAt(0) || row.getLong(0) <= 1L
   }
 
   /** `SELECT k, <aggs> FROM df GROUP BY k`, exchange-free when the layout

@@ -125,4 +125,58 @@ object Corpus {
       .groupBy(col(term))
       .agg(count(lit(1)).as("df"), sum("tf_doc").as("tf"))
   }
+
+  /** BM25 ranked retrieval: top-`k` documents for a bag of query terms,
+    * scored `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len/avgdl))` with
+    * the Lucene idf `ln((N−df+0.5)/(df+0.5) + 1)` (always ≥ 0).
+    *
+    * SHUFFLE-FREE except the final top-k: the query's term set is a
+    * bounded literal, so per-document term frequencies are ARRAY
+    * expressions (`size(filter(words, _ = t))`) instead of the classic
+    * explode → (term,doc) shuffle — each document scores itself inside
+    * whole-stage codegen. Corpus statistics (N, avgdl, per-term df) are
+    * ONE global aggregate producing a single row, broadcast back via
+    * crossJoin; ranking is `TakeOrderedAndProject` (per-partition heaps,
+    * never a global sort). Two scans of the corpus total, zero wide
+    * shuffles — at 100 TB the cost is the scans, not data movement.
+    *
+    * Scores are rounded to 6 decimals BEFORE ranking: the rounded value
+    * is engine-reproducible (log/division ulp differences sit at 1e-15)
+    * and makes the (score, docId) ordering — and therefore the top-k
+    * cut — deterministic across engines and cluster sizes.
+    */
+  def bm25TopK(corpus: DataFrame, docIdCol: String, textCol: String,
+      terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    require(k > 0, "bm25TopK needs k > 0")
+    val w = Cols.fresh("_w", corpus.columns)
+    val base = corpus.select(col(docIdCol), words(col(textCol)).as(w))
+    val tfCols = terms.indices.map { i =>
+      size(filter(col(w), x => x === lit(terms(i)))).cast(LongType).as(s"_tf$i")
+    }
+    val feat = base.select(
+      col(docIdCol) +: size(col(w)).cast(LongType).as("_dl") +: tfCols: _*)
+    // one reduce: corpus size, average doc length, df per query term.
+    // avgdl is exact in ANY summation order: doc lengths are integers and
+    // their total stays far below 2^53, so every partial sum is an exact
+    // double — the reproducibility trick the money queries get from cents
+    val statAggs = count(lit(1)).as("_n") +: avg(col("_dl")).as("_avgdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"_tf$i") > 0, 1L).otherwise(0L)).as(s"_df$i"))
+    val stats = feat.agg(statAggs.head, statAggs.tail: _*)
+    val score = terms.indices.map { i =>
+      val tf = col(s"_tf$i").cast(DoubleType)
+      val idf = log(
+        (col("_n") - col(s"_df$i") + lit(0.5)) / (col(s"_df$i") + lit(0.5))
+          + lit(1.0))
+      idf * (tf * (lit(k1) + lit(1.0))) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("_dl") / col("_avgdl")))
+    }.reduce(_ + _)
+    feat.crossJoin(broadcast(stats))
+      .filter(terms.indices.map(i => col(s"_tf$i") > 0).reduce(_ || _))
+      .select(col(docIdCol), round(score, 6).as("score"))
+      .orderBy(desc("score"), col(docIdCol).asc)
+      .limit(k)
+  }
 }

@@ -118,5 +118,37 @@ object CorpusOps {
              |         unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS term
              |       FROM documents)
              | GROUP BY 1, 2)
-             |GROUP BY 1 ORDER BY term""".stripMargin)))
+             |GROUP BY 1 ORDER BY term""".stripMargin)),
+
+    // BM1 — BM25 ranked retrieval for a 3-term query (rare + common
+    // terms: df ≈ 25 / 385 / 394 of 500 at sf0.001, so the idf spread is
+    // what the ranking exercises). Shuffle-free scoring: tf per doc is an
+    // array expression, corpus stats are one 1-row aggregate broadcast
+    // back, ranking is TakeOrderedAndProject. Scores round to 6 decimals
+    // BEFORE ranking so the top-k cut is engine-deterministic.
+    Q("bm1_bm25_topk",
+      (s, dir) => Corpus.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("dup", "vector", "stream"), 20),
+      Some("""WITH f2 AS (
+             | SELECT doc_id, len(w) AS dl,
+             |   len(list_filter(w, x -> x = 'dup')) AS tf0,
+             |   len(list_filter(w, x -> x = 'vector')) AS tf1,
+             |   len(list_filter(w, x -> x = 'stream')) AS tf2
+             | FROM (SELECT doc_id,
+             |   CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[])
+             |        ELSE string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') END AS w
+             |   FROM documents)),
+             |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl,
+             |   SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+             |   SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             |   SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+             | FROM f2)
+             |SELECT doc_id, ROUND(
+             |   LN((n - df0 + 0.5)/(df0 + 0.5) + 1) * (tf0*(1.2+1))/(tf0 + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
+             | + LN((n - df1 + 0.5)/(df1 + 0.5) + 1) * (tf1*(1.2+1))/(tf1 + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
+             | + LN((n - df2 + 0.5)/(df2 + 0.5) + 1) * (tf2*(1.2+1))/(tf2 + 1.2*(1 - 0.75 + 0.75*dl/avgdl)), 6) AS score
+             |FROM f2, stats
+             |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+             |ORDER BY score DESC, doc_id
+             |LIMIT 20""".stripMargin)))
 }

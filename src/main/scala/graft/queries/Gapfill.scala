@@ -475,6 +475,39 @@ object Gapfill {
              |  AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
              |) WHERE rn = 1 GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // st10: view ABANDONMENT — the left-outer form of st6. Every view,
+    // with its qualifying purchases or one NULL-purchase row when none
+    // arrived within the hour: the training-label shape ("did this
+    // impression convert?"). The streaming twin
+    // (EventStreams.viewToPurchaseOuter) emits the NULL rows only when
+    // the watermark passes v_ts + window — parity spec feeds a flush
+    // sentinel to close the tail (StreamingSpec).
+    Q("st10_view_abandonment",
+      (s, dir) => {
+        val base = t(s, dir, "events")
+        val views = base.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+            col("event_id").as("view_id"))
+        val purchases = base.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("event_id").as("purchase_id"))
+        views.join(purchases,
+          col("v_user") === col("p_user") &&
+            col("p_ts") >= col("v_ts") &&
+            col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
+          "left_outer")
+          .select(col("v_user").as("user_id"), col("view_id"),
+            col("purchase_id"))
+          .orderBy(asc_nulls_first("user_id"), asc_nulls_first("view_id"),
+            asc_nulls_first("purchase_id"))
+      },
+      Some("""SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+             |FROM (SELECT * FROM events WHERE event_type = 'view') v
+             |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             | ON v.user_id = p.user_id
+             | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+             |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin)),
+
     // Sessionization: 30-min-gap sessions per user via lag + cumulative flag
     Q("st2_sessionize",
       (s, dir) => {

@@ -208,6 +208,42 @@ object EventStreams {
         col("purchase_id"), col("v_ts"), col("p_ts"))
   }
 
+  /** LEFT-OUTER stream-stream interval join: every view, matched to the
+    * purchases within `window` after it — or emitted once with NULL
+    * purchase columns when the watermark proves no purchase can arrive
+    * (abandonment detection, the training-label form of attribution:
+    * "did this impression convert?").
+    *
+    * Outer emission is the genuinely streaming-hard part: an unmatched
+    * view is not a result until time runs out on it. Spark holds the
+    * view in join state and emits the NULL row only when the watermark
+    * passes `v_ts + window` — so the null-side results trail the input
+    * by the window + watermark delay, and a terminal micro-batch needs
+    * the watermark advanced past the last view's deadline before its
+    * NULL row appears (the parity spec feeds a flush sentinel for
+    * exactly this). Same state partitioning and eviction bounds as the
+    * inner form: keyed by user, expired at the interval bound.
+    */
+  def viewToPurchaseOuter(events: DataFrame,
+      window: String = "1 hour"): DataFrame = {
+    val base = events.withColumn("ts", col("ts").cast(TimestampType))
+    val views = base.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", window)
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", window)
+    views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr(s"INTERVAL $window"),
+      "left_outer")
+      .select(col("v_user").as("user_id"), col("view_id"),
+        col("purchase_id"), col("v_ts"), col("p_ts"))
+  }
+
   /** start a complete-mode in-memory sink (testing / local inspection) */
   def startMemorySink(df: DataFrame, name: String): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream.format("memory").queryName(name)

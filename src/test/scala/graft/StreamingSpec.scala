@@ -263,6 +263,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("LEFT-OUTER stream-stream join: NULL rows appear once the watermark closes the window") {
+    // the outer join's null side is watermark-gated: an unmatched view is
+    // emitted only when no purchase can still arrive (wm > v_ts + 1h).
+    // A finite stream therefore needs a flush batch past every deadline —
+    // one far-future view AND purchase (both sides' watermarks must move)
+    // for sentinel users that join nothing.
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("graft_outerjoin").toString
+    val srcDir = s"$work/src"
+    new java.io.File(srcDir).mkdirs()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(EventStreams.rawSchema).parquet(s"$sf/events.parquet")
+    raw.write.mode("overwrite").parquet(srcDir)
+    val maxNs = raw.agg(max("ts")).head().getLong(0)
+    val stream = spark.readStream.schema(EventStreams.rawSchema).parquet(srcDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = EventStreams.viewToPurchaseOuter(stream)
+      .writeStream.format("memory").queryName("outer_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val farNs = maxNs + 10L * 86400 * 1000000000L
+      for ((id, user, tpe) <- Seq((999998L, -1L, "view"), (999999L, -2L, "purchase")))
+        spark.range(1).selectExpr(
+          s"$id AS event_id", s"$farNs AS ts", s"CAST($user AS LONG) AS user_id",
+          s"'$tpe' AS event_type", "CAST(0.0 AS DOUBLE) AS value", "'{}' AS props")
+          .write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      val streamed = spark.table("outer_test")
+        .filter(col("user_id") >= 0) // drop the flush sentinels
+        .select("user_id", "view_id", "purchase_id")
+        .collect().map(_.toSeq).toSet
+      val base = Tables.load(spark, sf, "events")
+      val views = base.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("event_id").as("view_id"))
+      val purchases = base.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+      val batch = views.join(purchases,
+        col("v_user") === col("p_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+        .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch,
+        "outer stream-stream join diverged from its batch form")
+      assert(streamed.exists(_(2) == null), "no abandonment (NULL) rows emitted")
+      assert(streamed.exists(_(2) != null), "no matched rows emitted")
+    } finally q.stop()
+  }
+
   test("stream-stream join state is evicted at the watermark (bounded)") {
     // 5 file batches, each advancing event time by 24 hours, each with 20
     // (view, purchase-10-min-later) pairs. The interval bound + watermark

@@ -475,14 +475,14 @@ object Gapfill {
              |  AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
              |) WHERE rn = 1 GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
-    // st10: view ABANDONMENT — the left-outer form of st6. Every view,
+    // st11: view ABANDONMENT — the left-outer form of st6. Every view,
     // with its qualifying purchases or one NULL-purchase row when none
     // arrived within the hour: the training-label shape ("did this
     // impression convert?"). The streaming twin
     // (EventStreams.viewToPurchaseOuter) emits the NULL rows only when
     // the watermark passes v_ts + window — parity spec feeds a flush
     // sentinel to close the tail (StreamingSpec).
-    Q("st10_view_abandonment",
+    Q("st11_view_abandonment",
       (s, dir) => {
         val base = t(s, dir, "events")
         val views = base.filter(col("event_type") === "view")

@@ -179,4 +179,44 @@ object Corpus {
       .orderBy(desc("score"), col(docIdCol).asc)
       .limit(k)
   }
+
+  /** Hybrid retrieval: reciprocal-rank fusion (RRF, Cormack/Clarke/
+    * Buettcher 2009) of a BM25 lexical ranking and an embedding-cosine
+    * semantic ranking. Each list contributes `1/(kRrf + rank)` for its
+    * top-`n` documents (absent ⇒ 0); final order is fused score desc,
+    * then id.
+    *
+    * Scale shape: the two rankings are independent single-scan
+    * `TakeOrderedAndProject` top-`n` pulls ([[bm25TopK]] and the cosine
+    * scan), so the fusion join touches ≤ 2`n` rows — driver-bounded,
+    * broadcast-joined, irrelevant at any corpus size. Determinism: both
+    * per-list scores are rounded to 6 decimals BEFORE their rank cut
+    * (ulp-proof across engines), ranks are then integers, and the RRF
+    * sum `1/(k+r_lex) + 1/(k+r_sem)` is the identical IEEE expression in
+    * any engine — ties (e.g. two docs with swapped ranks) break on id.
+    */
+  def hybridTopK(corpus: DataFrame, docIdCol: String, textCol: String,
+      terms: Seq[String], emb: DataFrame, vecIdCol: String, vecCol: String,
+      queryVec: Array[Float], k: Int, n: Int = 50,
+      kRrf: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= k, "hybridTopK: per-list depth n must be >= k")
+    val lex = bm25TopK(corpus, docIdCol, textCol, terms, n)
+      .select(col(docIdCol), row_number().over(
+        Window.orderBy(desc("score"), col(docIdCol).asc)).as("_rlex"))
+    val q = array(queryVec.map(x => lit(x)): _*)
+    val sem = emb
+      .select(col(vecIdCol).as(docIdCol),
+        round(graft.functions.VectorOps.cosineNative(col(vecCol), q), 6)
+          .as("_cs"))
+      .orderBy(desc("_cs"), col(docIdCol).asc).limit(n)
+      .select(col(docIdCol), row_number().over(
+        Window.orderBy(desc("_cs"), col(docIdCol).asc)).as("_rsem"))
+    lex.join(sem, Seq(docIdCol), "full_outer")
+      .select(col(docIdCol),
+        (coalesce(lit(1.0) / (lit(kRrf) + col("_rlex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("_rsem")), lit(0.0))).as("rrf"))
+      .orderBy(desc("rrf"), col(docIdCol).asc)
+      .limit(k)
+  }
 }

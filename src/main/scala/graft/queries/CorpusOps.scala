@@ -150,5 +150,57 @@ object CorpusOps {
              |FROM f2, stats
              |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
              |ORDER BY score DESC, doc_id
+             |LIMIT 20""".stripMargin)),
+
+    // BM2 — hybrid retrieval: reciprocal-rank fusion of the bm1 BM25
+    // ranking with embedding-cosine ranking (vec_id 0 is the query
+    // vector, as in ss1). Each list is cut at n=50 AFTER rounding its
+    // score to 6 decimals (ulp-proof rank determinism); RRF = Σ
+    // 1/(60+rank) over the lists a doc appears in; ties break on doc_id.
+    // Both rankings are TakeOrderedAndProject top-n pulls, fusion joins
+    // ≤ 2n rows — bounded at any corpus size.
+    Q("bm2_hybrid_rrf",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val query = emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).toArray
+        Corpus.hybridTopK(t(s, dir, "documents"), "doc_id", "text",
+          Seq("dup", "vector", "stream"),
+          emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          query, 20, n = 50)
+      },
+      Some("""WITH f2 AS (
+             | SELECT doc_id, len(w) AS dl,
+             |   len(list_filter(w, x -> x = 'dup')) AS tf0,
+             |   len(list_filter(w, x -> x = 'vector')) AS tf1,
+             |   len(list_filter(w, x -> x = 'stream')) AS tf2
+             | FROM (SELECT doc_id,
+             |   CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[])
+             |        ELSE string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') END AS w
+             |   FROM documents)),
+             |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl,
+             |   SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+             |   SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             |   SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+             | FROM f2),
+             |lex AS (SELECT doc_id, ROUND(
+             |   LN((n - df0 + 0.5)/(df0 + 0.5) + 1) * (tf0*(1.2+1))/(tf0 + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
+             | + LN((n - df1 + 0.5)/(df1 + 0.5) + 1) * (tf1*(1.2+1))/(tf1 + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
+             | + LN((n - df2 + 0.5)/(df2 + 0.5) + 1) * (tf2*(1.2+1))/(tf2 + 1.2*(1 - 0.75 + 0.75*dl/avgdl)), 6) AS s
+             | FROM f2, stats
+             | WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+             | ORDER BY s DESC, doc_id LIMIT 50),
+             |lexr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r FROM lex),
+             |sem AS (SELECT vec_id AS doc_id,
+             |   ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q), 6) AS s
+             | FROM embeddings,
+             |   (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0) _q
+             | WHERE vec_id <> 0
+             | ORDER BY s DESC, doc_id LIMIT 50),
+             |semr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r FROM sem)
+             |SELECT COALESCE(lexr.doc_id, semr.doc_id) AS doc_id,
+             |   COALESCE(1.0/(60 + lexr.r), 0) + COALESCE(1.0/(60 + semr.r), 0) AS rrf
+             |FROM lexr FULL JOIN semr ON lexr.doc_id = semr.doc_id
+             |ORDER BY rrf DESC, doc_id
              |LIMIT 20""".stripMargin)))
 }

@@ -21,6 +21,35 @@ object Gapfill {
 
   private def cents(c: Column): Column = round(c * 100).cast(LongType)
 
+  /** shared resample oracle scaffolding: daily buckets, per-bucket cents
+    * mean, per-user grid, prev/next observed carry — `fillExpr` picks the
+    * fill rule over (v, pv, pb, nv, nb). */
+  private def tsOracle(fillExpr: String): String =
+    s"""WITH obs AS (
+       | SELECT user_id, epoch_us(ts) // 86400000000 AS bucket,
+       |   SUM(CAST(ROUND(value*100) AS BIGINT)) / 100.0 / COUNT(*) AS v
+       | FROM events GROUP BY 1, 2),
+       |grid AS (
+       | SELECT user_id, UNNEST(generate_series(lo, hi)) AS bucket
+       | FROM (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+       |       FROM obs GROUP BY 1)),
+       |j AS (SELECT g.user_id, g.bucket, o.v FROM grid g
+       |      LEFT JOIN obs o ON g.user_id = o.user_id AND g.bucket = o.bucket),
+       |f AS (SELECT user_id, bucket, v,
+       | LAST_VALUE(v IGNORE NULLS) OVER wp AS pv,
+       | LAST_VALUE(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER wp AS pb,
+       | FIRST_VALUE(v IGNORE NULLS) OVER wf AS nv,
+       | FIRST_VALUE(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER wf AS nb
+       | FROM j
+       | WINDOW wp AS (PARTITION BY user_id ORDER BY bucket
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       | wf AS (PARTITION BY user_id ORDER BY bucket
+       |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       |SELECT user_id, bucket,
+       | ROUND($fillExpr, 6) AS value,
+       | (v IS NULL) AS interpolated
+       |FROM f ORDER BY user_id, bucket""".stripMargin
+
   def all: Seq[Q] = Seq(
 
     // Window: rank family, top-3 per group (deterministic via unique tiebreak)
@@ -474,6 +503,26 @@ object Gapfill {
              |  ON v.user_id = p.user_id
              |  AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
              |) WHERE rn = 1 GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ts1/ts2: regular-grid resampling with gap fill — bucket each user's
+    // events onto a daily grid, fill empty days by linear interpolation
+    // (ts1) or forward fill (ts2). One shuffle total: everything after
+    // the key repartition is key-local (see operators/Timeseries).
+    // Per-bucket mean is Σcents/100/n (exact long sum → identical IEEE
+    // double in both engines); outputs round to 6dp.
+    Q("ts1_resample_linear",
+      (s, dir) => graft.operators.Timeseries.resample(
+        t(s, dir, "events"), "user_id", "ts", "value", 86400000000L, "linear")
+        .orderBy("user_id", "bucket"),
+      Some(tsOracle("""CASE WHEN v IS NOT NULL THEN v
+             |        WHEN pv IS NOT NULL AND nv IS NOT NULL
+             |          THEN pv + (nv - pv) * (bucket - pb) / (nb - pb)
+             |        ELSE COALESCE(pv, nv) END""".stripMargin))),
+    Q("ts2_resample_ffill",
+      (s, dir) => graft.operators.Timeseries.resample(
+        t(s, dir, "events"), "user_id", "ts", "value", 86400000000L, "ffill")
+        .orderBy("user_id", "bucket"),
+      Some(tsOracle("COALESCE(v, pv, nv)"))),
 
     // st11: view ABANDONMENT — the left-outer form of st6. Every view,
     // with its qualifying purchases or one NULL-purchase row when none

@@ -212,4 +212,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(j.count() === orders.join(customer,
       orders("o_custkey") === customer("c_custkey")).count())
   }
+
+  test("resample: no raw-row shuffle — every events scan is pre-combined " +
+    "map-side (ts1)") {
+    // Catalyst splits the grid-span branch off with its own collapsed
+    // min/max aggregate (2-column pruned scan) rather than sharing the
+    // (key,bucket) aggregate — so there are two scans, but EVERY scan
+    // must be reduced to per-key partials before anything shuffles:
+    // what crosses the wire is never raw rows.
+    val df = SparkEntry.queries("ts1_resample_linear")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum") && p.contains("partial_min"),
+      s"a branch shuffles raw rows (no map-side combine):\n$p")
+    // pruned reads: the span branch must not drag the value column
+    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint>"),
+      s"span scan reads more than (ts, user_id):\n$p")
+    // the fill windows reuse the key partitioning: Window is fed by a
+    // partition-local sort, not another exchange
+    val lines = p.linesIterator.toVector
+    val wi = lines.indexWhere(_.contains("Window"))
+    assert(wi >= 0 && lines(wi + 1).contains("Sort") &&
+      lines(wi + 1).contains("false, 0"),
+      s"window not fed by a partition-local sort:\n$p")
+  }
 }

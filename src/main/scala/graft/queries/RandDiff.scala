@@ -524,6 +524,53 @@ object RandDiff {
            |  RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING)""".stripMargin
       }),
 
+    // resample + linear interpolation over random irregular series:
+    // NULL keys (their grid never rejoins its observations — 3VL join),
+    // NULL timestamps (bucket NULL drops from the grid in both engines),
+    // NULL values (all-NULL buckets become gaps), keys whose rows are
+    // all-NULL-ts (empty sequence → no grid) — 6-hour buckets over the
+    // 10-day CTs span, ~40 buckets/key
+    multi("rf25_resample_fuzz", Seq("k", "bucket", "value", "interpolated"), {
+      (s, off) =>
+        val spec = Seq(ColSpec("k", CInt, 10), ColSpec("t", CTs, 15),
+          ColSpec("v", CFloat, 15))
+        graft.operators.Timeseries.resample(
+          RandFrame.df(s, 120, 26001L + off, spec: _*),
+          "k", "t", "v", 21600000000L, "linear")
+    },
+      { off =>
+        val spec = Seq(ColSpec("k", CInt, 10), ColSpec("t", CTs, 15),
+          ColSpec("v", CFloat, 15))
+        s"""WITH obs AS (
+           | SELECT k, epoch_us(t) // 21600000000 AS bucket,
+           |   SUM(CAST(ROUND(v*100) AS BIGINT)) / 100.0 / COUNT(*) AS ov
+           | FROM ${RandFrame.valuesSql(120, 26001L + off, spec: _*)} _t
+           | GROUP BY 1, 2),
+           |grid AS (
+           | SELECT k, UNNEST(generate_series(lo, hi)) AS bucket
+           | FROM (SELECT k, MIN(bucket) AS lo, MAX(bucket) AS hi
+           |       FROM obs GROUP BY 1)),
+           |j AS (SELECT g.k, g.bucket, o.ov FROM grid g
+           |      LEFT JOIN obs o ON g.k = o.k AND g.bucket = o.bucket),
+           |f AS (SELECT k, bucket, ov,
+           | LAST_VALUE(ov IGNORE NULLS) OVER wp AS pv,
+           | LAST_VALUE(CASE WHEN ov IS NOT NULL THEN bucket END IGNORE NULLS) OVER wp AS pb,
+           | FIRST_VALUE(ov IGNORE NULLS) OVER wf AS nv,
+           | FIRST_VALUE(CASE WHEN ov IS NOT NULL THEN bucket END IGNORE NULLS) OVER wf AS nb
+           | FROM j
+           | WINDOW wp AS (PARTITION BY k ORDER BY bucket
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           | wf AS (PARTITION BY k ORDER BY bucket
+           |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+           |SELECT k, bucket,
+           | ROUND(CASE WHEN ov IS NOT NULL THEN ov
+           |   WHEN pv IS NOT NULL AND nv IS NOT NULL
+           |     THEN pv + (nv - pv) * (bucket - pb) / (nb - pb)
+           |   ELSE COALESCE(pv, nv) END, 6) AS value,
+           | (ov IS NULL) AS interpolated
+           |FROM f""".stripMargin
+      }),
+
     // CASE WHEN with bool branches over random strings (suite:853-902)
     multi("rf12_casewhen", Seq("a", "b", "c", "d", "e", "cw"), {
       (s, off) =>

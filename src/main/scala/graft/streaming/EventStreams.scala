@@ -248,4 +248,32 @@ object EventStreams {
   def startMemorySink(df: DataFrame, name: String): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Complete()).start()
+
+  /** The exactly-once file-sink batch writer: micro-batch `id` lands in
+    * its own `batch_id=<id>` partition directory with OVERWRITE mode, so
+    * a replayed batch (failure after write, before the checkpoint
+    * commit — the at-least-once window every streaming sink must close)
+    * rewrites its own directory instead of appending duplicates. The
+    * (checkpoint, partition-overwrite) pair is what makes file output
+    * end-to-end exactly-once; readers see `path` as ordinary
+    * hive-partitioned parquet. Exposed separately from [[startIdempotentSink]]
+    * so the replay property is directly testable (StreamingSpec re-runs
+    * a batch id through it and asserts the read-back is unchanged).
+    */
+  def idempotentBatchWriter(path: String): (DataFrame, Long) => Unit =
+    (batch, id) =>
+      batch.withColumn("batch_id", lit(id))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+
+  /** append-mode streaming → hive-partitioned parquet, exactly-once via
+    * [[idempotentBatchWriter]] + the query checkpoint */
+  def startIdempotentSink(df: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .foreachBatch(idempotentBatchWriter(path))
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append()).start()
 }

@@ -316,6 +316,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("idempotent sink: a replayed micro-batch does not duplicate output") {
+    // foreachBatch is at-least-once: a crash between the batch write and
+    // the checkpoint commit replays the batch on restart. The sink's
+    // contract is that the replay must be invisible — batch i overwrites
+    // its own batch_id=i partition instead of appending a second copy.
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("graft_idem").toString
+    val srcDir = s"$work/src"
+    val outDir = s"$work/out"
+    new java.io.File(srcDir).mkdirs()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(EventStreams.rawSchema).parquet(s"$sf/events.parquet")
+    raw.write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(EventStreams.rawSchema).parquet(srcDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "value")
+    val q = EventStreams.startIdempotentSink(stream, outDir, s"$work/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val once = spark.read.parquet(outDir)
+    val onceCount = once.count()
+    val expected = Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "value")
+      .collect().map(_.toSeq).toSet
+    assert(once.select("event_id", "user_id", "value")
+      .collect().map(_.toSeq).toSet === expected)
+    val batchIds = once.select(col("batch_id").cast(LongType)).distinct()
+      .collect().map(_.getLong(0)).sorted
+    // replay the LAST batch through the same writer fn (the crash-retry
+    // path) — a real retry re-reads the SOURCE, so materialize the rows
+    // before handing them to the writer that overwrites the sink
+    val lastBatch = spark.read.parquet(outDir)
+      .filter(col("batch_id") === batchIds.last)
+      .drop("batch_id")
+    val replayRows = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(lastBatch.collect(): _*)),
+      lastBatch.schema)
+    EventStreams.idempotentBatchWriter(outDir)(replayRows, batchIds.last)
+    spark.catalog.refreshByPath(outDir) // drop the cached file listing
+    val twice = spark.read.parquet(outDir)
+    assert(twice.count() === onceCount,
+      "replayed batch appended duplicates instead of overwriting itself")
+    assert(twice.select("event_id", "user_id", "value")
+      .collect().map(_.toSeq).toSet === expected)
+  }
+
   test("stream-stream join state is evicted at the watermark (bounded)") {
     // 5 file batches, each advancing event time by 24 hours, each with 20
     // (view, purchase-10-min-later) pairs. The interval bound + watermark

@@ -152,6 +152,30 @@ object Advanced {
              |  CAST(ROUND(o_totalprice*100) AS BIGINT) AS c FROM orders)
              |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
 
+    // od1 — robust outlier detection: rows > 3 MAD from their user's
+    // median event value. All stats in exact cents; percentile
+    // interpolation over longs yields dyadic rationals, so the
+    // |x−med| > 3·MAD cut is bit-identical in both engines (no rounding
+    // needed). Three scans, zero raw shuffles, stats broadcast back.
+    Q("od1_mad_outliers",
+      (s, dir) => graft.operators.Robust.madOutliers(
+        t(s, dir, "events").select("user_id", "event_id", "value"),
+        "user_id", "value", 3.0)
+        .select("user_id", "event_id", "value", "med", "mad")
+        .orderBy("user_id", "event_id"),
+      Some("""WITH c AS (SELECT user_id, event_id, value,
+             |   CAST(ROUND(value*100) AS BIGINT) AS cc FROM events),
+             |med AS (SELECT user_id, quantile_cont(cc, 0.5) AS medc
+             |  FROM c GROUP BY 1),
+             |mad AS (SELECT c.user_id, quantile_cont(abs(cc - medc), 0.5) AS madc
+             |  FROM c JOIN med ON c.user_id = med.user_id GROUP BY 1)
+             |SELECT c.user_id, event_id, value,
+             |  medc / 100.0 AS med, madc / 100.0 AS mad
+             |FROM c JOIN med ON c.user_id = med.user_id
+             |      JOIN mad ON c.user_id = mad.user_id
+             |WHERE abs(cc - medc) > 3.0 * madc
+             |ORDER BY c.user_id, event_id""".stripMargin)),
+
     // TPC-H Q6: forecast revenue change — scan + pushed filters + agg
     Q("q6_revenue_delta",
       (s, dir) => t(s, dir, "lineitem")

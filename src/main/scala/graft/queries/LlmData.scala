@@ -1055,6 +1055,68 @@ object LlmData {
              |SELECT (rnk - 1) // 64 AS batch_id, COUNT(*) AS n_docs,
              | MIN(rnk) AS rank_lo, MAX(rnk) AS rank_hi,
              | CAST(SUM(doc_id) AS BIGINT) AS id_sum
-             |FROM ranked GROUP BY 1 ORDER BY batch_id""".stripMargin))
+             |FROM ranked GROUP BY 1 ORDER BY batch_id""".stripMargin)),
+
+    // fe1 — leave-one-out target encoding: each event's user feature is
+    // the mean value of the user's OTHER events, (S − x)/(n−1) — the
+    // standard leakage-free categorical encoding for model training.
+    // Exact: S and x are cent longs, so the double division is the
+    // identical IEEE expression in both engines. One aggregate, stats
+    // broadcast back — no raw shuffle.
+    Q("fe1_loo_encode",
+      (s, dir) => {
+        val c = round(col("value") * 100).cast(LongType)
+        val base = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("value"), c.as("_c"))
+        val stats = base.groupBy("user_id")
+          .agg(sum("_c").as("_s"), count(lit(1)).as("_n"))
+        base.join(broadcast(stats), Seq("user_id"))
+          .select(col("user_id"), col("event_id"), col("value"),
+            when(col("_n") > 1,
+              (col("_s") - col("_c")) / (col("_n") - 1) / 100.0)
+              .as("loo_mean"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH c AS (SELECT user_id, event_id, value,
+             |   CAST(ROUND(value*100) AS BIGINT) AS cc FROM events),
+             |s AS (SELECT user_id, CAST(SUM(cc) AS BIGINT) AS sc,
+             |   COUNT(*) AS n FROM c GROUP BY 1)
+             |SELECT c.user_id, event_id, value,
+             | CASE WHEN n > 1 THEN (sc - cc) / (n - 1) / 100.0 END AS loo_mean
+             |FROM c JOIN s ON c.user_id = s.user_id
+             |ORDER BY c.user_id, event_id""".stripMargin)),
+
+    // dq1 — distribution drift monitor: population-stability-index (PSI)
+    // contribution per event_type between the first and second half of
+    // the month. Shares are exact long/long divisions; the ln lands in a
+    // 6-decimal rounding (libm last-ulp differences are 1e-15, the same
+    // guard bm1 uses). One scan, two conditional aggregates, output one
+    // row per category — the shape that monitors 100 TB for free.
+    Q("dq1_psi_drift",
+      (s, dir) => {
+        val half = col("ts").cast(TimestampType) < lit("2024-01-16")
+        val agg = t(s, dir, "events")
+          .groupBy("event_type")
+          .agg(sum(when(half, 1L).otherwise(0L)).as("_na"),
+            sum(when(half, 0L).otherwise(1L)).as("_nb"))
+        val tot = agg.agg(sum("_na").as("_ta"), sum("_nb").as("_tb"))
+        agg.crossJoin(broadcast(tot))
+          .select(col("event_type"),
+            (col("_na") / col("_ta")).as("share_a"),
+            (col("_nb") / col("_tb")).as("share_b"),
+            round(((col("_na") / col("_ta")) - (col("_nb") / col("_tb"))) *
+              log((col("_na") / col("_ta")) / (col("_nb") / col("_tb"))), 6)
+              .as("psi_c"))
+          .orderBy("event_type")
+      },
+      Some("""WITH a AS (SELECT event_type,
+             |  SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS na,
+             |  SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END) AS nb
+             | FROM events GROUP BY 1),
+             |t AS (SELECT CAST(SUM(na) AS BIGINT) AS ta,
+             |  CAST(SUM(nb) AS BIGINT) AS tb FROM a)
+             |SELECT event_type, na / ta AS share_a, nb / tb AS share_b,
+             | ROUND((na / ta - nb / tb) * LN((na / ta) / (nb / tb)), 6) AS psi_c
+             |FROM a, t ORDER BY event_type""".stripMargin))
   )
 }

@@ -10,10 +10,12 @@ import graft.sources.Tables
   * the interval/date-arithmetic surface (timestamp ± INTERVAL, trunc,
   * field extraction, duration aggregation).
   *
-  * Timestamp discipline: events.parquet is TIMESTAMP(NANOS); Spark loads
-  * it truncated to micros (Tables.load), so every oracle comparison runs
-  * in epoch-microsecond space (`epoch_us`) — DuckDB's TIMESTAMP_NS would
-  * otherwise compare sub-microsecond digits Spark cannot see.
+  * Timestamp discipline: events.parquet has shipped as both
+  * TIMESTAMP(NANOS) and TIMESTAMP(MICROS); Tables.load sniffs the footer
+  * and canonicalizes to µs-precision NTZ either way, so every oracle
+  * comparison runs in epoch-microsecond space (`epoch_us`) — DuckDB's
+  * TIMESTAMP_NS would otherwise compare sub-microsecond digits Spark
+  * cannot see.
   */
 object Temporal {
 

@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
+import graft.sources.TsLayout
+
 /** Structured Streaming surface over the events table: the same logical
   * plans as the batch queries (`st1_tumbling_window`/`st2_sessionize`),
   * run incrementally. At scale this is the standing-pipeline form of the
@@ -25,8 +27,12 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events schema as the streaming file source needs it declared
-    * (ts arrives as raw parquet NANOS → LongType, converted below)
+  /** The WIRE record schema: `ts` as raw epoch-nanos longs — the unit a
+    * log bus ships ([[eventsFromWire]]'s contract). Parquet FILES may
+    * carry `ts` in any unit the producer chose; [[readEventsStream]]
+    * sniffs the footer and declares the file's own schema instead of
+    * assuming this one (assuming it is exactly the bug a producer
+    * switching NANOS→MICROS exposes: every event lands in 1970).
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -36,36 +42,60 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** file-source stream over a testdata directory, with the same ns→µs
-    * ts normalization as [[graft.sources.Tables.load]]
+  /** file-source stream over a testdata directory. A streaming source
+    * must DECLARE its schema up front, so the file's physical `ts` unit
+    * is sniffed from the parquet footer first (one metadata HEAD-read,
+    * [[graft.sources.TsLayout]]) and the declared schema + normalization
+    * branch on it — the streaming twin of [[graft.sources.Tables.load]]'s
+    * batch adaptivity, producing the identical `ts: TimestampNTZType`
+    * µs frame for every layout.
     */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // FileStreamSource needs a directory basePath; select the events file
-    // within the sf directory via glob filter
-    spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast(TimestampNTZType))
+    val path = s"$dir/events.parquet"
+    // batch-infer the file's own schema (sets the NANOS legacy flag only
+    // if the footer says the file needs it), then declare it to the source
+    val fileSchema = TsLayout.readRaw(spark, path).schema
+    val hconf = spark.sessionState.newHadoopConf()
+    val hpath = new org.apache.hadoop.fs.Path(path)
+    val isDir = hpath.getFileSystem(hconf).getFileStatus(hpath).isDirectory
+    val src =
+      if (isDir)
+        // production shape: the events table is a DIRECTORY of part files
+        spark.readStream.schema(fileSchema).parquet(path)
+      else
+        // testdata shape: a single file next to the other tables —
+        // FileStreamSource needs a directory basePath; glob the file out
+        spark.readStream.schema(fileSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+    TsLayout.normalizeTs(src)
   }
+
+  /** The events table re-expressed in the WIRE shape ([[rawSchema]]:
+    * `ts` as raw epoch-nanos longs) regardless of the file's physical
+    * unit — the adapter the replay/parity specs use to feed real files
+    * through wire-format sources and splice sentinel rows in one unit.
+    */
+  def eventsAsRawNanos(spark: SparkSession, dir: String): DataFrame =
+    TsLayout.tsAsRawNanos(TsLayout.readRaw(spark, s"$dir/events.parquet"))
+      .select(rawSchema.fieldNames.map(col): _*)
 
   /** Wire-format adapter: a log-bus record stream (Kafka's connector
     * emits `key: binary, value: binary, topic, partition, offset, …`)
     * carrying one JSON event per record value, `ts` in epoch nanoseconds
-    * (the unit the parquet files carry), becomes the SAME typed frame
+    * (the [[rawSchema]] wire contract), becomes the SAME typed frame
     * [[readEventsStream]] produces — so every downstream transform
     * (windows, dedup, interval joins, custom state) is source-agnostic.
     * Malformed records parse to NULL structs and are dropped explicitly
     * rather than poisoning the aggregation with all-NULL rows.
     */
   def eventsFromWire(records: DataFrame): DataFrame =
-    records
+    TsLayout.normalizeTs(records
       .select(from_json(col("value").cast(StringType), rawSchema).as("e"))
       .filter(col("e").isNotNull)
       .select(col("e.event_id").as("event_id"), col("e.ts").as("ts"),
         col("e.user_id").as("user_id"), col("e.event_type").as("event_type"),
-        col("e.value").as("value"), col("e.props").as("props"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast(TimestampNTZType))
+        col("e.value").as("value"), col("e.props").as("props")))
 
   /** tumbling event-time window aggregation; `withWatermark` bounds state
     * for append-mode sinks (late events beyond 1h are dropped). Watermarks

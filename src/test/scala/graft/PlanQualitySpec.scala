@@ -225,8 +225,13 @@ class PlanQualitySpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("partial_sum") && p.contains("partial_min"),
       s"a branch shuffles raw rows (no map-side combine):\n$p")
-    // pruned reads: the span branch must not drag the value column
-    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint>"),
+    // pruned reads: the span branch must not drag the value column. The
+    // property is "2-column pruned scan", NOT the timestamp's physical
+    // encoding — the harness has shipped events.ts as both NANOS (read
+    // as bigint) and MICROS (read as timestamp/timestamp_ntz), and the
+    // guard must hold for whichever layout is on disk.
+    assert("ReadSchema: struct<ts:(bigint|timestamp(_ntz)?),user_id:bigint>".r
+      .findFirstIn(p).isDefined,
       s"span scan reads more than (ts, user_id):\n$p")
     // the fill windows reuse the key partitioning: Window is fed by a
     // partition-local sort, not another exchange

@@ -34,8 +34,7 @@ class StreamingSpec extends SparkSpec {
     val ckpt = s"$work/ckpt"
     new java.io.File(srcDir).mkdirs()
     // batch 1: the real events file (ts as raw nanos longs)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(EventStreams.rawSchema).parquet(s"$sf/events.parquet")
+    val raw = EventStreams.eventsAsRawNanos(spark, sf)
     raw.write.mode("overwrite").parquet(srcDir)
     val maxNs = raw.agg(max("ts")).head().getLong(0)
 
@@ -120,8 +119,7 @@ class StreamingSpec extends SparkSpec {
     val work = Files.createTempDirectory("graft_sessions").toString
     val srcDir = s"$work/src"
     new java.io.File(srcDir).mkdirs()
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(EventStreams.rawSchema).parquet(s"$sf/events.parquet")
+    val raw = EventStreams.eventsAsRawNanos(spark, sf)
     raw.write.mode("overwrite").parquet(srcDir)
     val maxNs = raw.agg(max("ts")).head().getLong(0)
 
@@ -173,8 +171,7 @@ class StreamingSpec extends SparkSpec {
     val work = Files.createTempDirectory("graft_dedup").toString
     val srcDir = s"$work/src"
     new java.io.File(srcDir).mkdirs()
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(EventStreams.rawSchema).parquet(s"$sf/events.parquet")
+    val raw = EventStreams.eventsAsRawNanos(spark, sf)
     // simulate at-least-once delivery: the same events arrive twice
     raw.write.mode("append").parquet(srcDir)
     raw.write.mode("append").parquet(srcDir)
@@ -273,8 +270,7 @@ class StreamingSpec extends SparkSpec {
     val work = Files.createTempDirectory("graft_outerjoin").toString
     val srcDir = s"$work/src"
     new java.io.File(srcDir).mkdirs()
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(EventStreams.rawSchema).parquet(s"$sf/events.parquet")
+    val raw = EventStreams.eventsAsRawNanos(spark, sf)
     raw.write.mode("overwrite").parquet(srcDir)
     val maxNs = raw.agg(max("ts")).head().getLong(0)
     val stream = spark.readStream.schema(EventStreams.rawSchema).parquet(srcDir)
@@ -326,8 +322,7 @@ class StreamingSpec extends SparkSpec {
     val srcDir = s"$work/src"
     val outDir = s"$work/out"
     new java.io.File(srcDir).mkdirs()
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(EventStreams.rawSchema).parquet(s"$sf/events.parquet")
+    val raw = EventStreams.eventsAsRawNanos(spark, sf)
     raw.write.mode("overwrite").parquet(srcDir)
     val stream = spark.readStream.schema(EventStreams.rawSchema).parquet(srcDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -470,8 +465,7 @@ class StreamingSpec extends SparkSpec {
     val srcDir = s"$work/src"
     val ckpt = s"$work/ckpt"
     new java.io.File(srcDir).mkdirs()
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(EventStreams.rawSchema).parquet(s"$sf/events.parquet")
+    val raw = EventStreams.eventsAsRawNanos(spark, sf)
 
     // the emitted (cnt, total) per user, latest write wins — foreachBatch
     // runs on the driver, so a plain concurrent map collects safely
@@ -530,8 +524,7 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.sql.types.BinaryType
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(EventStreams.rawSchema).parquet(s"$sf/events.parquet")
+    val raw = EventStreams.eventsAsRawNanos(spark, sf)
     val jsonRecords = raw
       .select(to_json(struct(raw.columns.map(col): _*)).as("v"))
       .as[String].collect().toSeq

@@ -515,26 +515,50 @@ object LlmData {
           deduped, Seq("lang"), Seq(col("doc_id")), n = 50)
           .orderBy("lang", "doc_id")
       },
-      Some(s"""WITH RECURSIVE base AS ($bruteJaccardSql),
-              |nodes AS (SELECT ida AS id FROM base UNION SELECT idb FROM base),
-              |edges AS (SELECT ida AS a, idb AS b FROM base
-              |          UNION ALL SELECT idb, ida FROM base),
-              |reach(id, label) AS (
-              | SELECT id, id FROM nodes
-              | UNION
-              | SELECT e.a, r.label FROM edges e JOIN reach r ON r.id = e.b
-              |),
-              |clusters AS (SELECT id, MIN(label) AS cluster FROM reach GROUP BY id),
-              |deduped AS (
-              | SELECT doc_id, lang,
+      // Linear-equivalent oracle form: identical normalized texts ALWAYS
+      // pair (equal shingle sets -> Jaccard 1 >= 4/5), so the corpus is
+      // collapsed to one representative per DISTINCT text before the
+      // quadratic gram self-join and the reachability CTE — both then
+      // scale with distinct texts, not corpus size (a K-replica corpus
+      // costs the same as 1x; the old form's gram join exploded K^2 and
+      // timed out the 100x audit referee). Equivalence: a doc survives
+      // the dedup+gate iff it IS its component's min doc_id, and since
+      // every >=10-token doc carries 3-gram shingles, the component min
+      // is exactly the min over per-text minima (the rep labels).
+      Some("""WITH RECURSIVE
+              |toks AS (
+              | SELECT doc_id, lang, nrm,
               |  CAST(CASE WHEN nrm = '' THEN 0
               |   ELSE length(nrm) - length(replace(nrm, ' ', '')) + 1 END AS BIGINT) AS n_tokens
               | FROM (SELECT doc_id, lang,
-              |   trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nrm
-              |  FROM documents
-              |  WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster))
-              | ),
-              |gated AS (SELECT * FROM deduped WHERE n_tokens >= 10)
+              |   trim(regexp_replace(text, '\s+', ' ', 'g')) AS nrm
+              |  FROM documents)),
+              |texts AS (SELECT nrm, MIN(doc_id) AS rep FROM toks
+              |          WHERE n_tokens >= 3 GROUP BY nrm),
+              |grams AS (
+              | SELECT DISTINCT rep, ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2] AS gram
+              | FROM (SELECT rep, string_split(nrm, ' ') AS ws FROM texts) w,
+              | LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS g) _t),
+              |gc AS (SELECT rep, COUNT(*) AS n FROM grams GROUP BY 1),
+              |i AS (SELECT x.rep AS ida, y.rep AS idb, COUNT(*) AS inter
+              |      FROM grams x JOIN grams y ON x.gram = y.gram AND x.rep < y.rep
+              |      GROUP BY 1, 2),
+              |base AS (SELECT i.ida, i.idb FROM i
+              | JOIN gc a ON a.rep = i.ida JOIN gc b ON b.rep = i.idb
+              | WHERE 5 * i.inter >= 4 * (a.n + b.n - i.inter)),
+              |edges AS (SELECT ida AS a, idb AS b FROM base
+              |          UNION ALL SELECT idb, ida FROM base),
+              |reach(id, label) AS (
+              | SELECT rep, rep FROM texts
+              | UNION
+              | SELECT e.a, r.label FROM edges e JOIN reach r ON r.id = e.b
+              |),
+              |comp AS (SELECT id AS rep, MIN(label) AS cluster FROM reach GROUP BY id),
+              |gated AS (
+              | SELECT t.doc_id, t.lang, t.n_tokens
+              | FROM toks t JOIN texts x ON x.nrm = t.nrm
+              | JOIN comp c ON c.rep = x.rep
+              | WHERE t.n_tokens >= 10 AND t.doc_id = c.cluster)
               |SELECT lang, doc_id, n_tokens FROM (
               | SELECT lang, doc_id, n_tokens,
               |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
@@ -945,28 +969,41 @@ object LlmData {
              |   AS BIGINT) AS n_digits_masked
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // MM1 — multimodal: binary payload column + partition-local stub
-    // decoder (real plumbing, fake codec — see Multimodal scaladoc)
+    // MM1 — multimodal: REAL codec-header round-trip. plantImagePayload
+    // writes a genuine PNG/JPEG/GIF header (dims derived from the text)
+    // ahead of the body bytes; decodeImageMeta recovers the dims by
+    // actually parsing the header; the oracle recomputes them from the
+    // source columns — so encoder and parser are checked against each
+    // other through an independent referee, not through shared code.
     Q("mm1_image_meta",
       (s, dir) => Multimodal.decodeImageMeta(
-        t(s, dir, "documents").select(col("doc_id"),
-          encode(col("text"), "UTF-8").as("payload")),
+        Multimodal.plantImagePayload(
+          t(s, dir, "documents"), "doc_id", "text"),
         "doc_id", "payload")
         .orderBy("doc_id"),
-      Some("""SELECT doc_id, n_bytes, 64 + n_bytes % 192 AS width,
-             | 64 + (n_bytes * 7) % 192 AS height, CAST(3 AS BIGINT) AS channels,
-             | CASE first % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
-             |FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-             |  ascii(substring(text, 1, 1)) AS first FROM documents)
+      Some("""SELECT doc_id,
+             | n + CASE doc_id % 3
+             |   WHEN 0 THEN 20 + 10 + 3 * (CASE WHEN n % 2 = 0 THEN 3 ELSE 1 END)
+             |   WHEN 1 THEN 33 ELSE 13 END AS n_bytes,
+             | 64 + n % 192 AS width,
+             | 64 + (n * 7) % 192 AS height,
+             | CASE doc_id % 3
+             |   WHEN 0 THEN CASE WHEN n % 2 = 0 THEN 3 ELSE 1 END
+             |   WHEN 1 THEN CASE n % 3 WHEN 0 THEN 3 WHEN 1 THEN 4 ELSE 1 END
+             |   ELSE 3 END AS channels,
+             | CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'gif' END AS format
+             |FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+             |  FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
-    // MM3 — resize planning over the decoded metadata: integer
-    // aspect-fit, fully oracle-expressible
+    // MM3 — resize planning over REAL-parsed metadata: integer
+    // aspect-fit; channels flow from the parsed header (1/3/4), so
+    // out_bytes exercises the per-format channel arithmetic too
     Q("mm3_resize_meta",
       (s, dir) => Multimodal.resizeMeta(
         Multimodal.decodeImageMeta(
-          t(s, dir, "documents").select(col("doc_id"),
-            encode(col("text"), "UTF-8").as("payload")),
+          Multimodal.plantImagePayload(
+            t(s, dir, "documents"), "doc_id", "text"),
           "doc_id", "payload"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id, width, height,
@@ -974,15 +1011,20 @@ object LlmData {
              |      ELSE width * 224 // height END AS out_w,
              | CASE WHEN width >= height THEN height * 224 // width
              |      ELSE 224 END AS out_h,
-             | CAST(3 AS BIGINT) AS channels,
+             | channels,
              | (CASE WHEN width >= height THEN 224
              |       ELSE width * 224 // height END) *
              | (CASE WHEN width >= height THEN height * 224 // width
-             |       ELSE 224 END) * 3 AS out_bytes
+             |       ELSE 224 END) * channels AS out_bytes
              |FROM (SELECT doc_id,
-             |  64 + CAST(octet_length(encode(text)) AS BIGINT) % 192 AS width,
-             |  64 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 192 AS height
-             | FROM documents)
+             |  64 + n % 192 AS width,
+             |  64 + (n * 7) % 192 AS height,
+             |  CASE doc_id % 3
+             |    WHEN 0 THEN CASE WHEN n % 2 = 0 THEN 3 ELSE 1 END
+             |    WHEN 1 THEN CASE n % 3 WHEN 0 THEN 3 WHEN 1 THEN 4 ELSE 1 END
+             |    ELSE 3 END AS channels
+             | FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+             |   FROM documents))
              |ORDER BY doc_id""".stripMargin)),
 
     // MM4 — audio-feature kernel over the byte payload. The oracle is the

@@ -374,15 +374,77 @@ class LlmOpsSpec extends SparkSpec {
     assert(row.getLong(4) === 2L)  // sign flips: +→-, -→+ (trailing 0 ignored)
   }
 
-  test("image meta stub is a pure function of the bytes") {
-    val df = Seq((1L, "hello".getBytes("UTF-8"))).toDF("doc_id", "payload")
-    val m = Multimodal.decodeImageMeta(df, "doc_id", "payload").head()
-    assert(m.getLong(1) === 5L) // n_bytes
-    assert(m.getLong(2) === 64L + 5L % 192L)
-    assert(m.getLong(3) === 64L + (5L * 7L) % 192L)
-    assert(m.getString(5) === (('h'.toInt % 3) match {
-      case 0 => "jpeg"; case 1 => "png"; case _ => "webp"
-    }))
+  test("image header parser recovers dims from REAL ImageIO-encoded files") {
+    // independent encoder: the JDK's own codecs (javax.imageio) write
+    // genuine PNG/JPEG/GIF files at known dims; the parser must recover
+    // width/height/format by parsing actual headers it did not write
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def encoded(fmt: String, w: Int, h: Int, imgType: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, imgType)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos), s"JDK cannot encode $fmt")
+      bos.toByteArray
+    }
+    val cases = Seq(
+      ("png", 320, 200, BufferedImage.TYPE_INT_RGB, 3L),
+      ("png", 17, 513, BufferedImage.TYPE_INT_ARGB, 4L),
+      ("jpg", 640, 480, BufferedImage.TYPE_INT_RGB, 3L),
+      ("jpg", 99, 1, BufferedImage.TYPE_BYTE_GRAY, 1L),
+      ("gif", 256, 128, BufferedImage.TYPE_INT_RGB, 3L))
+    cases.zipWithIndex.foreach { case ((fmt, w, h, t, ch), i) =>
+      val Some((pw, ph, pc, pf)) = Multimodal.parseImageHeader(encoded(fmt, w, h, t))
+      assert((pw, ph) === ((w.toLong, h.toLong)), s"case $i ($fmt) dims")
+      assert(pf === (if (fmt == "jpg") "jpeg" else fmt), s"case $i format")
+      assert(pc === ch, s"case $i ($fmt $w x $h) channels")
+    }
+    // and through the distributed operator, same answers
+    val df = cases.zipWithIndex.map { case ((fmt, w, h, t, _), i) =>
+      (i.toLong, encoded(fmt, w, h, t)) }.toDF("doc_id", "payload")
+    val out = Multimodal.decodeImageMeta(df, "doc_id", "payload").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    cases.zipWithIndex.foreach { case ((_, w, h, _, _), i) =>
+      assert(out(i.toLong) === ((w.toLong, h.toLong)))
+    }
+  }
+
+  test("image header parser: non-images and truncated headers are NULL-dim rows, not errors") {
+    val junk = Seq(
+      1L -> "just some text bytes".getBytes("UTF-8"),
+      2L -> Array[Byte](0x89.toByte, 'P', 'N', 'G'), // truncated PNG sig
+      3L -> Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte), // SOI+EOI, no SOF
+      4L -> Array.emptyByteArray)
+    val out = Multimodal.decodeImageMeta(junk.toDF("doc_id", "payload"),
+      "doc_id", "payload").collect()
+    assert(out.length === 4)
+    out.foreach { r =>
+      assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+      assert(r.getString(5) === "unknown")
+      assert(r.getLong(1) >= 0L) // byte count always present
+    }
+  }
+
+  test("planted payloads carry real headers the parser round-trips (mm1 shape)") {
+    val docs3 = Seq((0L, "a" * 100), (1L, "b" * 101), (2L, "c" * 102),
+      (3L, "d" * 103), (4L, "e" * 104), (5L, "f" * 105))
+      .toDF("doc_id", "text")
+    val meta = Multimodal.decodeImageMeta(
+      Multimodal.plantImagePayload(docs3, "doc_id", "text"), "doc_id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))).toMap
+    (0 until 6).foreach { i =>
+      val n = 100 + i
+      val (w, h) = (64L + n % 192, 64L + (n * 7) % 192)
+      val fmt = Seq("jpeg", "png", "gif")(i % 3)
+      val ch = (i % 3) match {
+        case 0 => if (n % 2 == 0) 3L else 1L
+        case 1 => Seq(3L, 4L, 1L)(n % 3)
+        case _ => 3L
+      }
+      assert(meta(i.toLong) === ((w, h, ch, fmt)), s"doc $i ($fmt)")
+    }
   }
 
   test("exact dedup representative selection") {

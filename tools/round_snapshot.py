@@ -63,6 +63,9 @@ def main():
          [sys.executable, "tools/check.py", SF, VERIFY_OUT])
     step("replica audit 10x",
          [sys.executable, "tools/replica_audit.py", "/tmp/sfx10"])
+    step("ANN recall audit 10x (ss2/ss3's at-scale evidence)",
+         ["sbt", "-batch",
+          "Test/runMain graft.RecallAudit /tmp/sfx10 RECALL_AUDIT_10x.json"])
     if args.audit_100x:
         step("replica audit 100x (bounded)",
              [sys.executable, "tools/replica_audit.py", "/tmp/sfx100",
@@ -70,8 +73,9 @@ def main():
     if args.bench:
         step("benchscale", [sys.executable, "tools/benchscale.py"])
     print("\n[snapshot] all green — commit ORACLE_SQL.json, "
-          "REPLICA_AUDIT_*.json" + (", BENCHSCALE.json/md" if args.bench
-                                    else "") + " at this HEAD", flush=True)
+          "REPLICA_AUDIT_*.json, RECALL_AUDIT_10x.json"
+          + (", BENCHSCALE.json/md" if args.bench else "")
+          + " at this HEAD", flush=True)
 
 
 if __name__ == "__main__":

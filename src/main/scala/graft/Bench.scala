@@ -12,7 +12,8 @@ object Bench {
     * with the Profile* probes so variant timings are measured under the
     * same configuration they'll be graded under.
     */
-  def session(sfDir: String, cpus: String = "32"): SparkSession = {
+  def session(sfDir: String, cpus: String = "32",
+      extraConf: Map[String, String] = Map.empty): SparkSession = {
     // Measured (min-of-3, sf0.1): AQE on beats AQE off here (~5%) even
     // at 60 MB inputs — the stage-materialization cost is repaid by
     // runtime partition coalescing — so AQE stays on at every scale,
@@ -68,7 +69,9 @@ object Bench {
     // extra conf passthrough for tuning experiments: "k=v;k=v"
     val spark = sys.env.get("SPARK_GRAFT_CONF").toSeq
       .flatMap(_.split(';')).map(_.trim).filter(_.contains("="))
-      .foldLeft(withShm) { (b, kv) =>
+      .foldLeft(extraConf.foldLeft(withShm) { case (b, (k, v)) =>
+        b.config(k, v)
+      }) { (b, kv) =>
         val Array(k, v) = kv.split("=", 2)
         b.config(k, v)
       }

@@ -1,0 +1,71 @@
+package graft
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+/** The ss1 fixed-cost amortization measurement (BENCHSCALE.md's
+  * remaining >2x row):
+  *
+  *   Test/runMain graft.ProfileAmortize [sfDir]
+  *
+  * ss1's per-query seconds at every scale are dominated by Spark's
+  * per-job scheduling floor (~0.2 s), not by the cosine+top-k work —
+  * the claim this probe quantifies is that the floor AMORTIZES: in a
+  * session running the full headliner batch, the scheduler overlaps
+  * ss1's stages with the other queries' work, so the MARGINAL wall-clock
+  * of adding ss1 to the batch is far below its solo time. That is the
+  * posture the engine targets (a standing pipeline runs many queries per
+  * session; only a one-query-per-process harness pays the floor per
+  * query, which is exactly what the solo DuckDB ratio measures).
+  *
+  * Protocol: warm everything (JIT + caches), then min-of-3 of
+  *   solo(ss1)            — ss1 alone, the published per-query number
+  *   batch(all 7)         — all headliners submitted concurrently (FAIR)
+  *   batch(6, no ss1)     — the same minus ss1
+  * marginal(ss1) = batch7 − batch6. Emits one JSON line (consumed by
+  * tools/benchscale.py into BENCHSCALE.json/md).
+  */
+object ProfileAmortize {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/sfx100")
+    // FAIR lets concurrently submitted jobs share executor slots — the
+    // multi-tenant session posture (FIFO would serialize whole jobs and
+    // hide the overlap this probe exists to measure). Static conf, so it
+    // goes in at session build.
+    val spark = Bench.session(sfDir,
+      extraConf = Map("spark.scheduler.mode" -> "FAIR"))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val headliners = Seq("q1_pricing_summary", "q3_shipping_priority",
+      "q5_local_supplier", "q6_revenue_delta", "q18_big_orders",
+      "q19_disjunctive", "ss1_cosine_topk")
+    def run(name: String): Unit = {
+      SparkEntry.queries(name)(spark, sfDir).count(); ()
+    }
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(headliners.size))
+
+    def wallClock(names: Seq[String]): Double = {
+      val t0 = System.nanoTime()
+      Await.result(Future.sequence(
+        names.map(n => Future(run(n)))), Duration.Inf)
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    headliners.foreach(run) // warmup: JIT, codegen, gated caches
+    def minOf3(f: => Double): Double = Seq.fill(3)(f).min
+    val solo = minOf3 { val t0 = System.nanoTime(); run("ss1_cosine_topk")
+      (System.nanoTime() - t0) / 1e9 }
+    val batch7 = minOf3(wallClock(headliners))
+    val batch6 = minOf3(wallClock(headliners.filterNot(_ == "ss1_cosine_topk")))
+    val marginal = batch7 - batch6
+    val json = f"""{"metric":"ss1_amortization","sf":"$sfDir",""" +
+      f""""ss1_solo_sec":$solo%.3f,"batch7_sec":$batch7%.3f,""" +
+      f""""batch6_sec":$batch6%.3f,"ss1_marginal_sec":$marginal%.3f}"""
+    val raw = new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
+    raw.println(json)
+    spark.stop()
+    sys.exit(0)
+  }
+}

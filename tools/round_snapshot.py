@@ -20,8 +20,10 @@ Run it with a clean tree, then commit the artifacts it touched in one
 snapshot commit. Anything red stops the chain (nothing later is stale).
 """
 import argparse
+import re
 import subprocess
 import sys
+import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
@@ -29,12 +31,46 @@ VERIFY_OUT = "/tmp/graft-verify-snapshot"
 SF = "/root/testdata/sf0.01"
 
 
-def step(title, cmd):
+def step(title, cmd, capture=False):
     print(f"\n[snapshot] === {title}: {' '.join(cmd)}", flush=True)
-    r = subprocess.run(cmd, cwd=REPO)
+    if capture:
+        r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
+        sys.stdout.write(r.stdout[-3000:])
+    else:
+        r = subprocess.run(cmd, cwd=REPO)
     if r.returncode != 0:
+        if capture:
+            sys.stderr.write(r.stdout[-4000:] + r.stderr[-4000:])
         raise SystemExit(f"[snapshot] STOP — '{title}' failed; artifacts "
                          "after this point were NOT regenerated")
+    return r.stdout if capture else None
+
+
+def render_readme_counts(n_specs, n_green, n_total):
+    """Rewrite README's marked status block from MEASURED values — the
+    hand-written counts drifted twice (r6 claimed 169/169 while HEAD had
+    193 specs with 10 failing), so the only numbers the README states as
+    current are the ones this snapshot just measured."""
+    head = subprocess.run(["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+                          capture_output=True, text=True).stdout.strip()
+    begin, end = "<!-- counts:begin -->", "<!-- counts:end -->"
+    block = "\n".join([
+        begin,
+        f"**Status at `{head}`** (auto-rendered by `tools/round_snapshot.py` "
+        f"from the run's own outputs, {time.strftime('%Y-%m-%d')}): "
+        f"`sbt test` **{n_specs}/{n_specs}**; registry **{n_total}** queries, "
+        f"**{n_green}** oracle-green vs DuckDB at sf0.01 "
+        f"({n_total - n_green} declared no-oracle pruned-ANN rows, "
+        f"recall-gated in spec and audited at 10x — RECALL_AUDIT_10x.json).",
+        end])
+    p = REPO / "README.md"
+    text = p.read_text()
+    i, j = text.find(begin), text.find(end)
+    if i < 0 or j < 0:
+        raise SystemExit("counts markers missing in README.md")
+    p.write_text(text[:i] + block + text[j + len(end):])
+    print(f"[snapshot] README status block: specs {n_specs}, "
+          f"registry {n_total}, green {n_green}", flush=True)
 
 
 def main():
@@ -53,14 +89,31 @@ def main():
         print("[snapshot] WARNING: tree is dirty — artifacts will record "
               "HEAD but reflect the working tree:\n" + dirty, flush=True)
 
+    n_specs = None
     if not args.skip_tests:
-        step("sbt test", ["sbt", "-batch", "test"])
+        out = step("sbt test", ["sbt", "-batch", "test"], capture=True)
+        m = re.search(r"Tests: succeeded (\d+), failed 0", out)
+        if not m:
+            raise SystemExit("[snapshot] sbt test output unparseable/red")
+        n_specs = int(m.group(1))
     step("oracle dump", ["sbt", "-batch", "runMain graft.DumpOracle ORACLE_SQL.json"])
     subprocess.run(["rm", "-rf", VERIFY_OUT], check=True)
     step("verify @ sf0.01",
          ["sbt", "-batch", f"runMain graft.Verify {SF} {VERIFY_OUT}"])
-    step("oracle check @ sf0.01",
-         [sys.executable, "tools/check.py", SF, VERIFY_OUT])
+    chk = step("oracle check @ sf0.01",
+               [sys.executable, "tools/check.py", SF, VERIFY_OUT],
+               capture=True)
+    mc = re.search(r"== (\d+) pass, (\d+) fail ==", chk)
+    if not mc or mc.group(2) != "0":
+        raise SystemExit("[snapshot] oracle check red or unparseable")
+    n_green = int(mc.group(1))
+    # registry total = per-query dump dirs written by Verify
+    n_total = sum(1 for d in Path(VERIFY_OUT).iterdir()
+                  if d.name.endswith(".parquet"))
+    if n_specs is not None:
+        render_readme_counts(n_specs, n_green, n_total)
+    step("plans dump (PLANS.md at HEAD)",
+         ["sbt", "-batch", "Test/runMain graft.DumpPlans"])
     step("replica audit 10x",
          [sys.executable, "tools/replica_audit.py", "/tmp/sfx10"])
     step("ANN recall audit 10x (ss2/ss3's at-scale evidence)",

@@ -107,9 +107,9 @@ def main():
     if not mc or mc.group(2) != "0":
         raise SystemExit("[snapshot] oracle check red or unparseable")
     n_green = int(mc.group(1))
-    # registry total = per-query dump dirs written by Verify
-    n_total = sum(1 for d in Path(VERIFY_OUT).iterdir()
-                  if d.name.endswith(".parquet"))
+    # registry total = per-query dump dirs written by Verify (one parquet
+    # directory per query, named after it; oracle_sql.json sits beside)
+    n_total = sum(1 for d in Path(VERIFY_OUT).iterdir() if d.is_dir())
     if n_specs is not None:
         render_readme_counts(n_specs, n_green, n_total)
     step("plans dump (PLANS.md at HEAD)",

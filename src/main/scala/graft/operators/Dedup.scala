@@ -64,9 +64,97 @@ object Dedup {
     * multipliers for multiply-shift hashing in Z_2^64 (overflow wraps by
     * design)
     */
-  private def coeffs(numHashes: Int, seed: Long): Array[(Long, Long)] = {
+  private[graft] def coeffs(numHashes: Int, seed: Long): Array[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(numHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
+  }
+
+  /** One document's LSH band hashes (the per-doc core of
+    * [[minHashBands]], shared with the streaming form
+    * [[graft.streaming.DocStreams]]): FNV-1a word-`n`-shingle hashes →
+    * `numHashes` multiply-shift minima → `bands` band hashes. Returns
+    * an EMPTY array for texts under `n` words (they can never pair —
+    * same contract as the batch kernel).
+    */
+  private[graft] def bandHashes(text: String, n: Int, numHashes: Int,
+      bands: Int, cs: Array[(Long, Long)]): Array[Long] = {
+    val words = if (text == null) Array.empty[String]
+      else text.trim.split("\\s+").filter(_.nonEmpty)
+    if (words.length < n) return Array.emptyLongArray
+    val rowsPerBand = numHashes / bands
+    val seen = new java.util.HashSet[Long]()
+    var i = 0
+    while (i <= words.length - n) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < n) {
+        if (j > 0) { h ^= ' '; h *= 0x100000001b3L }
+        val w = words(i + j)
+        var c = 0
+        while (c < w.length) {
+          h ^= w.charAt(c)
+          h *= 0x100000001b3L
+          c += 1
+        }
+        j += 1
+      }
+      seen.add(java.lang.Math.floorMod(h, P))
+      i += 1
+    }
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val it = seen.iterator()
+    while (it.hasNext) {
+      val g = it.next()
+      var k = 0
+      while (k < numHashes) {
+        val v = (cs(k)._1 * g + cs(k)._2) >>> 16
+        if (v < sig(k)) sig(k) = v
+        k += 1
+      }
+    }
+    Array.tabulate(bands) { b =>
+      var bh = 0L
+      var r2 = 0
+      while (r2 < rowsPerBand) {
+        bh = bh * 1000003L + sig(b * rowsPerBand + r2)
+        r2 += 1
+      }
+      bh
+    }
+  }
+
+  /** Distinct word-`n`-shingles of a text as a JVM set — the driver/state
+    * twin of the [[wordShingles]] Column (identical normalization:
+    * trim, whitespace-collapse, `n`-word windows joined by one space).
+    */
+  private[graft] def shingleSet(text: String, n: Int): java.util.HashSet[String] = {
+    val out = new java.util.HashSet[String]()
+    val words = if (text == null) Array.empty[String]
+      else text.trim.split("\\s+").filter(_.nonEmpty)
+    var i = 0
+    while (i <= words.length - n) {
+      val sb = new java.lang.StringBuilder(words(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
+      out.add(sb.toString)
+      i += 1
+    }
+    out
+  }
+
+  /** Integer-exact Jaccard threshold test over word-`n`-shingles —
+    * the in-state verification the streaming dedup runs, identical
+    * arithmetic to [[verifyJaccard]]'s Column form.
+    */
+  private[graft] def jaccardAtLeast(a: String, b: String, n: Int,
+      threshNum: Int, threshDen: Int): Boolean = {
+    val sa = shingleSet(a, n)
+    val sb = shingleSet(b, n)
+    if (sa.isEmpty || sb.isEmpty) return false
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    inter.toLong * threshDen >= (sa.size.toLong + sb.size - inter) * threshNum
   }
 
   /** MinHash signatures + LSH banding in a single partition-local typed
@@ -84,7 +172,6 @@ object Dedup {
   def minHashBands(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
       seed: Long = 42L): DataFrame = {
-    val rowsPerBand = numHashes / bands
     val cs = coeffs(numHashes, seed)
     val out = StructType(Seq(
       StructField("id", LongType), StructField("band", IntegerType),
@@ -94,56 +181,13 @@ object Dedup {
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         val id = r.getLong(idIdx)
-        val text = r.getString(txtIdx)
-        val words = if (text == null) Array.empty[String]
-          else text.trim.split("\\s+").filter(_.nonEmpty)
-        if (words.length < n) Iterator.empty
-        else {
-          // distinct word-shingle hashes (FNV-1a over the joined window)
-          val seen = new java.util.HashSet[Long]()
-          var i = 0
-          while (i <= words.length - n) {
-            var h = 0xcbf29ce484222325L
-            var j = 0
-            while (j < n) {
-              if (j > 0) { h ^= ' '; h *= 0x100000001b3L }
-              val w = words(i + j)
-              var c = 0
-              while (c < w.length) {
-                h ^= w.charAt(c)
-                h *= 0x100000001b3L
-                c += 1
-              }
-              j += 1
-            }
-            seen.add(java.lang.Math.floorMod(h, P))
-            i += 1
-          }
-          val sig = Array.fill(numHashes)(Long.MaxValue)
-          val it = seen.iterator()
-          while (it.hasNext) {
-            val g = it.next()
-            var k = 0
-            while (k < numHashes) {
-              // multiply-shift universal hash — no division in the hot
-              // loop (floorMod costs a ~30-cycle divide per shingle×hash;
-              // the exact-verify step makes hash-family choice purely a
-              // recall knob, and recall is spec-gated)
-              val v = (cs(k)._1 * g + cs(k)._2) >>> 16
-              if (v < sig(k)) sig(k) = v
-              k += 1
-            }
-          }
-          (0 until bands).iterator.map { b =>
-            var bh = 0L
-            var r2 = 0
-            while (r2 < rowsPerBand) {
-              bh = bh * 1000003L + sig(b * rowsPerBand + r2)
-              r2 += 1
-            }
-            org.apache.spark.sql.Row(id, b, bh)
-          }
-        }
+        // distinct word-shingle FNV-1a hashes → multiply-shift minima
+        // (no division in the hot loop: floorMod costs a ~30-cycle divide
+        // per shingle×hash; exact verify makes the hash family purely a
+        // recall knob, and recall is spec-gated) → band hashes, all in
+        // the shared per-doc kernel
+        val bh = bandHashes(r.getString(txtIdx), n, numHashes, bands, cs)
+        bh.indices.iterator.map(b => org.apache.spark.sql.Row(id, b, bh(b)))
       }
     }(org.apache.spark.sql.Encoders.row(out))
   }

@@ -1,0 +1,141 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.Dedup
+
+/** A bucket's accumulated members: parallel arrays of (doc id,
+  * normalized-enough text to re-shingle). Top-level case class so Spark
+  * can derive its state Encoder.
+  */
+case class DedupBucket(ids: Array[Long], texts: Array[String],
+    overflowed: Boolean)
+
+/** One emitted near-dup pair (`ida < idb`, exact-verified). */
+case class NearDupPair(ida: Long, idb: Long)
+
+/** Streaming near-duplicate detection over a DOCUMENT stream — the
+  * standing-pipeline form of [[graft.operators.Dedup.minHashDedup]]:
+  * a corpus that arrives continuously is deduped as it lands, instead
+  * of being re-paired batch-against-corpus each ingest
+  * ([[graft.operators.Dedup.incrementalNearDups]] is the daily-batch
+  * middle ground; this is the per-trigger end of the same spectrum).
+  *
+  * Shape: each incoming doc is banded partition-locally (the SAME
+  * per-doc kernel as the batch pipeline, `Dedup.bandHashes` — no
+  * shuffle), then one keyed-state operator per (band, bhash) bucket
+  * holds the bucket's members and emits each new member's
+  * exact-verified pairs against the members already present. The
+  * shuffle key is (band, bhash) — identical to the batch pipeline's one
+  * shuffle — and state is per-bucket, so skew is bounded by the same
+  * `maxBucket` guard: a degenerate bucket (boilerplate shingle, m² pair
+  * explosion) stops emitting and marks itself overflowed rather than
+  * holding the pipeline hostage, exactly like the batch
+  * `lshCandidates.filter(size between 2,maxBucket)`.
+  *
+  * Equivalence: over any prefix of the stream, the SET of emitted pairs
+  * equals the batch `minHashDedup` pairs of the same documents
+  * (candidates = bucket co-membership, which is order-independent;
+  * verification is the same integer-exact shingle Jaccard). A pair
+  * sharing several bands is emitted once per shared band (at-least-once
+  * per pair); chain `dropDuplicatesWithinWatermark` on (ida, idb) — or
+  * an idempotent sink keyed by the pair — for exactly-once delivery,
+  * the streaming norm.
+  *
+  * 100 TB posture: state lives in the state store (RocksDB off-heap in
+  * production), partitioned by bucket key; memory per bucket is capped
+  * (`maxBucket` members × text bytes). Unbounded corpus growth is real
+  * state growth — the same truth the batch band INDEX has — so
+  * production deployments bound it with the store's TTL (dedup horizon)
+  * or periodic compaction of the index to a static corpus probed via
+  * [[graft.operators.Dedup.incrementalNearDups]]. Carrying the text
+  * into the bucket is what makes in-state verification EXACT; an
+  * estimate-only variant would carry the 64-long signature instead
+  * (8× smaller state, probabilistic verify) — the exactness/state
+  * trade is the deployment's to make.
+  */
+object DocStreams {
+
+  /** Verified near-dup pairs of a streaming (id, text) document frame.
+    * Parameters mirror [[graft.operators.Dedup.minHashDedup]].
+    */
+  def nearDupPairs(spark: SparkSession, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshNum: Int = 4, threshDen: Int = 5, seed: Long = 42L,
+      maxBucket: Int = 1000): Dataset[NearDupPair] = {
+    import spark.implicits._
+    val cs = Dedup.coeffs(numHashes, seed)
+    // partition-local banding, text carried to the bucket (id, bhash, text)
+    val banded = docs
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, text) =>
+          val bh = Dedup.bandHashes(text, n, numHashes, bands, cs)
+          bh.indices.iterator.map(b => (id, b, bh(b), text))
+        }
+      }
+
+    banded
+      .groupByKey { case (_, band, bhash, _) => (band, bhash) }
+      .flatMapGroupsWithState[DedupBucket, NearDupPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[DedupBucket]) =>
+          val st = state.getOption.getOrElse(
+            DedupBucket(Array.emptyLongArray, Array.empty[String], overflowed = false))
+          var ids = st.ids
+          var texts = st.texts
+          var over = st.overflowed
+          val out = Seq.newBuilder[NearDupPair]
+          // id-sorted intake: within-trigger arrivals pair like any
+          // state-resident member, and the order docs happened to land
+          // in a micro-batch cannot change the emitted set
+          val incoming = rows.toArray.sortBy(_._1)
+          var i = 0
+          while (i < incoming.length) {
+            val (id, _, _, text) = incoming(i)
+            // re-delivery of a known id is a no-op (at-least-once source)
+            if (!over && !ids.contains(id)) {
+              if (ids.length >= maxBucket) {
+                // degenerate bucket: stop pairing, drop the payloads —
+                // the batch pipeline drops these buckets wholesale
+                over = true
+                texts = Array.empty[String]
+              } else {
+                var j = 0
+                while (j < ids.length) {
+                  if (Dedup.jaccardAtLeast(texts(j), text, n, threshNum, threshDen)) {
+                    val (a, b) = if (ids(j) < id) (ids(j), id) else (id, ids(j))
+                    out += NearDupPair(a, b)
+                  }
+                  j += 1
+                }
+                ids = ids :+ id
+                texts = texts :+ text
+              }
+            }
+            i += 1
+          }
+          state.update(DedupBucket(ids, texts, over))
+          out.result().iterator
+      }
+  }
+
+  /** The dedup-APPLY form: the pair stream reduced to a per-doc verdict
+    * (`doc_id`, `dup_of` = its smallest already-seen near-duplicate) —
+    * what an ingest pipeline joins against to drop non-representatives.
+    * Emitted at-least-once like the pairs; key the sink by `doc_id`.
+    */
+  def dupVerdicts(spark: SparkSession, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshNum: Int = 4, threshDen: Int = 5, seed: Long = 42L,
+      maxBucket: Int = 1000): DataFrame =
+    nearDupPairs(spark, docs, idCol, textCol, n, numHashes, bands,
+      threshNum, threshDen, seed, maxBucket)
+      .toDF()
+      .select(col("idb").as("doc_id"), col("ida").as("dup_of"))
+}

@@ -165,6 +165,41 @@ class TsLayoutSpec extends SparkSpec {
     assert(all.distinct.size === 1, "layouts disagree on the windowed aggregate")
   }
 
+  test("TIMESTAMP(MILLIS) legacy layout: classified Native, loads quantized-to-ms") {
+    // legacy writers (Spark's TIMESTAMP_MILLIS output mode, older Hive)
+    // annotate MILLIS; the sniff must NOT treat it as raw nanos, and the
+    // load path lands on the native-timestamp branch (ms-quantized values)
+    val stage = s"$work/millis_stage"
+    val dir = new java.io.File(s"$work/millis"); dir.mkdirs()
+    // outputTimestampType is a session conf, not a write option
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+      srcFrame()
+        .withColumn("ts", expr("timestamp_millis(ns div 1000000)").cast("timestamp"))
+        .drop("ns")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.parquet.outputTimestampType", p)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(dir, "events.parquet").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+
+    assert(TsLayout.unitOf(spark, s"$dir/events.parquet") === TsLayout.Native)
+    val df = Tables.load(spark, dir.toString, "events")
+    assert(df.schema("ts").dataType === TimestampNTZType)
+    val got = df.select(col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = rows.map(e => e.id -> e.ns / 1000000L * 1000L).toMap
+    assert(got === expected, "millis layout did not load ms-quantized NTZ")
+  }
+
   test("wire adapter re-expresses every layout as identical raw-nanos longs (µs granularity)") {
     // ns→µs truncation is lossy by contract, so raw-nanos round-trips
     // agree at µs×1000 — the NANOS layout's sub-µs digits are dropped

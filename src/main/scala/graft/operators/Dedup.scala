@@ -58,6 +58,53 @@ object Dedup {
           i => concat_ws(" ", slice(ws, i, lit(w))))))
     }
 
+  /** Span-level exact dedup (the paragraph-dedup shape of C4/Dolma-style
+    * pipelines, applied to word spans since the corpus is single-line):
+    * each document is cut into non-overlapping `spanWords`-word spans; a
+    * span INSTANCE survives iff it is the first occurrence of its
+    * normalized content in corpus order (doc_id, span_idx). Returns one
+    * row per document: total spans, kept spans, and the text rebuilt from
+    * the kept spans (empty string when everything was seen before).
+    *
+    * Scale shape: explode → one hash-partitioned aggregate on the span
+    * fingerprint (min (doc_id, span_idx) struct = the winner; partial
+    * aggregation combines map-side) → equi-join winners back to the
+    * exploded spans → re-group by document. Two shuffles on span rows,
+    * both keyed on high-cardinality columns (fingerprint, doc_id); no
+    * window over the full corpus, no driver state. At 100 TB the span
+    * table is ~6× the document count and both shuffles stay balanced
+    * because span fingerprints are near-unique.
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      spanWords: Int): DataFrame = {
+    val ws = split(trim(regexp_replace(col(textCol), "\\s+", " ")), " ")
+    val spans = df
+      .select(col(idCol), posexplode(
+        when(col(textCol).isNull || trim(col(textCol)) === "",
+            array().cast(ArrayType(StringType)))
+          .otherwise(transform(
+            sequence(lit(0), ((size(ws) - 1) / spanWords).cast(IntegerType)),
+            i => concat_ws(" ", slice(ws, i * spanWords + 1, lit(spanWords))))))
+        .as(Seq("span_idx", "span")))
+      .withColumn("fp", md5(lower(col("span"))))
+    val winners = spans
+      .groupBy("fp")
+      .agg(min(struct(col(idCol), col("span_idx"))).as("w"))
+      .select(col("fp"), col("w")(idCol).as("w_id"),
+        col("w")("span_idx").as("w_idx"))
+    spans.join(winners, Seq("fp"))
+      .withColumn("kept",
+        (col(idCol) === col("w_id") && col("span_idx") === col("w_idx"))
+          .cast(IntegerType))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("kept")).as("n_kept"),
+        concat_ws(" ", sort_array(collect_list(
+          when(col("kept") === 1,
+            struct(col("span_idx"), col("span"))))).getField("span"))
+          .as("text_kept"))
+  }
+
   private val P: Long = 2147483647L // 2^31 - 1, Mersenne prime
 
   /** deterministic MinHash coefficient streams (seeded): odd 64-bit

@@ -95,6 +95,63 @@ object TextAnalysis {
     lenScore + stopScore + tokScore
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", arXiv:2112.11446 §A1.1 — public
+    * filter-rule inventory). Each rule is an independent boolean flag so
+    * downstream curation can attribute removals; `pass` is their
+    * conjunction. All thresholds are integerized (permille) so the
+    * differential oracle is exact. Pure `Column` expressions — the whole
+    * rule set rides one projection over the scan, no shuffle.
+    *
+    * Rules (document kept when all true):
+    *  - word_count_ok:    50 <= n_words <= 100000
+    *  - mean_word_len_ok: mean word length in [3, 10] chars
+    *  - symbol_ratio_ok:  '#' or '...' per word <= 0.1
+    *  - alpha_word_ok:    >= 80% of words contain an alphabetic char
+    *  - stopword_ok:      >= 2 distinct common-stopword hits
+    */
+  def gopherFlags(text: Column): Seq[(String, Column)] = {
+    val norm = trim(regexp_replace(text, "\\s+", " "))
+    val toks = tokenCount(text)
+    val alphaChars = length(replace(norm, lit(" "), lit("")))
+    val meanLenPm = when(toks === 0, 0L)
+      .otherwise(alphaChars * 1000L / toks).cast(LongType)
+    val hashes = litCount(text, "#")
+    val ellipses = litCount(text, "...")
+    val symbolPm = when(toks === 0, lit(1000L))
+      .otherwise((hashes + ellipses) * 1000L / toks).cast(LongType)
+    // words with at least one letter ([^ ]* can't span the separator, so
+    // each match is one whole word; RE2-safe for the DuckDB oracle)
+    val alphaWords = size(
+      regexp_extract_all(norm, lit("[^ ]*[a-zA-Z][^ ]*"), lit(0)))
+      .cast(LongType)
+    val alphaPm = when(toks === 0, 0L)
+      .otherwise(alphaWords * 1000L / toks).cast(LongType)
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val stopHits = Seq(" the ", " be ", " to ", " of ", " and ",
+        " that ", " have ", " with ", " is ", " a ")
+      .map(m => when(litCount(padded, m) > 0, 1L).otherwise(0L))
+      .reduce(_ + _)
+    Seq(
+      "n_words" -> toks,
+      "mean_word_len_pm" -> meanLenPm,
+      "symbol_pm" -> symbolPm,
+      "alpha_word_pm" -> alphaPm,
+      "stop_hits" -> stopHits,
+      "word_count_ok" -> (toks >= 50L && toks <= 100000L),
+      "mean_word_len_ok" -> (meanLenPm >= 3000L && meanLenPm <= 10000L),
+      "symbol_ratio_ok" -> (symbolPm <= 100L),
+      "alpha_word_ok" -> (alphaPm >= 800L),
+      "stopword_ok" -> (stopHits >= 2L))
+  }
+
+  /** conjunction of all gopherFlags rule columns */
+  def gopherPass(text: Column): Column = {
+    val flags = gopherFlags(text).toMap
+    Seq("word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+      "alpha_word_ok", "stopword_ok").map(flags(_)).reduce(_ && _)
+  }
+
   /** document fingerprint: md5 of whitespace-normalized lowercase text */
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))

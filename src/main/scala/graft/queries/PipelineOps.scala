@@ -1,0 +1,253 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.{Dedup, Frame, Funnel, TextAnalysis}
+import graft.sources.Tables
+
+/** Curation-pipeline breadth queries: Gopher-style quality rules,
+  * span-level exact dedup (the C4/Dolma paragraph-dedup shape), funnel
+  * analysis, equi-depth binning, and typed source/sink round-trips
+  * (CSV / JSON-lines / ORC). Every query carries a full DuckDB oracle;
+  * the round-trip oracles read the ORIGINAL parquet, so a lossy writer
+  * or reader shows up as a hash mismatch.
+  */
+object PipelineOps {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast(LongType)
+
+  /** documents ∪ re-crawl simulation (same construction as LlmData's
+    * dedup corpora) — gives span dedup real cross-document duplicates
+    */
+  private def dupDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val re = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    Frame(d).union(Frame(re), unique = false).df
+  }
+  private val dupDocsSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  def all: Seq[Q] = Seq(
+
+    // TX9 — Gopher-style quality rules (Rae et al. 2021, arXiv:2112.11446
+    // §A1.1): five independent integerized rule flags + the conjunction.
+    // One projection over the scan — the whole rule set is codegen'd
+    // Column arithmetic, no shuffle, no UDF.
+    Q("tx9_gopher_rules",
+      (s, dir) => {
+        val flags = TextAnalysis.gopherFlags(col("text"))
+        val boolCols = Set("word_count_ok", "mean_word_len_ok",
+          "symbol_ratio_ok", "alpha_word_ok", "stopword_ok")
+        t(s, dir, "documents").select(
+          (col("doc_id") +: flags.map { case (n, c) =>
+            (if (boolCols(n)) c.cast(IntegerType).cast(LongType) else c).as(n)
+          } :+ TextAnalysis.gopherPass(col("text"))
+            .cast(IntegerType).cast(LongType).as("pass")): _*)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, n_words, mean_word_len_pm, symbol_pm, alpha_word_pm,
+             | stop_hits,
+             | CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS word_count_ok,
+             | CAST(CASE WHEN mean_word_len_pm >= 3000 AND mean_word_len_pm <= 10000 THEN 1 ELSE 0 END AS BIGINT) AS mean_word_len_ok,
+             | CAST(CASE WHEN symbol_pm <= 100 THEN 1 ELSE 0 END AS BIGINT) AS symbol_ratio_ok,
+             | CAST(CASE WHEN alpha_word_pm >= 800 THEN 1 ELSE 0 END AS BIGINT) AS alpha_word_ok,
+             | CAST(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS stopword_ok,
+             | CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+             |   AND mean_word_len_pm >= 3000 AND mean_word_len_pm <= 10000
+             |   AND symbol_pm <= 100 AND alpha_word_pm >= 800
+             |   AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS pass
+             |FROM (
+             | SELECT doc_id, n_words,
+             |  CASE WHEN n_words = 0 THEN 0
+             |    ELSE nsp_chars * 1000 // n_words END AS mean_word_len_pm,
+             |  CASE WHEN n_words = 0 THEN 1000
+             |    ELSE (hashes + ellipses) * 1000 // n_words END AS symbol_pm,
+             |  CASE WHEN n_words = 0 THEN 0
+             |    ELSE alpha_words * 1000 // n_words END AS alpha_word_pm,
+             |  stop_hits
+             | FROM (
+             |  SELECT doc_id,
+             |   CAST(CASE WHEN nrm = '' THEN 0
+             |     ELSE length(nrm) - length(replace(nrm, ' ', '')) + 1 END AS BIGINT) AS n_words,
+             |   CAST(length(replace(nrm, ' ', '')) AS BIGINT) AS nsp_chars,
+             |   CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hashes,
+             |   CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS ellipses,
+             |   CAST(len(regexp_extract_all(nrm, '[^ ]*[a-zA-Z][^ ]*')) AS BIGINT) AS alpha_words,
+             |   CAST(CASE WHEN length(p) - length(replace(p, ' the ', '')) > 0 THEN 1 ELSE 0 END
+             |    + CASE WHEN length(p) - length(replace(p, ' be ', '')) > 0 THEN 1 ELSE 0 END
+             |    + CASE WHEN length(p) - length(replace(p, ' to ', '')) > 0 THEN 1 ELSE 0 END
+             |    + CASE WHEN length(p) - length(replace(p, ' of ', '')) > 0 THEN 1 ELSE 0 END
+             |    + CASE WHEN length(p) - length(replace(p, ' and ', '')) > 0 THEN 1 ELSE 0 END
+             |    + CASE WHEN length(p) - length(replace(p, ' that ', '')) > 0 THEN 1 ELSE 0 END
+             |    + CASE WHEN length(p) - length(replace(p, ' have ', '')) > 0 THEN 1 ELSE 0 END
+             |    + CASE WHEN length(p) - length(replace(p, ' with ', '')) > 0 THEN 1 ELSE 0 END
+             |    + CASE WHEN length(p) - length(replace(p, ' is ', '')) > 0 THEN 1 ELSE 0 END
+             |    + CASE WHEN length(p) - length(replace(p, ' a ', '')) > 0 THEN 1 ELSE 0 END
+             |    AS BIGINT) AS stop_hits
+             |  FROM (SELECT doc_id, text,
+             |    trim(regexp_replace(text, '\s+', ' ', 'g')) AS nrm,
+             |    ' ' || lower(text) || ' ' AS p FROM documents)
+             | )
+             |) ORDER BY doc_id""".stripMargin)),
+
+    // DD13 — span-level exact dedup (C4/Dolma paragraph dedup applied to
+    // 12-word spans, since the corpus is single-line): first occurrence
+    // in corpus order survives, later copies are cut out of the rebuilt
+    // text. Two span-keyed shuffles, no corpus-order global sort.
+    Q("dd13_span_dedup",
+      (s, dir) => Dedup.spanDedup(dupDocs(s, dir), "doc_id", "text", 12)
+        .orderBy("doc_id"),
+      Some(s"""WITH pool AS ($dupDocsSql),
+              |base AS (
+              | SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nrm
+              | FROM pool WHERE text IS NOT NULL AND trim(text) <> ''),
+              |spans AS (
+              | SELECT doc_id, g - 1 AS span_idx,
+              |  array_to_string(ws[((g-1)*12 + 1):((g-1)*12 + 12)], ' ') AS span
+              | FROM (SELECT doc_id, string_split(nrm, ' ') AS ws FROM base) w,
+              | LATERAL (SELECT unnest(generate_series(1, (len(ws)-1)//12 + 1)) AS g) _t),
+              |marked AS (
+              | SELECT doc_id, span_idx, span,
+              |  ROW_NUMBER() OVER (PARTITION BY md5(lower(span))
+              |    ORDER BY doc_id, span_idx) AS rn
+              | FROM spans)
+              |SELECT doc_id, COUNT(*) AS n_spans,
+              | CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              | COALESCE(string_agg(CASE WHEN rn = 1 THEN span END, ' '
+              |    ORDER BY span_idx), '') AS text_kept
+              |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // FN1 — funnel analysis (signup → view → click → purchase): per-user
+    // deepest stage reached and signup→purchase latency. Chained
+    // MIN-after-previous stage frames; oracle replays the identical CTE
+    // chain.
+    Q("fn1_funnel",
+      (s, dir) => Funnel.funnel(t(s, dir, "events"),
+          "user_id", "event_type", "ts",
+          Seq("signup", "view", "click", "purchase"))
+        .select(col("user_id"), col("stage_reached"),
+          ((unix_micros(col("t_last").cast(TimestampType)) -
+            unix_micros(col("t_first").cast(TimestampType))) / 1000000L)
+            .cast(LongType).as("funnel_span_s"))
+        .orderBy("user_id"),
+      Some("""WITH s1 AS (
+             | SELECT user_id, MIN(ts) AS t1 FROM events
+             | WHERE event_type = 'signup' AND user_id IS NOT NULL GROUP BY 1),
+             |s2 AS (
+             | SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+             | JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+             | WHERE e.event_type = 'view' GROUP BY 1),
+             |s3 AS (
+             | SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+             | JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+             | WHERE e.event_type = 'click' GROUP BY 1),
+             |s4 AS (
+             | SELECT e.user_id, MIN(e.ts) AS t4 FROM events e
+             | JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t3
+             | WHERE e.event_type = 'purchase' GROUP BY 1)
+             |SELECT s1.user_id,
+             | CAST(1 + CASE WHEN s2.user_id IS NOT NULL THEN 1 ELSE 0 END
+             |   + CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END
+             |   + CASE WHEN s4.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage_reached,
+             | CAST((epoch_us(COALESCE(s4.t4, s3.t3, s2.t2, s1.t1)) - epoch_us(s1.t1))
+             |   // 1000000 AS BIGINT) AS funnel_span_s
+             |FROM s1
+             |LEFT JOIN s2 ON s1.user_id = s2.user_id
+             |LEFT JOIN s3 ON s1.user_id = s3.user_id
+             |LEFT JOIN s4 ON s1.user_id = s4.user_id
+             |ORDER BY s1.user_id""".stripMargin)),
+
+    // FE2 — equi-depth binning: NTILE(10) per event_type over a total
+    // order (value, event_id), reported as per-bin count + exact cent
+    // bounds — the feature-binning step of a training pipeline.
+    Q("fe2_quantile_bin",
+      (s, dir) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(asc_nulls_first("value"), asc("event_id"))
+        t(s, dir, "events")
+          .select(col("event_type"), col("value"), col("event_id"))
+          .withColumn("bin", ntile(10).over(w).cast(LongType))
+          .groupBy("event_type", "bin")
+          .agg(count(lit(1)).as("n"),
+            min(cents(col("value"))).as("lo_c"),
+            max(cents(col("value"))).as("hi_c"))
+          .orderBy(asc_nulls_first("event_type"), asc("bin"))
+      },
+      Some("""SELECT event_type, bin, COUNT(*) AS n,
+             | MIN(CAST(ROUND(value*100) AS BIGINT)) AS lo_c,
+             | MAX(CAST(ROUND(value*100) AS BIGINT)) AS hi_c
+             |FROM (
+             | SELECT event_type, value,
+             |  CAST(NTILE(10) OVER (PARTITION BY event_type
+             |    ORDER BY value NULLS FIRST, event_id) AS BIGINT) AS bin
+             | FROM events)
+             |GROUP BY 1, 2
+             |ORDER BY event_type NULLS FIRST, bin""".stripMargin)),
+
+    // IO1/IO2/IO3 — typed source/sink round-trips: write the orders table
+    // out in the named format, read it back with the ORIGINAL schema (no
+    // inference — the production posture), aggregate. The oracle reads
+    // the original parquet, so any writer/reader lossiness (timestamp
+    // precision, quoting, type coercion) breaks the hash.
+    Q("io1_csv_roundtrip",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val tmp = roundTripDir(dir, "csv")
+        orders.write.mode("overwrite").option("header", "true").csv(tmp)
+        s.read.schema(orders.schema).option("header", "true").csv(tmp)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(cents(col("o_totalprice"))).as("sum_c"),
+            max(col("o_orderdate")).as("max_dt"))
+          .orderBy(asc_nulls_first("o_orderpriority"))
+      },
+      Some(ordersAggSql)),
+
+    Q("io2_json_roundtrip",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val tmp = roundTripDir(dir, "json")
+        orders.write.mode("overwrite").json(tmp)
+        s.read.schema(orders.schema).json(tmp)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(cents(col("o_totalprice"))).as("sum_c"),
+            max(col("o_orderdate")).as("max_dt"))
+          .orderBy(asc_nulls_first("o_orderpriority"))
+      },
+      Some(ordersAggSql)),
+
+    Q("io3_orc_roundtrip",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val tmp = roundTripDir(dir, "orc")
+        orders.write.mode("overwrite").orc(tmp)
+        s.read.schema(orders.schema).orc(tmp)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(cents(col("o_totalprice"))).as("sum_c"),
+            max(col("o_orderdate")).as("max_dt"))
+          .orderBy(asc_nulls_first("o_orderpriority"))
+      },
+      Some(ordersAggSql)))
+
+  private def roundTripDir(dir: String, fmt: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_io_${fmt}_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_")
+
+  private val ordersAggSql =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      | CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_c,
+      | MAX(o_orderdate) AS max_dt
+      |FROM orders GROUP BY 1
+      |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
+}

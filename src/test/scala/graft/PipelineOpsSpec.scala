@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Funnel, TextAnalysis}
+
+/** Directed unit coverage for the curation-pipeline breadth operators:
+  * funnel stage sequencing, span-level exact dedup, and the Gopher rule
+  * flags (the oracle rows tx9/dd13/fn1/fe2/io1-io3 gate the same code
+  * differentially; these pin the semantic corner cases).
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def ev(rows: (java.lang.Long, String, String)*) =
+    rows.toSeq.toDF("user_id", "event_type", "t")
+      .select(col("user_id"), col("event_type"),
+        col("t").cast("timestamp_ntz").as("ts"))
+
+  test("funnel: stages must be strictly ordered in time") {
+    // user 1 completes all 4 in order; user 2 clicks BEFORE viewing, so
+    // the click can't count and they stall at stage 2
+    val events = ev(
+      (1L, "signup", "2024-01-01 10:00:00"),
+      (1L, "view", "2024-01-01 10:05:00"),
+      (1L, "click", "2024-01-01 10:06:00"),
+      (1L, "purchase", "2024-01-01 10:30:00"),
+      (2L, "click", "2024-01-01 09:00:00"),
+      (2L, "signup", "2024-01-01 10:00:00"),
+      (2L, "view", "2024-01-01 10:10:00"))
+    val out = Funnel.funnel(events, "user_id", "event_type", "ts",
+      Seq("signup", "view", "click", "purchase"))
+      .orderBy("user_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 4L), (2L, 2L)))
+    // t_last of user 1 is the purchase time; of user 2 the view time
+    assert(out(0).getAs[java.time.LocalDateTime]("t_last").toString
+      === "2024-01-01T10:30")
+    assert(out(1).getAs[java.time.LocalDateTime]("t_last").toString
+      === "2024-01-01T10:10")
+  }
+
+  test("funnel: same-timestamp events do not advance the funnel (strict >)") {
+    val events = ev(
+      (1L, "signup", "2024-01-01 10:00:00"),
+      (1L, "view", "2024-01-01 10:00:00"), // simultaneous — not after
+      (1L, "view", "2024-01-01 11:00:00"))
+    val out = Funnel.funnel(events, "user_id", "event_type", "ts",
+      Seq("signup", "view")).collect()
+    assert(out.head.getLong(1) === 2L)
+    assert(out.head.getAs[java.time.LocalDateTime]("t_last").toString
+      === "2024-01-01T11:00") // the 11:00 view, not the simultaneous one
+  }
+
+  test("funnel: users without the first stage are absent; NULL users dropped") {
+    val events = ev(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (null.asInstanceOf[java.lang.Long], "signup", "2024-01-01 10:00:00"))
+    val out = Funnel.funnel(events, "user_id", "event_type", "ts",
+      Seq("signup", "view"))
+    assert(out.isEmpty)
+  }
+
+  test("funnel: stage frames re-anchor on the EARLIEST qualifying event") {
+    // signup at 10:00; views at 10:30 and 10:10 — t2 must be 10:10, so a
+    // click at 10:20 (after 10:10, before 10:30) counts
+    val events = ev(
+      (1L, "signup", "2024-01-01 10:00:00"),
+      (1L, "view", "2024-01-01 10:30:00"),
+      (1L, "view", "2024-01-01 10:10:00"),
+      (1L, "click", "2024-01-01 10:20:00"))
+    val out = Funnel.funnel(events, "user_id", "event_type", "ts",
+      Seq("signup", "view", "click")).collect()
+    assert(out.head.getLong(1) === 3L)
+  }
+
+  test("spanDedup: exact duplicate document loses every span to the original") {
+    val text = Seq.range(0, 24).map(i => s"w$i").mkString(" ") // 2 spans of 12
+    val df = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(df, "doc_id", "text", 12)
+      .orderBy("doc_id").collect()
+    assert(out(0) === Row(1L, 2L, 2L, text))
+    assert(out(1) === Row(2L, 2L, 0L, ""))
+  }
+
+  test("spanDedup: partial overlap drops only the shared span") {
+    val shared = Seq.range(0, 12).map(i => s"s$i").mkString(" ")
+    val tail = Seq.range(0, 12).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, shared), (2L, s"$shared $tail")).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(df, "doc_id", "text", 12)
+      .orderBy("doc_id").collect()
+    assert(out(0) === Row(1L, 1L, 1L, shared))
+    // doc 2: span 0 (= shared) cut, span 1 kept
+    assert(out(1) === Row(2L, 2L, 1L, tail))
+  }
+
+  test("spanDedup: corpus order (doc_id, span_idx) picks the winner; " +
+      "normalization unifies case and whitespace") {
+    val df = Seq(
+      (5L, "Alpha  Beta"), // extra whitespace + case
+      (3L, "alpha beta")) // lower doc_id wins despite later input order
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedup(df, "doc_id", "text", 12)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(2) === 1L) // doc 3 keeps
+    assert(out(1).getLong(2) === 0L) // doc 5 loses its only span
+  }
+
+  test("spanDedup: within-document repetition dedups against itself") {
+    val span = Seq.range(0, 12).map(i => s"r$i").mkString(" ")
+    val df = Seq((1L, s"$span $span $span")).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(df, "doc_id", "text", 12).collect()
+    assert(out.head === Row(1L, 3L, 1L, span))
+  }
+
+  test("spanDedup: empty and NULL texts yield no rows; ragged tail is a span") {
+    val df = Seq((1L, "one two three"), (2L, ""), (3L, null))
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedup(df, "doc_id", "text", 12)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L))
+    assert(out.head === Row(1L, 1L, 1L, "one two three"))
+  }
+
+  test("gopher rules: directed pass/fail per rule") {
+    def flags(text: String): Map[String, Any] = {
+      val cols = TextAnalysis.gopherFlags(col("text"))
+      val row = Seq(Tuple1(text)).toDF("text")
+        .select(cols.map { case (n, c) => c.as(n) }: _*).head()
+      cols.map(_._1).zipWithIndex.map { case (n, i) => n -> row.get(i) }.toMap
+    }
+    val good = (Seq.fill(6)("the quick brown fox jumps with vigor and") :+
+      "that is a fine day to have it").mkString(" ")
+    val g = flags(good)
+    assert(g("word_count_ok") === true && g("stopword_ok") === true &&
+      g("alpha_word_ok") === true && g("symbol_ratio_ok") === true &&
+      g("mean_word_len_ok") === true)
+
+    val short = flags("too short")
+    assert(short("word_count_ok") === false)
+
+    val symbols = flags(Seq.fill(60)("# word").mkString(" "))
+    assert(symbols("symbol_ratio_ok") === false)
+
+    val digits = flags(Seq.fill(60)("12345").mkString(" "))
+    assert(digits("alpha_word_ok") === false)
+    assert(digits("stop_hits") === 0L)
+
+    val longWords = flags(Seq.fill(60)("pneumonoultramicroscopics").mkString(" "))
+    assert(longWords("mean_word_len_ok") === false) // mean len 25 > 10
+  }
+
+  test("gopher rules: the whole rule set is one shuffle-free projection") {
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select((col("doc_id") +: TextAnalysis.gopherFlags(col("text"))
+        .map { case (n, c) => c.as(n) }): _*)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+}

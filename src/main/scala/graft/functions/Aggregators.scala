@@ -30,6 +30,30 @@ object Aggregators {
     * elements regardless of partition size (the shape a distributed
     * top-k accumulator must have)
     */
+  /** bounded top-k by (score DESC, id ASC) — the mergeable accumulator of
+    * a distributed kNN join: partial buffers of ≤ k (score, id) pairs
+    * combine map-side, so the shuffle carries at most k rows per (input
+    * partition × group) instead of the whole candidate set. Merge-order
+    * invariant: the comparator is a total order (ties broken by id), so
+    * any merge tree yields the same top-k.
+    */
+  class TopKByScore(k: Int)
+      extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private val ord: Ordering[(Double, Long)] =
+      Ordering.by(t => (-t._1, t._2))
+    override def zero: Seq[(Double, Long)] = Vector.empty
+    override def reduce(b: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] =
+      if (b.size == k && ord.lteq(b.last, in)) b
+      else (b :+ in).sorted(ord).take(k)
+    override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      (a ++ b).sorted(ord).take(k)
+    override def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = b
+    override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
   class TopKMin(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
     override def zero: Seq[Long] = Vector.empty
     override def reduce(b: Seq[Long], in: Long): Seq[Long] =

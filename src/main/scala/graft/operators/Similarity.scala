@@ -289,6 +289,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** kNN join: every query vector's k nearest corpus neighbors by cosine
+    * (score rounded to 6 decimals, ties broken by neighbor id — a total
+    * order, so the result is engine-deterministic). Exact form: the query
+    * side broadcasts into the corpus scan (corpus never shuffles for the
+    * join) and a bounded mergeable top-k aggregator
+    * ([[graft.functions.Aggregators.TopKByScore]]) does map-side partial
+    * top-k, so the one shuffle carries ≤ k rows per (scan partition ×
+    * query) — never the scored cross product. Scale: cost is
+    * |queries|·|corpus| scoring but fixed shuffle; for corpus-×-corpus
+    * kNN restrict candidates first (LSH/IVF buckets, as in
+    * [[cosinePairsBandedLsh]]), then rank the same way.
+    */
+  def knnJoinExact(queries: DataFrame, corpus: DataFrame, vecCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val q = broadcast(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+    val scored = c.crossJoin(q)
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(VectorOps.cosineNative(col("qvec"), col("nvec")), 6).as("cos"))
+      .filter(col("cos").isNotNull)
+    val topk = udaf(new graft.functions.Aggregators.TopKByScore(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong))
+    scored.groupBy("qid")
+      .agg(topk(col("cos"), col("nid")).as("nn"))
+      .select(col("qid"), posexplode(col("nn")).as(Seq("rk0", "sn")))
+      .select(col("qid"), (col("rk0") + 1).cast(LongType).as("rk"),
+        col("sn._2").as("nid"), col("sn._1").as("cos"))
+  }
+
   /** All pairs with cosine ≥ threshold — embedding near-dup detection.
     * Exact O(n²) form for oracle checking; the scale path buckets by LSH
     * first (same as [[lshTopK]]) so the join key is the bucket, not a

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Subword tokenization: greedy longest-prefix-match segmentation against
+  * a fixed vocabulary (the WordPiece decode rule of Devlin et al. 2018,
+  * arXiv:1810.04805 — public algorithm; char-fallback instead of
+  * whole-word UNK so the piece count is defined for every input and the
+  * rule is SQL-replayable step by step).
+  *
+  * Scale shape: segmentation runs over the DISTINCT-word table, not the
+  * corpus — the corpus explodes to (doc, word) pairs, words aggregate to
+  * per-word counts (partial aggregation map-side), only the vocabulary-
+  * sized distinct table enters the imperative kernel, and the result
+  * joins back by word. At 100 TB the distinct table is the language's
+  * vocabulary (bounded, ~millions), so kernel cost is independent of
+  * corpus size; the vocab itself is a broadcast array.
+  */
+object Tokenize {
+
+  /** Greedy longest-prefix segmentation of one word. Returns
+    * (pieces joined by '|', piece count, unk char count); unmatched
+    * positions consume one character as an "[unk]" piece.
+    */
+  private[graft] def segment(word: String, vocab: java.util.HashSet[String],
+      maxLen: Int): (String, Int, Int) = {
+    val sb = new StringBuilder
+    var pos = 0
+    var pieces = 0
+    var unk = 0
+    while (pos < word.length) {
+      var l = math.min(maxLen, word.length - pos)
+      var hit = -1
+      while (l >= 1 && hit < 0) {
+        if (vocab.contains(word.substring(pos, pos + l))) hit = l
+        l -= 1
+      }
+      if (pieces > 0) sb.append('|')
+      if (hit > 0) {
+        sb.append(word.substring(pos, pos + hit))
+        pos += hit
+      } else {
+        sb.append("[unk]")
+        unk += 1
+        pos += 1
+      }
+      pieces += 1
+    }
+    (sb.toString, pieces, unk)
+  }
+
+  /** Segment the distinct values of `wordCol` in `words`: adds
+    * `pieces` (joined by '|'), `n_pieces`, `n_unk` columns.
+    */
+  def segmentWords(words: DataFrame, wordCol: String,
+      vocab: Seq[String]): DataFrame = {
+    val spark = words.sparkSession
+    val vocabSet = new java.util.HashSet[String](vocab.size * 2)
+    vocab.foreach(vocabSet.add)
+    val maxLen = if (vocab.isEmpty) 1 else vocab.map(_.length).max
+    val bc = spark.sparkContext.broadcast((vocabSet, maxLen))
+    val out = StructType(Seq(
+      StructField(wordCol, StringType),
+      StructField("pieces", StringType),
+      StructField("n_pieces", LongType),
+      StructField("n_unk", LongType)))
+    val idx = words.schema.fieldIndex(wordCol)
+    words.mapPartitions { rows =>
+      val (vs, ml) = bc.value
+      rows.map { r =>
+        val w = r.getString(idx)
+        val (p, np, nu) = segment(w, vs, ml)
+        Row(w, p, np.toLong, nu.toLong)
+      }
+    }(org.apache.spark.sql.Encoders.row(out))
+  }
+
+  /** Per-document subword statistics: explode to words, count per (doc,
+    * word), segment only the distinct words, join the piece stats back.
+    * Output: one row per doc — word count, piece count, unk-char count.
+    */
+  def docPieceStats(df: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[String]): DataFrame = {
+    val words = df.select(col(idCol),
+        explode(split(trim(regexp_replace(col(textCol), "\\s+", " ")), " "))
+          .as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("n"))
+    val distinctWords = words.select("word").distinct()
+    val segged = segmentWords(distinctWords, "word", vocab)
+    words.join(segged, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("n_pieces")).as("n_pieces"),
+        sum(col("n") * col("n_unk")).as("n_unk"))
+  }
+}

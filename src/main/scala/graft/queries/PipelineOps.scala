@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.operators.{Dedup, Frame, Funnel, TextAnalysis}
+import graft.operators.{Dedup, Frame, Funnel, Similarity, TextAnalysis, Tokenize}
 import graft.sources.Tables
 
 /** Curation-pipeline breadth queries: Gopher-style quality rules,
@@ -226,6 +226,63 @@ object PipelineOps {
       },
       Some(ordersAggSql)),
 
+    // TOK1 — subword tokenization: greedy longest-prefix WordPiece
+    // segmentation (char-fallback UNK) against a fixed vocabulary.
+    // Segmentation runs over the DISTINCT-word table only (vocabulary-
+    // bounded, not corpus-bounded); the oracle replays the greedy rule
+    // with a recursive CTE over the same vocab VALUES list.
+    Q("tok1_wordpiece",
+      (s, dir) => Tokenize.docPieceStats(
+          t(s, dir, "documents"), "doc_id", "text", wpVocab)
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE vocab(v) AS (
+              |  SELECT * FROM (VALUES ${wpVocab.map(w => s"('$w')").mkString(", ")})),
+              |wcounts AS (
+              | SELECT doc_id, word, COUNT(*) AS n FROM (
+              |  SELECT doc_id,
+              |   unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS word
+              |  FROM documents) WHERE word <> '' GROUP BY 1, 2),
+              |words AS (SELECT DISTINCT word FROM wcounts),
+              |seg AS (
+              | SELECT word, 1 AS pos, CAST(0 AS BIGINT) AS n_pieces,
+              |   CAST(0 AS BIGINT) AS n_unk FROM words
+              | UNION ALL
+              | SELECT word, CAST(pos + COALESCE(mlen, 1) AS INTEGER), n_pieces + 1,
+              |   n_unk + CASE WHEN mlen IS NULL THEN 1 ELSE 0 END
+              | FROM (SELECT s.word, s.pos, s.n_pieces, s.n_unk,
+              |        (SELECT MAX(len(v)) FROM vocab
+              |         WHERE substr(s.word, s.pos, len(v)) = v) AS mlen
+              |       FROM seg s WHERE s.pos <= len(s.word)) _x),
+              |pieces AS (SELECT word, n_pieces, n_unk FROM seg
+              |           WHERE pos = len(word) + 1)
+              |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_words,
+              | CAST(SUM(n * n_pieces) AS BIGINT) AS n_pieces,
+              | CAST(SUM(n * n_unk) AS BIGINT) AS n_unk
+              |FROM wcounts JOIN pieces USING (word)
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // SS6 — exact kNN join (every 10th vector's 5 nearest neighbors by
+    // cosine): broadcast query side, map-side bounded top-k aggregation
+    // (the shuffle carries ≤ k rows per partition × query). Scores round
+    // to 6 decimals before ranking; ties break on neighbor id.
+    Q("ss6_knn_join",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.knnJoinExact(
+            emb.filter(col("vec_id") % 10 === 0), emb, "embedding", "vec_id", 5)
+          .select(col("qid"), col("rk"), col("nid"))
+          .orderBy("qid", "rk")
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+             |  FROM embeddings WHERE vec_id % 10 = 0),
+             |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv
+             |  FROM embeddings)
+             |SELECT qid, rk, nid FROM (
+             | SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+             |   ORDER BY ROUND(list_cosine_similarity(qv, nv), 6) DESC, nid) AS rk
+             | FROM q JOIN c ON qid <> nid)
+             |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)),
+
     Q("io3_orc_roundtrip",
       (s, dir) => {
         val orders = t(s, dir, "orders")
@@ -239,6 +296,19 @@ object PipelineOps {
           .orderBy(asc_nulls_first("o_orderpriority"))
       },
       Some(ordersAggSql)))
+
+  /** WordPiece vocabulary: multi-char stems covering the corpus words
+    * plus a partial single-char alphabet ('p' et al. deliberately absent
+    * so the UNK fallback path is exercised). The SAME literal list feeds
+    * the Spark kernel and the oracle's VALUES clause.
+    */
+  private val wpVocab: Seq[String] = Seq(
+    "th", "le", "ta", "win", "dow", "str", "eam", "spark", "col", "umn",
+    "ue", "val", "ord", "er", "que", "ry", "jo", "in", "ha", "sh", "sc",
+    "an", "sl", "ow", "fa", "st", "gr", "oup", "me", "rge", "ro", "li",
+    "ne", "ke", "pa", "rt", "da", "sm", "all", "batch", "cu", "om", "fi",
+    "lt",
+    "a", "e", "i", "o", "u", "w", "y", "t", "r", "s", "b", "g", "v", "c", "d")
 
   private def roundTripDir(dir: String, fmt: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_io_${fmt}_" +

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Funnel, TextAnalysis}
+import graft.operators.{Dedup, Funnel, Similarity, TextAnalysis, Tokenize}
 
 /** Directed unit coverage for the curation-pipeline breadth operators:
   * funnel stage sequencing, span-level exact dedup, and the Gopher rule
@@ -150,6 +150,77 @@ class PipelineOpsSpec extends SparkSpec {
 
     val longWords = flags(Seq.fill(60)("pneumonoultramicroscopics").mkString(" "))
     assert(longWords("mean_word_len_ok") === false) // mean len 25 > 10
+  }
+
+  test("wordpiece segment: greedy longest match, char-fallback UNK") {
+    val vocab = new java.util.HashSet[String]()
+    Seq("un", "unab", "le", "ab", "a", "b").foreach(vocab.add)
+    // greedy takes "unab" (longest at pos 0), not "un"+"ab"
+    assert(Tokenize.segment("unable", vocab, 4) === ("unab|le", 2, 0))
+    // no match at 'x' → [unk] consumes one char
+    assert(Tokenize.segment("xab", vocab, 4) === ("[unk]|ab", 2, 1))
+    assert(Tokenize.segment("zzz", vocab, 4) === ("[unk]|[unk]|[unk]", 3, 3))
+    assert(Tokenize.segment("", vocab, 4) === ("", 0, 0))
+  }
+
+  test("wordpiece docPieceStats: segmentation cost rides the distinct-word table") {
+    val df = Seq((1L, "table table the"), (2L, "the dup")).toDF("doc_id", "text")
+    val vocab = Seq("ta", "b", "le", "th", "e", "d", "u")
+    val out = Tokenize.docPieceStats(df, "doc_id", "text", vocab)
+      .orderBy("doc_id").collect()
+    // table = ta|b|le (3), the = th|e (2); doc1: 2*3+2 = 8 pieces
+    assert(out(0) === Row(1L, 3L, 8L, 0L))
+    // dup = d|u|[unk] (3 pieces, 1 unk); doc2: 2+3 = 5
+    assert(out(1) === Row(2L, 2L, 5L, 1L))
+  }
+
+  test("TopKByScore: bounded buffer, merge-order invariant, ties by id") {
+    val agg = new graft.functions.Aggregators.TopKByScore(3)
+    val items = Seq((0.5, 7L), (0.9, 3L), (0.9, 1L), (0.1, 9L), (0.7, 2L))
+    val whole = items.foldLeft(agg.zero)(agg.reduce)
+    assert(whole === Seq((0.9, 1L), (0.9, 3L), (0.7, 2L)))
+    // any split + merge gives the same answer
+    for (cut <- 1 until items.size) {
+      val (l, r) = items.splitAt(cut)
+      val m = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      assert(m === whole, s"merge at $cut")
+    }
+    // buffer never exceeds k
+    assert(whole.size === 3)
+  }
+
+  test("knnJoinExact matches a window-rank reference on real embeddings") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = Similarity.knnJoinExact(
+      emb.filter(col("vec_id") % 25 === 0), emb, "embedding", "vec_id", 4)
+    // reference: same scoring, window rank instead of the bounded agg
+    val q = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cos"), asc("nid"))
+    val ref = c.crossJoin(q).filter(col("qid") =!= col("nid"))
+      .withColumn("cos", round(graft.functions.VectorOps
+        .cosineNative(col("qv"), col("nv")), 6))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 4)
+      .select("qid", "rk", "nid")
+    assert(out.select("qid", "rk", "nid").except(ref).isEmpty &&
+      ref.except(out.select("qid", "rk", "nid")).isEmpty)
+  }
+
+  test("knnJoinExact plan: corpus side never shuffles before scoring " +
+      "(broadcast cross join) and the top-k aggregate has a partial stage") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = Similarity.knnJoinExact(
+      emb.filter(col("vec_id") % 25 === 0), emb, "embedding", "vec_id", 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), s"no broadcast in:\n$plan")
+    // partial aggregation: the ObjectHashAggregate appears twice
+    // (partial map-side + final), so the shuffle carries k-bounded buffers
+    val aggCount = "ObjectHashAggregate".r.findAllIn(plan).size
+    assert(aggCount >= 2, s"expected partial+final aggregate in:\n$plan")
   }
 
   test("gopher rules: the whole rule set is one shuffle-free projection") {

@@ -39,7 +39,8 @@ BOUNDED_PREFIXES = (
     "rj1", "rj2", "rj3", "st1", "st2", "st3", "st4", "st5", "st6", "st7",
     "cur1", "cur2", "cur3", "cur4", "hp1", "tx", "i1", "i2", "d1", "d2",
     "r1_", "r7_", "bp1", "cc1", "tf1",
-    "st8", "st9", "zo1", "cd1", "cd2", "sk1", "sk2")
+    "st8", "st9", "zo1", "cd1", "cd2", "sk1", "sk2",
+    "fn1", "fe2", "tok1", "dd13")
 
 
 def main():
@@ -49,7 +50,8 @@ def main():
     out = "/tmp/graft-replica-audit"
     oracle = json.loads((REPO / "ORACLE_SQL.json").read_text())
     keep = sorted(n for n in oracle
-                  if not n.startswith(("dd", "ss", "mm"))) + ["ss1_cosine_topk"]
+                  if not n.startswith(("dd", "ss", "mm"))) + [
+        "ss1_cosine_topk", "dd13_span_dedup"]  # linear oracles in excluded prefixes
     if bounded:
         keep = [n for n in keep if n.startswith(BOUNDED_PREFIXES)]
     keep = sorted(set(keep))

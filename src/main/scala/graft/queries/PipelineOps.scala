@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.operators.{Dedup, Frame, Funnel, Similarity, TextAnalysis, Tokenize}
+import graft.operators.{Dedup, Frame, Funnel, QualityAudit, Similarity, TextAnalysis, Tokenize}
 import graft.sources.Tables
 
 /** Curation-pipeline breadth queries: Gopher-style quality rules,
@@ -283,6 +283,75 @@ object PipelineOps {
              | FROM q JOIN c ON qid <> nid)
              |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)),
 
+    // DQ2 — declarative data-quality constraint audit: five checks
+    // (completeness permille, primary-key duplicate count, domain
+    // membership, range, timestamp completeness) evaluated in ONE
+    // aggregation pass over events — the Deequ shape (Schelter et al.,
+    // VLDB 2018). Metrics are scale-free so the same bounds hold at
+    // every SF.
+    Q("dq2_constraint_audit",
+      (s, dir) => QualityAudit.audit(t(s, dir, "events"), eventChecks()),
+      Some("""WITH m AS (
+             | SELECT COUNT(*) AS n, COUNT(user_id) AS c_user,
+             |  COUNT(DISTINCT event_id) AS d_eid,
+             |  SUM(CASE WHEN event_type IN ('view','click','purchase','signup','error')
+             |      THEN 0 ELSE 1 END) AS v_type,
+             |  SUM(CASE WHEN value >= 0 AND value <= 10000 THEN 0 ELSE 1 END) AS v_val,
+             |  COUNT(ts) AS c_ts
+             | FROM events),
+             |rows_ AS (
+             | SELECT '01_user_id_completeness_pm' AS chk, 'user_id' AS col_name,
+             |   CAST(c_user * 1000 // n AS BIGINT) AS value,
+             |   CAST(900 AS BIGINT) AS lo, CAST(1000 AS BIGINT) AS hi FROM m
+             | UNION ALL
+             | SELECT '02_event_id_pk_dups', 'event_id',
+             |   CAST(n - d_eid AS BIGINT), 0, 0 FROM m
+             | UNION ALL
+             | SELECT '03_event_type_domain_viol', 'event_type',
+             |   CAST(v_type AS BIGINT), 0, 0 FROM m
+             | UNION ALL
+             | SELECT '04_value_range_viol', 'value',
+             |   CAST(v_val AS BIGINT), 0, 0 FROM m
+             | UNION ALL
+             | SELECT '05_ts_completeness_pm', 'ts',
+             |   CAST(c_ts * 1000 // n AS BIGINT), 1000, 1000 FROM m)
+             |SELECT chk, col_name, value, lo, hi,
+             | CAST(CASE WHEN value >= lo AND value <= hi THEN 1 ELSE 0 END AS BIGINT) AS ok
+             |FROM rows_ ORDER BY chk""".stripMargin)),
+
+    // IO4 — parquet schema evolution: half the table written with a
+    // 3-column early schema, half with the full 6-column schema;
+    // mergeSchema unifies the read and evolved-away columns come back
+    // NULL. The oracle replays the projection with typed NULLs.
+    Q("io4_schema_evolution",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val d1 = roundTripDir(dir, "evo1")
+        val d2 = roundTripDir(dir, "evo2")
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .write.mode("overwrite").parquet(d1)
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .write.mode("overwrite").parquet(d2)
+        s.read.option("mergeSchema", "true").parquet(d1, d2)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(cents(col("o_totalprice"))).as("sum_c"),
+            count(col("o_orderdate")).as("n_dt"))
+          .orderBy(asc_nulls_first("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+             | CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_c,
+             | COUNT(o_orderdate) AS n_dt
+             |FROM (
+             | SELECT CAST(NULL AS VARCHAR) AS o_orderstatus, o_totalprice,
+             |   CAST(NULL AS TIMESTAMP) AS o_orderdate
+             | FROM orders WHERE o_orderkey % 2 = 0
+             | UNION ALL
+             | SELECT o_orderstatus, o_totalprice, o_orderdate
+             | FROM orders WHERE o_orderkey % 2 = 1)
+             |GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""".stripMargin)),
+
     Q("io3_orc_roundtrip",
       (s, dir) => {
         val orders = t(s, dir, "orders")
@@ -296,6 +365,27 @@ object PipelineOps {
           .orderBy(asc_nulls_first("o_orderpriority"))
       },
       Some(ordersAggSql)))
+
+  /** checks for dq2 — every metric is scale-free (permille ratio or a
+    * must-be-zero count), so the same bounds hold at every SF and at the
+    * replicas
+    */
+  private def eventChecks(): Seq[QualityAudit.Check] = {
+    val n = count(lit(1))
+    Seq(
+      QualityAudit.Check("01_user_id_completeness_pm", "user_id",
+        QualityAudit.completeness(col("user_id")) * 1000L / n, 900L, 1000L),
+      QualityAudit.Check("02_event_id_pk_dups", "event_id",
+        n - QualityAudit.distinctness(col("event_id")), 0L, 0L),
+      QualityAudit.Check("03_event_type_domain_viol", "event_type",
+        QualityAudit.violations(col("event_type").isin(
+          "view", "click", "purchase", "signup", "error")), 0L, 0L),
+      QualityAudit.Check("04_value_range_viol", "value",
+        QualityAudit.violations(col("value") >= 0 && col("value") <= 10000),
+        0L, 0L),
+      QualityAudit.Check("05_ts_completeness_pm", "ts",
+        QualityAudit.completeness(col("ts")) * 1000L / n, 1000L, 1000L))
+  }
 
   /** WordPiece vocabulary: multi-char stems covering the corpus words
     * plus a partial single-char alphabet ('p' et al. deliberately absent

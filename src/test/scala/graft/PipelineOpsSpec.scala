@@ -223,6 +223,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(aggCount >= 2, s"expected partial+final aggregate in:\n$plan")
   }
 
+  test("quality audit: directed metrics, NULL predicate counts as violation") {
+    import graft.operators.QualityAudit
+    import graft.operators.QualityAudit.Check
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "b"), (2L, null), (null.asInstanceOf[java.lang.Long], "d"))
+      .toDF("id", "s")
+    val n = count(lit(1))
+    val out = QualityAudit.audit(df, Seq(
+      Check("01_id_completeness_pm", "id",
+        QualityAudit.completeness(col("id")) * 1000L / n, 900L, 1000L),
+      Check("02_id_dups", "id", n - QualityAudit.distinctness(col("id")),
+        0L, 0L),
+      Check("03_s_domain", "s",
+        QualityAudit.violations(col("s").isin("a", "b")), 0L, 0L)))
+      .collect()
+    // 3 of 4 ids present = 750pm → fails [900,1000]
+    assert(out(0) === Row("01_id_completeness_pm", "id", 750L, 900L, 1000L, 0L))
+    // 4 rows - 2 distinct non-null... count_distinct ignores NULLs: 2
+    assert(out(1) === Row("02_id_dups", "id", 2L, 0L, 0L, 0L))
+    // 'd' violates, NULL s counts as violation (predicate not satisfied)
+    assert(out(2) === Row("03_s_domain", "s", 2L, 0L, 0L, 0L))
+  }
+
+  test("quality audit: all checks ride ONE aggregation pass (single scan)") {
+    import graft.operators.QualityAudit.Check
+    import graft.operators.QualityAudit
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val n = count(lit(1))
+    val plan = QualityAudit.audit(events, Seq(
+      Check("a", "user_id", QualityAudit.completeness(col("user_id")), 0L, Long.MaxValue),
+      Check("b", "value", QualityAudit.violations(col("value") >= 0), 0L, 0L)))
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans === 1, s"expected one scan in:\n$plan")
+  }
+
   test("gopher rules: the whole rule set is one shuffle-free projection") {
     val df = spark.read.parquet(s"$sf/documents.parquet")
       .select((col("doc_id") +: TextAnalysis.gopherFlags(col("text"))

@@ -193,6 +193,123 @@ object PipelineOps {
              |GROUP BY 1, 2
              |ORDER BY event_type NULLS FIRST, bin""".stripMargin)),
 
+    // AN1 — rate-anomaly detection: hourly event counts per type vs the
+    // trailing 24 OBSERVED hourly buckets (rows window, identical in
+    // both engines); anomalous when cnt ≥ 3× trailing mean with ≥ 12
+    // buckets of history. All-integer flag: cnt·nw·10 ≥ sw·30.
+    Q("an1_rate_anomaly",
+      (s, dir) => {
+        val hourly = t(s, dir, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("event_type").orderBy("hour")
+          .rowsBetween(-24, -1)
+        hourly.select(col("hour"), col("event_type"), col("cnt"),
+            count(col("cnt")).over(w).as("nw"),
+            coalesce(sum(col("cnt")).over(w), lit(0L)).as("sw"))
+          .withColumn("anomaly",
+            (col("nw") >= 12 && col("cnt") * col("nw") * 10 >= col("sw") * 30)
+              .cast(IntegerType).cast(LongType))
+          .orderBy("hour", "event_type")
+      },
+      Some("""SELECT hour, event_type, cnt, nw, sw,
+             | CAST(CASE WHEN nw >= 12 AND cnt * nw * 10 >= sw * 30
+             |   THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+             |FROM (
+             | SELECT hour, event_type, cnt,
+             |  COUNT(cnt) OVER w AS nw,
+             |  COALESCE(SUM(cnt) OVER w, 0) AS sw
+             | FROM (SELECT date_trunc('hour', ts) AS hour, event_type,
+             |         COUNT(*) AS cnt FROM events GROUP BY 1, 2)
+             | WINDOW w AS (PARTITION BY event_type ORDER BY hour
+             |   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+             |ORDER BY hour, event_type""".stripMargin)),
+
+    // COHORT1 — weekly retention: users grouped by signup week, counted
+    // as active in each subsequent week they produced any event. The
+    // user-grain frames are bounded by the user count, so the joins
+    // broadcast at scale.
+    Q("cohort1_retention",
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+        val signup = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id")
+          .agg(min(date_trunc("week", col("ts"))).as("cw"))
+        val activity = ev
+          .select(col("user_id"), date_trunc("week", col("ts")).as("aw"))
+          .distinct()
+        signup.join(activity, Seq("user_id"))
+          .filter(col("aw") >= col("cw"))
+          .groupBy(col("cw").as("cohort_week"),
+            (datediff(col("aw"), col("cw")) / 7).cast(LongType)
+              .as("week_offset"))
+          .agg(count_distinct(col("user_id")).as("active_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH s AS (
+             | SELECT user_id, MIN(CAST(date_trunc('week', ts) AS TIMESTAMP)) AS cw
+             | FROM events
+             | WHERE event_type = 'signup' AND user_id IS NOT NULL GROUP BY 1),
+             |a AS (
+             | SELECT DISTINCT user_id,
+             |  CAST(date_trunc('week', ts) AS TIMESTAMP) AS aw FROM events
+             | WHERE user_id IS NOT NULL)
+             |SELECT cw AS cohort_week,
+             | CAST(date_diff('day', cw, aw) // 7 AS BIGINT) AS week_offset,
+             | COUNT(DISTINCT user_id) AS active_users
+             |FROM s JOIN a USING (user_id) WHERE aw >= cw
+             |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin)),
+
+    // DDF5 — span-dedup splice fuzz: twins are CONSTRUCTED from the
+    // corpus itself (twin = first 12 words of doc d ++ words 13.. of doc
+    // d+10, id d+2000000) so every twin span is a planted duplicate and
+    // the span-dedup result is fully determined — both engines build the
+    // same corpus and must agree on every kept span.
+    Q("ddf5_span_splice",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .filter(col("doc_id") % 5 === 0 && col("text").isNotNull &&
+            trim(col("text")) =!= "")
+          .select(col("doc_id"),
+            trim(regexp_replace(col("text"), "\\s+", " ")).as("text"))
+        val wsOf = (c: org.apache.spark.sql.Column) => split(c, " ")
+        val a = base.select(col("doc_id").as("ida"), col("text").as("ta"))
+        val b = base.select(col("doc_id").as("idb"), col("text").as("tb"))
+        val twins = a.join(b, col("ida") + 10 === col("idb"))
+          .select((col("ida") + 2000000L).as("doc_id"),
+            concat_ws(" ", concat(slice(wsOf(col("ta")), 1, 12),
+              slice(wsOf(col("tb")), 13, 100000))).as("text"))
+        Dedup.spanDedup(base.unionByName(twins), "doc_id", "text", 12)
+          .orderBy("doc_id")
+      },
+      Some("""WITH base AS (
+             | SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS text
+             | FROM documents
+             | WHERE doc_id % 5 = 0 AND text IS NOT NULL AND trim(text) <> ''),
+             |tw AS (
+             | SELECT a.doc_id + 2000000 AS doc_id,
+             |  array_to_string(
+             |    string_split(a.text, ' ')[1:12] ||
+             |    string_split(b.text, ' ')[13:100000], ' ') AS text
+             | FROM base a JOIN base b ON a.doc_id + 10 = b.doc_id),
+             |pool AS (SELECT * FROM base UNION ALL SELECT * FROM tw),
+             |spans AS (
+             | SELECT doc_id, g - 1 AS span_idx,
+             |  array_to_string(ws[((g-1)*12 + 1):((g-1)*12 + 12)], ' ') AS span
+             | FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM pool
+             |       WHERE text <> '') w,
+             | LATERAL (SELECT unnest(generate_series(1, (len(ws)-1)//12 + 1)) AS g) _t),
+             |marked AS (
+             | SELECT doc_id, span_idx, span,
+             |  ROW_NUMBER() OVER (PARTITION BY md5(lower(span))
+             |    ORDER BY doc_id, span_idx) AS rn
+             | FROM spans)
+             |SELECT doc_id, COUNT(*) AS n_spans,
+             | CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             | COALESCE(string_agg(CASE WHEN rn = 1 THEN span END, ' '
+             |    ORDER BY span_idx), '') AS text_kept
+             |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // IO1/IO2/IO3 — typed source/sink round-trips: write the orders table
     // out in the named format, read it back with the ORIGINAL schema (no
     // inference — the production posture), aggregate. The oracle reads

@@ -571,6 +571,54 @@ object RandDiff {
            |FROM f""".stripMargin
       }),
 
+    // Funnel fuzz: 400 events over 10 users and DAY-granularity
+    // timestamps — heavy equal-ts collisions plus NULL users, the
+    // adversarial inputs for sequential stage detection (stage k must be
+    // STRICTLY after stage k-1; equal-ts events must never chain).
+    // Stage is derived from an int column so both engines synthesize the
+    // identical event stream.
+    multi("rf26_funnel_fuzz", Seq("u"), {
+      (s, off) =>
+        val spec = Seq(ColSpec("u", CInt, 30), ColSpec("k", CInt, 0),
+          ColSpec("t", CDateTime, 0))
+        val ev = RandFrame.df(s, 400, 27001L + off, spec: _*)
+          .withColumn("event_type", element_at(
+            array(lit("signup"), lit("view"), lit("click"), lit("purchase")),
+            (col("k") % 4 + 1).cast("int")))
+        graft.operators.Funnel.funnel(ev, "u", "event_type", "t",
+          Seq("signup", "view", "click", "purchase"))
+    },
+      { off =>
+        val spec = Seq(ColSpec("u", CInt, 30), ColSpec("k", CInt, 0),
+          ColSpec("t", CDateTime, 0))
+        val values = RandFrame.valuesSql(400, 27001L + off, spec: _*)
+        s"""WITH ev AS (
+           | SELECT u, CASE k % 4 WHEN 0 THEN 'signup' WHEN 1 THEN 'view'
+           |   WHEN 2 THEN 'click' ELSE 'purchase' END AS event_type, t
+           | FROM $values _v),
+           |s1 AS (SELECT u, MIN(t) AS t1 FROM ev
+           |  WHERE event_type = 'signup' AND u IS NOT NULL GROUP BY 1),
+           |s2 AS (SELECT e.u, MIN(e.t) AS t2 FROM ev e
+           |  JOIN s1 ON e.u = s1.u AND e.t > s1.t1
+           |  WHERE e.event_type = 'view' GROUP BY 1),
+           |s3 AS (SELECT e.u, MIN(e.t) AS t3 FROM ev e
+           |  JOIN s2 ON e.u = s2.u AND e.t > s2.t2
+           |  WHERE e.event_type = 'click' GROUP BY 1),
+           |s4 AS (SELECT e.u, MIN(e.t) AS t4 FROM ev e
+           |  JOIN s3 ON e.u = s3.u AND e.t > s3.t3
+           |  WHERE e.event_type = 'purchase' GROUP BY 1)
+           |SELECT s1.u,
+           | CAST(1 + CASE WHEN s2.u IS NOT NULL THEN 1 ELSE 0 END
+           |   + CASE WHEN s3.u IS NOT NULL THEN 1 ELSE 0 END
+           |   + CASE WHEN s4.u IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage_reached,
+           | s1.t1 AS t_first,
+           | COALESCE(s4.t4, s3.t3, s2.t2, s1.t1) AS t_last
+           |FROM s1
+           |LEFT JOIN s2 ON s1.u = s2.u
+           |LEFT JOIN s3 ON s1.u = s3.u
+           |LEFT JOIN s4 ON s1.u = s4.u""".stripMargin
+      }),
+
     // CASE WHEN with bool branches over random strings (suite:853-902)
     multi("rf12_casewhen", Seq("a", "b", "c", "d", "e", "cw"), {
       (s, off) =>

@@ -77,6 +77,49 @@ object Tokenize {
     }(org.apache.spark.sql.Encoders.row(out))
   }
 
+  /** BPE merge learning (Sennrich et al. 2016, arXiv:1508.07909 — public
+    * algorithm): `steps` iterations of count-adjacent-symbol-pairs →
+    * merge the most frequent pair everywhere. Symbols are encoded
+    * marker-prefixed ("~t ~a ~b"), which makes the merge a plain string
+    * replace that CANNOT false-match inside a longer symbol (a pair
+    * pattern "~a ~b" requires the marker directly before 'a', and inside
+    * "~ta ~b" no '~a' substring exists) — the property that lets the
+    * oracle replay training with the same replace.
+    *
+    * Scale shape: pair counting is one hash aggregate per step over the
+    * weighted DISTINCT-word table (vocabulary-bounded) with map-side
+    * partial sums; only the single argmax row comes to the driver per
+    * step (the merge rule), and the merge application is a codegen'd
+    * projection. k steps = k bounded jobs, no growing driver state.
+    */
+  def bpeTrain(words: DataFrame, wordCol: String, weightCol: String,
+      steps: Int): Seq[(Int, String, String, Long)] = {
+    var syms = words.select(col(weightCol).as("n"),
+      trim(regexp_replace(col(wordCol), "(.)", "~$1 ")).as("sym"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (step <- 1 to steps) {
+      val ws = split(col("sym"), " ")
+      val best = syms
+        .select(col("n"), explode(
+          when(size(ws) < 2, array().cast(ArrayType(StringType)))
+            .otherwise(transform(sequence(lit(1), size(ws) - 1),
+              i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1)))))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("n")).as("cnt"))
+        .orderBy(desc("cnt"), asc("pair"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val pat = best.head.getString(0)
+        val cnt = best.head.getLong(1)
+        val Array(l, r) = pat.split(" ")
+        merges += ((step, l.replace("~", ""), r.replace("~", ""), cnt))
+        syms = syms.select(col("n"),
+          replace(col("sym"), lit(pat), lit(pat.replace(" ", ""))).as("sym"))
+      }
+    }
+    merges.toSeq
+  }
+
   /** Per-document subword statistics: explode to words, count per (doc,
     * word), segment only the distinct words, join the piece stats back.
     * Output: one row per doc — word count, piece count, unk-char count.

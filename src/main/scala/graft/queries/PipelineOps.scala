@@ -378,6 +378,28 @@ object PipelineOps {
               |FROM wcounts JOIN pieces USING (word)
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // TOK2 — BPE merge learning (Sennrich et al. 2016): 4 iterations of
+    // count-adjacent-pairs → merge argmax, over the weighted distinct-
+    // word table. Marker-prefixed symbols make the merge a boundary-safe
+    // string replace, so the oracle replays training step by step with
+    // the identical replace; ties break (cnt DESC, pair ASC) in both
+    // engines.
+    Q("tok2_bpe_train",
+      (s, dir) => {
+        import s.implicits._
+        val words = t(s, dir, "documents")
+          .select(explode(split(trim(regexp_replace(col("text"), "\\s+", " ")),
+            " ")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy("word").agg(count(lit(1)).as("n"))
+        Tokenize.bpeTrain(words, "word", "n", steps = 4)
+          .toDF("step", "left_sym", "right_sym", "cnt")
+          .select(col("step").cast(LongType).as("step"),
+            col("left_sym"), col("right_sym"), col("cnt"))
+          .orderBy("step")
+      },
+      Some(bpeOracleSql(4))),
+
     // SS6 — exact kNN join (every 10th vector's 5 nearest neighbors by
     // cosine): broadcast query side, map-side bounded top-k aggregation
     // (the shuffle carries ≤ k rows per partition × query). Scores round
@@ -516,6 +538,39 @@ object PipelineOps {
     "ne", "ke", "pa", "rt", "da", "sm", "all", "batch", "cu", "om", "fi",
     "lt",
     "a", "e", "i", "o", "u", "w", "y", "t", "r", "s", "b", "g", "v", "c", "d")
+
+  /** the tok2 oracle: `steps` chained (pairs → argmax → merge) CTE
+    * stages generated from the same loop structure the operator runs
+    */
+  private def bpeOracleSql(steps: Int): String = {
+    def pairStage(i: Int): String =
+      s"""p$i AS (SELECT ws[g] || ' ' || ws[g+1] AS pair, SUM(n) AS cnt
+         | FROM (SELECT n, string_split(sym, ' ') AS ws FROM s$i) _x$i,
+         | LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS g) _g$i
+         | GROUP BY 1),
+         |b$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
+    def mergeStage(i: Int): String =
+      s"""s${i + 1} AS (SELECT n, replace(sym, (SELECT pair FROM b$i),
+         |  replace((SELECT pair FROM b$i), ' ', '')) AS sym FROM s$i)""".stripMargin
+    val stages = (1 to steps).map { i =>
+      pairStage(i) + (if (i < steps) ",\n" + mergeStage(i) else "")
+    }.mkString(",\n")
+    val finals = (1 to steps).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS step,
+         | replace(string_split(pair, ' ')[1], '~', '') AS left_sym,
+         | replace(string_split(pair, ' ')[2], '~', '') AS right_sym,
+         | CAST(cnt AS BIGINT) AS cnt FROM b$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w AS (
+       | SELECT word, COUNT(*) AS n FROM (
+       |  SELECT unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS word
+       |  FROM documents) WHERE word <> '' GROUP BY 1),
+       |s1 AS (SELECT n, trim(regexp_replace(word, '(.)', '~\\1 ', 'g')) AS sym FROM w),
+       |$stages
+       |SELECT * FROM (
+       |$finals
+       |) ORDER BY step""".stripMargin
+  }
 
   private def roundTripDir(dir: String, fmt: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_io_${fmt}_" +

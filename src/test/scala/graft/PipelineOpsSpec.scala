@@ -174,6 +174,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(1) === Row(2L, 2L, 5L, 1L))
   }
 
+  test("BPE training: merged symbols chain into later merges; " +
+      "marker encoding prevents cross-boundary false matches") {
+    // corpus: 'abab' x3, 'tab' x2 — step 1 merges (a,b) [freq 3*2+2=8].
+    // After merging, 'tab' = "~t ~ab": a naive unmarked replace of
+    // "a b" would have corrupted "~ta ~b"-style boundaries; step 2 must
+    // see pair (ab,ab) from 'abab' [freq 3] and (t,ab) [freq 2] — argmax
+    // is (ab,ab).
+    val words = Seq(("abab", 3L), ("tab", 2L)).toDF("word", "n")
+    val merges = graft.operators.Tokenize.bpeTrain(words, "word", "n", 2)
+    assert(merges === Seq((1, "a", "b", 8L), (2, "ab", "ab", 3L)))
+  }
+
+  test("BPE training: single-char words contribute no pairs; empty corpus no merges") {
+    val words = Seq(("a", 5L), ("b", 3L)).toDF("word", "n")
+    assert(graft.operators.Tokenize.bpeTrain(words, "word", "n", 3) === Seq())
+  }
+
   test("TopKByScore: bounded buffer, merge-order invariant, ties by id") {
     val agg = new graft.functions.Aggregators.TopKByScore(3)
     val items = Seq((0.5, 7L), (0.9, 3L), (0.9, 1L), (0.1, 9L), (0.7, 2L))

@@ -378,6 +378,17 @@ object PipelineOps {
               |FROM wcounts JOIN pieces USING (word)
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // TX10 — TextRank keywords (Mihalcea & Tarau 2004): 5 PageRank power
+    // iterations over the word co-occurrence graph (adjacent-word edges,
+    // symmetric, document-frequency weighted). All-integer fixed-point
+    // (micro-units, div before scale) so each iteration is exactly
+    // SQL-replayable; the oracle chains the same 5 iterations as CTEs.
+    Q("tx10_textrank",
+      (s, dir) => graft.operators.TextRank.keywords(
+          t(s, dir, "documents"), "text", iters = 5, k = 20)
+        .select(col("word"), col("r")),
+      Some(textRankOracleSql(5, 20))),
+
     // TOK2 — BPE merge learning (Sennrich et al. 2016): 4 iterations of
     // count-adjacent-pairs → merge argmax, over the weighted distinct-
     // word table. Marker-prefixed symbols make the merge a boundary-safe
@@ -538,6 +549,35 @@ object PipelineOps {
     "ne", "ke", "pa", "rt", "da", "sm", "all", "batch", "cu", "om", "fi",
     "lt",
     "a", "e", "i", "o", "u", "w", "y", "t", "r", "s", "b", "g", "v", "c", "d")
+
+  /** the tx10 oracle: the same `iters` power iterations as chained CTEs,
+    * identical integer fixed-point arithmetic
+    */
+  private def textRankOracleSql(iters: Int, k: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (
+         | SELECT e.dst AS word,
+         |  150000 + 85 * SUM(r${i - 1}.r * e.w // ws_.wtot) // 100 AS r
+         | FROM e JOIN r${i - 1} ON e.src = r${i - 1}.word
+         | JOIN ws_ ON e.src = ws_.src
+         | GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH bg AS (
+       | SELECT DISTINCT doc_id, ws[g] AS a, ws[g+1] AS b
+       | FROM (SELECT doc_id,
+       |   string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS ws
+       |  FROM documents) w,
+       | LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS g) _t),
+       |pairs AS (SELECT a, b, COUNT(*) AS w FROM bg WHERE a <> b GROUP BY 1, 2),
+       |e AS (SELECT src, dst, SUM(w) AS w FROM (
+       |  SELECT a AS src, b AS dst, w FROM pairs
+       |  UNION ALL SELECT b, a, w FROM pairs) GROUP BY 1, 2),
+       |ws_ AS (SELECT src, SUM(w) AS wtot FROM e GROUP BY 1),
+       |r0 AS (SELECT src AS word, CAST(1000000 AS BIGINT) AS r FROM ws_),
+       |$iterCtes
+       |SELECT word, CAST(r AS BIGINT) AS r FROM r$iters
+       |ORDER BY r DESC, word LIMIT $k""".stripMargin
+  }
 
   /** the tok2 oracle: `steps` chained (pairs → argmax → merge) CTE
     * stages generated from the same loop structure the operator runs

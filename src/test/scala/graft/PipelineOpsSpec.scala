@@ -191,6 +191,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(graft.operators.Tokenize.bpeTrain(words, "word", "n", 3) === Seq())
   }
 
+  test("TextRank: hub word outranks leaves; result invariant to doc order") {
+    import graft.operators.TextRank
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha gamma"), (3L, "alpha delta"))
+      .toDF("doc_id", "text")
+    val r = TextRank.textRank(docs, "text", iters = 5)
+      .orderBy(desc("r"), asc("word")).collect()
+    assert(r.head.getString(0) === "alpha") // degree-3 hub
+    assert(r.head.getLong(1) > r.last.getLong(1))
+    // permutation invariance: reversed input rows, identical ranks
+    val r2 = TextRank.textRank(docs.orderBy(desc("doc_id")), "text", iters = 5)
+      .orderBy(desc("r"), asc("word")).collect()
+    assert(r.map(_.toSeq).toSeq === r2.map(_.toSeq).toSeq)
+  }
+
   test("TopKByScore: bounded buffer, merge-order invariant, ties by id") {
     val agg = new graft.functions.Aggregators.TopKByScore(3)
     val items = Seq((0.5, 7L), (0.9, 3L), (0.9, 1L), (0.1, 9L), (0.7, 2L))

@@ -193,6 +193,53 @@ object PipelineOps {
              |GROUP BY 1, 2
              |ORDER BY event_type NULLS FIRST, bin""".stripMargin)),
 
+    // FE3 — winsorization: clip order totals to the per-priority
+    // [p10, p90] band (exact-integer percentiles, bounds rounded to
+    // cents); two-pass, stats broadcast back — the fact table never
+    // shuffles.
+    Q("fe3_winsorize",
+      (s, dir) => graft.operators.Features.winsorizeStats(
+          t(s, dir, "orders").withColumn("v_c", cents(col("o_totalprice"))),
+          "o_orderpriority", 0.1, 0.9)
+        .orderBy(asc_nulls_first("o_orderpriority")),
+      Some("""WITH st AS (
+             | SELECT o_orderpriority,
+             |  CAST(ROUND(quantile_cont(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.1)) AS BIGINT) AS lo_c,
+             |  CAST(ROUND(quantile_cont(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.9)) AS BIGINT) AS hi_c
+             | FROM orders GROUP BY 1)
+             |SELECT o.o_orderpriority, COUNT(*) AS n,
+             | CAST(SUM(LEAST(GREATEST(CAST(ROUND(o.o_totalprice*100) AS BIGINT), st.lo_c), st.hi_c)) AS BIGINT) AS sum_clipped_c,
+             | MIN(st.lo_c) AS lo_c, MIN(st.hi_c) AS hi_c
+             |FROM orders o JOIN st USING (o_orderpriority)
+             |GROUP BY 1 ORDER BY o_orderpriority NULLS FIRST""".stripMargin)),
+
+    // FE4 — deterministic z-score distribution: z in permille from exact
+    // integer sums (z = (v·n − Σv)/√(n·Σv² − (Σv)²) — the only float ops
+    // are one sqrt and one divide on identical operands in any engine),
+    // bucketed at 500 pm. Two-pass, stats broadcast back.
+    Q("fe4_zscore_dist",
+      (s, dir) => graft.operators.Features.zBucketCounts(
+          t(s, dir, "events").filter(col("value").isNotNull)
+            .withColumn("v_c", cents(col("value"))),
+          "event_type", bucketPm = 500L)
+        .orderBy(asc_nulls_first("event_type"), asc("z_bucket")),
+      Some("""WITH base AS (
+             | SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS v_c
+             | FROM events WHERE value IS NOT NULL),
+             |st AS (
+             | SELECT event_type, COUNT(*) AS zn, SUM(v_c) AS s1,
+             |  SUM(v_c*v_c) AS s2
+             | FROM base GROUP BY 1
+             | HAVING COUNT(*)*SUM(v_c*v_c) > SUM(v_c)*SUM(v_c))
+             |SELECT b.event_type,
+             | CAST(FLOOR(CAST(ROUND((b.v_c*st.zn - st.s1) * 1000.0 /
+             |   sqrt(CAST(st.zn*st.s2 - st.s1*st.s1 AS DOUBLE))) AS BIGINT)
+             |   / 500.0) AS BIGINT) AS z_bucket,
+             | COUNT(*) AS n
+             |FROM base b JOIN st USING (event_type)
+             |GROUP BY 1, 2
+             |ORDER BY event_type NULLS FIRST, z_bucket""".stripMargin)),
+
     // AN1 — rate-anomaly detection: hourly event counts per type vs the
     // trailing 24 OBSERVED hourly buckets (rows window, identical in
     // both engines); anomalous when cnt ≥ 3× trailing mean with ≥ 12

@@ -40,7 +40,8 @@ BOUNDED_PREFIXES = (
     "cur1", "cur2", "cur3", "cur4", "hp1", "tx", "i1", "i2", "d1", "d2",
     "r1_", "r7_", "bp1", "cc1", "tf1",
     "st8", "st9", "zo1", "cd1", "cd2", "sk1", "sk2",
-    "fn1", "fe2", "tok", "dd13", "dq2", "an1", "cohort1", "ddf5")
+    "fn1", "fe2", "fe3", "fe4", "tok", "dd13", "dq2", "an1", "cohort1",
+    "ddf5", "tx10")
 
 
 def main():

@@ -193,6 +193,84 @@ object PipelineOps {
              |GROUP BY 1, 2
              |ORDER BY event_type NULLS FIRST, bin""".stripMargin)),
 
+    // CUR5 — curation pipeline v2, composing this round's operators in
+    // one declarative plan: Gopher quality gate → span-level exact dedup
+    // over the survivors → per-source token accounting of the deduped
+    // text. At scale this is one projection (gate), two span-keyed
+    // shuffles (dedup), one broadcast-joined aggregate (stats).
+    Q("cur5_curation_v2",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val passed = docs.filter(TextAnalysis.gopherPass(col("text")))
+          .select(col("doc_id"), col("text"), col("source"))
+        val deduped = Dedup.spanDedup(
+          passed.select("doc_id", "text"), "doc_id", "text", 12)
+        deduped.join(passed.select("doc_id", "source"), Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_spans")).as("n_spans"),
+            sum(col("n_kept")).as("n_kept"),
+            sum(TextAnalysis.tokenCount(col("text_kept"))).as("kept_tokens"))
+          .orderBy(asc_nulls_first("source"))
+      },
+      Some("""WITH flags AS (
+             | SELECT doc_id, text, source,
+             |  CAST(CASE WHEN nrm = '' THEN 0
+             |    ELSE length(nrm) - length(replace(nrm, ' ', '')) + 1 END AS BIGINT) AS n_words,
+             |  CAST(length(replace(nrm, ' ', '')) AS BIGINT) AS nsp_chars,
+             |  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hashes,
+             |  CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS ellipses,
+             |  CAST(len(regexp_extract_all(nrm, '[^ ]*[a-zA-Z][^ ]*')) AS BIGINT) AS alpha_words,
+             |  CAST(CASE WHEN length(p) - length(replace(p, ' the ', '')) > 0 THEN 1 ELSE 0 END
+             |   + CASE WHEN length(p) - length(replace(p, ' be ', '')) > 0 THEN 1 ELSE 0 END
+             |   + CASE WHEN length(p) - length(replace(p, ' to ', '')) > 0 THEN 1 ELSE 0 END
+             |   + CASE WHEN length(p) - length(replace(p, ' of ', '')) > 0 THEN 1 ELSE 0 END
+             |   + CASE WHEN length(p) - length(replace(p, ' and ', '')) > 0 THEN 1 ELSE 0 END
+             |   + CASE WHEN length(p) - length(replace(p, ' that ', '')) > 0 THEN 1 ELSE 0 END
+             |   + CASE WHEN length(p) - length(replace(p, ' have ', '')) > 0 THEN 1 ELSE 0 END
+             |   + CASE WHEN length(p) - length(replace(p, ' with ', '')) > 0 THEN 1 ELSE 0 END
+             |   + CASE WHEN length(p) - length(replace(p, ' is ', '')) > 0 THEN 1 ELSE 0 END
+             |   + CASE WHEN length(p) - length(replace(p, ' a ', '')) > 0 THEN 1 ELSE 0 END
+             |   AS BIGINT) AS stop_hits
+             | FROM (SELECT doc_id, text, source,
+             |   trim(regexp_replace(text, '\s+', ' ', 'g')) AS nrm,
+             |   ' ' || lower(text) || ' ' AS p FROM documents)),
+             |passed AS (
+             | SELECT doc_id, text, source FROM flags
+             | WHERE n_words >= 50 AND n_words <= 100000
+             |  AND (CASE WHEN n_words = 0 THEN 0 ELSE nsp_chars * 1000 // n_words END) BETWEEN 3000 AND 10000
+             |  AND (CASE WHEN n_words = 0 THEN 1000 ELSE (hashes + ellipses) * 1000 // n_words END) <= 100
+             |  AND (CASE WHEN n_words = 0 THEN 0 ELSE alpha_words * 1000 // n_words END) >= 800
+             |  AND stop_hits >= 2),
+             |base AS (
+             | SELECT doc_id, source, trim(regexp_replace(text, '\s+', ' ', 'g')) AS nrm
+             | FROM passed WHERE text IS NOT NULL AND trim(text) <> ''),
+             |spans AS (
+             | SELECT doc_id, g - 1 AS span_idx,
+             |  array_to_string(ws[((g-1)*12 + 1):((g-1)*12 + 12)], ' ') AS span
+             | FROM (SELECT doc_id, string_split(nrm, ' ') AS ws FROM base) w,
+             | LATERAL (SELECT unnest(generate_series(1, (len(ws)-1)//12 + 1)) AS g) _t),
+             |marked AS (
+             | SELECT doc_id, span_idx, span,
+             |  ROW_NUMBER() OVER (PARTITION BY md5(lower(span))
+             |    ORDER BY doc_id, span_idx) AS rn
+             | FROM spans),
+             |dedup AS (
+             | SELECT doc_id, COUNT(*) AS n_spans,
+             |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  COALESCE(string_agg(CASE WHEN rn = 1 THEN span END, ' '
+             |    ORDER BY span_idx), '') AS text_kept
+             | FROM marked GROUP BY doc_id)
+             |SELECT b.source, COUNT(*) AS n_docs,
+             | CAST(SUM(d.n_spans) AS BIGINT) AS n_spans,
+             | CAST(SUM(d.n_kept) AS BIGINT) AS n_kept,
+             | CAST(SUM(CASE WHEN trim(regexp_replace(d.text_kept, '\s+', ' ', 'g')) = '' THEN 0
+             |   ELSE length(trim(regexp_replace(d.text_kept, '\s+', ' ', 'g')))
+             |    - length(replace(trim(regexp_replace(d.text_kept, '\s+', ' ', 'g')), ' ', '')) + 1 END)
+             |  AS BIGINT) AS kept_tokens
+             |FROM dedup d JOIN base b USING (doc_id)
+             |GROUP BY 1 ORDER BY source NULLS FIRST""".stripMargin)),
+
     // FE3 — winsorization: clip order totals to the per-priority
     // [p10, p90] band (exact-integer percentiles, bounds rounded to
     // cents); two-pass, stats broadcast back — the fact table never

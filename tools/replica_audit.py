@@ -37,7 +37,7 @@ BOUNDED_PREFIXES = (
     "w7", "g1", "g2", "g3",
     "a1_", "a2_", "a3_", "a4_", "a5_", "a6_", "a7_", "a8_", "a9_", "a10", "a11",
     "rj1", "rj2", "rj3", "st1", "st2", "st3", "st4", "st5", "st6", "st7",
-    "cur1", "cur2", "cur3", "cur4", "hp1", "tx", "i1", "i2", "d1", "d2",
+    "cur1", "cur2", "cur3", "cur4", "cur5", "hp1", "tx", "i1", "i2", "d1", "d2",
     "r1_", "r7_", "bp1", "cc1", "tf1",
     "st8", "st9", "zo1", "cd1", "cd2", "sk1", "sk2",
     "fn1", "fe2", "fe3", "fe4", "tok", "dd13", "dq2", "an1", "cohort1",

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate string join at bounded edit distance, without the cross
+  * product — the entity-resolution primitive (matching user names, product
+  * titles, URLs across catalogs) that a naive `JOIN ON levenshtein(a,b)<=1`
+  * turns into an all-pairs scan.
+  *
+  * Algorithm: deletion-neighborhood blocking (FastSS — Bocek, Hunt &
+  * Stiller, "Fast Similarity Search in Large Dictionaries", 2007). For
+  * edit distance ≤ 1, index each string under itself plus every
+  * single-character deletion. Two strings within Levenshtein distance 1
+  * necessarily share a key:
+  *
+  *   - equal:        identity key;
+  *   - substitution: deleting the substituted position from each side
+  *                   yields the same string;
+  *   - insert/delete: the shorter string IS a deletion of the longer.
+  *
+  * Sharing a key is necessary but not sufficient ("ab"/"ba" share "a" at
+  * distance 2), so candidates are verified with the real, codegen'd
+  * `levenshtein` — but only candidates, never the cross product.
+  *
+  * Scale shape: a string of length L produces L+1 keys, so the exploded
+  * key table is (L+1)× the input — linear. One shuffle on the key;
+  * per-key buckets are bounded (`maxBucket`) against degenerate keys the
+  * same way Dedup.minHashDedup bounds LSH buckets. At 100 TB the verify
+  * step touches only colliding pairs; everything stays in whole-stage
+  * codegen (explode + hash join + levenshtein are all built-ins).
+  */
+object FuzzyJoin {
+
+  /** `s` plus all single-character deletions of `s` (the distance-1
+    * deletion neighborhood), as an array column. Positions are 1-based
+    * for `substring`.
+    */
+  def deletionNeighborhood(s: Column): Column =
+    graft.functions.Kernels.letBind(s) { v =>
+      // sequence(1, 0) would count DOWN in Spark; guard the empty string
+      when(length(v) === 0, array(v)).otherwise(
+        concat(
+          array(v),
+          transform(sequence(lit(1), length(v)),
+            i => concat(substring(v, lit(1), i - 1),
+              v.substr(i + 1, length(v))))))
+    }
+
+  /** Pairs (leftId, leftStr, rightId, rightStr, dist) from `left` ×
+    * `right` with Levenshtein distance ≤ maxDist (only 1 is supported —
+    * the blocking is exact for that radius). Both sides must carry
+    * distinct (id, str) rows; output is distinct pairs.
+    */
+  def join(
+      left: DataFrame, leftId: String, leftStr: String,
+      right: DataFrame, rightId: String, rightStr: String,
+      maxBucket: Int = 10000): DataFrame = {
+    val key = Cols.fresh("_fjkey", left.columns ++ right.columns)
+
+    def keyed(df: DataFrame, id: String, str: String): DataFrame =
+      df.select(col(id), col(str),
+          explode(array_distinct(deletionNeighborhood(col(str)))).as(key))
+
+    val l = keyed(left, leftId, leftStr)
+    val r = keyed(right, rightId, rightStr)
+
+    // Degenerate-key guard: a key shared by >maxBucket rows on either side
+    // (think empty string, or a boilerplate token) would quadratically
+    // blow up that bucket; such keys are dropped. With maxDist=1 and
+    // realistic dictionaries buckets are tiny; the guard is the 100 TB
+    // seatbelt, mirrored from Dedup's LSH bucket bound.
+    val cnt = Cols.fresh("_fjcnt", Seq(key))
+    def bounded(df: DataFrame): DataFrame = {
+      val big = df.groupBy(key).agg(count(lit(1)).as(cnt))
+        .filter(col(cnt) > maxBucket).select(key)
+      df.join(big, Seq(key), "left_anti")
+    }
+
+    bounded(l).join(bounded(r), key)
+      .filter(levenshtein(col(leftStr), col(rightStr)) <= 1)
+      .select(col(leftId), col(leftStr), col(rightId), col(rightStr),
+        levenshtein(col(leftStr), col(rightStr)).as("dist"))
+      .distinct()
+  }
+}

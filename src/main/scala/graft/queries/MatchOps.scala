@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.{Corpus, FuzzyJoin}
+import graft.sources.Tables
+
+/** Entity-matching and corpus-statistics operators: blocked fuzzy string
+  * join, deterministic KMV distinct-count sketch, bottom-k uniform
+  * sampling, PMI-style collocation mining, and an inverted index — each
+  * exactly SQL-expressible, so each carries a full DuckDB oracle.
+  *
+  * Determinism conventions: string sides are derived from md5 of row keys
+  * (identical lowercase-hex md5 in Spark and DuckDB); all scores are exact
+  * integers (integer division spelled `div`/`//` identically on both
+  * sides); every query ends in a total ORDER BY.
+  */
+object MatchOps {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** DuckDB-side word-split of documents, mirroring Corpus.words. */
+  private val wsSql =
+    """SELECT doc_id, string_split(trim(regexp_replace(text,'\s+',' ','g')),' ') AS w
+      |FROM documents""".stripMargin
+
+  def all: Seq[Q] = Seq(
+
+    // FJ1 — fuzzy string join at edit distance <= 1 via FastSS
+    // deletion-neighborhood blocking (operators/FuzzyJoin.scala). The two
+    // sides are 5/6-char hex tags derived from orders and customer keys:
+    // thousands of strings per side, a few hundred true near-matches. The
+    // Spark plan explodes (L+1) deletion keys per string, hash-joins on
+    // the key, and verifies only candidates with codegen'd levenshtein —
+    // never the 3750 x 1500 cross product the oracle spells.
+    Q("fj1_fuzzy_join",
+      (s, dir) => {
+        def tag(df: DataFrame, key: String, salt: String, id: String, str: String) =
+          df.select(col(key).as(id),
+            md5(concat(lit(salt), col(key).cast(StringType)))
+              .substr(lit(1), lit(5) + pmod(col(key), lit(2))).as(str))
+        val l = tag(t(s, dir, "orders").filter(col("o_orderkey") % 4 === 0),
+          "o_orderkey", "L", "lid", "ls")
+        val r = tag(t(s, dir, "customer"), "c_custkey", "R", "rid", "rs")
+        FuzzyJoin.join(l, "lid", "ls", r, "rid", "rs")
+          .orderBy("lid", "rid")
+      },
+      Some("""WITH l AS (SELECT o_orderkey AS lid,
+             |  substr(md5('L'||CAST(o_orderkey AS VARCHAR)),1,5+o_orderkey%2) AS ls
+             |  FROM orders WHERE o_orderkey%4=0),
+             |r AS (SELECT c_custkey AS rid,
+             |  substr(md5('R'||CAST(c_custkey AS VARCHAR)),1,5+c_custkey%2) AS rs
+             |  FROM customer)
+             |SELECT lid, ls, rid, rs, levenshtein(ls,rs) AS dist
+             |FROM l, r WHERE levenshtein(ls,rs) <= 1
+             |ORDER BY lid, rid""".stripMargin)),
+
+    // SK3 — KMV (k-minimum-values) distinct-count sketch, k=256: the
+    // mergeable NDV estimator of Bar-Yossef et al. 2002. Fully
+    // deterministic — the sketch is the 256 smallest md5 values, so the
+    // oracle replays it bit-for-bit (unlike HLL, whose register layout is
+    // engine-private; cf. sk2's exact-twin gating). The plan keeps only
+    // k hashes per partition (TakeOrdered), so the driver sees k rows —
+    // the 100 TB shape for NDV over a fact column.
+    Q("sk3_kmv_distinct",
+      (s, dir) => {
+        val k = 256
+        val kth = t(s, dir, "lineitem")
+          .select(md5(concat(lit("kmv:"), col("l_partkey").cast(StringType))).as("h"))
+          .distinct()
+          .orderBy("h").limit(k)
+          .agg(max(col("h")).as("kth_hash"))
+        val exact = t(s, dir, "lineitem")
+          .agg(countDistinct(col("l_partkey")).as("exact_ndv"))
+        kth.crossJoin(exact)
+          .withColumn("hv",
+            conv(substring(col("kth_hash"), 1, 12), 16, 10).cast(LongType))
+          .select(lit(k.toLong).as("k"), col("kth_hash"),
+            expr(s"${(k - 1).toLong * (1L << 48)} div hv").as("est_ndv"),
+            col("exact_ndv"))
+      },
+      Some("""WITH h AS (SELECT DISTINCT md5('kmv:' || CAST(l_partkey AS VARCHAR)) AS h
+             |          FROM lineitem),
+             |k AS (SELECT max(h) AS kth_hash
+             |      FROM (SELECT h FROM h ORDER BY h LIMIT 256)),
+             |x AS (SELECT count(DISTINCT l_partkey) AS exact_ndv FROM lineitem)
+             |SELECT CAST(256 AS BIGINT) AS k, kth_hash,
+             |  (255 * 281474976710656)
+             |    // CAST(CAST(('0x' || substr(kth_hash,1,12)) AS UBIGINT) AS BIGINT)
+             |    AS est_ndv,
+             |  exact_ndv
+             |FROM k, x""".stripMargin)),
+
+    // S7 — bottom-k deterministic uniform sample: the 100 corpus-wide
+    // smallest md5(key) rows. Content-keyed like s3/s4 (same sample on
+    // any cluster at any parallelism), but a single global sample rather
+    // than a per-bucket rate. Physical plan is TakeOrderedAndProject —
+    // each partition keeps its local k, the driver merges k-sized heaps;
+    // no global sort, no full shuffle, at any scale.
+    Q("s7_bottomk_sample",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            md5(concat(lit("s7:"), col("o_orderkey").cast(StringType))).as("h"))
+          .orderBy("h").limit(100)
+          .orderBy("h"),
+      Some("""SELECT o_orderkey, md5('s7:' || CAST(o_orderkey AS VARCHAR)) AS h
+             |FROM orders ORDER BY h LIMIT 100""".stripMargin)),
+
+    // TX11 — collocation mining: adjacent word pairs scored by exact-
+    // integer PMI lift (Church & Hanks 1990 association ratio).
+    // lift = p(ab) / (p(a)p(b)) = c_ab*W^2 / (c_a*c_b*B), emitted in
+    // permille via the overflow-safe all-integer form
+    // num // (den // 1000) — identical floor on both engines, no floats
+    // anywhere. Plan: two exploded passes over documents (unigrams,
+    // bigrams) reduced to vocabulary-sized count tables; totals are 1-row
+    // broadcast aggregates; the raw corpus never shuffles.
+    Q("tx11_collocations",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val uni = docs.select(explode(Corpus.words(col("text"))).as("word"))
+        val bi = docs.select(explode(Corpus.shingles(col("text"), 2)).as("g"))
+          .select(split(col("g"), " ").getItem(0).as("w1"),
+            split(col("g"), " ").getItem(1).as("w2"))
+        val ucnt = uni.groupBy("word").agg(count(lit(1)).as("c"))
+        val bcnt = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+        val tot = uni.agg(count(lit(1)).as("W"))
+          .crossJoin(bi.agg(count(lit(1)).as("B")))
+        bcnt
+          .join(broadcast(ucnt.select(col("word").as("w1"), col("c").as("c_a"))), Seq("w1"))
+          .join(broadcast(ucnt.select(col("word").as("w2"), col("c").as("c_b"))), Seq("w2"))
+          .crossJoin(broadcast(tot))
+          .filter(col("c_ab") >= 25)
+          .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+            expr("(c_ab * W * W) div ((c_a * c_b * B) div 1000)").as("lift_permille"))
+          .orderBy(col("lift_permille").desc, col("w1"), col("w2"))
+      },
+      Some(s"""WITH ws AS ($wsSql),
+              |uni AS (SELECT unnest(w) AS word FROM ws),
+              |bi AS (SELECT w[g] AS w1, w[g+1] AS w2 FROM ws,
+              |       LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS g) _t),
+              |ucnt AS (SELECT word, count(*) AS c FROM uni GROUP BY 1),
+              |bcnt AS (SELECT w1, w2, count(*) AS c_ab FROM bi GROUP BY 1,2),
+              |tot AS (SELECT (SELECT count(*) FROM uni) AS W,
+              |               (SELECT count(*) FROM bi) AS B)
+              |SELECT w1, w2, c_ab, a.c AS c_a, b.c AS c_b,
+              |  (c_ab * W * W) // ((a.c * b.c * B) // 1000) AS lift_permille
+              |FROM bcnt JOIN ucnt a ON w1 = a.word JOIN ucnt b ON w2 = b.word, tot
+              |WHERE c_ab >= 25
+              |ORDER BY lift_permille DESC, w1, w2""".stripMargin)),
+
+    // II1 — inverted index over word trigrams: term -> sorted posting
+    // list (comma-joined doc_ids) for terms in a bounded df band. The df
+    // ceiling bounds every posting list, so the collect_set per term is
+    // O(dfHi) — the real-system analogue shards hot terms; here hot terms
+    // are excluded by the band, which is also what a contamination /
+    // boilerplate pipeline wants (bp1 handles the hot end). One shuffle
+    // on the term.
+    Q("ii1_inverted_index",
+      (s, dir) => {
+        val grams = t(s, dir, "documents")
+          .select(col("doc_id"), explode(Corpus.shingles(col("text"), 3)).as("gram"))
+          .distinct()
+        grams.groupBy("gram")
+          .agg(count(lit(1)).as("df"),
+            concat_ws(",",
+              transform(sort_array(collect_set(col("doc_id"))),
+                d => d.cast(StringType))).as("postings"))
+          .filter(col("df").between(4, 7))
+          .orderBy("gram")
+      },
+      Some(s"""WITH ws AS ($wsSql),
+              |g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2],' ') AS gram
+              |      FROM ws,
+              |      LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) _t)
+              |SELECT gram, count(*) AS df,
+              |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+              |FROM g GROUP BY gram HAVING count(*) BETWEEN 4 AND 7
+              |ORDER BY gram""".stripMargin))
+  )
+}

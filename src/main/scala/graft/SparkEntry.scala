@@ -13,7 +13,8 @@ object SparkEntry {
     Headline.all ++ Relational.all ++ Expressions.all ++ Gapfill.all ++
       LlmData.all ++ Advanced.all ++ Tpch.all ++ Functions.all ++
       RandDiff.all ++ Temporal.all ++ CorpusOps.all ++ DedupFuzz.all ++
-      SketchOps.all ++ LayoutOps.all ++ PipelineOps.all ++ MatchOps.all
+      SketchOps.all ++ LayoutOps.all ++ PipelineOps.all ++ MatchOps.all ++
+      MiningOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

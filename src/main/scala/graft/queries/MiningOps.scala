@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.{Corpus, FuzzyJoin}
+import graft.sources.Tables
+
+/** Pattern-mining and sketch queries: Count-Min frequency sketch, Benford
+  * first-digit audit, clickstream path mining, triangle counting, and the
+  * seeded fuzzy-join differential matrix. All-integer outputs; every
+  * query carries a full DuckDB oracle.
+  */
+object MiningOps {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  def all: Seq[Q] = Seq(
+
+    // SK4 — Count-Min sketch (Cormode & Muthukrishnan 2005), d=4 rows x
+    // w=64 buckets, probed for part keys 1..10 next to their exact
+    // counts. Unlike engine-private HLL registers, CMS counters are pure
+    // arithmetic on a portable hash (md5 prefix mod w), so the oracle
+    // rebuilds the identical sketch and the estimate matches
+    // bit-for-bit. Plan shape: the counter table is d*w = 256 rows built
+    // by one map-side-combined aggregate over the fact table; probes are
+    // a broadcast join against those 256 rows. The raw table never
+    // shuffles — the sketch IS the shuffle payload, which is the whole
+    // point at 100 TB.
+    Q("sk4_countmin",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        def bucket(r: Column, k: Column): Column =
+          pmod(conv(substring(md5(concat(r.cast(StringType), lit(":"),
+            k.cast(StringType))), 1, 8), 16, 10).cast(LongType), lit(64L))
+        val counters = li
+          .select(col("l_partkey"), explode(sequence(lit(0), lit(3))).as("r"))
+          .groupBy(col("r"), bucket(col("r"), col("l_partkey")).as("bucket"))
+          .agg(count(lit(1)).as("c"))
+        val probes = s.range(1, 11).select(col("id").as("probe_key"),
+          explode(sequence(lit(0), lit(3))).as("r"))
+          .select(col("probe_key"), col("r"),
+            bucket(col("r"), col("probe_key")).as("bucket"))
+        val est = probes.join(broadcast(counters), Seq("r", "bucket"))
+          .groupBy("probe_key").agg(min(col("c")).as("est"))
+        val exact = li.filter(col("l_partkey").between(1, 10))
+          .groupBy(col("l_partkey").as("probe_key"))
+          .agg(count(lit(1)).as("exact"))
+        est.join(exact, Seq("probe_key"))
+          .select(col("probe_key"), col("est"), col("exact"))
+          .orderBy("probe_key")
+      },
+      Some("""WITH rows4 AS (SELECT unnest(generate_series(0,3)) AS r),
+             |counters AS (
+             |  SELECT r,
+             |    CAST(('0x'||substr(md5(CAST(r AS VARCHAR)||':'||CAST(l_partkey AS VARCHAR)),1,8)) AS UBIGINT) % 64 AS bucket,
+             |    count(*) AS c
+             |  FROM lineitem, rows4 GROUP BY 1, 2),
+             |probes AS (
+             |  SELECT k AS probe_key, r,
+             |    CAST(('0x'||substr(md5(CAST(r AS VARCHAR)||':'||CAST(k AS VARCHAR)),1,8)) AS UBIGINT) % 64 AS bucket
+             |  FROM (SELECT unnest(generate_series(1,10)) AS k), rows4),
+             |est AS (
+             |  SELECT probe_key, min(c) AS est FROM probes
+             |  JOIN counters USING (r, bucket) GROUP BY 1),
+             |exact AS (
+             |  SELECT l_partkey AS probe_key, count(*) AS exact FROM lineitem
+             |  WHERE l_partkey BETWEEN 1 AND 10 GROUP BY 1)
+             |SELECT probe_key, est, exact FROM est JOIN exact USING (probe_key)
+             |ORDER BY probe_key""".stripMargin)),
+
+    // DQ3 — Benford first-digit audit: the classic fraud/data-quality
+    // screen. First significant digit of the exact integer cents of
+    // o_totalprice, with observed permille vs the Benford-law expected
+    // permille (floor(log10(1+1/d)*1000) precomputed as literals — no
+    // floats cross the engines). One map-side-combined aggregate to 9
+    // rows.
+    Q("dq3_benford",
+      (s, dir) => {
+        val cents = round(col("o_totalprice") * 100).cast(LongType)
+        val expected = typedLit(Map(
+          1 -> 301L, 2 -> 176L, 3 -> 124L, 4 -> 96L, 5 -> 79L,
+          6 -> 66L, 7 -> 57L, 8 -> 51L, 9 -> 45L))
+        val digits = t(s, dir, "orders")
+          .select(substring(cents.cast(StringType), 1, 1).cast(IntegerType).as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("cnt"))
+        val tot = digits.agg(sum(col("cnt")).as("total"))
+        digits.crossJoin(broadcast(tot))
+          .select(col("digit"), col("cnt"),
+            expr("cnt * 1000 div total").as("permille"),
+            expected(col("digit")).as("benford_permille"))
+          .orderBy("digit")
+      },
+      Some("""WITH d AS (
+             |  SELECT CAST(substr(CAST(CAST(round(o_totalprice*100) AS BIGINT) AS VARCHAR),1,1) AS INTEGER) AS digit,
+             |         count(*) AS cnt
+             |  FROM orders GROUP BY 1),
+             |t AS (SELECT sum(cnt) AS total FROM d),
+             |e(digit, benford_permille) AS (VALUES (1, 301), (2, 176), (3, 124),
+             |  (4, 96), (5, 79), (6, 66), (7, 57), (8, 51), (9, 45))
+             |SELECT d.digit, cnt, cnt * 1000 // total AS permille,
+             |       CAST(benford_permille AS BIGINT) AS benford_permille
+             |FROM d CROSS JOIN t JOIN e ON d.digit = e.digit
+             |ORDER BY d.digit""".stripMargin)),
+
+    // PM1 — clickstream path mining: the most common 3-step event-type
+    // paths across user journeys (events ordered by ts, event_id per
+    // user). Complements fn1's fixed-funnel matching with open-ended
+    // sequence discovery. Plan: one shuffle on user_id; each user's
+    // sequence is assembled with sort_array(collect_list(struct)) —
+    // bounded by per-user activity (a hot-user cap would chunk by
+    // session at 100 TB; user fan-in here is bounded by the generator) —
+    // then shingled into paths and re-aggregated map-side.
+    Q("pm1_path_mining",
+      (s, dir) => {
+        val seqs = t(s, dir, "events")
+          .filter(col("user_id").isNotNull)
+          .groupBy("user_id")
+          .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))).as("evs"))
+          .select(concat_ws(" ",
+            expr("transform(evs, e -> e.event_type)")).as("seq"))
+        seqs.select(explode(Corpus.shingles(col("seq"), 3)).as("path"))
+          .groupBy("path").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 25)
+          .orderBy(col("cnt").desc, col("path"))
+      },
+      Some("""WITH seqs AS (
+             |  SELECT string_split(string_agg(event_type, ' ' ORDER BY ts, event_id), ' ') AS w
+             |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+             |paths AS (
+             |  SELECT array_to_string(w[i:i+2], ' ') AS path
+             |  FROM seqs, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) _t)
+             |SELECT path, count(*) AS cnt FROM paths
+             |GROUP BY path HAVING count(*) >= 25
+             |ORDER BY cnt DESC, path""".stripMargin)),
+
+    // GR1 — per-node triangle participation in the word co-occurrence
+    // graph (edges = unordered adjacent-word pairs seen >= 60 times).
+    // Orientation trick (Suri & Vassilvitskii 2011): count each triangle
+    // once by orienting every edge low->high endpoint, join
+    // (a,b)x(b,c)x(a,c), then credit all three corners. At 100 TB the
+    // orientation would be by degree (bounds the join fanout by sqrt(m));
+    // the lexicographic form keeps the oracle a plain 3-way self-join
+    // over an edge CTE. Vocabulary-sized frames throughout — the corpus
+    // reduces to the edge list in one pass.
+    Q("gr1_triangles",
+      (s, dir) => {
+        val bi = t(s, dir, "documents")
+          .select(explode(Corpus.shingles(col("text"), 2)).as("g"))
+          .select(split(col("g"), " ").getItem(0).as("x"),
+            split(col("g"), " ").getItem(1).as("y"))
+          .filter(col("x") =!= col("y"))
+          .select(least(col("x"), col("y")).as("a"),
+            greatest(col("x"), col("y")).as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 60)
+          .select("a", "b")
+        val e1 = bi.select(col("a").as("ta"), col("b").as("tb"))
+        val e2 = bi.select(col("a").as("tb"), col("b").as("tc"))
+        val e3 = bi.select(col("a").as("ta"), col("b").as("tc"))
+        val tris = e1.join(e2, "tb").join(e3, Seq("ta", "tc"))
+        val corners = tris.select(col("ta").as("word"))
+          .unionAll(tris.select(col("tb").as("word")))
+          .unionAll(tris.select(col("tc").as("word")))
+        corners.groupBy("word").agg(count(lit(1)).as("tri_cnt"))
+          .orderBy(col("tri_cnt").desc, col("word"))
+      },
+      Some("""WITH ws AS (SELECT doc_id, string_split(trim(regexp_replace(text,'\s+',' ','g')),' ') AS w
+             |           FROM documents),
+             |bi AS (SELECT w[i] AS x, w[i+1] AS y FROM ws,
+             |       LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) _t),
+             |e AS (SELECT least(x,y) AS a, greatest(x,y) AS b FROM bi
+             |      WHERE x <> y GROUP BY 1, 2 HAVING count(*) >= 60),
+             |tri AS (SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+             |        FROM e e1 JOIN e e2 ON e1.b = e2.a
+             |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |corners AS (SELECT ta AS word FROM tri UNION ALL
+             |            SELECT tb FROM tri UNION ALL SELECT tc FROM tri)
+             |SELECT word, count(*) AS tri_cnt FROM corners GROUP BY word
+             |ORDER BY tri_cnt DESC, word""".stripMargin)),
+
+    // RF27 — fuzzy-join differential fuzz, 5-seed matrix like rf1-rf26:
+    // per seed, 400 left / 300 right hex strings of length 3-5 (4096
+    // length-3 combos, so distance-<=1 collisions are dense), blocked
+    // join vs the oracle's all-pairs levenshtein over the IDENTICAL
+    // generate_series-derived strings.
+    Q("rf27_fuzzy_join_fuzz",
+      (s, dir) => {
+        val insts = Seq(0L, 100L, 200L, 300L, 400L).map { off =>
+          def side(n: Int, salt: String, id: String, str: String) =
+            s.range(1, n + 1).select(col("id").as(id),
+              md5(concat(lit(s"$salt$off:"), col("id").cast(StringType)))
+                .substr(lit(1), lit(3) + pmod(col("id"), lit(3))).as(str))
+          FuzzyJoin.join(
+            side(400, "F", "lid", "ls"), "lid", "ls",
+            side(300, "G", "rid", "rs"), "rid", "rs")
+            .withColumn("seedoff", lit(off))
+        }
+        insts.reduce(_.unionByName(_))
+          .orderBy("seedoff", "lid", "rid")
+      },
+      Some {
+        val union = Seq(0L, 100L, 200L, 300L, 400L).map { off =>
+          s"""SELECT CAST($off AS BIGINT) AS seedoff, lid, ls, rid, rs,
+             |  levenshtein(ls, rs) AS dist
+             |FROM (SELECT i AS lid, substr(md5('F$off:'||CAST(i AS VARCHAR)),1,3+i%3) AS ls
+             |      FROM generate_series(1,400) _l(i)) l,
+             |     (SELECT j AS rid, substr(md5('G$off:'||CAST(j AS VARCHAR)),1,3+j%3) AS rs
+             |      FROM generate_series(1,300) _r(j)) r
+             |WHERE levenshtein(ls, rs) <= 1""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"SELECT * FROM (\n$union\n) ORDER BY seedoff, lid, rid"
+      })
+  )
+}

@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSim(children.head, children(1))
       }))
     ext.injectOptimizerRule(_ => graft.rules.CosineFusion)
+    ext.injectOptimizerRule(_ => graft.rules.FuzzyJoinRewrite)
     ext.injectPlannerStrategy(s => graft.plans.GraftStrategy(s))
   }
 }

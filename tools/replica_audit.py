@@ -41,7 +41,11 @@ BOUNDED_PREFIXES = (
     "r1_", "r7_", "bp1", "cc1", "tf1",
     "st8", "st9", "zo1", "cd1", "cd2", "sk1", "sk2",
     "fn1", "fe2", "fe3", "fe4", "tok", "dd13", "dq2", "an1", "cohort1",
-    "ddf5", "tx10")
+    "ddf5", "tx10",
+    # round-8 session-3 additions, all linear-cost oracles (rf27's
+    # generated sides are sf-independent; fj1 is excluded above —
+    # its all-pairs oracle is quadratic in the replica factor)
+    "sk3", "sk4", "s7_", "dq3", "pm1", "gr1", "ii1", "rf27")
 
 
 def main():
@@ -51,7 +55,7 @@ def main():
     out = "/tmp/graft-replica-audit"
     oracle = json.loads((REPO / "ORACLE_SQL.json").read_text())
     keep = sorted(n for n in oracle
-                  if not n.startswith(("dd", "ss", "mm"))) + [
+                  if not n.startswith(("dd", "ss", "mm", "fj1"))) + [
         "ss1_cosine_topk", "dd13_span_dedup",
         "ddf5_span_splice"]  # linear oracles in excluded prefixes
     if bounded:

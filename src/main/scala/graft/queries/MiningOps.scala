@@ -16,6 +16,15 @@ object MiningOps {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** DuckDB-side distinct word n-gram extraction (mirrors
+    * CorpusOps.gramsSql / Corpus.shingles).
+    */
+  private def gramsSqlDoc(rel: String, id: String, n: Int): String =
+    s"""SELECT DISTINCT $id, array_to_string(ws[g:g+${n - 1}], ' ') AS gram
+       |FROM (SELECT $id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS ws
+       |      FROM $rel) w,
+       |LATERAL (SELECT unnest(generate_series(1, len(ws)-${n - 1})) AS g) _t""".stripMargin
+
   def all: Seq[Q] = Seq(
 
     // SK4 — Count-Min sketch (Cormode & Muthukrishnan 2005), d=4 rows x
@@ -180,6 +189,126 @@ object MiningOps {
              |            SELECT tb FROM tri UNION ALL SELECT tc FROM tri)
              |SELECT word, count(*) AS tri_cnt FROM corners GROUP BY word
              |ORDER BY tri_cnt DESC, word""".stripMargin)),
+
+    // SK5 — KMV mergeability: the property that makes the sketch a
+    // distributed aggregate. Split orders into two halves, sketch each
+    // (bottom-256 distinct hashes of o_custkey), and check the identity
+    // bottomk(sketchA ∪ sketchB) == bottomk(A ∪ B): merging the two
+    // 256-row partials gives EXACTLY the sketch of the union — which is
+    // why partition-local sketches + one tiny combine replace a global
+    // distinct at 100 TB. Both the direct and the merged k-th hash (and
+    // the resulting estimate) are emitted; the oracle replays both paths
+    // and they must agree bit-for-bit.
+    Q("sk5_kmv_merge",
+      (s, dir) => {
+        val k = 256
+        def h(df: DataFrame): DataFrame =
+          df.select(md5(concat(lit("kmv:"),
+            col("o_custkey").cast(StringType))).as("h")).distinct()
+        val orders = t(s, dir, "orders")
+        val ha = h(orders.filter(col("o_orderkey") % 2 === 0))
+        val hb = h(orders.filter(col("o_orderkey") % 2 === 1))
+        val ka = ha.orderBy("h").limit(k)
+        val kb = hb.orderBy("h").limit(k)
+        val merged = ka.unionAll(kb).distinct().orderBy("h").limit(k)
+          .agg(max(col("h")).as("kth_merged"))
+        val direct = ha.unionAll(hb).distinct().orderBy("h").limit(k)
+          .agg(max(col("h")).as("kth_direct"))
+        val exact = orders.agg(countDistinct(col("o_custkey")).as("exact_ndv"))
+        direct.crossJoin(merged).crossJoin(exact)
+          .withColumn("hv",
+            conv(substring(col("kth_merged"), 1, 12), 16, 10).cast(LongType))
+          .select(col("kth_direct"), col("kth_merged"),
+            (col("kth_direct") === col("kth_merged")).as("merge_exact"),
+            expr(s"${(k - 1).toLong * (1L << 48)} div hv").as("est_ndv"),
+            col("exact_ndv"))
+      },
+      Some("""WITH ha AS (SELECT DISTINCT md5('kmv:' || CAST(o_custkey AS VARCHAR)) AS h
+             |           FROM orders WHERE o_orderkey % 2 = 0),
+             |hb AS (SELECT DISTINCT md5('kmv:' || CAST(o_custkey AS VARCHAR)) AS h
+             |       FROM orders WHERE o_orderkey % 2 = 1),
+             |ka AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+             |kb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+             |m AS (SELECT max(h) AS kth_merged FROM (
+             |      SELECT DISTINCT h FROM (SELECT * FROM ka UNION ALL SELECT * FROM kb)
+             |      ORDER BY h LIMIT 256)),
+             |d AS (SELECT max(h) AS kth_direct FROM (
+             |      SELECT DISTINCT h FROM (SELECT * FROM ha UNION ALL SELECT * FROM hb)
+             |      ORDER BY h LIMIT 256)),
+             |x AS (SELECT count(DISTINCT o_custkey) AS exact_ndv FROM orders)
+             |SELECT kth_direct, kth_merged, kth_direct = kth_merged AS merge_exact,
+             |  (255 * 281474976710656)
+             |    // CAST(CAST(('0x' || substr(kth_merged,1,12)) AS UBIGINT) AS BIGINT)
+             |    AS est_ndv,
+             |  exact_ndv
+             |FROM d, m, x""".stripMargin)),
+
+    // PM2 — Markov transition matrix over event types: per-user adjacent
+    // transitions, P(dst|src) in exact-integer permille of src's
+    // outgoing count. The first-order model behind pm1's raw paths.
+    Q("pm2_markov",
+      (s, dir) => {
+        val trans = t(s, dir, "events")
+          .filter(col("user_id").isNotNull)
+          .groupBy("user_id")
+          .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))).as("evs"))
+          .select(concat_ws(" ", expr("transform(evs, e -> e.event_type)")).as("seq"))
+          .select(explode(Corpus.shingles(col("seq"), 2)).as("g"))
+          .select(split(col("g"), " ").getItem(0).as("src"),
+            split(col("g"), " ").getItem(1).as("dst"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+        val out = trans.groupBy("src").agg(sum(col("cnt")).as("out_total"))
+        trans.join(broadcast(out), Seq("src"))
+          .select(col("src"), col("dst"), col("cnt"),
+            expr("cnt * 1000 div out_total").as("permille"))
+          .orderBy("src", "dst")
+      },
+      Some("""WITH seqs AS (
+             |  SELECT string_split(string_agg(event_type, ' ' ORDER BY ts, event_id), ' ') AS w
+             |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+             |trans AS (
+             |  SELECT w[i] AS src, w[i+1] AS dst, count(*) AS cnt
+             |  FROM seqs, LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) _t
+             |  GROUP BY 1, 2),
+             |o AS (SELECT src, sum(cnt) AS out_total FROM trans GROUP BY 1)
+             |SELECT src, dst, cnt, cnt * 1000 // out_total AS permille
+             |FROM trans JOIN o USING (src)
+             |ORDER BY src, dst""".stripMargin)),
+
+    // CC2 — decontamination APPLY: the clean corpus after dropping every
+    // document cc1 flags (>= 10 shared distinct 5-grams with a probe).
+    // The flagged set arrives as a left-anti join — the corpus-side plan
+    // is one pushed-filter scan + the same broadcast shingle join, and
+    // the output is the kept per-source doc counts (bounded), not the
+    // corpus itself.
+    Q("cc2_decontaminate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val probes = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("probe_id"),
+            col("text").as("probe_text"))
+        val flagged = Corpus.contamination(
+          docs.select(col("doc_id"), col("text")), "doc_id", "text",
+          probes, "probe_id", "probe_text", n = 5, minOverlap = 10)
+          .select("doc_id").distinct()
+        docs.join(flagged, Seq("doc_id"), "left_anti")
+          .groupBy("source").agg(count(lit(1)).as("kept_docs"),
+            sum(col("n_chars")).as("kept_chars"))
+          .orderBy("source")
+      },
+      Some(s"""WITH dg AS (${gramsSqlDoc("documents", "doc_id", 5)}),
+              |pg AS (
+              | ${gramsSqlDoc(
+                   "(SELECT doc_id + 1000000 AS probe_id, text FROM documents WHERE doc_id % 10 = 0)",
+                   "probe_id", 5)}),
+              |flagged AS (
+              | SELECT DISTINCT dg.doc_id
+              | FROM dg JOIN pg USING (gram)
+              | GROUP BY dg.doc_id, pg.probe_id HAVING COUNT(*) >= 10)
+              |SELECT source, count(*) AS kept_docs, sum(n_chars) AS kept_chars
+              |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+              |GROUP BY source ORDER BY source""".stripMargin)),
 
     // RF27 — fuzzy-join differential fuzz, 5-seed matrix like rf1-rf26:
     // per seed, 400 left / 300 right hex strings of length 3-5 (4096

@@ -45,7 +45,8 @@ BOUNDED_PREFIXES = (
     # round-8 session-3 additions, all linear-cost oracles (rf27's
     # generated sides are sf-independent; fj1 is excluded above —
     # its all-pairs oracle is quadratic in the replica factor)
-    "sk3", "sk4", "s7_", "dq3", "pm1", "gr1", "ii1", "rf27")
+    "sk3", "sk4", "sk5", "s7_", "dq3", "pm1", "pm2", "gr1", "ii1",
+    "rf27", "cc2")
 
 
 def main():

@@ -13,6 +13,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class MGPartial(group: Int, ver: Long, n: Long,
     keys: Array[String], counts: Array[Long])
 
+/** One salt-group's KMV sketch: the group's k smallest distinct key
+  * hashes, ascending. Emitted each trigger with a version counter.
+  */
+case class KmvPartial(group: Int, ver: Long, hashes: Array[String])
+
 /** Streaming Misra–Gries heavy-hitter sketch — the standing-pipeline form
   * of [[graft.operators.Sketches.heavyHitters]]'s first pass. Keys are
   * salted into `groups` state partitions; each partition's state is ONE
@@ -78,6 +83,56 @@ object SketchStreams {
           state.update(next)
           Iterator.single(next)
       }
+  }
+
+  /** Streaming KMV distinct-count sketch — the standing form of the
+    * `sk3_kmv_distinct` batch query. Unlike MG, KMV is a pure function of
+    * the key SET: bottom-k of a union is the bottom-k of per-part
+    * bottom-ks in any grouping and any order. So the streamed sketch is
+    * not merely equivalent-in-guarantee to the batch sketch — merged, it
+    * is bit-for-bit THE SAME sketch, however the stream was
+    * micro-batched (SketchStreamsSpec asserts exactly that). State per
+    * salt group is k hashes, forever.
+    */
+  def kmvStream(keys: Dataset[String], k: Int, groups: Int): Dataset[KmvPartial] = {
+    require(k >= 1 && groups >= 1)
+    import keys.sparkSession.implicits._
+    keys
+      .groupByKey(key => (scala.util.hashing.MurmurHash3.stringHash(key) & Int.MaxValue) % groups)
+      .flatMapGroupsWithState[KmvPartial, KmvPartial](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (group: Int, it: Iterator[String], state: GroupState[KmvPartial]) =>
+          val prev = state.getOption
+          val hs = mutable.TreeSet.empty[String]
+          prev.foreach(_.hashes.foreach(hs.add))
+          it.foreach { key =>
+            hs.add(md5Hex("kmv:" + key))
+            if (hs.size > k) hs.remove(hs.last)
+          }
+          val next = KmvPartial(group,
+            ver = prev.map(_.ver + 1L).getOrElse(1L),
+            hashes = hs.toArray)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
+  /** Bottom-k of the union of per-group KMV partials: the global sketch,
+    * ascending. Identical to the batch bottom-k of all distinct hashes.
+    */
+  def kmvMerge(partials: Seq[KmvPartial], k: Int): Array[String] = {
+    val hs = mutable.TreeSet.empty[String]
+    partials.foreach(_.hashes.foreach(hs.add))
+    hs.take(k).toArray
+  }
+
+  /** Lowercase-hex md5, matching Spark's and DuckDB's `md5()`. */
+  def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val sb = new StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
   }
 
   /** Merge the latest per-group partials into one (n, summary) — the

@@ -103,4 +103,37 @@ class SketchStreamsSpec extends SparkSpec {
 
     assert(finalHH(ks.size) == finalHH(97))
   }
+
+  test("streamed KMV sketch is bit-for-bit the batch sketch, any micro-batching") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ks = keys()
+    val kk = 64
+    val groups = 4
+
+    // batch truth: bottom-kk of all distinct md5('kmv:'||key)
+    val batchSketch = ks.distinct.map(x => SketchStreams.md5Hex("kmv:" + x))
+      .sorted.take(kk).toArray
+
+    def streamed(chunk: Int): Array[String] = {
+      val ms = MemoryStream[String]
+      val name = s"kmv_chunks_$chunk"
+      val q = SketchStreams.kmvStream(ms.toDS(), kk, groups)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        ks.grouped(chunk).foreach { b => ms.addData(b); q.processAllAvailable() }
+        val partials = spark.table(name)
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("group").orderBy(col("ver").desc)))
+          .filter(col("rn") === 1).drop("rn")
+          .as[graft.streaming.KmvPartial].collect().toSeq
+        assert(partials.forall(_.hashes.length <= kk)) // bounded state
+        SketchStreams.kmvMerge(partials, kk)
+      } finally q.stop()
+    }
+
+    assert(streamed(ks.size).sameElements(batchSketch))
+    assert(streamed(111).sameElements(batchSketch))
+  }
 }

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** EXACT set-similarity self-join: every pair with Jaccard(A,B) >=
+  * tNum/tDen, without the cross product — the prefix-filtering family
+  * (SSJoin, Chaudhuri et al. ICDE 2006; All-Pairs, Bayardo et al. WWW
+  * 2007; PPJoin, Xiao et al. WWW 2008). MinHash-LSH (Dedup.minHashDedup)
+  * trades recall for speed; this join is lossless:
+  *
+  *  - impose a global token order (frequency ascending, then token — the
+  *    canonical "rare first" order that makes prefixes selective);
+  *  - a record's PREFIX is its first |S| - ceil(t*|S|) + 1 ordered
+  *    tokens. If J(A,B) >= t, the smallest shared token lies inside BOTH
+  *    prefixes (pigeonhole on the non-shared tokens before it), so
+  *    blocking on prefix tokens loses nothing;
+  *  - candidates sharing several prefix tokens are emitted once via the
+  *    min-shared-prefix-token predicate (no Distinct — same trick as
+  *    FuzzyJoinRewrite / the range join's first-shared-bin);
+  *  - exact integer verify: inter*tDen >= tNum*(|A|+|B|-inter).
+  *
+  * Scale shape: the vocabulary table is token-grain (bounded, sorted
+  * once); the exploded prefix table is sub-linear in total tokens
+  * (prefixes shrink as t grows); one shuffle on the prefix token with
+  * the same maxBucket seatbelt as the LSH/fuzzy joins. Verification
+  * carries the two sorted index arrays — set intersection on sorted
+  * int arrays, codegen'd.
+  */
+object SetSimJoin {
+
+  /** Self-join `df` on Jaccard of `tokensCol` (array<string>, treated as
+    * a SET) at threshold tNum/tDen. Returns (ida, idb, jaccard_pm) with
+    * ida < idb, jaccard_pm = floor(1000 * |A∩B| / |A∪B|).
+    */
+  def jaccardSelfJoin(df: DataFrame, idCol: String, tokensCol: String,
+      tNum: Int, tDen: Int, maxBucket: Int = 100000): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be in (0,1]")
+
+    val docs = df.select(col(idCol).as("_id"),
+      array_distinct(col(tokensCol)).as("_toks"))
+      .filter(size(col("_toks")) > 0)
+
+    // global token order: frequency asc, token asc -> dense index.
+    // Vocabulary-grain: the sort is over distinct tokens, not the corpus.
+    val vocab = docs.select(explode(col("_toks")).as("_tok"))
+      .groupBy("_tok").agg(count(lit(1)).as("_freq"))
+      .withColumn("_tidx",
+        row_number().over(Window.orderBy(col("_freq"), col("_tok"))).cast(LongType))
+      .select("_tok", "_tidx")
+
+    // per doc: sorted index array + prefix slice
+    val indexed = docs.select(col("_id"), explode(col("_toks")).as("_tok"))
+      .join(vocab, "_tok")
+      .groupBy("_id").agg(sort_array(collect_list(col("_tidx"))).as("_idx"))
+      .withColumn("_sz", size(col("_idx")))
+      // prefixLen = sz - ceil(t*sz) + 1, integer ceil (div, not fp /)
+      .withColumn("_plen",
+        expr(s"_sz - ((_sz * $tNum + ${tDen - 1}) div $tDen) + 1"))
+      .withColumn("_prefix", slice(col("_idx"), lit(1), col("_plen")))
+
+    // block on prefix tokens, with the degenerate-token seatbelt
+    val blocked = indexed.select(col("_id"), col("_idx"), col("_prefix"),
+      explode(col("_prefix")).as("_ptok"))
+    val hot = blocked.groupBy("_ptok").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") > maxBucket).select("_ptok")
+    val safe = blocked.join(hot, Seq("_ptok"), "left_anti")
+
+    val a = safe.select(col("_ptok"), col("_id").as("ida"),
+      col("_idx").as("_ia"), col("_prefix").as("_pa"))
+    val b = safe.select(col("_ptok"), col("_id").as("idb"),
+      col("_idx").as("_ib"), col("_prefix").as("_pb"))
+
+    a.join(b, "_ptok")
+      .filter(col("ida") < col("idb"))
+      // emit each pair once: on its minimal shared prefix token
+      .filter(col("_ptok") === array_min(array_intersect(col("_pa"), col("_pb"))))
+      .withColumn("_inter", size(array_intersect(col("_ia"), col("_ib"))).cast(LongType))
+      .withColumn("_union",
+        (size(col("_ia")) + size(col("_ib"))).cast(LongType) - col("_inter"))
+      .filter(col("_inter") * tDen >= col("_union") * tNum)
+      .select(col("ida"), col("idb"),
+        (col("_inter") * 1000L / col("_union")).cast(LongType).as("jaccard_pm"))
+  }
+}

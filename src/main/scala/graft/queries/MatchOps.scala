@@ -57,6 +57,33 @@ object MatchOps {
              |FROM l, r WHERE levenshtein(ls,rs) <= 1
              |ORDER BY lid, rid""".stripMargin)),
 
+    // SJ1 — EXACT set-similarity self-join (prefix filtering: SSJoin /
+    // All-Pairs / PPJoin family) on word sets of documents, Jaccard >=
+    // 9/10. Unlike the MinHash dd2 pipeline this is lossless — and
+    // unlike the oracle's all-pairs spelling, the Spark plan blocks on
+    // rare-first prefix tokens and never forms the cross product
+    // (SetSimJoinSpec proves exactness against brute force; the plan
+    // guard proves no cartesian).
+    Q("sj1_setsim_join",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), Corpus.words(col("text")).as("toks"))
+        graft.operators.SetSimJoin
+          .jaccardSelfJoin(docs, "doc_id", "toks", tNum = 9, tDen = 10)
+          .orderBy("ida", "idb")
+      },
+      Some("""WITH s AS (SELECT doc_id,
+             |  list_distinct(string_split(trim(regexp_replace(text,'\s+',' ','g')),' ')) AS toks
+             |  FROM documents WHERE doc_id % 2 = 0),
+             |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+             |        len(list_intersect(a.toks, b.toks)) AS inter,
+             |        len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS uni
+             |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+             |SELECT ida, idb, CAST(inter * 1000 // uni AS BIGINT) AS jaccard_pm
+             |FROM p WHERE inter * 10 >= uni * 9
+             |ORDER BY ida, idb""".stripMargin)),
+
     // SK3 — KMV (k-minimum-values) distinct-count sketch, k=256: the
     // mergeable NDV estimator of Bar-Yossef et al. 2002. Fully
     // deterministic — the sketch is the 256 smallest md5 values, so the

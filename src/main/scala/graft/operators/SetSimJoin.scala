@@ -28,6 +28,16 @@ import org.apache.spark.sql.types._
   * the same maxBucket seatbelt as the LSH/fuzzy joins. Verification
   * carries the two sorted index arrays — set intersection on sorted
   * int arrays, codegen'd.
+  *
+  * Exactness caveat: the join is lossless as long as no prefix-token
+  * bucket exceeds `maxBucket` (default 100k). A bucket that large means
+  * >maxBucket records share one of their RAREST tokens — a degenerate
+  * (tiny-vocabulary or boilerplate-dominated) corpus where prefix
+  * filtering cannot block and any exact algorithm degrades toward
+  * all-pairs; the seatbelt then drops that token's bucket instead of
+  * letting the stage explode, trading completeness for survival the
+  * same way Dedup.minHashDedup's maxBucket does. Raise the bound (or
+  * pre-dedup boilerplate with bp1) when completeness matters more.
   */
 object SetSimJoin {
 

@@ -310,6 +310,108 @@ object MiningOps {
               |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
               |GROUP BY source ORDER BY source""".stripMargin)),
 
+    // TS3 — Holt's linear-trend forecast (exponential smoothing with
+    // trend, alpha=beta=1/2) over per-type daily event counts, in
+    // exact-integer milli fixed point: l_t = (1000*y_t + l + b) div 2,
+    // b_t = ((l_t - l_{t-1}) + b_{t-1}) div 2 (both engines' integer
+    // div truncates toward zero — same convention fe4 established).
+    // The recurrence is inherently sequential per series, so the fold
+    // runs as aggregate() over each type's sorted count array — series
+    // are day-grain aggregates (bounded), never raw events; the oracle
+    // replays the identical recurrence as a recursive CTE.
+    Q("ts3_holt_forecast",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("c"))
+        daily.groupBy("event_type")
+          .agg(sort_array(collect_list(struct(col("d"), col("c")))).as("dc"))
+          .select(col("event_type"),
+            expr("transform(dc, x -> x.c)").as("cs"))
+          .select(col("event_type"),
+            size(col("cs")).cast(LongType).as("n_days"),
+            expr("""aggregate(
+                     slice(cs, 2, greatest(size(cs) - 1, 0)),
+                     named_struct('l', element_at(cs, 1) * 1000L, 'b', 0L),
+                     (acc, y) -> named_struct(
+                       'l', (y * 1000L + acc.l + acc.b) div 2,
+                       'b', (((y * 1000L + acc.l + acc.b) div 2) - acc.l + acc.b) div 2))
+                 """).as("h"))
+          .select(col("event_type"), col("n_days"),
+            col("h.l").as("level_milli"), col("h.b").as("trend_milli"),
+            (col("h.l") + col("h.b") * 3L).as("forecast3_milli"))
+          .orderBy("event_type")
+      },
+      Some("""WITH RECURSIVE daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |seq AS (SELECT event_type, c,
+             |        row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+             |        FROM daily),
+             |n AS (SELECT event_type, max(rn) AS mx FROM seq GROUP BY 1),
+             |holt AS (
+             |  SELECT event_type, 1 AS rn, c * 1000 AS l, CAST(0 AS BIGINT) AS b
+             |  FROM seq WHERE rn = 1
+             |  UNION ALL
+             |  SELECT s.event_type, s.rn,
+             |    (s.c * 1000 + h.l + h.b) // 2,
+             |    (((s.c * 1000 + h.l + h.b) // 2) - h.l + h.b) // 2
+             |  FROM holt h JOIN seq s
+             |    ON s.event_type = h.event_type AND s.rn = h.rn + 1)
+             |SELECT h.event_type AS event_type, CAST(n.mx AS BIGINT) AS n_days,
+             |  l AS level_milli, b AS trend_milli,
+             |  l + 3 * b AS forecast3_milli
+             |FROM holt h JOIN n ON n.event_type = h.event_type AND h.rn = n.mx
+             |ORDER BY h.event_type""".stripMargin)),
+
+    // TS4 — lag cross-correlation between event-type daily series: for
+    // each ordered type pair and lag 0..7, the integer dot product
+    // sum(c_a[d] * c_b[d+lag]); best_lag = argmax (ties to the smaller
+    // lag). Day-grain frames only; the lag dimension is an 8-element
+    // explode joined by date arithmetic — no window over raw events.
+    Q("ts4_lag_corr",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("c"))
+        val a = daily.select(col("event_type").as("ta"), col("d").as("da"),
+          col("c").as("ca"))
+          .crossJoin(broadcast(s.range(0, 8).select(col("id").cast(IntegerType).as("lag"))))
+        val b = daily.select(col("event_type").as("tb"), col("d").as("db"),
+          col("c").as("cb"))
+        val dots = a.join(b,
+            col("db") === date_add(col("da"), col("lag")) &&
+            col("ta") < col("tb"))
+          .groupBy("ta", "tb", "lag")
+          .agg(sum(col("ca") * col("cb")).as("dot"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("ta", "tb").orderBy(col("dot").desc, col("lag"))
+        dots.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+          .select(col("ta"), col("tb"), col("lag").cast(LongType).as("best_lag"),
+            col("dot"))
+          .orderBy("ta", "tb")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |dots AS (
+             |  SELECT a.event_type AS ta, b.event_type AS tb, l.lag,
+             |         sum(a.c * b.c) AS dot
+             |  FROM daily a
+             |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS lag) l
+             |  JOIN daily b ON b.d = a.d + CAST(l.lag AS INTEGER)
+             |              AND a.event_type < b.event_type
+             |  GROUP BY 1, 2, 3),
+             |best AS (
+             |  SELECT ta, tb, lag, dot,
+             |         row_number() OVER (PARTITION BY ta, tb
+             |                            ORDER BY dot DESC, lag) AS rn
+             |  FROM dots)
+             |SELECT ta, tb, CAST(lag AS BIGINT) AS best_lag, dot
+             |FROM best WHERE rn = 1
+             |ORDER BY ta, tb""".stripMargin)),
+
     // RF27 — fuzzy-join differential fuzz, 5-seed matrix like rf1-rf26:
     // per seed, 400 left / 300 right hex strings of length 3-5 (4096
     // length-3 combos, so distance-<=1 collisions are dense), blocked

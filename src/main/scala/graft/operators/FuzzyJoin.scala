@@ -49,28 +49,37 @@ object FuzzyJoin {
     }
 
   /** Pairs (leftId, leftStr, rightId, rightStr, dist) from `left` ×
-    * `right` with Levenshtein distance ≤ maxDist (only 1 is supported —
-    * the blocking is exact for that radius). Both sides must carry
-    * distinct (id, str) rows; output is distinct pairs.
+    * `right` with Levenshtein distance ≤ 1 (the blocking is exact for
+    * that radius). Each matching (left row, right row) pair is emitted
+    * exactly once — candidates sharing several neighborhood keys are
+    * deduped by the min-shared-key predicate (no Distinct shuffle; same
+    * trick as rules.FuzzyJoinRewrite / the range join's
+    * first-shared-bin), so duplicate input rows keep their
+    * multiplicity.
     */
   def join(
       left: DataFrame, leftId: String, leftStr: String,
       right: DataFrame, rightId: String, rightStr: String,
       maxBucket: Int = 10000): DataFrame = {
-    val key = Cols.fresh("_fjkey", left.columns ++ right.columns)
+    val Seq(key, lks, rks) = Cols.fresh(Seq("_fjkey", "_fjlks", "_fjrks"),
+      left.columns ++ right.columns)
 
-    def keyed(df: DataFrame, id: String, str: String): DataFrame =
+    def keyed(df: DataFrame, id: String, str: String, keys: String): DataFrame =
       df.select(col(id), col(str),
-          explode(array_distinct(deletionNeighborhood(col(str)))).as(key))
+          array_distinct(deletionNeighborhood(col(str))).as(keys))
+        .select(col(id), col(str), col(keys), explode(col(keys)).as(key))
 
-    val l = keyed(left, leftId, leftStr)
-    val r = keyed(right, rightId, rightStr)
+    val l = keyed(left, leftId, leftStr, lks)
+    val r = keyed(right, rightId, rightStr, rks)
 
     // Degenerate-key guard: a key shared by >maxBucket rows on either side
     // (think empty string, or a boilerplate token) would quadratically
     // blow up that bucket; such keys are dropped. With maxDist=1 and
     // realistic dictionaries buckets are tiny; the guard is the 100 TB
-    // seatbelt, mirrored from Dedup's LSH bucket bound.
+    // seatbelt, mirrored from Dedup's LSH bucket bound. When it fires,
+    // pairs whose MINIMAL shared key was dropped are lost even if they
+    // share a surviving key (the dedup predicate below keys on the
+    // minimum) — completeness traded for survival, as in SetSimJoin.
     val cnt = Cols.fresh("_fjcnt", Seq(key))
     def bounded(df: DataFrame): DataFrame = {
       val big = df.groupBy(key).agg(count(lit(1)).as(cnt))
@@ -80,8 +89,9 @@ object FuzzyJoin {
 
     bounded(l).join(bounded(r), key)
       .filter(levenshtein(col(leftStr), col(rightStr)) <= 1)
+      // one emission per pair: this key must be the minimal shared key
+      .filter(col(key) === array_min(array_intersect(col(lks), col(rks))))
       .select(col(leftId), col(leftStr), col(rightId), col(rightStr),
         levenshtein(col(leftStr), col(rightStr)).as("dist"))
-      .distinct()
   }
 }

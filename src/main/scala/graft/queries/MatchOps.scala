@@ -57,6 +57,64 @@ object MatchOps {
              |FROM l, r WHERE levenshtein(ls,rs) <= 1
              |ORDER BY lid, rid""".stripMargin)),
 
+    // FJ2 — record linkage, Fellegi-Sunter shape (1969): candidate pairs
+    // from the blocked fuzzy join on a name-like tag, scored by integer
+    // agreement weights across fields (tag distance + nation equality),
+    // kept above a threshold that requires corroboration (a distance-1
+    // tag alone does not link; tag + nation does). The "dirty" side is a
+    // deterministic perturbation of customers: every 3rd key's tag loses
+    // its 3rd char, every 7th key's nation is off by one. The Spark plan
+    // is the FastSS blocked join + a broadcast-joined field compare —
+    // never the all-pairs compare the oracle spells.
+    Q("fj2_record_linkage",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val clean = cust.select(col("c_custkey").as("lid"),
+          md5(concat(lit("N"), col("c_custkey").cast(StringType)))
+            .substr(1, 6).as("ltag"),
+          col("c_nationkey").as("lnation"))
+        val dirty = cust.select(col("c_custkey").as("rid"),
+          when(col("c_custkey") % 3 === 0,
+            concat(
+              md5(concat(lit("N"), col("c_custkey").cast(StringType))).substr(1, 2),
+              md5(concat(lit("N"), col("c_custkey").cast(StringType))).substr(4, 3)))
+            .otherwise(
+              md5(concat(lit("N"), col("c_custkey").cast(StringType))).substr(1, 6))
+            .as("rtag"),
+          (col("c_nationkey") + when(col("c_custkey") % 7 === 0, 1).otherwise(0))
+            .as("rnation"))
+        FuzzyJoin.join(clean, "lid", "ltag", dirty, "rid", "rtag")
+          .join(clean.select(col("lid"), col("lnation")), "lid")
+          .join(dirty.select(col("rid"), col("rnation")), "rid")
+          .select(col("lid"), col("rid"), col("dist"),
+            (lit(12) - col("dist") * 6 +
+              when(col("lnation") === col("rnation"), 8).otherwise(0))
+              .cast(LongType).as("score"))
+          .filter(col("score") >= 14)
+          .orderBy("lid", "rid")
+      },
+      Some("""WITH clean AS (
+             |  SELECT c_custkey AS lid,
+             |         substr(md5('N'||CAST(c_custkey AS VARCHAR)),1,6) AS ltag,
+             |         c_nationkey AS lnation
+             |  FROM customer),
+             |dirty AS (
+             |  SELECT c_custkey AS rid,
+             |         CASE WHEN c_custkey % 3 = 0
+             |           THEN substr(md5('N'||CAST(c_custkey AS VARCHAR)),1,2)
+             |                || substr(md5('N'||CAST(c_custkey AS VARCHAR)),4,3)
+             |           ELSE substr(md5('N'||CAST(c_custkey AS VARCHAR)),1,6) END AS rtag,
+             |         c_nationkey + CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END AS rnation
+             |  FROM customer)
+             |SELECT lid, rid, levenshtein(ltag, rtag) AS dist,
+             |       CAST(12 - levenshtein(ltag, rtag) * 6
+             |            + CASE WHEN lnation = rnation THEN 8 ELSE 0 END AS BIGINT) AS score
+             |FROM clean, dirty
+             |WHERE levenshtein(ltag, rtag) <= 1
+             |  AND 12 - levenshtein(ltag, rtag) * 6
+             |      + CASE WHEN lnation = rnation THEN 8 ELSE 0 END >= 14
+             |ORDER BY lid, rid""".stripMargin)),
+
     // SJ1 — EXACT set-similarity self-join (prefix filtering: SSJoin /
     // All-Pairs / PPJoin family) on word sets of documents, Jaccard >=
     // 9/10. Unlike the MinHash dd2 pipeline this is lossless — and

@@ -412,6 +412,92 @@ object MiningOps {
              |FROM best WHERE rn = 1
              |ORDER BY ta, tb""".stripMargin)),
 
+    // GR2 — link prediction by common neighbors (Liben-Nowell & Kleinberg
+    // 2003): for word pairs NOT currently edges of the gr1 graph, the
+    // common-neighbor count and neighborhood-Jaccard permille — the
+    // "which words will co-occur next" ranking. Everything happens on the
+    // vocabulary-sized edge list: neighbors join on the shared middle
+    // node, the anti-join removes existing edges.
+    Q("gr2_link_pred",
+      (s, dir) => {
+        val edges = t(s, dir, "documents")
+          .select(explode(Corpus.shingles(col("text"), 2)).as("g"))
+          .select(split(col("g"), " ").getItem(0).as("x"),
+            split(col("g"), " ").getItem(1).as("y"))
+          .filter(col("x") =!= col("y"))
+          .select(least(col("x"), col("y")).as("a"),
+            greatest(col("x"), col("y")).as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 60)
+          .select("a", "b")
+        val nbrs = edges.select(col("a").as("n"), col("b").as("m"))
+          .unionAll(edges.select(col("b").as("n"), col("a").as("m")))
+        val deg = nbrs.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+        val cn = nbrs.select(col("m").as("mid"), col("n").as("u"))
+          .join(nbrs.select(col("m").as("mid"), col("n").as("v")), "mid")
+          .filter(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("common"))
+          .join(edges.select(col("a").as("u"), col("b").as("v")),
+            Seq("u", "v"), "left_anti")
+        cn.join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+          .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+          .select(col("u"), col("v"), col("common"),
+            expr("common * 1000 div (du + dv - common)").as("nbr_jaccard_pm"))
+          .filter(col("common") >= 3)
+          .orderBy(col("nbr_jaccard_pm").desc, col("u"), col("v"))
+      },
+      Some("""WITH ws AS (SELECT doc_id, string_split(trim(regexp_replace(text,'\s+',' ','g')),' ') AS w
+             |           FROM documents),
+             |bi AS (SELECT w[i] AS x, w[i+1] AS y FROM ws,
+             |       LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) _t),
+             |e AS (SELECT least(x,y) AS a, greatest(x,y) AS b FROM bi
+             |      WHERE x <> y GROUP BY 1, 2 HAVING count(*) >= 60),
+             |nbrs AS (SELECT a AS n, b AS m FROM e UNION ALL SELECT b, a FROM e),
+             |deg AS (SELECT n, count(*) AS deg FROM nbrs GROUP BY 1),
+             |cn AS (
+             |  SELECT x.n AS u, y.n AS v, count(*) AS common
+             |  FROM nbrs x JOIN nbrs y ON x.m = y.m AND x.n < y.n
+             |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = x.n AND e.b = y.n)
+             |  GROUP BY 1, 2)
+             |SELECT u, v, common,
+             |       common * 1000 // (du.deg + dv.deg - common) AS nbr_jaccard_pm
+             |FROM cn JOIN deg du ON du.n = u JOIN deg dv ON dv.n = v
+             |WHERE common >= 3
+             |ORDER BY nbr_jaccard_pm DESC, u, v""".stripMargin)),
+
+    // DQ4 — referential-integrity audit: orphan counts across the
+    // foreign-key chain lineitem->orders->customer, plus a PLANTED
+    // violation set (customers with key % 97 == 0 treated as deleted) so
+    // the check demonstrably fires. Each arm is a broadcast/shuffled
+    // anti-join counted to one row — the Deequ-style complement to dq2's
+    // single-table checks.
+    Q("dq4_ref_integrity",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val orphanLi = li.join(o.select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "left_anti").agg(count(lit(1)).as("violations"))
+          .select(lit("lineitem_orphan_orders").as("check"), col("violations"))
+        val orphanO = o.join(c.select(col("c_custkey").as("o_custkey")),
+          Seq("o_custkey"), "left_anti").agg(count(lit(1)).as("violations"))
+          .select(lit("orders_orphan_customer").as("check"), col("violations"))
+        val surviving = c.filter(col("c_custkey") % 97 =!= 0)
+        val planted = o.join(surviving.select(col("c_custkey").as("o_custkey")),
+          Seq("o_custkey"), "left_anti").agg(count(lit(1)).as("violations"))
+          .select(lit("orders_orphan_after_deletes").as("check"), col("violations"))
+        orphanLi.unionAll(orphanO).unionAll(planted).orderBy("check")
+      },
+      Some("""SELECT 'lineitem_orphan_orders' AS "check", count(*) AS violations
+             |FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+             |UNION ALL
+             |SELECT 'orders_orphan_customer', count(*)
+             |FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+             |UNION ALL
+             |SELECT 'orders_orphan_after_deletes', count(*)
+             |FROM orders WHERE o_custkey NOT IN
+             |  (SELECT c_custkey FROM customer WHERE c_custkey % 97 <> 0)
+             |ORDER BY "check"""".stripMargin)),
+
     // RF27 — fuzzy-join differential fuzz, 5-seed matrix like rf1-rf26:
     // per seed, 400 left / 300 right hex strings of length 3-5 (4096
     // length-3 combos, so distance-<=1 collisions are dense), blocked

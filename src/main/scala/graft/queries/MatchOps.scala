@@ -142,6 +142,53 @@ object MatchOps {
              |FROM p WHERE inter * 10 >= uni * 9
              |ORDER BY ida, idb""".stripMargin)),
 
+    // RF28 — set-similarity-join differential fuzz, 5-seed matrix: per
+    // seed, 160 synthetic token sets (sizes 3-8 over a 25-token
+    // vocabulary, tokens drawn by portable md5 so both engines construct
+    // IDENTICAL sets), prefix-filtered join at Jaccard >= 1/2 vs the
+    // oracle's all-pairs list_intersect. Complements SetSimJoinSpec's
+    // in-JVM brute force with the DuckDB referee.
+    Q("rf28_setsim_fuzz",
+      (s, dir) => {
+        val insts = Seq(0L, 100L, 200L, 300L, 400L).map { off =>
+          val docs = s.range(1, 161).select(col("id").as("doc"),
+            expr(s"""transform(sequence(1, 3 + CAST(id % 6 AS INT)),
+                     j -> concat('t', CAST(CAST(conv(substring(md5(
+                            concat('S$off:', CAST(id AS STRING), ':', CAST(j AS STRING))
+                          ), 1, 6), 16, 10) AS BIGINT) % 25 AS STRING)))""").as("toks"))
+          graft.operators.SetSimJoin
+            .jaccardSelfJoin(docs, "doc", "toks", tNum = 1, tDen = 2)
+            .withColumn("seedoff", lit(off))
+        }
+        insts.reduce(_.unionByName(_)).orderBy("seedoff", "ida", "idb")
+      },
+      Some {
+        val union = Seq(0L, 100L, 200L, 300L, 400L).map { off =>
+          s"""SELECT CAST($off AS BIGINT) AS seedoff, a.doc AS ida, b.doc AS idb,
+             |  CAST(len(list_intersect(a.toks, b.toks)) * 1000
+             |       // (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+             |       AS BIGINT) AS jaccard_pm
+             |FROM (
+             |  SELECT i AS doc, list_distinct(list('t' || CAST(
+             |    CAST(('0x' || substr(md5('S$off:'||CAST(i AS VARCHAR)||':'||CAST(j AS VARCHAR)),1,6)) AS UBIGINT) % 25
+             |    AS VARCHAR))) AS toks
+             |  FROM generate_series(1, 160) _i(i),
+             |       LATERAL (SELECT unnest(generate_series(1, 3 + i % 6)) AS j) _j
+             |  GROUP BY i) a
+             |JOIN (
+             |  SELECT i AS doc, list_distinct(list('t' || CAST(
+             |    CAST(('0x' || substr(md5('S$off:'||CAST(i AS VARCHAR)||':'||CAST(j AS VARCHAR)),1,6)) AS UBIGINT) % 25
+             |    AS VARCHAR))) AS toks
+             |  FROM generate_series(1, 160) _i(i),
+             |       LATERAL (SELECT unnest(generate_series(1, 3 + i % 6)) AS j) _j
+             |  GROUP BY i) b
+             |ON a.doc < b.doc
+             |WHERE len(list_intersect(a.toks, b.toks)) * 2
+             |      >= (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"SELECT * FROM (\n$union\n) ORDER BY seedoff, ida, idb"
+      }),
+
     // SK3 — KMV (k-minimum-values) distinct-count sketch, k=256: the
     // mergeable NDV estimator of Bar-Yossef et al. 2002. Fully
     // deterministic — the sketch is the 256 smallest md5 values, so the

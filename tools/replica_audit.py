@@ -46,7 +46,7 @@ BOUNDED_PREFIXES = (
     # generated sides are sf-independent; fj1 is excluded above —
     # its all-pairs oracle is quadratic in the replica factor)
     "sk3", "sk4", "sk5", "s7_", "dq3", "pm1", "pm2", "gr1", "ii1",
-    "rf27", "cc2", "ts3", "ts4", "gr2", "dq4")
+    "rf27", "rf28", "cc2", "ts3", "ts4", "gr2", "dq4")
 
 
 def main():

@@ -57,6 +57,38 @@ object MatchOps {
              |FROM l, r WHERE levenshtein(ls,rs) <= 1
              |ORDER BY lid, rid""".stripMargin)),
 
+    // SQL2 — the fuzzy join through the SQL FRONTDOOR: plain SQL text
+    // with `JOIN ON levenshtein(a,b) <= 1`, no operator API. The
+    // injected FuzzyJoinRewrite turns what Spark would plan as a
+    // BroadcastNestedLoopJoin into the blocked equi-join (plan-guarded
+    // in FuzzyJoinRewriteSpec); the oracle runs the identical SQL in
+    // DuckDB, where the all-pairs plan is fine at oracle scale.
+    Q("sql2_fuzzy_sql",
+      (s, dir) => {
+        t(s, dir, "orders").filter(col("o_orderkey") % 4 === 1)
+          .select(col("o_orderkey").as("lid"),
+            md5(concat(lit("Q"), col("o_orderkey").cast(StringType)))
+              .substr(lit(1), lit(5) + pmod(col("o_orderkey"), lit(2))).as("ls"))
+          .createOrReplaceTempView("fz_l")
+        t(s, dir, "customer")
+          .select(col("c_custkey").as("rid"),
+            md5(concat(lit("P"), col("c_custkey").cast(StringType)))
+              .substr(lit(1), lit(5) + pmod(col("c_custkey"), lit(2))).as("rs"))
+          .createOrReplaceTempView("fz_r")
+        s.sql("""SELECT lid, ls, rid, rs, levenshtein(ls, rs) AS dist
+                 FROM fz_l JOIN fz_r ON levenshtein(ls, rs) <= 1
+                 ORDER BY lid, rid""")
+      },
+      Some("""WITH l AS (SELECT o_orderkey AS lid,
+             |  substr(md5('Q'||CAST(o_orderkey AS VARCHAR)),1,5+o_orderkey%2) AS ls
+             |  FROM orders WHERE o_orderkey%4=1),
+             |r AS (SELECT c_custkey AS rid,
+             |  substr(md5('P'||CAST(c_custkey AS VARCHAR)),1,5+c_custkey%2) AS rs
+             |  FROM customer)
+             |SELECT lid, ls, rid, rs, levenshtein(ls,rs) AS dist
+             |FROM l JOIN r ON levenshtein(ls,rs) <= 1
+             |ORDER BY lid, rid""".stripMargin)),
+
     // FJ2 — record linkage, Fellegi-Sunter shape (1969): candidate pairs
     // from the blocked fuzzy join on a name-like tag, scored by integer
     // agreement weights across fields (tag distance + nation equality),

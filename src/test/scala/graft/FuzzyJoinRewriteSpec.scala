@@ -100,6 +100,15 @@ class FuzzyJoinRewriteSpec extends SparkSpec {
     assert(got == Set((1L, 10L)))
   }
 
+  test("SQL frontdoor text hits the rewrite too") {
+    l.createOrReplaceTempView("fjr_l")
+    r.createOrReplaceTempView("fjr_r")
+    val df = spark.sql(
+      "SELECT lid, rid FROM fjr_l JOIN fjr_r ON levenshtein(ls, rs) <= 1")
+    assert(!hasNestedLoop(df), df.queryExecution.executedPlan.toString)
+    assert(df.count() > 0)
+  }
+
   test("seeded random corpus: rewrite == brute force at scale") {
     val rnd = new scala.util.Random(7)
     def word() = (1 to 2 + rnd.nextInt(4)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString

@@ -498,6 +498,44 @@ object MiningOps {
              |  (SELECT c_custkey FROM customer WHERE c_custkey % 97 <> 0)
              |ORDER BY "check"""".stripMargin)),
 
+    // CUR6 — curation v3: EXACT near-dup removal through the prefix-
+    // filtered set-similarity join (Jaccard >= 9/10 on word sets),
+    // greedy earliest-id-wins (drop any doc similar to an earlier one),
+    // then per-source survivors and token budget. Complements cur5's
+    // span-exact dedup with whole-doc approximate-content dedup that is
+    // still lossless (sj1 semantics) — the Spark side never forms the
+    // all-pairs compare the oracle spells.
+    Q("cur6_neardup_curation",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          graft.operators.Corpus.words(col("text")).as("toks"))
+        val pairs = graft.operators.SetSimJoin
+          .jaccardSelfJoin(toks, "doc_id", "toks", tNum = 9, tDen = 10)
+        val dropped = pairs.select(col("idb").as("doc_id")).distinct()
+        docs.join(dropped, Seq("doc_id"), "left_anti")
+          .groupBy("source")
+          .agg(count(lit(1)).as("kept_docs"),
+            sum(graft.operators.TextAnalysis.tokenCount(col("text")))
+              .as("kept_tokens"))
+          .orderBy(asc_nulls_first("source"))
+      },
+      Some("""WITH s AS (SELECT doc_id,
+             |  list_distinct(string_split(trim(regexp_replace(text,'\s+',' ','g')),' ')) AS toks
+             |  FROM documents),
+             |dropped AS (
+             |  SELECT DISTINCT b.doc_id FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.toks, b.toks)) * 10
+             |        >= (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) * 9)
+             |SELECT source, count(*) AS kept_docs,
+             |  CAST(SUM(CASE WHEN nrm = '' THEN 0
+             |    ELSE length(nrm) - length(replace(nrm, ' ', '')) + 1 END) AS BIGINT) AS kept_tokens
+             |FROM (SELECT doc_id, source,
+             |        trim(regexp_replace(text, '\s+', ' ', 'g')) AS nrm
+             |      FROM documents) d
+             |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+             |GROUP BY source ORDER BY source NULLS FIRST""".stripMargin)),
+
     // RF27 — fuzzy-join differential fuzz, 5-seed matrix like rf1-rf26:
     // per seed, 400 left / 300 right hex strings of length 3-5 (4096
     // length-3 combos, so distance-<=1 collisions are dense), blocked

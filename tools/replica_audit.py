@@ -56,7 +56,7 @@ def main():
     out = "/tmp/graft-replica-audit"
     oracle = json.loads((REPO / "ORACLE_SQL.json").read_text())
     keep = sorted(n for n in oracle
-                  if not n.startswith(("dd", "ss", "mm", "fj", "sj1", "sql2"))) + [
+                  if not n.startswith(("dd", "ss", "mm", "fj", "sj1", "sql2", "cur6"))) + [
         "ss1_cosine_topk", "dd13_span_dedup",
         "ddf5_span_splice"]  # linear oracles in excluded prefixes
     if bounded:

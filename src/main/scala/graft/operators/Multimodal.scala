@@ -263,4 +263,119 @@ object Multimodal {
       }
     }(Encoders.row(out))
   }
+
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  private def fourcc(b: Array[Byte], i: Int): String =
+    new String(Array(b(i), b(i + 1), b(i + 2), b(i + 3)), "US-ASCII")
+
+  val wavMetaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("channels", LongType),
+    StructField("sample_rate", LongType),
+    StructField("bits", LongType),
+    StructField("n_samples", LongType),
+    StructField("duration_ms", LongType)))
+
+  /** (channels, sampleRate, bitsPerSample, dataBytes) parsed from a real
+    * RIFF/WAVE payload, or None when the payload is not WAV. A genuine
+    * chunk WALK, not fixed offsets: after "RIFF"<u32 size>"WAVE", chunks
+    * are (fourcc, u32le size, payload, odd-size pad byte) — LIST/JUNK/
+    * fact chunks before "fmt " are skipped by declared size exactly as a
+    * real reader does (and plantWavPayload plants one on odd-length
+    * bodies so a fixed-offset cheat cannot pass the round-trip).
+    */
+  def parseWavHeader(bytes: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
+        fourcc(bytes, 8) != "WAVE") return None
+    var i = 12
+    var fmt: Option[(Long, Long, Long)] = None
+    var data: Option[Long] = None
+    while (i + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+      val cc = fourcc(bytes, i)
+      val size = le32(bytes, i + 4)
+      if (cc == "fmt " && size >= 16 && i + 8 + 16 <= bytes.length) {
+        fmt = Some((le16(bytes, i + 10).toLong, // channels
+          le32(bytes, i + 12), // sample rate
+          le16(bytes, i + 22).toLong)) // bits per sample
+      } else if (cc == "data") {
+        data = Some(size)
+      }
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    for ((ch, rate, bits) <- fmt; d <- data) yield (ch, rate, bits, d)
+  }
+
+  /** Deterministic REAL-header WAV payload (the audio half of the
+    * plant/parse round-trip, mirroring [[plantImagePayload]]):
+    *
+    *   channels   = 1 + n % 2            (n = |text| bytes = data size)
+    *   sampleRate = 8000 + (n % 5) * 4000
+    *   bits       = 16 when n % 3 = 0 else 8
+    *   odd n additionally gets a 10-byte LIST chunk before "fmt " so the
+    *   parser must walk chunks
+    */
+  def plantWavPayload(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val txtIdx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val body = r.getString(txtIdx).getBytes("UTF-8")
+        val n = body.length
+        val channels = 1 + n % 2
+        val rate = 8000 + (n % 5) * 4000
+        val bits = if (n % 3 == 0) 16 else 8
+        val blockAlign = channels * bits / 8
+        val byteRate = rate * blockAlign
+        val bb = java.nio.ByteBuffer
+          .allocate(12 + (if (n % 2 == 1) 18 else 0) + 24 + 8 + n + (n & 1))
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(0) // size patched below
+        bb.put("WAVE".getBytes("US-ASCII"))
+        if (n % 2 == 1) { // junk chunk forces the walk
+          bb.put("LIST".getBytes("US-ASCII")).putInt(10)
+          bb.put(Array.fill[Byte](10)(0x4a))
+        }
+        bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        bb.putShort(1).putShort(channels.toShort).putInt(rate)
+          .putInt(byteRate).putShort(blockAlign.toShort).putShort(bits.toShort)
+        bb.put("data".getBytes("US-ASCII")).putInt(n).put(body)
+        if ((n & 1) == 1) bb.put(0.toByte) // RIFF odd-size pad
+        val payload = bb.array()
+        val riffSize = payload.length - 8
+        payload(4) = (riffSize & 0xff).toByte
+        payload(5) = ((riffSize >> 8) & 0xff).toByte
+        payload(6) = ((riffSize >> 16) & 0xff).toByte
+        payload(7) = ((riffSize >> 24) & 0xff).toByte
+        Row(id, payload)
+      }
+    }(Encoders.row(out))
+  }
+
+  /** Parsed WAV metadata + derived sample count / duration:
+    * n_samples = dataBytes div blockAlign, duration_ms = n_samples *
+    * 1000 div sampleRate — the columns an audio-curation pipeline
+    * filters on (clip length, mono/stereo, bandwidth).
+    */
+  def decodeWavMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        parseWavHeader(r.getAs[Array[Byte]](binIdx)) match {
+          case Some((ch, rate, bits, dataBytes)) =>
+            val nSamples = dataBytes / (ch * bits / 8)
+            Row(id, ch, rate, bits, nSamples, nSamples * 1000L / rate)
+          case None => Row(id, null, null, null, null, null)
+        }
+      }
+    }(Encoders.row(wavMetaSchema))
+  }
 }

@@ -498,6 +498,28 @@ object MiningOps {
              |  (SELECT c_custkey FROM customer WHERE c_custkey % 97 <> 0)
              |ORDER BY "check"""".stripMargin)),
 
+    // MM5 — WAV metadata round-trip: plantWavPayload writes a REAL
+    // RIFF/WAVE byte stream (odd-length bodies get a LIST junk chunk so
+    // a fixed-offset parser cannot pass), decodeWavMeta chunk-walks it
+    // back, and the oracle recomputes the planted parameters from the
+    // source text length — an encoder bug and a parser bug cannot
+    // cancel. Same plant/parse/arithmetic-oracle design as mm1/mm3.
+    Q("mm5_wav_meta",
+      (s, dir) => graft.operators.Multimodal.decodeWavMeta(
+        graft.operators.Multimodal.plantWavPayload(
+          t(s, dir, "documents"), "doc_id", "text"),
+        "doc_id", "payload")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(1 + n % 2 AS BIGINT) AS channels,
+             |  CAST(8000 + (n % 5) * 4000 AS BIGINT) AS sample_rate,
+             |  CAST(CASE WHEN n % 3 = 0 THEN 16 ELSE 8 END AS BIGINT) AS bits,
+             |  CAST(n // ((1 + n % 2) * (CASE WHEN n % 3 = 0 THEN 16 ELSE 8 END) // 8) AS BIGINT) AS n_samples,
+             |  CAST((n // ((1 + n % 2) * (CASE WHEN n % 3 = 0 THEN 16 ELSE 8 END) // 8)) * 1000
+             |       // (8000 + (n % 5) * 4000) AS BIGINT) AS duration_ms
+             |FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
     // CUR6 — curation v3: EXACT near-dup removal through the prefix-
     // filtered set-similarity join (Jaccard >= 9/10 on word sets),
     // greedy earliest-id-wins (drop any doc similar to an earlier one),

@@ -58,7 +58,7 @@ def main():
     keep = sorted(n for n in oracle
                   if not n.startswith(("dd", "ss", "mm", "fj", "sj1", "sql2", "cur6"))) + [
         "ss1_cosine_topk", "dd13_span_dedup",
-        "ddf5_span_splice"]  # linear oracles in excluded prefixes
+        "ddf5_span_splice", "mm5_wav_meta"]  # linear oracles in excluded prefixes
     if bounded:
         keep = [n for n in keep if n.startswith(BOUNDED_PREFIXES)]
     keep = sorted(set(keep))

@@ -498,6 +498,43 @@ object MiningOps {
              |  (SELECT c_custkey FROM customer WHERE c_custkey % 97 <> 0)
              |ORDER BY "check"""".stripMargin)),
 
+    // TX12 — Heaps'-law vocabulary growth: cumulative distinct-word
+    // count after each corpus decile (by doc_id order) — the curve that
+    // says when a corpus stops teaching a tokenizer new words. First
+    // appearances are one word-grain aggregate; the decile join is 10
+    // broadcast rows. (The tiny synthetic vocab saturates in decile 1 —
+    // the SHAPE of the computation is what scales.)
+    Q("tx12_heaps_vocab",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val firstSeen = docs
+          .select(col("doc_id"), explode(Corpus.words(col("text"))).as("word"))
+          .groupBy("word").agg(min(col("doc_id")).as("first_doc"))
+        val mx = docs.agg(max(col("doc_id")).as("mx"))
+        val deciles = s.range(1, 11).select(col("id").as("decile"))
+          .crossJoin(broadcast(mx))
+          .select(col("decile"), expr("decile * mx div 10").as("cutoff"))
+        deciles.join(broadcast(firstSeen),
+            col("first_doc") <= col("cutoff"), "left_outer")
+          .groupBy("decile", "cutoff")
+          .agg(count(col("word")).as("vocab"))
+          .orderBy("decile")
+      },
+      Some("""WITH fs AS (
+             |  SELECT w.word, min(doc_id) AS first_doc
+             |  FROM (SELECT doc_id,
+             |          string_split(trim(regexp_replace(text,'\s+',' ','g')),' ') AS ws
+             |        FROM documents) d,
+             |       LATERAL (SELECT unnest(ws) AS word) w
+             |  GROUP BY 1),
+             |m AS (SELECT max(doc_id) AS mx FROM documents),
+             |dec AS (SELECT d AS decile, d * mx // 10 AS cutoff
+             |        FROM (SELECT unnest(generate_series(1, 10)) AS d), m)
+             |SELECT CAST(decile AS BIGINT) AS decile, cutoff,
+             |       count(word) AS vocab
+             |FROM dec LEFT JOIN fs ON first_doc <= cutoff
+             |GROUP BY 1, 2 ORDER BY decile""".stripMargin)),
+
     // MM5 — WAV metadata round-trip: plantWavPayload writes a REAL
     // RIFF/WAVE byte stream (odd-length bodies get a LIST junk chunk so
     // a fixed-offset parser cannot pass), decodeWavMeta chunk-walks it

@@ -35,13 +35,21 @@ object Features {
     * per-(group, z-bucket) counts; bucket = floor(z_pm / bucketPm).
     */
   def zBucketCounts(df: DataFrame, groupCol: String, bucketPm: Long): DataFrame = {
+    // Sums and their products run in Decimal(38,0): zn·Σv² wraps int64 at
+    // ~1e9 rows/group of 4-digit cents (observed at a 60M-row replica —
+    // non-ANSI Spark wraps SILENTLY and the variance filter emptied the
+    // whole result, while DuckDB's SUM promotes to HUGEINT and survived).
+    // Decimal keeps the arithmetic exact to 1e38, same values at every
+    // scale either engine can hold; only sqrt/divide touch floats.
+    val dec = DecimalType(38, 0)
     val stats = df.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("zn"), sum(col("v_c")).as("s1"),
-        sum(col("v_c") * col("v_c")).as("s2"))
+      .agg(count(lit(1)).cast(dec).as("zn"),
+        sum(col("v_c").cast(dec)).as("s1"),
+        sum((col("v_c") * col("v_c")).cast(dec)).as("s2"))
       .filter(col("zn") * col("s2") > col("s1") * col("s1")) // nonzero variance
     df.join(broadcast(stats), Seq(groupCol))
       .withColumn("z_pm",
-        round((col("v_c") * col("zn") - col("s1")) * 1000.0 /
+        round((col("v_c").cast(dec) * col("zn") - col("s1")).cast(DoubleType) * 1000.0 /
           sqrt((col("zn") * col("s2") - col("s1") * col("s1")).cast(DoubleType)))
           .cast(LongType))
       .withColumn("z_bucket", floor(col("z_pm").cast(DoubleType) / bucketPm).cast(LongType))

@@ -6,10 +6,14 @@ SQL at 1x / 10x / 100x replicas of sf0.1.
 
 One command regenerates everything the table in BENCHSCALE.md claims:
 
-1. builds /tmp/sfx10 (10x) and /tmp/sfx100 (100x, 60M lineitem rows)
+1. builds /tmp/bsx10 (10x) and /tmp/bsx100 (100x, 60M lineitem rows)
    from /root/testdata/sf0.1 via `graft.ScaleUp` (offset keys keep the
    replicas join-disjoint, so result sizes scale like a real larger SF);
-   existing replicas are reused unless --force;
+   existing replicas are reused unless --force. Bench replicas live in
+   their OWN directories — they must never clobber the correctness-audit
+   replicas at /tmp/sfx10 / /tmp/sfx100, which replica_audit.py builds
+   from sf0.01 (a bench run once silently upgraded the audit dirs 10x
+   and the "10x" audit artifact quietly audited 100x data);
 2. dumps the driver's oracle SQL (graft.Verify with an empty filter —
    no queries run, just the SQL dump);
 3. runs `graft.Bench` (local[32], min of 3 warm runs per query) and
@@ -36,8 +40,8 @@ QS = ("q1_pricing_summary,q3_shipping_priority,q5_local_supplier,"
       "q6_revenue_delta,q18_big_orders,q19_disjunctive,ss1_cosine_topk")
 SCALES = [
     ("1x", SRC, 1),
-    ("10x", "/tmp/sfx10", 10),
-    ("100x", "/tmp/sfx100", 100),
+    ("10x", "/tmp/bsx10", 10),
+    ("100x", "/tmp/bsx100", 100),
 ]
 ORACLE_DIR = "/tmp/graft-oracle-dump"
 

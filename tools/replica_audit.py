@@ -96,8 +96,19 @@ def main():
                           capture_output=True, text=True).stdout.strip()
     scale = Path(replica).name.replace("sfx", "") + "x" \
         if "sfx" in Path(replica).name else Path(replica).name
+    # provenance: actual replica size, so the artifact can't silently
+    # describe a different dataset than the one audited
+    def lineitem_rows():
+        try:
+            import pyarrow.parquet as pq
+            p = Path(replica) / "lineitem.parquet"
+            files = [p] if p.is_file() else sorted(p.glob("*.parquet"))
+            return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        except Exception:
+            return None
     artifact = {
         "metric": "replica_audit", "replica": replica, "scale": scale,
+        "lineitem_rows": lineitem_rows(),
         "bounded": bounded, "head": head, "generated_unix": int(time.time()),
         "queries_run": len(keep), "pass": n_pass,
         "fail": [l.split()[1] for l in real_fail], "oracle_timeout_skip": skipped,

@@ -114,12 +114,18 @@ def main():
         render_readme_counts(n_specs, n_green, n_total)
     step("plans dump (PLANS.md at HEAD)",
          ["sbt", "-batch", "Test/runMain graft.DumpPlans"])
+    # rebuild the audit replicas from sf0.01 immediately before auditing —
+    # fixed provenance, regardless of what any other tool left in /tmp
+    step("rebuild audit replica 10x (sf0.01 x 10)",
+         ["sbt", "-batch", f"Test/runMain graft.ScaleUp {SF} /tmp/sfx10 10"])
     step("replica audit 10x",
          [sys.executable, "tools/replica_audit.py", "/tmp/sfx10"])
     step("ANN recall audit 10x (ss2/ss3's at-scale evidence)",
          ["sbt", "-batch",
           "Test/runMain graft.RecallAudit /tmp/sfx10 RECALL_AUDIT_10x.json"])
     if args.audit_100x:
+        step("rebuild audit replica 100x (sf0.01 x 100)",
+             ["sbt", "-batch", f"Test/runMain graft.ScaleUp {SF} /tmp/sfx100 100"])
         step("replica audit 100x (bounded)",
              [sys.executable, "tools/replica_audit.py", "/tmp/sfx100",
               "--bounded"])

@@ -298,7 +298,12 @@ object MatchOps {
           .crossJoin(broadcast(tot))
           .filter(col("c_ab") >= 25)
           .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
-            expr("(c_ab * W * W) div ((c_a * c_b * B) div 1000)").as("lift_permille"))
+            // decimal internals: c_ab*W^2 wraps int64 once the corpus
+            // passes ~3e7 words (same silent-wrap class the fe4 fix
+            // covers; DuckDB's HUGEINT keeps the oracle exact)
+            expr("""CAST((CAST(c_ab AS DECIMAL(38,0)) * W * W) div
+                         ((CAST(c_a AS DECIMAL(38,0)) * c_b * B) div 1000)
+                    AS BIGINT)""").as("lift_permille"))
           .orderBy(col("lift_permille").desc, col("w1"), col("w2"))
       },
       Some(s"""WITH ws AS ($wsSql),
@@ -310,7 +315,8 @@ object MatchOps {
               |tot AS (SELECT (SELECT count(*) FROM uni) AS W,
               |               (SELECT count(*) FROM bi) AS B)
               |SELECT w1, w2, c_ab, a.c AS c_a, b.c AS c_b,
-              |  (c_ab * W * W) // ((a.c * b.c * B) // 1000) AS lift_permille
+              |  CAST((CAST(c_ab AS HUGEINT) * W * W)
+              |       // ((CAST(a.c AS HUGEINT) * b.c * B) // 1000) AS BIGINT) AS lift_permille
               |FROM bcnt JOIN ucnt a ON w1 = a.word JOIN ucnt b ON w2 = b.word, tot
               |WHERE c_ab >= 25
               |ORDER BY lift_permille DESC, w1, w2""".stripMargin)),

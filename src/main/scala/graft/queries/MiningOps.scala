@@ -383,7 +383,10 @@ object MiningOps {
             col("db") === date_add(col("da"), col("lag")) &&
             col("ta") < col("tb"))
           .groupBy("ta", "tb", "lag")
-          .agg(sum(col("ca") * col("cb")).as("dot"))
+          // decimal accumulation: daily counts square to ~9e18 per term
+          // at ~3e9 events/day — the fe4/tx11 silent-wrap class
+          .agg(sum(col("ca").cast(DecimalType(38, 0)) * col("cb"))
+            .cast(LongType).as("dot"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("ta", "tb").orderBy(col("dot").desc, col("lag"))
         dots.withColumn("rn", row_number().over(w))
@@ -397,7 +400,7 @@ object MiningOps {
              |  FROM events GROUP BY 1, 2),
              |dots AS (
              |  SELECT a.event_type AS ta, b.event_type AS tb, l.lag,
-             |         sum(a.c * b.c) AS dot
+             |         CAST(sum(CAST(a.c AS HUGEINT) * b.c) AS BIGINT) AS dot
              |  FROM daily a
              |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS lag) l
              |  JOIN daily b ON b.d = a.d + CAST(l.lag AS INTEGER)

@@ -74,24 +74,56 @@ object FuzzyJoin {
 
     // Degenerate-key guard: a key shared by >maxBucket rows on either side
     // (think empty string, or a boilerplate token) would quadratically
-    // blow up that bucket; such keys are dropped. With maxDist=1 and
-    // realistic dictionaries buckets are tiny; the guard is the 100 TB
-    // seatbelt, mirrored from Dedup's LSH bucket bound. When it fires,
-    // pairs whose MINIMAL shared key was dropped are lost even if they
-    // share a surviving key (the dedup predicate below keys on the
-    // minimum) — completeness traded for survival, as in SetSimJoin.
-    val cnt = Cols.fresh("_fjcnt", Seq(key))
-    def bounded(df: DataFrame): DataFrame = {
-      val big = df.groupBy(key).agg(count(lit(1)).as(cnt))
-        .filter(col(cnt) > maxBucket).select(key)
-      df.join(big, Seq(key), "left_anti")
-    }
+    // blow up that bucket; such keys are dropped from BOTH sides. With
+    // maxDist=1 and realistic dictionaries buckets are tiny; the guard is
+    // the 100 TB seatbelt, mirrored from Dedup's LSH bucket bound. The
+    // dedup predicate below keys on the minimal SURVIVING shared key (the
+    // dropped-key set rides along as a broadcast 1-row array), so a pair
+    // whose minimal key was dropped is still emitted — exactly once — on
+    // its smallest surviving key. Only pairs whose EVERY shared key is hot
+    // are lost; that residue is observable via [[droppedKeys]].
+    val hot = hotKeys(l, r, key, maxBucket)
+    def bounded(df: DataFrame): DataFrame = df.join(hot, Seq(key), "left_anti")
+    val dropped = Cols.fresh("_fjdropped",
+      left.columns ++ right.columns ++ Seq(key, lks, rks))
+    val droppedRow = hot.agg(collect_set(col(key)).as(dropped))
 
     bounded(l).join(bounded(r), key)
       .filter(levenshtein(col(leftStr), col(rightStr)) <= 1)
-      // one emission per pair: this key must be the minimal shared key
-      .filter(col(key) === array_min(array_intersect(col(lks), col(rks))))
+      .crossJoin(broadcast(droppedRow))
+      // one emission per pair: this key must be the minimal surviving
+      // shared key
+      .filter(col(key) === array_min(
+        array_except(array_intersect(col(lks), col(rks)), col(dropped))))
       .select(col(leftId), col(leftStr), col(rightId), col(rightStr),
         levenshtein(col(leftStr), col(rightStr)).as("dist"))
+  }
+
+  /** Neighborhood keys whose bucket exceeds `maxBucket` on either side —
+    * the keys [[join]] drops. Keys here are few by construction (each
+    * represents >maxBucket rows), so the frame is tiny; run it when the
+    * guard's completeness trade-off needs auditing: a pair is lost iff
+    * ALL its shared keys appear here.
+    */
+  def droppedKeys(
+      left: DataFrame, leftStr: String,
+      right: DataFrame, rightStr: String,
+      maxBucket: Int = 10000): DataFrame = {
+    val Seq(key, ks) = Cols.fresh(Seq("_fjkey", "_fjks"),
+      left.columns ++ right.columns)
+    def keyed(df: DataFrame, str: String): DataFrame =
+      df.select(array_distinct(deletionNeighborhood(col(str))).as(ks))
+        .select(explode(col(ks)).as(key))
+    hotKeys(keyed(left, leftStr), keyed(right, rightStr), key, maxBucket)
+  }
+
+  /** Union of both sides' over-`maxBucket` neighborhood keys. */
+  private def hotKeys(l: DataFrame, r: DataFrame, key: String,
+      maxBucket: Int): DataFrame = {
+    val cnt = Cols.fresh("_fjcnt", Seq(key))
+    def big(df: DataFrame): DataFrame =
+      df.groupBy(key).agg(count(lit(1)).as(cnt))
+        .filter(col(cnt) > maxBucket).select(key)
+    big(l).union(big(r)).distinct()
   }
 }

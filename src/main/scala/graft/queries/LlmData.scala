@@ -987,10 +987,10 @@ object LlmData {
              |   WHEN 1 THEN 33 ELSE 13 END AS n_bytes,
              | 64 + n % 192 AS width,
              | 64 + (n * 7) % 192 AS height,
-             | CASE doc_id % 3
+             | CAST(CASE doc_id % 3
              |   WHEN 0 THEN CASE WHEN n % 2 = 0 THEN 3 ELSE 1 END
              |   WHEN 1 THEN CASE n % 3 WHEN 0 THEN 3 WHEN 1 THEN 4 ELSE 1 END
-             |   ELSE 3 END AS channels,
+             |   ELSE 3 END AS BIGINT) AS channels,
              | CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'gif' END AS format
              |FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
              |  FROM documents)
@@ -1019,10 +1019,10 @@ object LlmData {
              |FROM (SELECT doc_id,
              |  64 + n % 192 AS width,
              |  64 + (n * 7) % 192 AS height,
-             |  CASE doc_id % 3
+             |  CAST(CASE doc_id % 3
              |    WHEN 0 THEN CASE WHEN n % 2 = 0 THEN 3 ELSE 1 END
              |    WHEN 1 THEN CASE n % 3 WHEN 0 THEN 3 WHEN 1 THEN 4 ELSE 1 END
-             |    ELSE 3 END AS channels
+             |    ELSE 3 END AS BIGINT) AS channels
              | FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
              |   FROM documents))
              |ORDER BY doc_id""".stripMargin)),

@@ -53,7 +53,7 @@ object MatchOps {
              |r AS (SELECT c_custkey AS rid,
              |  substr(md5('R'||CAST(c_custkey AS VARCHAR)),1,5+c_custkey%2) AS rs
              |  FROM customer)
-             |SELECT lid, ls, rid, rs, levenshtein(ls,rs) AS dist
+             |SELECT lid, ls, rid, rs, CAST(levenshtein(ls,rs) AS INTEGER) AS dist
              |FROM l, r WHERE levenshtein(ls,rs) <= 1
              |ORDER BY lid, rid""".stripMargin)),
 
@@ -85,7 +85,7 @@ object MatchOps {
              |r AS (SELECT c_custkey AS rid,
              |  substr(md5('P'||CAST(c_custkey AS VARCHAR)),1,5+c_custkey%2) AS rs
              |  FROM customer)
-             |SELECT lid, ls, rid, rs, levenshtein(ls,rs) AS dist
+             |SELECT lid, ls, rid, rs, CAST(levenshtein(ls,rs) AS INTEGER) AS dist
              |FROM l JOIN r ON levenshtein(ls,rs) <= 1
              |ORDER BY lid, rid""".stripMargin)),
 
@@ -138,7 +138,7 @@ object MatchOps {
              |           ELSE substr(md5('N'||CAST(c_custkey AS VARCHAR)),1,6) END AS rtag,
              |         c_nationkey + CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END AS rnation
              |  FROM customer)
-             |SELECT lid, rid, levenshtein(ltag, rtag) AS dist,
+             |SELECT lid, rid, CAST(levenshtein(ltag, rtag) AS INTEGER) AS dist,
              |       CAST(12 - levenshtein(ltag, rtag) * 6
              |            + CASE WHEN lnation = rnation THEN 8 ELSE 0 END AS BIGINT) AS score
              |FROM clean, dirty

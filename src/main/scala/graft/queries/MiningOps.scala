@@ -108,7 +108,7 @@ object MiningOps {
              |t AS (SELECT sum(cnt) AS total FROM d),
              |e(digit, benford_permille) AS (VALUES (1, 301), (2, 176), (3, 124),
              |  (4, 96), (5, 79), (6, 66), (7, 57), (8, 51), (9, 45))
-             |SELECT d.digit, cnt, cnt * 1000 // total AS permille,
+             |SELECT d.digit, cnt, CAST(cnt * 1000 // total AS BIGINT) AS permille,
              |       CAST(benford_permille AS BIGINT) AS benford_permille
              |FROM d CROSS JOIN t JOIN e ON d.digit = e.digit
              |ORDER BY d.digit""".stripMargin)),
@@ -272,7 +272,7 @@ object MiningOps {
              |  FROM seqs, LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) _t
              |  GROUP BY 1, 2),
              |o AS (SELECT src, sum(cnt) AS out_total FROM trans GROUP BY 1)
-             |SELECT src, dst, cnt, cnt * 1000 // out_total AS permille
+             |SELECT src, dst, cnt, CAST(cnt * 1000 // out_total AS BIGINT) AS permille
              |FROM trans JOIN o USING (src)
              |ORDER BY src, dst""".stripMargin)),
 
@@ -306,7 +306,7 @@ object MiningOps {
               | SELECT DISTINCT dg.doc_id
               | FROM dg JOIN pg USING (gram)
               | GROUP BY dg.doc_id, pg.probe_id HAVING COUNT(*) >= 10)
-              |SELECT source, count(*) AS kept_docs, sum(n_chars) AS kept_chars
+              |SELECT source, count(*) AS kept_docs, CAST(sum(n_chars) AS BIGINT) AS kept_chars
               |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
               |GROUP BY source ORDER BY source""".stripMargin)),
 
@@ -602,7 +602,11 @@ object MiningOps {
     // per seed, 400 left / 300 right hex strings of length 3-5 (4096
     // length-3 combos, so distance-<=1 collisions are dense), blocked
     // join vs the oracle's all-pairs levenshtein over the IDENTICAL
-    // generate_series-derived strings.
+    // generate_series-derived strings. Instance seedoff=500 is the
+    // DEGENERATE-KEY case: every string is '' or a shared boilerplate
+    // token, so all rows land in two neighborhood buckets — under the
+    // default maxBucket nothing is dropped (the dense pair set IS the
+    // true result) and the plan must still be the blocked equi-join.
     Q("rf27_fuzzy_join_fuzz",
       (s, dir) => {
         val insts = Seq(0L, 100L, 200L, 300L, 400L).map { off =>
@@ -615,19 +619,35 @@ object MiningOps {
             side(300, "G", "rid", "rs"), "rid", "rs")
             .withColumn("seedoff", lit(off))
         }
-        insts.reduce(_.unionByName(_))
+        def degSide(n: Int, id: String, str: String) =
+          s.range(1, n + 1).select(col("id").as(id),
+            when(col("id") % 2 === 0, lit("")).otherwise(lit("qq")).as(str))
+        val deg = FuzzyJoin.join(
+          degSide(400, "lid", "ls"), "lid", "ls",
+          degSide(300, "rid", "rs"), "rid", "rs")
+          .withColumn("seedoff", lit(500L))
+        (insts :+ deg).reduce(_.unionByName(_))
           .orderBy("seedoff", "lid", "rid")
       },
       Some {
         val union = Seq(0L, 100L, 200L, 300L, 400L).map { off =>
           s"""SELECT CAST($off AS BIGINT) AS seedoff, lid, ls, rid, rs,
-             |  levenshtein(ls, rs) AS dist
+             |  CAST(levenshtein(ls, rs) AS INTEGER) AS dist
              |FROM (SELECT i AS lid, substr(md5('F$off:'||CAST(i AS VARCHAR)),1,3+i%3) AS ls
              |      FROM generate_series(1,400) _l(i)) l,
              |     (SELECT j AS rid, substr(md5('G$off:'||CAST(j AS VARCHAR)),1,3+j%3) AS rs
              |      FROM generate_series(1,300) _r(j)) r
              |WHERE levenshtein(ls, rs) <= 1""".stripMargin
-        }.mkString("\nUNION ALL\n")
+        }.mkString("\nUNION ALL\n") +
+          """
+            |UNION ALL
+            |SELECT CAST(500 AS BIGINT) AS seedoff, lid, ls, rid, rs,
+            |  CAST(levenshtein(ls, rs) AS INTEGER) AS dist
+            |FROM (SELECT i AS lid, CASE WHEN i%2=0 THEN '' ELSE 'qq' END AS ls
+            |      FROM generate_series(1,400) _l(i)) l,
+            |     (SELECT j AS rid, CASE WHEN j%2=0 THEN '' ELSE 'qq' END AS rs
+            |      FROM generate_series(1,300) _r(j)) r
+            |WHERE levenshtein(ls, rs) <= 1""".stripMargin
         s"SELECT * FROM (\n$union\n) ORDER BY seedoff, lid, rid"
       })
   )

@@ -343,7 +343,7 @@ object PipelineOps {
              |FROM (
              | SELECT hour, event_type, cnt,
              |  COUNT(cnt) OVER w AS nw,
-             |  COALESCE(SUM(cnt) OVER w, 0) AS sw
+             |  CAST(COALESCE(SUM(cnt) OVER w, 0) AS BIGINT) AS sw
              | FROM (SELECT date_trunc('hour', ts) AS hour, event_type,
              |         COUNT(*) AS cnt FROM events GROUP BY 1, 2)
              | WINDOW w AS (PARTITION BY event_type ORDER BY hour

@@ -1,6 +1,7 @@
 package graft.rules
 
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.Count
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -78,6 +79,40 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     (gen, keysAttr, keyAttr)
   }
 
+  /** Session knob for the degenerate-key seatbelt below; <= 0 disables. */
+  val MaxBucketConf = "spark.graft.fuzzyJoin.maxBucket"
+
+  /** Degenerate-key seatbelt, mirroring
+    * [[graft.operators.FuzzyJoin.join]]'s `maxBucket`: a neighborhood key
+    * carried by more than `maxBucket` exploded rows (empty strings,
+    * boilerplate tokens) would make the candidate equi-join quadratic in
+    * that bucket — precisely in the declarative path where the user never
+    * chose a bound. Rows of oversized buckets are dropped via a windowed
+    * per-key count (partition-by-key shuffle the candidate join needs
+    * anyway, so the exchange is reused). The trailing dedup still keys on
+    * the FIRST shared key of the full arrays, so a pair whose first
+    * shared key is hot is lost even if another shared key survives —
+    * never duplicated, though: at most the one firstShared emission can
+    * pass. Same completeness-for-survival trade the operator form
+    * documents; audit with [[graft.operators.FuzzyJoin.droppedKeys]].
+    */
+  private def bounded(gen: LogicalPlan, keyAttr: Attribute, tag: String)
+      : LogicalPlan = {
+    val maxBucket = conf.getConfString(MaxBucketConf, "10000").toInt
+    if (maxBucket <= 0) return gen
+    val cntAlias = Alias(
+      WindowExpression(
+        Count(Literal(1)).toAggregateExpression(),
+        WindowSpecDefinition(Seq(keyAttr), Nil,
+          SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
+            UnboundedFollowing))),
+      s"_fj_cnt_$tag")()
+    val win = Window(Seq(cntAlias), Seq(keyAttr), Nil, gen)
+    val filt = Filter(
+      LessThanOrEqual(cntAlias.toAttribute, Literal(maxBucket.toLong)), win)
+    Project(gen.output, filt)
+  }
+
   private def rewrite(j: Join, a0: Expression, b0: Expression,
       rest: Seq[Expression], lev: Expression): Option[LogicalPlan] = {
     // orient (a, b) to (left, right)
@@ -93,8 +128,8 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val (genL, lKeys, lKey) = keyed(j.left, a, "l")
     val (genR, rKeys, rKey) = keyed(j.right, b, "r")
 
-    val candidates = Join(genL, genR, Inner,
-      Some(EqualTo(lKey, rKey)), JoinHint.NONE)
+    val candidates = Join(bounded(genL, lKey, "l"), bounded(genR, rKey, "r"),
+      Inner, Some(EqualTo(lKey, rKey)), JoinHint.NONE)
 
     // one emission per pair: this key must be the first left key that the
     // right side also carries

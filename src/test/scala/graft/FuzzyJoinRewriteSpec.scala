@@ -109,6 +109,42 @@ class FuzzyJoinRewriteSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("degenerate key: 400 identical strings complete under the default bound") {
+    // the adversarial SQL-frontdoor case the operator form was always
+    // guarded against: every row shares one neighborhood bucket. Under
+    // the default maxBucket (10000) nothing is dropped — the 160k pairs
+    // ARE the true result — and the plan must still be the blocked
+    // equi-join, not a nested loop over the inputs.
+    val dl = (1L to 400L).map(i => i -> "boilerplate").toDF("lid", "ls")
+    val dr = (1L to 400L).map(i => (i + 1000L) -> "boilerplate").toDF("rid", "rs")
+    val joined = dl.join(dr, levenshtein($"ls", $"rs") <= 1)
+    assert(!hasNestedLoop(joined))
+    assert(joined.count() == 400L * 400L)
+  }
+
+  test("plan guard: the rewritten plan carries the per-key bucket bound") {
+    val joined = l.join(r, levenshtein($"ls", $"rs") <= 1)
+    val plan = joined.queryExecution.optimizedPlan.toString
+    assert(plan.contains("_fj_cnt_l") && plan.contains("_fj_cnt_r"),
+      s"bucket-bound window missing from rewritten plan:\n$plan")
+  }
+
+  test("session knob bounds hot buckets in the declarative path") {
+    val key = graft.rules.FuzzyJoinRewrite.MaxBucketConf
+    val dl = (1L to 60L).map(i => i -> "hothothot").toDF("lid", "ls")
+    val dr = (1L to 60L).map(i => (i + 1000L) -> "hothothot").toDF("rid", "rs")
+    try {
+      spark.conf.set(key, "10")
+      // every shared key sits in a >10 bucket → all emissions dropped:
+      // completeness traded for survival, exactly like the operator form
+      assert(dl.join(dr, levenshtein($"ls", $"rs") <= 1).count() == 0L)
+      spark.conf.set(key, "0") // <= 0 disables the seatbelt entirely
+      val unbounded = dl.join(dr, levenshtein($"ls", $"rs") <= 1)
+      assert(unbounded.count() == 3600L)
+      assert(!unbounded.queryExecution.optimizedPlan.toString.contains("_fj_cnt_"))
+    } finally spark.conf.unset(key)
+  }
+
   test("seeded random corpus: rewrite == brute force at scale") {
     val rnd = new scala.util.Random(7)
     def word() = (1 to 2 + rnd.nextInt(4)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString

@@ -69,4 +69,28 @@ class FuzzyJoinSpec extends SparkSpec {
       r.toDF("rid", "rs"), "rid", "rs", maxBucket = 10)
     assert(got.count() == 0L)
   }
+
+  test("pair survives on a surviving key when its minimal shared key is hot") {
+    // Left floods the "a" bucket (20x "a" emits keys {a, ""}), so keys
+    // "a" and "" are dropped at maxBucket=10. The ("ab","ab") pair's
+    // shared keys are {ab, a, b}; its MINIMAL key "a" is hot, but "ab"
+    // survives — the drop-aware dedup must emit the pair exactly once on
+    // "ab" instead of silently losing it (the pre-round-9 behavior).
+    val l = ((1L to 20L).map(i => i -> "a") :+ (21L -> "ab")).toDF("lid", "ls")
+    val r = Seq(100L -> "ab").toDF("rid", "rs")
+    val got = FuzzyJoin.join(l, "lid", "ls", r, "rid", "rs", maxBucket = 10)
+      .as[(Long, String, Long, String, Long)].collect().toSeq
+    assert(got == Seq((21L, "ab", 100L, "ab", 0L)))
+    // the flooded ("a","ab") distance-1 pairs share ONLY hot keys — the
+    // documented residue — and must be observable through droppedKeys
+    val dropped = FuzzyJoin.droppedKeys(l, "ls", r, "rs", maxBucket = 10)
+      .as[String].collect().toSet
+    assert(dropped == Set("a", ""))
+  }
+
+  test("droppedKeys is empty when no bucket exceeds the bound") {
+    val l = Seq(1L -> "spark", 2L -> "sprk").toDF("lid", "ls")
+    val r = Seq(10L -> "spork").toDF("rid", "rs")
+    assert(FuzzyJoin.droppedKeys(l, "ls", r, "rs").count() == 0L)
+  }
 }

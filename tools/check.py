@@ -6,8 +6,10 @@ library itself has no Python dependency). Usage:
 
 Loads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
 matching SQL from oracle_sql.json in DuckDB with the sfDir tables registered
-as views, and compares: column names (sorted), row count, and values with
-8-digit float tolerance, order-insensitive.
+as views, and compares: column names (sorted), per-column DuckDB types
+(type-faithful, mirroring the driver gate — a HUGEINT oracle column vs a
+Spark BIGINT is a FAIL even when every value matches), row count, and values
+with 8-digit float tolerance, order-insensitive.
 """
 import json
 import math
@@ -32,6 +34,22 @@ def canon(v):
     if isinstance(v, list):
         return tuple(canon(x) for x in v)
     return v
+
+
+def type_mismatches(got_cols, got_types, want_cols, want_types):
+    """Type-faithful column compare (driver-gate strictness). Returns a list
+    of (col, spark_type, duck_type) disagreements. Types are DuckDB type
+    strings as seen when DuckDB reads the Spark parquet vs runs the oracle
+    SQL — so any HUGEINT (or other dtype drift) the driver's hasher would
+    render differently fails here too."""
+    gt = {c: str(t) for c, t in zip(got_cols, got_types)}
+    wt = {c: str(t) for c, t in zip(want_cols, want_types)}
+    bad = []
+    for c in sorted(gt):
+        a, b = gt[c], wt.get(c, "<missing>")
+        if a != b:
+            bad.append((c, a, b))
+    return bad
 
 
 def norm(rows, cols):
@@ -60,12 +78,11 @@ def main():
             n_fail += 1
             continue
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{pdir}/*.parquet')")
-            got_cols = [d[0] for d in got.description]
+            got = con.sql(f"SELECT * FROM read_parquet('{pdir}/*.parquet')")
+            got_cols, got_types = list(got.columns), list(got.types)
             got_rows = got.fetchall()
-            want = con.execute(sql)
-            want_cols = [d[0] for d in want.description]
+            want = con.sql(sql)
+            want_cols, want_types = list(want.columns), list(want.types)
             want_rows = want.fetchall()
         except Exception as e:
             results[name] = f"ERROR: {e}"
@@ -73,6 +90,12 @@ def main():
             continue
         if sorted(got_cols) != sorted(want_cols):
             results[name] = f"COLS: spark={sorted(got_cols)} duck={sorted(want_cols)}"
+            n_fail += 1
+            continue
+        bad_types = type_mismatches(got_cols, got_types, want_cols, want_types)
+        if bad_types:
+            results[name] = "TYPES: " + "; ".join(
+                f"{c}: spark={a} duck={b}" for c, a, b in bad_types)
             n_fail += 1
             continue
         if len(got_rows) != len(want_rows):

@@ -59,6 +59,24 @@ object Similarity {
   def lshTopK(df: DataFrame, vecCol: String, idCol: String,
       query: Array[Float], k: Int, nbits: Int = 4, dim: Int = 64,
       seed: Long = 42L, probeHamming: Int = 1): DataFrame = {
+    val q = array(query.map(x => lit(x)): _*) // float literals: CosineSim input type
+    val cos = Cols.fresh("cos", Seq(idCol))
+    lshCandidates(df, vecCol, idCol, query, nbits, dim, seed, probeHamming)
+      .select(col(idCol), VectorOps.cosineNative(col(vecCol), q).as(cos))
+      .orderBy(desc_nulls_last(cos), asc_nulls_first(idCol))
+      .limit(k)
+  }
+
+  /** The pruned candidate set [[lshTopK]] scores: rows of `df` whose
+    * LSH bucket is within `probeHamming` bit flips of the query's.
+    * Exposed so the registry's recall bookkeeping (ss2) can count and
+    * score exactly the operator's scan set — the candidate membership is
+    * a deterministic function of (data, seed), which is what lets a SQL
+    * oracle replay it from the committed hyperplanes.
+    */
+  def lshCandidates(df: DataFrame, vecCol: String, idCol: String,
+      query: Array[Float], nbits: Int = 4, dim: Int = 64,
+      seed: Long = 42L, probeHamming: Int = 1): DataFrame = {
     // nbits sizes the bucket fan-out: candidates ≈ corpus × (nbits+1)/2^nbits.
     // 4 bits (≈31% probed) suits 10²–10⁴ rows; at 10⁹+ rows use 16–20 bits
     // so a query probes a few thousandths of the corpus.
@@ -77,13 +95,10 @@ object Similarity {
       else (start to nbits - k).flatMap(i => flipMasks(i + 1, k - 1).map(_ | (1L << i)))
     val probes = (0 to math.min(probeHamming, nbits))
       .flatMap(k => flipMasks(0, k)).map(_ ^ qBits)
-    val q = array(query.map(x => lit(x)): _*) // float literals: CosineSim input type
-    val Seq(bkt, cos) = Cols.fresh(Seq("_bucket", "cos"), df.columns)
+    val bkt = Cols.fresh("_bucket", df.columns)
     df.withColumn(bkt, lshBucket(col(vecCol), planes))
       .filter(col(bkt).isin(probes: _*))
-      .select(col(idCol), VectorOps.cosineNative(col(vecCol), q).as(cos))
-      .orderBy(desc_nulls_last(cos), asc_nulls_first(idCol))
-      .limit(k)
+      .select(col(idCol), col(vecCol))
   }
 
   /** IVF (inverted-file) coarse quantizer: k centroids trained by a few
@@ -147,6 +162,24 @@ object Similarity {
   def ivfTopK(df: DataFrame, vecCol: String, idCol: String,
       query: Array[Float], k: Int, centroids: Array[Array[Float]],
       nprobe: Int = 4): DataFrame = {
+    val q = array(query.map(lit): _*)
+    val cosC = Cols.fresh("cos", Seq(idCol))
+    ivfCandidates(df, vecCol, idCol, query, centroids, nprobe)
+      .select(col(idCol), VectorOps.cosineNative(col(vecCol), q).as(cosC))
+      .orderBy(desc_nulls_last(cosC), asc_nulls_first(idCol))
+      .limit(k)
+  }
+
+  /** The probed cells' rows [[ivfTopK]] scores: rows of `df` assigned to
+    * the `nprobe` centroids nearest the query. Exposed for the same
+    * recall bookkeeping as [[lshCandidates]] — with a deterministic
+    * quantizer (e.g. `trainIvfCentroids(iters = 0)`, the k lowest-id
+    * vectors) the membership is a pure function of the data, so a SQL
+    * oracle can replay it.
+    */
+  def ivfCandidates(df: DataFrame, vecCol: String, idCol: String,
+      query: Array[Float], centroids: Array[Array[Float]],
+      nprobe: Int = 4): DataFrame = {
     // a malformed query must fail here, not silently mis-probe (the
     // executor-side kernel returns NULL on length mismatch)
     require(centroids.nonEmpty && centroids.forall(_.length == query.length),
@@ -163,13 +196,10 @@ object Similarity {
     }
     val probes = centroids.indices
       .sortBy(c => -cos(centroids(c), query)).take(nprobe)
-    val q = array(query.map(lit): _*)
-    val Seq(cc, cosC) = Cols.fresh(Seq("_c", "cos"), df.columns)
+    val cc = Cols.fresh("_c", df.columns)
     df.withColumn(cc, assignCentroid(col(vecCol), centroids))
       .filter(col(cc).isin(probes: _*))
-      .select(col(idCol), VectorOps.cosineNative(col(vecCol), q).as(cosC))
-      .orderBy(desc_nulls_last(cosC), asc_nulls_first(idCol))
-      .limit(k)
+      .select(col(idCol), col(vecCol))
   }
 
   // ---- Product quantization (PQ) ----

@@ -20,8 +20,14 @@ import graft.sources.Tables
   * hamming ≤ 15; true pairs measure ≤ 12). ANN bucket queries get exact-
   * mode gates (probe everything ⇒ exact top-k: ss2x, ss4); the rolling
   * frame hash is defined mod 1e9+7 so checked-arithmetic engines can
-  * replay it. Only the PRUNED ANN operating points (ss2, ss3) stay
-  * recall-spec-checked — approximation itself isn't SQL-expressible.
+  * replay it. The PRUNED ANN operating points (ss2, ss3) are hash-gated
+  * too: their candidate sets are deterministic functions of (data,
+  * committed seeds), so the oracle replays the pruned search itself —
+  * seed-42 hyperplanes inlined as literals for LSH, the iters=0 lowest-id
+  * quantizer reselected from data for IVF — and the rows emit integer
+  * (n_probed, recall@10-permille vs the exact twin). Lloyd-TRAINED
+  * centroids stay recall-spec-checked (ULP-order-dependent across
+  * engines); RECALL_AUDIT carries the at-scale evidence.
   */
 object LlmData {
 
@@ -41,6 +47,72 @@ object LlmData {
     """SELECT doc_id, text FROM documents
       |UNION ALL
       |SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  // ---- ss2/ss3 pruned-ANN oracle generators --------------------------
+  // The pruned candidate set is a deterministic function of (data, seed),
+  // so the oracle replays the ENTIRE pruned search: the committed seed-42
+  // hyperplanes are inlined as double literals (Double.toString round-trips
+  // the exact double), and dot/cosine are sequential double folds in both
+  // engines, so sign and ranking decisions agree. Outputs are integers
+  // (query_vec, n_probed, recall_permille) per the repo's no-floats rule.
+
+  private def sqlArr(p: Array[Double]): String = p.mkString("[", ", ", "]")
+
+  private lazy val ss2OracleSql: String = {
+    val planes = Similarity.hyperplanes(64, 4, 42L)
+    def bucket(v: String) = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product($v, ${sqlArr(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", "\n      + ", ")")
+    val per = (0 to 4).map { qid =>
+      s"""(WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |    FROM embeddings WHERE vec_id <> $qid),
+         |  q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |    FROM embeddings WHERE vec_id = $qid),
+         |  bk AS (SELECT vec_id, v, ${bucket("v")} AS bucket FROM b),
+         |  qb AS (SELECT ${bucket("qv")} AS qbucket, qv FROM q),
+         |  cand AS (SELECT bk.vec_id, bk.v, qb.qv FROM bk, qb
+         |    WHERE bit_count(xor(bucket, qbucket)) <= 1),
+         |  approx AS (SELECT vec_id FROM cand
+         |    ORDER BY list_cosine_similarity(v, qv) DESC, vec_id LIMIT 10),
+         |  exact AS (SELECT vec_id FROM b, q
+         |    ORDER BY list_cosine_similarity(v, qv) DESC, vec_id LIMIT 10)
+         |SELECT CAST($qid AS BIGINT) AS query_vec,
+         |  CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_probed,
+         |  CAST((SELECT count(*) FROM approx JOIN exact USING (vec_id)) * 100
+         |    AS BIGINT) AS recall_permille)""".stripMargin
+    }
+    per.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY query_vec")
+  }
+
+  private lazy val ss3OracleSql: String = {
+    val per = (0 to 4).map { qid =>
+      s"""(WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |    FROM embeddings WHERE vec_id <> $qid),
+         |  q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |    FROM embeddings WHERE vec_id = $qid),
+         |  cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv
+         |    FROM (SELECT vec_id, v FROM b ORDER BY vec_id LIMIT 8)),
+         |  probes AS (SELECT cidx FROM cent, q
+         |    ORDER BY COALESCE(list_cosine_similarity(cv, qv), -2.0) DESC, cidx
+         |    LIMIT 6),
+         |  assign AS (SELECT vec_id, v, cidx FROM (
+         |    SELECT b.vec_id, b.v, cent.cidx,
+         |      row_number() OVER (PARTITION BY b.vec_id
+         |        ORDER BY COALESCE(list_cosine_similarity(b.v, cent.cv), -2.0)
+         |          DESC, cent.cidx) AS rn
+         |    FROM b CROSS JOIN cent) WHERE rn = 1),
+         |  cand AS (SELECT a.vec_id, a.v FROM assign a JOIN probes USING (cidx)),
+         |  approx AS (SELECT vec_id FROM cand, q
+         |    ORDER BY list_cosine_similarity(v, qv) DESC, vec_id LIMIT 10),
+         |  exact AS (SELECT vec_id FROM b, q
+         |    ORDER BY list_cosine_similarity(v, qv) DESC, vec_id LIMIT 10)
+         |SELECT CAST($qid AS BIGINT) AS query_vec,
+         |  CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_probed,
+         |  CAST((SELECT count(*) FROM approx JOIN exact USING (vec_id)) * 100
+         |    AS BIGINT) AS recall_permille)""".stripMargin
+    }
+    per.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY query_vec")
+  }
 
   /** brute-force word-3-shingle Jaccard pairs ≥ 4/5 in DuckDB (the LSH
     * oracle; recall argument in the scaladoc above)
@@ -379,18 +451,39 @@ object LlmData {
              |  e.vec_id LIMIT 10""".stripMargin),
       bench = true),
 
-    // SS2 — LSH-bucketed ANN top-k (hash-specific: recall vs ss1 is
-    // spec-checked; driver records rows-only)
+    // SS2 — the PRUNED LSH operating point, driver-checkable: per query
+    // vector, (candidate count, recall@10 vs the exact twin computed in
+    // the same job) as integers. The candidate membership is a
+    // deterministic function of (data, committed seed-42 hyperplanes), so
+    // the oracle replays the whole pruned search in SQL — the plane
+    // constants are inlined into the oracle text at generation time, and
+    // both engines take the same sign decisions because dot products are
+    // sequential double folds on both sides. The at-scale recall evidence
+    // (10x/100x replicas) stays in RECALL_AUDIT; this row makes the
+    // operating point itself hash-gated instead of rows-only.
     Q("ss2_ann_lsh",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val query = emb.filter(col("vec_id") === 0)
-          .select("embedding").head().getSeq[Float](0).toArray
-        Similarity.lshTopK(
-          emb.filter(col("vec_id") =!= 0), "embedding", "vec_id", query, 10)
-          .select("vec_id")
+        val rows = (0L to 4L).map { qid =>
+          val query = emb.filter(col("vec_id") === qid)
+            .select("embedding").head().getSeq[Float](0).toArray
+          val base = emb.filter(col("vec_id") =!= qid)
+          val approx = Similarity.lshTopK(
+            base, "embedding", "vec_id", query, 10).select("vec_id")
+          val exact = Similarity.bruteForceTopK(
+            base, "embedding", "vec_id", query, 10).select("vec_id")
+          val nProbed = Similarity.lshCandidates(
+            base, "embedding", "vec_id", query)
+            .agg(count(lit(1)).as("n_probed"))
+          val hits = approx.join(exact, Seq("vec_id"))
+            .agg(count(lit(1)).as("hits"))
+          nProbed.crossJoin(hits).select(
+            lit(qid).as("query_vec"), col("n_probed"),
+            (col("hits") * 100).as("recall_permille"))
+        }
+        rows.reduce(_.unionByName(_)).orderBy("query_vec")
       },
-      None),
+      Some(ss2OracleSql)),
 
     // SS2X — LSH probed exhaustively (probeHamming = nbits): every bucket
     // is probed, the candidate set is the whole corpus, and the result is
@@ -743,23 +836,41 @@ object LlmData {
              |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings)
              |ORDER BY vec_id""".stripMargin)),
 
-    // SS3 — IVF ANN top-k (trained coarse quantizer; hash/centroid-
-    // specific → rows-only, recall spec-checked)
+    // SS3 — the PRUNED IVF operating point, driver-checkable the same
+    // way as ss2: per query vector, (candidate count, recall@10 vs the
+    // exact twin) as integers. The quantizer here is the DETERMINISTIC
+    // iters=0 one — centroids are the 8 lowest-id base vectors, a pure
+    // function of the data the oracle reselects in SQL (Lloyd-trained
+    // centroids are ULP-order-dependent across engines, so the TRAINED
+    // operating point stays recall-gated in LlmOpsSpec/RECALL_AUDIT
+    // rather than hash-gated). Cell assignment (first-max argmax over
+    // centroid cosines) and probe ranking replay exactly.
     Q("ss3_ann_ivf",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val query = emb.filter(col("vec_id") === 0)
-          .select("embedding").head().getSeq[Float](0).toArray
-        val centroids = Similarity.trainIvfCentroids(emb, "embedding", "vec_id", k = 8, iters = 3)
-        // nprobe=6: the measured recall@10 >= 0.9 operating point on this
-        // corpus (no planted near neighbors — worst-case ANN regime; see
-        // README recall table)
-        Similarity.ivfTopK(
-          emb.filter(col("vec_id") =!= 0), "embedding", "vec_id", query, 10,
-          centroids, nprobe = 6)
-          .select("vec_id")
+        val rows = (0L to 4L).map { qid =>
+          val query = emb.filter(col("vec_id") === qid)
+            .select("embedding").head().getSeq[Float](0).toArray
+          val base = emb.filter(col("vec_id") =!= qid)
+          val centroids = Similarity.trainIvfCentroids(
+            base, "embedding", "vec_id", k = 8, iters = 0)
+          val approx = Similarity.ivfTopK(
+            base, "embedding", "vec_id", query, 10, centroids, nprobe = 6)
+            .select("vec_id")
+          val exact = Similarity.bruteForceTopK(
+            base, "embedding", "vec_id", query, 10).select("vec_id")
+          val nProbed = Similarity.ivfCandidates(
+            base, "embedding", "vec_id", query, centroids, nprobe = 6)
+            .agg(count(lit(1)).as("n_probed"))
+          val hits = approx.join(exact, Seq("vec_id"))
+            .agg(count(lit(1)).as("hits"))
+          nProbed.crossJoin(hits).select(
+            lit(qid).as("query_vec"), col("n_probed"),
+            (col("hits") * 100).as("recall_permille"))
+        }
+        rows.reduce(_.unionByName(_)).orderBy("query_vec")
       },
-      None),
+      Some(ss3OracleSql)),
 
     // SS4 — IVF probed exhaustively (nprobe = nlist): the candidate set
     // is the whole corpus, so the result is the exact top-k — which makes

@@ -46,7 +46,10 @@ BOUNDED_PREFIXES = (
     # generated sides are sf-independent; fj1 is excluded above —
     # its all-pairs oracle is quadratic in the replica factor)
     "sk3", "sk4", "sk5", "s7_", "dq3", "pm1", "pm2", "gr1", "ii1",
-    "rf27", "rf28", "cc2", "ts3", "ts4", "gr2", "dq4")
+    "rf27", "rf28", "cc2", "ts3", "ts4", "gr2", "dq4",
+    # round-9: pruned-ANN recall rows — oracle replays the pruned search
+    # (bucketing/assignment is n×nbits / n×k dot products, linear)
+    "ss2_ann", "ss3_ann")
 
 
 def main():
@@ -57,7 +60,7 @@ def main():
     oracle = json.loads((REPO / "ORACLE_SQL.json").read_text())
     keep = sorted(n for n in oracle
                   if not n.startswith(("dd", "ss", "mm", "fj", "sj1", "sql2", "cur6"))) + [
-        "ss1_cosine_topk", "dd13_span_dedup",
+        "ss1_cosine_topk", "dd13_span_dedup", "ss2_ann_lsh", "ss3_ann_ivf",
         "ddf5_span_splice", "mm5_wav_meta"]  # linear oracles in excluded prefixes
     if bounded:
         keep = [n for n in keep if n.startswith(BOUNDED_PREFIXES)]

@@ -303,9 +303,21 @@ object Multimodal {
       } else if (cc == "data") {
         data = Some(size)
       }
+      // size is an UNSIGNED u32: a malformed/hostile size >= 2^31 would
+      // make size.toInt negative and the walk could stop advancing
+      // (size 0xFFFFFFF8 gives advance 0 — an executor-task spin). Any
+      // declared size past Int.MaxValue cannot fit a JVM array anyway:
+      // reject the payload instead of trusting the chunk.
+      if (size > Int.MaxValue.toLong) return None
       i += 8 + size.toInt + (size.toInt & 1)
     }
-    for ((ch, rate, bits) <- fmt; d <- data) yield (ch, rate, bits, d)
+    // a zero-channel / zero-bit fmt chunk would divide-by-zero downstream
+    // (blockAlign = channels*bits/8); malformed ⇒ not WAV
+    fmt match {
+      case Some((ch, rate, bits))
+        if ch <= 0 || bits <= 0 || rate <= 0 || ch * bits < 8 => None
+      case _ => for ((ch, rate, bits) <- fmt; d <- data) yield (ch, rate, bits, d)
+    }
   }
 
   /** Deterministic REAL-header WAV payload (the audio half of the

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -54,12 +53,24 @@ object SetSimJoin {
       .filter(size(col("_toks")) > 0)
 
     // global token order: frequency asc, token asc -> dense index.
-    // Vocabulary-grain: the sort is over distinct tokens, not the corpus.
+    // Vocabulary-grain, and DISTRIBUTED: orderBy is a range-partitioned
+    // total sort, and zipWithIndex assigns contiguous per-partition
+    // offsets from one tiny count job — no single-partition window (the
+    // row_number().over(Window.orderBy(...)) it replaces serialized the
+    // whole vocabulary through one task, a chokepoint at web-corpus
+    // vocabularies). zipWithIndex runs its offset job eagerly at plan
+    // build; the data pass itself stays lazy. The (freq, token) order is
+    // total, so the resulting index is deterministic regardless of
+    // partition boundaries.
+    val ss = df.sparkSession
+    import ss.implicits._
     val vocab = docs.select(explode(col("_toks")).as("_tok"))
       .groupBy("_tok").agg(count(lit(1)).as("_freq"))
-      .withColumn("_tidx",
-        row_number().over(Window.orderBy(col("_freq"), col("_tok"))).cast(LongType))
-      .select("_tok", "_tidx")
+      .orderBy(col("_freq"), col("_tok"))
+      .select(col("_tok")).as[String]
+      .rdd.zipWithIndex()
+      .map { case (t, i) => (t, i + 1L) }
+      .toDF("_tok", "_tidx")
 
     // per doc: sorted index array + prefix slice
     val indexed = docs.select(col("_id"), explode(col("_toks")).as("_tok"))

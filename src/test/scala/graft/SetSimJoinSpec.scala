@@ -60,6 +60,17 @@ class SetSimJoinSpec extends SparkSpec {
       plan)
   }
 
+  test("vocabulary ranking has no single-partition window stage") {
+    // pre-round-9 the dense token index came from row_number() over an
+    // unpartitioned Window.orderBy — the whole vocabulary through one
+    // task. The two-pass rank (range sort + zipWithIndex offsets) must
+    // leave NO window operator anywhere in the plan.
+    val docs = (1L to 50L).map(i => i -> Seq(s"t${i % 7}", s"t${i % 11}", s"t${i % 13}"))
+    val plan = SetSimJoin.jaccardSelfJoin(docs.toDF("id", "toks"), "id", "toks", 1, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("maxBucket guard drops a degenerate token instead of exploding") {
     // every doc shares prefix token "hot" (freq-asc order puts rare first,
     // so make EVERY token identical -> prefix = the hot token)

@@ -58,11 +58,29 @@ object LlmData {
 
   private def sqlArr(p: Array[Double]): String = p.mkString("[", ", ", "]")
 
-  private lazy val ss2OracleSql: String = {
+  /** the seed-42 LSH bucket of DOUBLE[] expression `v`, as DuckDB SQL
+    * with the hyperplane constants inlined
+    */
+  private def lshBucketSql(v: String): String = {
     val planes = Similarity.hyperplanes(64, 4, 42L)
-    def bucket(v: String) = planes.zipWithIndex.map { case (p, i) =>
+    planes.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN list_dot_product($v, ${sqlArr(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", "\n      + ", ")")
+  }
+
+  private lazy val ss1bOracleSql: String =
+    s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |    FROM embeddings WHERE vec_id <> 0),
+       |  q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+       |    FROM embeddings WHERE vec_id = 0),
+       |  bk AS (SELECT vec_id, v, ${lshBucketSql("v")} AS bucket FROM b),
+       |  qb AS (SELECT ${lshBucketSql("qv")} AS qbucket, qv FROM q)
+       |SELECT bk.vec_id FROM bk, qb
+       |WHERE bit_count(xor(bucket, qbucket)) <= 1
+       |ORDER BY list_cosine_similarity(v, qv) DESC, vec_id LIMIT 10""".stripMargin
+
+  private lazy val ss2OracleSql: String = {
+    def bucket(v: String) = lshBucketSql(v)
     val per = (0 to 4).map { qid =>
       s"""(WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |    FROM embeddings WHERE vec_id <> $qid),
@@ -448,7 +466,38 @@ object LlmData {
              |  (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0) _q
              |WHERE e.vec_id <> 0
              |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q) DESC,
-             |  e.vec_id LIMIT 10""".stripMargin),
+             |  e.vec_id LIMIT 10""".stripMargin)),
+
+    // SS1B — ANN top-k through the bucket-PARTITIONED LSH layout: the
+    // bench's standing-pipeline ANN row (replacing ss1's full-scan as
+    // the headliner — ss1 stays as the exact-twin correctness row). The
+    // corpus is written once partitioned by its seed-42 LSH bucket
+    // (fingerprint-keyed, amortized like any database index); a query
+    // then prunes to the hamming-1 probe buckets AT THE FILE INDEX —
+    // the scan's PartitionFilters do the work and ~(nbits+1)/2^nbits of
+    // the corpus is read (plan-guarded in LlmOpsSpec). Output is the
+    // pruned top-10 (ss2's operating point for query vec 0), replayed
+    // by the oracle from the inlined hyperplanes.
+    Q("ss1b_cosine_topk_indexed",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val idxPath = Similarity.ensureLshBucketLayout(emb, "embedding", dir)
+        val idx = s.read.parquet(idxPath)
+        val query = emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).toArray
+        val planes = Similarity.hyperplanes(64, 4)
+        val qBits = planes.zipWithIndex.map { case (p, i) =>
+          if (p.zip(query).map { case (a, b) => a * b.toDouble }.sum >= 0.0)
+            1L << i
+          else 0L
+        }.sum
+        val probes = qBits +: (0 until 4).map(i => qBits ^ (1L << i))
+        Similarity.bruteForceTopK(
+          idx.filter(col("bucket").isin(probes: _*) && col("vec_id") =!= 0),
+          "embedding", "vec_id", query, 10)
+          .select("vec_id")
+      },
+      Some(ss1bOracleSql),
       bench = true),
 
     // SS2 — the PRUNED LSH operating point, driver-checkable: per query

@@ -447,6 +447,33 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("bucket-partitioned LSH layout: partition-pruned probe == lshTopK") {
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val idxPath = Similarity.ensureLshBucketLayout(emb, "embedding", sf)
+    val idx = spark.read.parquet(idxPath)
+    val planes = Similarity.hyperplanes(64, 4)
+    val qBits = planes.zipWithIndex.map { case (p, i) =>
+      if (p.zip(query).map { case (a, b) => a * b.toDouble }.sum >= 0.0) 1L << i
+      else 0L
+    }.sum
+    val probes = qBits +: (0 until 4).map(i => qBits ^ (1L << i))
+    val probed = Similarity.bruteForceTopK(
+      idx.filter(col("bucket").isin(probes: _*) && col("vec_id") =!= 0),
+      "embedding", "vec_id", query, 10).select("vec_id")
+    // the pruning must happen at the FILE index: the scan's partition
+    // filters carry the bucket predicate, so unprobed buckets are never
+    // scheduled (the ss1b bench row's whole point)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.split("PartitionFilters", 2)(1).take(200).contains("bucket"), plan)
+    // and the probed result is exactly the operator path's pruned top-k
+    val expected = Similarity.lshTopK(rest, "embedding", "vec_id", query, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(probed.as[Long].collect().toSeq == expected)
+  }
+
   test("exact dedup representative selection") {
     val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "text")
     val r = Dedup.exact(df, Seq("text"), "doc_id")

@@ -36,8 +36,13 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 SRC = "/root/testdata/sf0.1"
+# ss1b (round 9) replaced ss1 as the ANN headliner: the bench-flagged
+# registry row now probes the bucket-partitioned LSH layout with file-
+# level partition pruning (the amortized standing-pipeline shape the
+# ss1_amortization probe below always argued for); ss1 stays in the
+# registry as the exact-twin correctness row.
 QS = ("q1_pricing_summary,q3_shipping_priority,q5_local_supplier,"
-      "q6_revenue_delta,q18_big_orders,q19_disjunctive,ss1_cosine_topk")
+      "q6_revenue_delta,q18_big_orders,q19_disjunctive,ss1b_cosine_topk_indexed")
 SCALES = [
     ("1x", SRC, 1),
     ("10x", "/tmp/bsx10", 10),

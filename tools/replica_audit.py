@@ -49,7 +49,7 @@ BOUNDED_PREFIXES = (
     "rf27", "rf28", "cc2", "ts3", "ts4", "gr2", "dq4",
     # round-9: pruned-ANN recall rows — oracle replays the pruned search
     # (bucketing/assignment is n×nbits / n×k dot products, linear)
-    "ss2_ann", "ss3_ann")
+    "ss2_ann", "ss3_ann", "ss1b")
 
 
 def main():
@@ -61,6 +61,7 @@ def main():
     keep = sorted(n for n in oracle
                   if not n.startswith(("dd", "ss", "mm", "fj", "sj1", "sql2", "cur6"))) + [
         "ss1_cosine_topk", "dd13_span_dedup", "ss2_ann_lsh", "ss3_ann_ivf",
+        "ss1b_cosine_topk_indexed",
         "ddf5_span_splice", "mm5_wav_meta"]  # linear oracles in excluded prefixes
     if bounded:
         keep = [n for n in keep if n.startswith(BOUNDED_PREFIXES)]

@@ -13,6 +13,14 @@ import graft.operators.Dedup
 case class DedupBucket(ids: Array[Long], texts: Array[String],
     overflowed: Boolean)
 
+/** [[DedupBucket]] plus per-member event times — the windowed-retention
+  * state ([[DocStreams.nearDupPairsWindowed]]). `tss` stays parallel to
+  * `ids` even when an overflow drops the texts, so expired members of a
+  * hot bucket still age out and the bucket eventually resets.
+  */
+case class DedupBucketT(ids: Array[Long], texts: Array[String],
+    tss: Array[Long], overflowed: Boolean)
+
 /** One emitted near-dup pair (`ida < idb`, exact-verified). */
 case class NearDupPair(ida: Long, idb: Long)
 
@@ -47,9 +55,10 @@ case class NearDupPair(ida: Long, idb: Long)
   * 100 TB posture: state lives in the state store (RocksDB off-heap in
   * production), partitioned by bucket key; memory per bucket is capped
   * (`maxBucket` members × text bytes). Unbounded corpus growth is real
-  * state growth — the same truth the batch band INDEX has — so
-  * production deployments bound it with the store's TTL (dedup horizon)
-  * or periodic compaction of the index to a static corpus probed via
+  * state growth — the same truth the batch band INDEX has — so standing
+  * deployments use [[nearDupPairsWindowed]], which bounds state to the
+  * dedup horizon via event-time eviction, or periodically compact the
+  * index to a static corpus probed via
   * [[graft.operators.Dedup.incrementalNearDups]]. Carrying the text
   * into the bucket is what makes in-state verification EXACT; an
   * estimate-only variant would carry the 64-long signature instead
@@ -120,6 +129,118 @@ object DocStreams {
             i += 1
           }
           state.update(DedupBucket(ids, texts, over))
+          out.result().iterator
+      }
+  }
+
+  /** Windowed-retention near-dup pairs: like [[nearDupPairs]], but each
+    * document carries an event time (`tsCol`) and only pairs with
+    * documents within `horizonMs` of it — the DEDUP HORIZON. This is
+    * what bounds the state that [[nearDupPairs]] (by design, for the
+    * batch-parity proof) grows without limit: members whose event time
+    * has fallen `horizonMs` behind the watermark can never pair with a
+    * future document (the watermark already drops later arrivals), so
+    * they are evicted, and a bucket whose members have all aged out is
+    * REMOVED from the store — FunnelStream's buffer discipline applied
+    * to the band index. State is bounded by (docs per horizon) × bands,
+    * independent of total corpus age.
+    *
+    * `docs` must already carry a watermark on `tsCol`
+    * (`.withWatermark(tsCol, delay)`) — event-time timeouts require it,
+    * and the allowed lateness is the caller's trade to make.
+    *
+    * Semantics under the horizon: the emitted pair set over any stream
+    * prefix equals the batch pipeline's pairs RESTRICTED to
+    * |ts_a − ts_b| ≤ horizon (parity-specced); an overflowed bucket
+    * resumes pairing once its hot burst ages out; an evicted id that is
+    * re-delivered with a fresh in-window timestamp is a new document by
+    * definition of the horizon.
+    */
+  def nearDupPairsWindowed(spark: SparkSession, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      tsCol: String = "ts", horizonMs: Long = 7L * 24 * 3600 * 1000,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshNum: Int = 4, threshDen: Int = 5, seed: Long = 42L,
+      maxBucket: Int = 1000): Dataset[NearDupPair] = {
+    import spark.implicits._
+    require(horizonMs > 0, "dedup horizon must be positive")
+    val cs = Dedup.coeffs(numHashes, seed)
+    // banding via a column-level kernel (same per-doc Dedup.bandHashes,
+    // still partition-local): the watermarked event-time column must
+    // SURVIVE to the stateful operator for EventTimeTimeout, and an
+    // object-level mapPartitions round-trip would strip its watermark
+    // metadata (FunnelStream's "watermark column must survive" rule)
+    val bandUdf = udf { text: String =>
+      val bh = Dedup.bandHashes(text, n, numHashes, bands, cs)
+      bh.indices.map(b => (b, bh(b)))
+    }
+    // the watermarked tsCol is passed through UNALIASED: even an
+    // identity cast/rename would mint a metadata-free attribute and the
+    // event-time timeout would reject the plan
+    val banded = docs
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"),
+        col(tsCol))
+      .withColumn("_bh", explode(bandUdf(col("text"))))
+      .select(col("id"), col("_bh._1").as("band"), col("_bh._2").as("bhash"),
+        col("text"), col(tsCol))
+      .as[(Long, Int, Long, String, java.sql.Timestamp)]
+
+    banded
+      .groupByKey { case (_, band, bhash, _, _) => (band, bhash) }
+      .flatMapGroupsWithState[DedupBucketT, NearDupPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state: GroupState[DedupBucketT]) =>
+          val st = state.getOption.getOrElse(DedupBucketT(
+            Array.emptyLongArray, Array.empty[String],
+            Array.emptyLongArray, overflowed = false))
+          // evict dead members first: a future doc arrives with event
+          // time >= watermark, and pairs only within the horizon, so
+          // ts < watermark - horizon can never pair again
+          val cutoff = state.getCurrentWatermarkMs() - horizonMs
+          val keep = st.tss.indices.filter(st.tss(_) >= cutoff).toArray
+          var ids = keep.map(st.ids)
+          var tss = keep.map(st.tss)
+          var texts = if (st.overflowed) st.texts else keep.map(st.texts)
+          // a fully-aged-out bucket resets (including its overflow flag)
+          var over = st.overflowed && ids.nonEmpty
+          if (over) texts = Array.empty[String]
+
+          val out = Seq.newBuilder[NearDupPair]
+          // id-sorted intake, as in nearDupPairs
+          val incoming = rows.toArray.sortBy(_._1)
+          var i = 0
+          while (i < incoming.length) {
+            val (id, _, _, text, tsRaw) = incoming(i)
+            val ts = tsRaw.getTime
+            if (!over && !ids.contains(id)) {
+              if (ids.length >= maxBucket) {
+                over = true
+                texts = Array.empty[String]
+              } else {
+                var j = 0
+                while (j < ids.length) {
+                  if (math.abs(tss(j) - ts) <= horizonMs &&
+                      Dedup.jaccardAtLeast(texts(j), text, n, threshNum, threshDen)) {
+                    val (a, b) = if (ids(j) < id) (ids(j), id) else (id, ids(j))
+                    out += NearDupPair(a, b)
+                  }
+                  j += 1
+                }
+                ids = ids :+ id
+                texts = texts :+ text
+                tss = tss :+ ts
+              }
+            }
+            i += 1
+          }
+          if (ids.isEmpty) state.remove()
+          else {
+            state.update(DedupBucketT(ids, texts, tss, over))
+            // re-arm the eviction alarm: fires once the watermark passes
+            // the youngest member's horizon (always > current watermark,
+            // since survivors have ts >= cutoff)
+            state.setTimeoutTimestamp(tss.max + horizonMs + 1)
+          }
           out.result().iterator
       }
   }

@@ -93,4 +93,69 @@ class DocStreamsSpec extends SparkSpec {
       assert(pairs === 10L, s"cap not enforced: $pairs pairs")
     } finally q.stop()
   }
+
+  test("windowed retention: in-horizon parity with batch, out-of-horizon drop") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = corpus()
+    val hourMs = 3600L * 1000
+    // deterministic event times: doc i lands at base + (i % 7) hours,
+    // except every 4th doc which lands 10 days later — outside a 1-day
+    // horizon of everything else. base > 0: an event time of EXACTLY
+    // epoch 0 equals Spark's initial watermark and is dropped as late.
+    val base = 48L * hourMs
+    def ts(id: Long): Long =
+      if (id % 4 == 0) base + 240L * hourMs + (id % 7) * hourMs
+      else base + (id % 7) * hourMs
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val horizon = 24L * hourMs
+    val q = DocStreams.nearDupPairsWindowed(spark,
+        ms.toDF().toDF("doc_id", "text", "ts")
+          .withWatermark("ts", "0 seconds"),
+        horizonMs = horizon)
+      .writeStream.format("memory").queryName("docdedup_win")
+      .outputMode("append").start()
+    try {
+      // early docs first, then the late cohort — watermark moves forward
+      val (late, early) = docs.partition(_._1 % 4 == 0)
+      Seq(early, late).foreach { b =>
+        ms.addData(b.map { case (id, t) =>
+          (id, t, new java.sql.Timestamp(ts(id))) })
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("docdedup_win")
+        .select("ida", "idb").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batchAll = Dedup.minHashDedup(
+        Tables.load(spark, sf, "documents"), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = batchAll.filter { case (a, b) =>
+        math.abs(ts(a) - ts(b)) <= horizon }
+      assert(streamed === want,
+        "windowed stream diverged from horizon-restricted batch pairs")
+      assert(streamed.nonEmpty && streamed != batchAll,
+        "fixture must exercise both in- and out-of-horizon pairs")
+      // state-size bound: after the late cohort advanced the watermark
+      // 10 days, every early bucket is beyond the horizon and must have
+      // been REMOVED from the store — state rows track only the last
+      // cohort's buckets, not corpus age
+      val lastState = q.lastProgress.stateOperators.head.numRowsTotal
+      val lateOnly = {
+        val ms2 = MemoryStream[(Long, String, java.sql.Timestamp)]
+        val q2 = DocStreams.nearDupPairsWindowed(spark,
+            ms2.toDF().toDF("doc_id", "text", "ts")
+              .withWatermark("ts", "0 seconds"),
+            horizonMs = horizon)
+          .writeStream.format("memory").queryName("docdedup_win_late")
+          .outputMode("append").start()
+        try {
+          ms2.addData(late.map { case (id, t) =>
+            (id, t, new java.sql.Timestamp(ts(id))) })
+          q2.processAllAvailable()
+          q2.lastProgress.stateOperators.head.numRowsTotal
+        } finally q2.stop()
+      }
+      assert(lastState <= lateOnly,
+        s"expired buckets not evicted: $lastState state rows vs $lateOnly for the late cohort alone")
+    } finally q.stop()
+  }
 }

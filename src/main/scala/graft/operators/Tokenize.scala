@@ -91,9 +91,14 @@ object Tokenize {
     * partial sums; only the single argmax row comes to the driver per
     * step (the merge rule), and the merge application is a codegen'd
     * projection. k steps = k bounded jobs, no growing driver state.
+    * Each step stacks one projection onto the symbol frame's lineage, so
+    * every `checkpointEvery` merges the frame is localCheckpoint'ed —
+    * without it, step k re-derives all k-1 prior merges through a
+    * k-deep plan and per-step wall time grows with k (measured flat
+    * with the checkpoint: ProfileBpe / BPE_MEASURE.json).
     */
   def bpeTrain(words: DataFrame, wordCol: String, weightCol: String,
-      steps: Int): Seq[(Int, String, String, Long)] = {
+      steps: Int, checkpointEvery: Int = 20): Seq[(Int, String, String, Long)] = {
     var syms = words.select(col(weightCol).as("n"),
       trim(regexp_replace(col(wordCol), "(.)", "~$1 ")).as("sym"))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
@@ -115,6 +120,8 @@ object Tokenize {
         merges += ((step, l.replace("~", ""), r.replace("~", ""), cnt))
         syms = syms.select(col("n"),
           replace(col("sym"), lit(pat), lit(pat.replace(" ", ""))).as("sym"))
+        if (checkpointEvery > 0 && step % checkpointEvery == 0)
+          syms = syms.localCheckpoint()
       }
     }
     merges.toSeq

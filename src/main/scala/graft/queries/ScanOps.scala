@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.{PrefixSum, TextAnalysis}
+import graft.sources.Tables
+
+/** Scan-primitive pipeline ops: distributed global prefix sums (sequence
+  * packing), per-document LM-proxy scoring, and HLL register sketches.
+  * All-integer outputs per the repo's oracle conventions.
+  */
+object ScanOps {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val tokenSql =
+    """SELECT doc_id, CAST(CASE WHEN nrm = '' THEN 0
+      |  ELSE length(nrm) - length(replace(nrm, ' ', '')) + 1 END AS BIGINT) AS n_tokens
+      |FROM (SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS nrm
+      |  FROM documents)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // PK1 — sequence packing (concat-then-chunk): documents in doc_id
+    // order are packed into fixed 512-token training windows; each doc
+    // reports its global token offset and the first/last window it
+    // lands in. The offset is a GLOBAL prefix sum computed by the
+    // two-pass PrefixSum operator (range sort + broadcast partition
+    // offsets) — no single-partition Window anywhere in the plan
+    // (plan-guarded in PrefixSumSpec); the oracle replays it with the
+    // windowed cumulative sum that is fine at oracle scale.
+    Q("pk1_sequence_pack",
+      (s, dir) => {
+        val L = 512
+        val toks = t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        PrefixSum.exclusive(toks, "doc_id", "n_tokens", "tok_offset")
+          .filter(col("n_tokens") > 0)
+          .withColumn("first_win", expr(s"tok_offset div $L"))
+          .withColumn("last_win", expr(s"(tok_offset + n_tokens - 1) div $L"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, n_tokens,
+              | CAST(cum - n_tokens AS BIGINT) AS tok_offset,
+              | CAST((cum - n_tokens) // 512 AS BIGINT) AS first_win,
+              | CAST((cum - 1) // 512 AS BIGINT) AS last_win
+              |FROM (
+              | SELECT doc_id, n_tokens,
+              |  SUM(n_tokens) OVER (ORDER BY doc_id
+              |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              | FROM ($tokenSql))
+              |WHERE n_tokens > 0
+              |ORDER BY doc_id""".stripMargin)),
+
+    // LM1 — per-document bigram LM-proxy score: for every adjacent word
+    // pair, the corpus conditional frequency floor(1000·c(w1w2)/c(w1)),
+    // averaged per document — the curation signal a count-based language
+    // model gives ("how predictable is this doc"), all-integer so both
+    // engines agree exactly. Plan: one pass builds the bigram/unigram
+    // count tables (vocabulary-bounded → broadcast), one pass scores;
+    // at web scale the bigram table joins by shuffle instead of
+    // broadcast and nothing else changes.
+    Q("lm1_bigram_score",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ws = split(trim(regexp_replace(col("text"), "\\s+", " ")), " ")
+        val docBg = docs.select(col("doc_id"), explode(
+          when(size(ws) < 2, array().cast(ArrayType(StringType)))
+            .otherwise(transform(sequence(lit(1), size(ws) - 1),
+              i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1)))))
+          .as("bg"))
+        val c2 = docBg.groupBy("bg").agg(count(lit(1)).as("c2"))
+        val c1 = docs.select(explode(ws).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c1"))
+        docBg
+          .withColumn("w1", split(col("bg"), " ").getItem(0))
+          .join(broadcast(c2), "bg")
+          .join(broadcast(c1), col("w1") === col("w"))
+          .select(col("doc_id"), expr("c2 * 1000 div c1").as("s"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bg"),
+            expr("CAST(sum(s) div count(1) AS BIGINT)").as("lm_pm"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |  string_split(trim(regexp_replace(text,'\s+',' ','g')),' ') AS ws
+             |  FROM documents),
+             |b AS (SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i+1] AS bg
+             |  FROM d, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) _t),
+             |c2 AS (SELECT bg, count(*) AS c2 FROM b GROUP BY 1),
+             |c1 AS (SELECT w, count(*) AS c1
+             |  FROM (SELECT unnest(ws) AS w FROM d) GROUP BY 1)
+             |SELECT doc_id, count(*) AS n_bg,
+             |  CAST(SUM(c2.c2 * 1000 // c1.c1) // count(*) AS BIGINT) AS lm_pm
+             |FROM b JOIN c2 USING (bg) JOIN c1 ON b.w1 = c1.w
+             |GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
+    // SK6 — HyperLogLog register sketch (Flajolet et al. 2007) over the
+    // distinct-user stream, DETERMINISTIC like sk3/sk4: register index =
+    // first 2 md5 hex chars mod 64, rho = leading zeros of the next 48
+    // hash bits + 1 (49 - unpadded binary length — identical formula in
+    // both engines), register value = max rho. Emitted alongside the
+    // same registers rebuilt by MERGING two half-partials (event_id
+    // parity), the partial-sketches-then-combine identity that matters
+    // at 100 TB — a broken merge diverges from the full build. The
+    // estimator stays in the consumer; registers are the exact,
+    // integer-valued state.
+    Q("sk6_hll_registers",
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+        def regs(df: DataFrame): DataFrame = {
+          val h = md5(col("user_id").cast(StringType))
+          val x = conv(substring(h, 3, 12), 16, 10).cast(LongType)
+          df.select(
+              (conv(substring(h, 1, 2), 16, 10).cast(LongType) % 64).as("reg"),
+              (lit(49L) - length(ltrim(bin(x), "0"))).as("rho"))
+            .groupBy("reg").agg(max(col("rho")).as("rho"))
+        }
+        val full = regs(ev)
+        val merged = regs(ev.filter(col("event_id") % 2 === 0))
+          .withColumnRenamed("rho", "rho0")
+          .join(regs(ev.filter(col("event_id") % 2 === 1))
+            .withColumnRenamed("rho", "rho1"), Seq("reg"), "full_outer")
+          .select(col("reg"),
+            greatest(coalesce(col("rho0"), lit(0L)),
+              coalesce(col("rho1"), lit(0L))).as("rho_merged"))
+        full.join(merged, Seq("reg")).orderBy("reg")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, md5(CAST(user_id AS VARCHAR)) AS h
+             |  FROM events WHERE user_id IS NOT NULL),
+             |r AS (SELECT event_id,
+             |  CAST(CAST(('0x'||substr(h,1,2)) AS UBIGINT) % 64 AS BIGINT) AS reg,
+             |  49 - length(ltrim(bin(CAST(CAST(('0x'||substr(h,3,12)) AS UBIGINT) AS BIGINT)),'0')) AS rho
+             | FROM e),
+             |f AS (SELECT reg, CAST(max(rho) AS BIGINT) AS rho FROM r GROUP BY 1),
+             |h0 AS (SELECT reg, max(rho) AS rho0 FROM r WHERE event_id % 2 = 0 GROUP BY 1),
+             |h1 AS (SELECT reg, max(rho) AS rho1 FROM r WHERE event_id % 2 = 1 GROUP BY 1),
+             |m AS (SELECT reg,
+             |  CAST(greatest(COALESCE(rho0, 0), COALESCE(rho1, 0)) AS BIGINT) AS rho_merged
+             | FROM h0 FULL OUTER JOIN h1 USING (reg))
+             |SELECT reg, rho, rho_merged
+             |FROM f JOIN m USING (reg)
+             |ORDER BY reg""".stripMargin))
+  )
+}

@@ -49,7 +49,10 @@ BOUNDED_PREFIXES = (
     "rf27", "rf28", "cc2", "ts3", "ts4", "gr2", "dq4",
     # round-9: pruned-ANN recall rows — oracle replays the pruned search
     # (bucketing/assignment is n×nbits / n×k dot products, linear)
-    "ss2_ann", "ss3_ann", "ss1b")
+    "ss2_ann", "ss3_ann", "ss1b",
+    # round-9 scan ops: prefix-sum packing, bigram scoring, HLL registers
+    # — all linear-cost oracles
+    "pk1", "lm1", "sk6")
 
 
 def main():

@@ -55,7 +55,10 @@ object RecallAudit {
       id -> (topIds(Similarity.lshTopK(emb.filter(col("vec_id") =!= id),
         "embedding", "vec_id", q, 10)).intersect(exact(id)).size / 10.0)
     }
-    // ss3's exact parameters (LlmData ss3_ann_ivf: k=8, iters=3, nprobe=6)
+    // the Lloyd-TRAINED IVF operating point (k=8, iters=3, nprobe=6):
+    // the registry's ss3 row hash-gates its deterministic iters=0 twin;
+    // trained centroids are ULP-order-dependent across engines, so their
+    // at-scale recall evidence lives here instead
     val centroids = Similarity.trainIvfCentroids(emb, "embedding", "vec_id",
       k = 8, iters = 3)
     val ivf = queries.map { case (id, q) =>

@@ -54,14 +54,19 @@ def render_readme_counts(n_specs, n_green, n_total):
     head = subprocess.run(["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
                           capture_output=True, text=True).stdout.strip()
     begin, end = "<!-- counts:begin -->", "<!-- counts:end -->"
+    tail = (
+        "(every registry row is oracle-gated — the pruned-ANN rows replay "
+        "their candidate sets in SQL since round 9; at-scale recall stays "
+        "audited in RECALL_AUDIT_10x.json)."
+        if n_total == n_green else
+        f"({n_total - n_green} declared no-oracle pruned-ANN rows, "
+        f"recall-gated in spec and audited at 10x — RECALL_AUDIT_10x.json).")
     block = "\n".join([
         begin,
         f"**Status at `{head}`** (auto-rendered by `tools/round_snapshot.py` "
         f"from the run's own outputs, {time.strftime('%Y-%m-%d')}): "
         f"`sbt test` **{n_specs}/{n_specs}**; registry **{n_total}** queries, "
-        f"**{n_green}** oracle-green vs DuckDB at sf0.01 "
-        f"({n_total - n_green} declared no-oracle pruned-ANN rows, "
-        f"recall-gated in spec and audited at 10x — RECALL_AUDIT_10x.json).",
+        f"**{n_green}** oracle-green vs DuckDB at sf0.01 " + tail,
         end])
     p = REPO / "README.md"
     text = p.read_text()

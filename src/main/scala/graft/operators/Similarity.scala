@@ -93,6 +93,12 @@ object Similarity {
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       val planes = hyperplanes(dim, nbits, seed)
       emb.withColumn("bucket", lshBucket(col(vecCol), planes))
+        // cluster the write: without the repartition every write task
+        // emits one small file PER bucket (tasks x 2^nbits files), and a
+        // probe pays scheduling for dozens of tiny splits; clustered, a
+        // bucket is one contiguous file and a probe reads probe-count
+        // files
+        .repartition(1 << nbits, col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(path)
     }
     path

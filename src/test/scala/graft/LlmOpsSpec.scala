@@ -468,6 +468,13 @@ class LlmOpsSpec extends SparkSpec {
     val plan = probed.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") &&
       plan.split("PartitionFilters", 2)(1).take(200).contains("bucket"), plan)
+    // the write must be CLUSTERED: one-ish file per bucket, not one file
+    // per (write task x bucket) — a probe's task count is the file count
+    new java.io.File(idxPath).listFiles().filter(_.getName.startsWith("bucket="))
+      .foreach { d =>
+        val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+        assert(n <= 2, s"${d.getName} has $n files — layout not clustered")
+      }
     // and the probed result is exactly the operator path's pruned top-k
     val expected = Similarity.lshTopK(rest, "embedding", "vec_id", query, 10)
       .select("vec_id").as[Long].collect().toSeq

@@ -61,7 +61,15 @@ object DumpPlans {
       "cur3_token_budget_pack" ->
         "Shard packing: one running-sum window per language partition — no join, no global sort before the ordered output.",
       "s4_three_way_split" ->
-        "Split audit: scan-side portable-hash bucket + single hash aggregate; no join.")
+        "Split audit: scan-side portable-hash bucket + single hash aggregate; no join.",
+      "ss1b_cosine_topk_indexed" ->
+        "ANN through the bucket-partitioned LSH layout: the scan's PartitionFilters prune to the hamming-1 probe buckets at the FILE index (~5/16 of the corpus read, one clustered file per bucket), codegen'd cosine + TakeOrderedAndProject — one job, no full scan, no shuffle.",
+      "pk1_sequence_pack" ->
+        "Sequence packing over the distributed prefix sum: range-sorted scan, per-partition offsets (no Window operator anywhere — the single-partition cumulative-sum stage is gone), arithmetic projections for window ids.",
+      "lm1_bigram_score" ->
+        "Bigram LM scoring: positional bigram explode, vocabulary-grain count tables broadcast into the scoring join, one per-doc aggregate exchange.",
+      "sk6_hll_registers" ->
+        "HLL registers: scan-side md5/bin arithmetic, 64-row register aggregates for full and half-partial builds, broadcastable full-outer merge — sketch-sized payloads only past the first aggregate.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (auto-generated by graft.DumpPlans at sf0.1)\n\n")
     sb.append("Evidence for the plan-shape claims in README: pushed filters, pruned\n")
@@ -75,7 +83,9 @@ object DumpPlans {
       "cc1_contamination", "bp1_boilerplate", "ch1_chunk", "tf1_term_stats",
       "i2_duration_agg", "ss5_pq_exhaustive", "dd10_incremental_dedup",
       "cur3_token_budget_pack", "s4_three_way_split",
-      "q15_top_supplier", "q22_global_sales").foreach { name =>
+      "q15_top_supplier", "q22_global_sales",
+      "ss1b_cosine_topk_indexed", "pk1_sequence_pack", "lm1_bigram_score",
+      "sk6_hll_registers").foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       sb.append(s"\n## $name\n\n${notes(name)}\n\n```\n")
       sb.append(df.queryExecution.explainString(

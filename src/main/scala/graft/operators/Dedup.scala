@@ -560,4 +560,61 @@ object Dedup {
       .localCheckpoint(true) // feeds verifyJaccard three times (see minHashDedup)
     verifyJaccard(cands, df, idCol, textCol, n, threshNum, threshDen)
   }
+
+  /** EXACT duplicated-substring statistics, the character-grain dedup
+    * signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499): for every document, how
+    * many of its length-`l` character windows occur at least twice in
+    * the corpus (anywhere — another document or a repeat within itself),
+    * and how many characters lie inside at least one such duplicated
+    * window (the fraction that exact-substring dedup would cut).
+    *
+    * Distributed shape: one row per character position (hash of the
+    * window starting there — corpus-bytes grain, LINEAR, the same order
+    * of work as tokenization; the paper's suffix array is the
+    * constant-factor-better alternative), one count aggregate over
+    * window hashes (duplicated hashes are a tiny minority), a semi-join
+    * back, and a per-document interval union. The union-length is the
+    * one-pass running-max trick: each interval contributes its extension
+    * beyond the furthest end seen so far, so no island materialization.
+    * Per-doc windows are bounded by document length — the partitionBy
+    * window never serializes the corpus.
+    *
+    * Output: (id, n_chars, total_windows, dup_windows, dup_pm,
+    * covered_chars), docs shorter than `l` excluded. All integers.
+    */
+  def duplicatedSubstringStats(df: DataFrame, idCol: String,
+      textCol: String, l: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(l >= 2, "window length must be >= 2")
+    val docs = df.select(col(idCol), col(textCol).as("_txt"))
+      .filter(length(col("_txt")) >= l)
+    val wins = docs
+      .select(col(idCol),
+        explode(sequence(lit(1L),
+          (length(col("_txt")) - lit(l - 1)).cast(LongType))).as("_pos"),
+        col("_txt"))
+      .select(col(idCol), col("_pos"),
+        md5(col("_txt").substr(col("_pos"), lit(l))).as("_wh"))
+    val dupHashes = wins.groupBy("_wh").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= 2).select("_wh")
+    val dup = wins.join(dupHashes, "_wh").select(col(idCol), col("_pos"))
+    val w = Window.partitionBy(idCol).orderBy("_pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val end = col("_pos") + (l - 1)
+    val contrib = greatest(lit(0L),
+      end - greatest(coalesce(max(end).over(w), lit(0L)), col("_pos") - 1))
+    val stats = dup.withColumn("_contrib", contrib)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("dup_windows"),
+        sum(col("_contrib")).as("covered_chars"))
+    docs.join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        length(col("_txt")).cast(LongType).as("n_chars"),
+        (length(col("_txt")) - lit(l - 1)).cast(LongType).as("total_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("covered_chars"), lit(0L)).as("covered_chars"))
+      // `div`, not `/`: Column./ on longs is DOUBLE division
+      .withColumn("dup_pm", expr("dup_windows * 1000 div total_windows"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.operators.{PrefixSum, TextAnalysis}
+import graft.operators.{Dedup, PrefixSum, TextAnalysis}
 import graft.sources.Tables
 
 /** Scan-primitive pipeline ops: distributed global prefix sums (sequence
@@ -97,6 +97,43 @@ object ScanOps {
              |FROM b JOIN c2 USING (bg) JOIN c1 ON b.w1 = c1.w
              |GROUP BY doc_id
              |ORDER BY doc_id""".stripMargin)),
+
+    // DD15 — exact duplicated-substring statistics (Lee et al. 2022):
+    // per document, the length-50 character windows that occur >= 2
+    // times anywhere in the corpus, and the characters covered by at
+    // least one such window — the span-level cut an exact-substring
+    // dedup pass would make (dd13 is the paragraph-grain sibling).
+    // Linear corpus-bytes work: position-window hashes, one count
+    // aggregate, per-doc interval union by the running-max trick.
+    Q("dd15_substring_dedup",
+      (s, dir) => Dedup.duplicatedSubstringStats(
+        t(s, dir, "documents"), "doc_id", "text", l = 50)
+        .orderBy("doc_id"),
+      Some("""WITH docs AS (SELECT doc_id, text FROM documents
+             |  WHERE length(text) >= 50),
+             |w AS (SELECT doc_id, i AS pos, md5(substr(text, i, 50)) AS wh
+             |  FROM docs, LATERAL
+             |   (SELECT unnest(generate_series(1, length(text) - 49)) AS i) _t),
+             |dh AS (SELECT wh FROM w GROUP BY wh HAVING count(*) >= 2),
+             |d AS (SELECT doc_id, pos FROM w JOIN dh USING (wh)),
+             |u AS (SELECT doc_id,
+             |  greatest(0, (pos + 49) - greatest(
+             |    COALESCE(max(pos + 49) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0),
+             |    pos - 1)) AS contrib
+             |  FROM d),
+             |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_windows,
+             |  CAST(sum(contrib) AS BIGINT) AS covered_chars
+             |  FROM u GROUP BY doc_id)
+             |SELECT docs.doc_id,
+             |  CAST(length(text) AS BIGINT) AS n_chars,
+             |  CAST(length(text) - 49 AS BIGINT) AS total_windows,
+             |  COALESCE(dup_windows, 0) AS dup_windows,
+             |  COALESCE(covered_chars, 0) AS covered_chars,
+             |  CAST(COALESCE(dup_windows, 0) * 1000 // (length(text) - 49)
+             |    AS BIGINT) AS dup_pm
+             |FROM docs LEFT JOIN st ON docs.doc_id = st.doc_id
+             |ORDER BY docs.doc_id""".stripMargin)),
 
     // SK6 — HyperLogLog register sketch (Flajolet et al. 2007) over the
     // distinct-user stream, DETERMINISTIC like sk3/sk4: register index =

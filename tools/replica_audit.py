@@ -50,9 +50,9 @@ BOUNDED_PREFIXES = (
     # round-9: pruned-ANN recall rows — oracle replays the pruned search
     # (bucketing/assignment is n×nbits / n×k dot products, linear)
     "ss2_ann", "ss3_ann", "ss1b",
-    # round-9 scan ops: prefix-sum packing, bigram scoring, HLL registers
-    # — all linear-cost oracles
-    "pk1", "lm1", "sk6")
+    # round-9 scan ops: prefix-sum packing, bigram scoring, HLL registers,
+    # substring-dedup stats — all linear-cost oracles
+    "pk1", "lm1", "sk6", "dd15")
 
 
 def main():
@@ -64,7 +64,7 @@ def main():
     keep = sorted(n for n in oracle
                   if not n.startswith(("dd", "ss", "mm", "fj", "sj1", "sql2", "cur6"))) + [
         "ss1_cosine_topk", "dd13_span_dedup", "ss2_ann_lsh", "ss3_ann_ivf",
-        "ss1b_cosine_topk_indexed",
+        "ss1b_cosine_topk_indexed", "dd15_substring_dedup",
         "ddf5_span_splice", "mm5_wav_meta"]  # linear oracles in excluded prefixes
     if bounded:
         keep = [n for n in keep if n.startswith(BOUNDED_PREFIXES)]

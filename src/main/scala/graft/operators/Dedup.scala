@@ -583,12 +583,12 @@ object Dedup {
     * Output: (id, n_chars, total_windows, dup_windows, dup_pm,
     * covered_chars), docs shorter than `l` excluded. All integers.
     */
-  def duplicatedSubstringStats(df: DataFrame, idCol: String,
-      textCol: String, l: Int = 50): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(l >= 2, "window length must be >= 2")
-    val docs = df.select(col(idCol), col(textCol).as("_txt"))
-      .filter(length(col("_txt")) >= l)
+  /** (id, _pos) of every length-`l` window of `docs`(_txt) whose hash
+    * occurs >= 2 times in the corpus — shared by
+    * [[duplicatedSubstringStats]] and [[cutDuplicatedSubstrings]].
+    */
+  private def dupWindowPositions(docs: DataFrame, idCol: String,
+      l: Int): DataFrame = {
     val wins = docs
       .select(col(idCol),
         explode(sequence(lit(1L),
@@ -598,7 +598,16 @@ object Dedup {
         md5(col("_txt").substr(col("_pos"), lit(l))).as("_wh"))
     val dupHashes = wins.groupBy("_wh").agg(count(lit(1)).as("_c"))
       .filter(col("_c") >= 2).select("_wh")
-    val dup = wins.join(dupHashes, "_wh").select(col(idCol), col("_pos"))
+    wins.join(dupHashes, "_wh").select(col(idCol), col("_pos"))
+  }
+
+  def duplicatedSubstringStats(df: DataFrame, idCol: String,
+      textCol: String, l: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(l >= 2, "window length must be >= 2")
+    val docs = df.select(col(idCol), col(textCol).as("_txt"))
+      .filter(length(col("_txt")) >= l)
+    val dup = dupWindowPositions(docs, idCol, l)
     val w = Window.partitionBy(idCol).orderBy("_pos")
       .rowsBetween(Window.unboundedPreceding, -1)
     val end = col("_pos") + (l - 1)
@@ -616,5 +625,65 @@ object Dedup {
         coalesce(col("covered_chars"), lit(0L)).as("covered_chars"))
       // `div`, not `/`: Column./ on longs is DOUBLE division
       .withColumn("dup_pm", expr("dup_windows * 1000 div total_windows"))
+  }
+
+  /** The APPLY step of exact-substring dedup (Lee et al. 2022): rewrite
+    * each document with every duplicated length-`l` window REMOVED — the
+    * union of duplicated windows is merged into maximal islands
+    * (overlapping or adjacent), and the text is rebuilt from the gaps
+    * between them. Documents without duplicated windows (including those
+    * shorter than `l`) pass through unchanged.
+    *
+    * Distributed shape: [[dupWindowPositions]]'s linear scan, island
+    * merging by the running-max window per document (per-doc-bounded
+    * partitions), then one per-doc aggregation that assembles the kept
+    * segments in order — the only text reconstruction is doc-grain.
+    *
+    * Output: (id, kept text as `textCol`).
+    */
+  def cutDuplicatedSubstrings(df: DataFrame, idCol: String,
+      textCol: String, l: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(l >= 2, "window length must be >= 2")
+    val base = df.select(col(idCol), col(textCol).as("_txt"))
+    val docs = base.filter(length(col("_txt")) >= l)
+    val dup = dupWindowPositions(docs, idCol, l)
+
+    val wPrev = Window.partitionBy(idCol).orderBy("_pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prevMax = max(col("_pos") + (l - 1)).over(wPrev)
+    // merge overlapping OR adjacent covered intervals into islands
+    val marked = dup.withColumn("_start",
+      (col("_pos") > coalesce(prevMax, lit(Long.MinValue)) + 1L)
+        .cast(LongType))
+    val wIsl = Window.partitionBy(idCol).orderBy("_pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val islands = marked
+      .withColumn("_isl", sum(col("_start")).over(wIsl))
+      .groupBy(col(idCol), col("_isl"))
+      .agg(min(col("_pos")).as("_s"), (max(col("_pos")) + (l - 1)).as("_e"))
+    // per island: the kept gap BEFORE it; per doc: plus the tail
+    val wLag = Window.partitionBy(idCol).orderBy("_s")
+    val gaps = islands
+      .withColumn("_pe", coalesce(lag(col("_e"), 1).over(wLag), lit(0L)))
+      .join(docs, Seq(idCol))
+      .select(col(idCol), col("_s"),
+        col("_txt").substr((col("_pe") + 1L).cast(IntegerType),
+          (col("_s") - col("_pe") - 1L).cast(IntegerType)).as("_seg"),
+        col("_e"))
+    val rebuilt = gaps
+      .groupBy(idCol)
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("_s"), col("_seg")))),
+          x => x.getField("_seg")), "").as("_head"),
+        max(col("_e")).as("_maxe"))
+      .join(docs, Seq(idCol))
+      .select(col(idCol),
+        concat(col("_head"),
+          col("_txt").substr((col("_maxe") + 1L).cast(IntegerType),
+            length(col("_txt")))).as("_kept"))
+    base.join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("_kept"), col("_txt")).as(textCol))
   }
 }

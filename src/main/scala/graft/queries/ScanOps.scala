@@ -135,6 +135,52 @@ object ScanOps {
              |FROM docs LEFT JOIN st ON docs.doc_id = st.doc_id
              |ORDER BY docs.doc_id""".stripMargin)),
 
+    // DD16 — the APPLY step of dd15: every duplicated length-50 window
+    // is cut, the union of windows merged into maximal islands and the
+    // text rebuilt from the gaps (Lee et al.'s actual dedup transform).
+    // Docs without duplicated windows pass through unchanged; the gate
+    // compares the rebuilt text by length + fingerprint.
+    Q("dd16_substring_cut",
+      (s, dir) => Dedup.cutDuplicatedSubstrings(
+        t(s, dir, "documents"), "doc_id", "text", l = 50)
+        .select(col("doc_id"),
+          length(col("text")).cast(LongType).as("kept_chars"),
+          md5(col("text")).as("kept_fp"))
+        .orderBy("doc_id"),
+      Some("""WITH docs AS (SELECT doc_id, text FROM documents
+             |  WHERE length(text) >= 50),
+             |w AS (SELECT doc_id, i AS pos, md5(substr(text, i, 50)) AS wh
+             |  FROM docs, LATERAL
+             |   (SELECT unnest(generate_series(1, length(text) - 49)) AS i) _t),
+             |dh AS (SELECT wh FROM w GROUP BY wh HAVING count(*) >= 2),
+             |d AS (SELECT doc_id, pos FROM w JOIN dh USING (wh)),
+             |m AS (SELECT doc_id, pos,
+             |  CASE WHEN pos > COALESCE(max(pos + 49) OVER (PARTITION BY doc_id
+             |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |    -4611686018427387904) + 1 THEN 1 ELSE 0 END AS st
+             |  FROM d),
+             |i AS (SELECT doc_id, isl, min(pos) AS s, max(pos) + 49 AS e
+             |  FROM (SELECT doc_id, pos,
+             |    SUM(st) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+             |   FROM m)
+             |  GROUP BY doc_id, isl),
+             |g AS (SELECT doc_id, s, e,
+             |  COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe
+             |  FROM i),
+             |r AS (SELECT g.doc_id,
+             |  string_agg(substr(text, CAST(pe + 1 AS INTEGER),
+             |    CAST(s - pe - 1 AS INTEGER)), '' ORDER BY s) AS head,
+             |  max(e) AS maxe
+             |  FROM g JOIN docs ON g.doc_id = docs.doc_id GROUP BY g.doc_id),
+             |k AS (SELECT d2.doc_id,
+             |  COALESCE(r.head || substr(d2.text, CAST(r.maxe + 1 AS INTEGER)),
+             |    d2.text) AS kept
+             |  FROM documents d2 LEFT JOIN r ON d2.doc_id = r.doc_id)
+             |SELECT doc_id, CAST(length(kept) AS BIGINT) AS kept_chars,
+             |  md5(kept) AS kept_fp
+             |FROM k ORDER BY doc_id""".stripMargin)),
+
     // SK6 — HyperLogLog register sketch (Flajolet et al. 2007) over the
     // distinct-user stream, DETERMINISTIC like sk3/sk4: register index =
     // first 2 md5 hex chars mod 64, rho = leading zeros of the next 48

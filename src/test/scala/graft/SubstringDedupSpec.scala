@@ -39,4 +39,39 @@ class SubstringDedupSpec extends SparkSpec {
     // exactly one window, duplicated only if it repeats — it does not
     assert(m(2L) == ((50L, 1L, 0L, 0L, 0L)))
   }
+
+  test("cutDuplicatedSubstrings rebuilds text from the kept gaps") {
+    val run = (0 until 55).map(i => ('a' + (i * 7 % 26)).toChar).mkString
+    val uniq1 = (0 until 60).map(i => ('a' + (i * 11 % 26)).toChar).mkString
+    val docs = Seq(
+      1L -> "x" * 60,            // fully covered -> empty
+      2L -> uniq1,               // untouched
+      3L -> ("PAD01" + run),     // shared run cut -> prefix survives
+      4L -> (run + "ZQW99"),     // -> suffix survives
+      5L -> "short")             // under the window length -> untouched
+    val kept = Dedup.cutDuplicatedSubstrings(
+      docs.toDF("doc_id", "text"), "doc_id", "text", l = 50)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept(1L) == "")
+    assert(kept(2L) == uniq1)
+    assert(kept(3L) == "PAD01")
+    assert(kept(4L) == "ZQW99")
+    assert(kept(5L) == "short")
+  }
+
+  test("cut: two separated islands keep the middle gap") {
+    // doc 1 repeats doc 2's 50-run at both ends with a unique middle
+    val runA = (0 until 50).map(i => ('a' + (i * 3 % 26)).toChar).mkString
+    val runB = (0 until 50).map(i => ('a' + (i * 5 % 26)).toChar).mkString
+    val docs = Seq(
+      1L -> (runA + "MIDDLE" + runB),
+      2L -> runA,
+      3L -> runB)
+    val kept = Dedup.cutDuplicatedSubstrings(
+      docs.toDF("doc_id", "text"), "doc_id", "text", l = 50)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept(1L) == "MIDDLE")
+    assert(kept(2L) == "")
+    assert(kept(3L) == "")
+  }
 }

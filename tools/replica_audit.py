@@ -52,7 +52,7 @@ BOUNDED_PREFIXES = (
     "ss2_ann", "ss3_ann", "ss1b",
     # round-9 scan ops: prefix-sum packing, bigram scoring, HLL registers,
     # substring-dedup stats — all linear-cost oracles
-    "pk1", "lm1", "sk6", "dd15")
+    "pk1", "lm1", "sk6", "dd15", "dd16")
 
 
 def main():
@@ -64,7 +64,7 @@ def main():
     keep = sorted(n for n in oracle
                   if not n.startswith(("dd", "ss", "mm", "fj", "sj1", "sql2", "cur6"))) + [
         "ss1_cosine_topk", "dd13_span_dedup", "ss2_ann_lsh", "ss3_ann_ivf",
-        "ss1b_cosine_topk_indexed", "dd15_substring_dedup",
+        "ss1b_cosine_topk_indexed", "dd15_substring_dedup", "dd16_substring_cut",
         "ddf5_span_splice", "mm5_wav_meta"]  # linear oracles in excluded prefixes
     if bounded:
         keep = [n for n in keep if n.startswith(BOUNDED_PREFIXES)]

@@ -3,7 +3,8 @@ package graft
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
 
-/** The ss1 fixed-cost amortization measurement (BENCHSCALE.md's
+/** The ANN-headliner fixed-cost amortization measurement (ss1b since
+  * round 9; the JSON key stays ss1_amortization for artifact continuity) (BENCHSCALE.md's
   * remaining >2x row):
   *
   *   Test/runMain graft.ProfileAmortize [sfDir]
@@ -38,7 +39,7 @@ object ProfileAmortize {
 
     val headliners = Seq("q1_pricing_summary", "q3_shipping_priority",
       "q5_local_supplier", "q6_revenue_delta", "q18_big_orders",
-      "q19_disjunctive", "ss1_cosine_topk")
+      "q19_disjunctive", "ss1b_cosine_topk_indexed")
     def run(name: String): Unit = {
       SparkEntry.queries(name)(spark, sfDir).count(); ()
     }
@@ -54,12 +55,12 @@ object ProfileAmortize {
 
     headliners.foreach(run) // warmup: JIT, codegen, gated caches
     def minOf3(f: => Double): Double = Seq.fill(3)(f).min
-    val solo = minOf3 { val t0 = System.nanoTime(); run("ss1_cosine_topk")
+    val solo = minOf3 { val t0 = System.nanoTime(); run("ss1b_cosine_topk_indexed")
       (System.nanoTime() - t0) / 1e9 }
     val batch7 = minOf3(wallClock(headliners))
-    val batch6 = minOf3(wallClock(headliners.filterNot(_ == "ss1_cosine_topk")))
+    val batch6 = minOf3(wallClock(headliners.filterNot(_ == "ss1b_cosine_topk_indexed")))
     val marginal = batch7 - batch6
-    val json = f"""{"metric":"ss1_amortization","sf":"$sfDir",""" +
+    val json = f"""{"metric":"ss1_amortization","query":"ss1b_cosine_topk_indexed","sf":"$sfDir",""" +
       f""""ss1_solo_sec":$solo%.3f,"batch7_sec":$batch7%.3f,""" +
       f""""batch6_sec":$batch6%.3f,"ss1_marginal_sec":$marginal%.3f}"""
     val raw = new java.io.PrintStream(

@@ -21,6 +21,17 @@ object ScanOps {
       |FROM (SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS nrm
       |  FROM documents)""".stripMargin
 
+  /** j-th deterministic Bloom position (of `m`) for key column `c` —
+    * 8 md5 hex chars (32 bits) salted by j, mod m; identical arithmetic
+    * is spelled in the oracle SQL
+    */
+  private def bloomPos(j: Int, c: org.apache.spark.sql.Column, m: Int) =
+    conv(substring(md5(concat(lit(j.toString), c.cast(StringType))), 1, 8),
+      16, 10).cast(LongType) % m
+
+  private def bloomPosSql(j: Int, c: String, m: Int) =
+    s"CAST(CAST(('0x'||substr(md5('$j'||CAST($c AS VARCHAR)),1,8)) AS UBIGINT) % $m AS BIGINT)"
+
   val all: Seq[Q] = Seq(
 
     // PK1 — sequence packing (concat-then-chunk): documents in doc_id
@@ -180,6 +191,66 @@ object ScanOps {
              |SELECT doc_id, CAST(length(kept) AS BIGINT) AS kept_chars,
              |  md5(kept) AS kept_fp
              |FROM k ORDER BY doc_id""".stripMargin)),
+
+    // SK7 — deterministic Bloom filter (Bloom 1970), the runtime-filter
+    // primitive: the distinct order-placing custkeys are folded into a
+    // 4096-bit array (k=3 salted md5 positions — the same deterministic-
+    // hash discipline as sk3/sk4/sk6), then EVERY customer is probed.
+    // Output: the filter's fill, the probe outcomes, and the measured
+    // false-positive count vs exact membership — the number a join
+    // planner trades against shuffle bytes when it pushes the filter
+    // into the fact scan. Mergeability is set-union of positions (the
+    // distinct aggregate IS the merge); at 100 TB the build side is a
+    // distinct-key scan and the probe rides broadcast.
+    Q("sk7_bloom_filter",
+      (s, dir) => {
+        val m = 4096
+        // build side keyed on a custkey subset so the probe has real
+        // negatives (every customer places orders at gate scale — an
+        // all-members probe would measure nothing)
+        val keys = t(s, dir, "orders")
+          .filter(col("o_custkey").isNotNull && col("o_custkey") % 3 =!= 0)
+          .select(col("o_custkey").as("k")).distinct()
+        val bits = keys.select(explode(array(
+          bloomPos(0, col("k"), m), bloomPos(1, col("k"), m),
+          bloomPos(2, col("k"), m))).as("bit")).distinct()
+        val probe = t(s, dir, "customer").select(col("c_custkey").as("c"))
+        def passJ(df: DataFrame, j: Int): DataFrame =
+          df.join(broadcast(bits.withColumnRenamed("bit", s"_b$j")),
+            bloomPos(j, col("c"), m) === col(s"_b$j"), "left_semi")
+        val pass = passJ(passJ(passJ(probe, 0), 1), 2)
+        val truth = probe.join(keys, col("c") === col("k"), "left_semi")
+        val row = bits.agg(count(lit(1)).as("n_bits_set"))
+          .crossJoin(keys.agg(count(lit(1)).as("n_keys")))
+          .crossJoin(probe.agg(count(lit(1)).as("n_probes")))
+          .crossJoin(truth.agg(count(lit(1)).as("n_true_members")))
+          .crossJoin(pass.agg(count(lit(1)).as("n_bloom_pass")))
+        row.select(col("n_keys"), col("n_bits_set"), col("n_probes"),
+          col("n_true_members"), col("n_bloom_pass"),
+          (col("n_bloom_pass") - col("n_true_members")).as("n_false_pos"))
+      },
+      Some {
+        val m = 4096
+        def union3(c: String) = (0 to 2).map(j =>
+          s"SELECT ${bloomPosSql(j, c, m)} AS bit FROM k").mkString("\nUNION ALL\n")
+        s"""WITH k AS (SELECT DISTINCT o_custkey AS k FROM orders
+           |  WHERE o_custkey IS NOT NULL AND o_custkey % 3 <> 0),
+           |b AS (SELECT DISTINCT bit FROM (
+           |${union3("k")})),
+           |p AS (SELECT c_custkey AS c FROM customer),
+           |pass AS (SELECT c FROM p
+           |  WHERE ${bloomPosSql(0, "c", m)} IN (SELECT bit FROM b)
+           |    AND ${bloomPosSql(1, "c", m)} IN (SELECT bit FROM b)
+           |    AND ${bloomPosSql(2, "c", m)} IN (SELECT bit FROM b)),
+           |t AS (SELECT c FROM p WHERE c IN (SELECT k FROM k))
+           |SELECT CAST((SELECT count(*) FROM k) AS BIGINT) AS n_keys,
+           |  CAST((SELECT count(*) FROM b) AS BIGINT) AS n_bits_set,
+           |  CAST((SELECT count(*) FROM p) AS BIGINT) AS n_probes,
+           |  CAST((SELECT count(*) FROM t) AS BIGINT) AS n_true_members,
+           |  CAST((SELECT count(*) FROM pass) AS BIGINT) AS n_bloom_pass,
+           |  CAST((SELECT count(*) FROM pass) -
+           |       (SELECT count(*) FROM t) AS BIGINT) AS n_false_pos""".stripMargin
+      }),
 
     // SK6 — HyperLogLog register sketch (Flajolet et al. 2007) over the
     // distinct-user stream, DETERMINISTIC like sk3/sk4: register index =

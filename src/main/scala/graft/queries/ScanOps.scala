@@ -70,9 +70,11 @@ object ScanOps {
     // averaged per document — the curation signal a count-based language
     // model gives ("how predictable is this doc"), all-integer so both
     // engines agree exactly. Plan: one pass builds the bigram/unigram
-    // count tables (vocabulary-bounded → broadcast), one pass scores;
-    // at web scale the bigram table joins by shuffle instead of
-    // broadcast and nothing else changes.
+    // count tables, one pass scores. The joins carry NO broadcast hint
+    // on purpose: at gate scale AQE broadcasts the vocabulary-sized
+    // counts on its own, and at web scale (where a bigram table can
+    // dwarf executor memory) the same plan degrades to a shuffle join
+    // instead of an OOM — a forced hint would pin the wrong choice.
     Q("lm1_bigram_score",
       (s, dir) => {
         val docs = t(s, dir, "documents")
@@ -87,8 +89,8 @@ object ScanOps {
           .groupBy("w").agg(count(lit(1)).as("c1"))
         docBg
           .withColumn("w1", split(col("bg"), " ").getItem(0))
-          .join(broadcast(c2), "bg")
-          .join(broadcast(c1), col("w1") === col("w"))
+          .join(c2, "bg")
+          .join(c1, col("w1") === col("w"))
           .select(col("doc_id"), expr("c2 * 1000 div c1").as("s"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_bg"),

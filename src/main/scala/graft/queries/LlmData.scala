@@ -641,7 +641,9 @@ object LlmData {
             explode(split(trim(col("text")), "\\s+")).as("tok"))
           .filter(col("tok") =!= "")
         val counts = toks.groupBy("tok").agg(count(lit(1)).as("n"))
-        toks.join(broadcast(counts), "tok")
+        // no broadcast hint: vocabulary-grain counts can outgrow executor
+        // memory at web scale; AQE picks broadcast when they are small
+        toks.join(counts, "tok")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_tokens"),
             sum(expr("1000000 div n")).as("rarity_sum"))
@@ -1289,7 +1291,9 @@ object LlmData {
           .select(col("user_id"), col("event_id"), col("value"), c.as("_c"))
         val stats = base.groupBy("user_id")
           .agg(sum("_c").as("_s"), count(lit(1)).as("_n"))
-        base.join(broadcast(stats), Seq("user_id"))
+        // no broadcast hint: user-grain stats are unbounded at scale; AQE
+        // broadcasts them at gate scale on its own
+        base.join(stats, Seq("user_id"))
           .select(col("user_id"), col("event_id"), col("value"),
             when(col("_n") > 1,
               (col("_s") - col("_c")) / (col("_n") - 1) / 100.0)

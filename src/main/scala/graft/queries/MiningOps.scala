@@ -517,7 +517,9 @@ object MiningOps {
         val deciles = s.range(1, 11).select(col("id").as("decile"))
           .crossJoin(broadcast(mx))
           .select(col("decile"), expr("decile * mx div 10").as("cutoff"))
-        deciles.join(broadcast(firstSeen),
+        // unhinted non-equi join: Spark then broadcasts the 10-row deciles
+        // side, not the vocabulary-grain firstSeen
+        deciles.join(firstSeen,
             col("first_doc") <= col("cutoff"), "left_outer")
           .groupBy("decile", "cutoff")
           .agg(count(col("word")).as("vocab"))

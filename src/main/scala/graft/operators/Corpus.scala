@@ -68,6 +68,41 @@ object Corpus {
       .filter(col("overlap") >= minOverlap)
   }
 
+  /** Asymmetric containment-scored contamination: for every (corpus doc,
+    * probe) pair sharing ≥1 word n-gram, the share of the PROBE's distinct
+    * n-grams that the doc contains, in exact-integer permille. The right
+    * decontamination metric when probes (benchmark items) are much shorter
+    * than documents — Jaccard divides by the union and so under-scores a
+    * probe quoted verbatim inside a long page; containment = 1000 there.
+    *
+    * Scale shape: identical to [[contamination]] — probe grams and probe
+    * sizes are benchmark-sized, so both broadcast; the corpus side is one
+    * explode + broadcast join + partial aggregation, and only colliding
+    * (doc, probe) pairs ever shuffle.
+    */
+  def containment(
+      corpus: DataFrame, docIdCol: String, textCol: String,
+      probes: DataFrame, probeIdCol: String, probeTextCol: String,
+      n: Int, minPermille: Int): DataFrame = {
+    val gram = Cols.fresh("_gram", corpus.columns ++ probes.columns)
+    val docGrams = corpus.select(col(docIdCol),
+      explode(array_distinct(shingles(col(textCol), n))).as(gram))
+    val probeGrams = probes.select(col(probeIdCol),
+      explode(array_distinct(shingles(col(probeTextCol), n))).as(gram))
+    val probeSizes = probeGrams.groupBy(col(probeIdCol))
+      .agg(count(lit(1)).as("probe_grams"))
+    docGrams
+      .join(broadcast(probeGrams), gram)
+      .groupBy(col(docIdCol), col(probeIdCol))
+      .agg(count(lit(1)).as("overlap"))
+      .join(broadcast(probeSizes), probeIdCol)
+      .withColumn("containment_permille",
+        expr("CAST(overlap * 1000 div probe_grams AS BIGINT)"))
+      .filter(col("containment_permille") >= minPermille)
+      .select(col(docIdCol), col(probeIdCol), col("overlap"),
+        col("containment_permille"))
+  }
+
   /** Boilerplate detection: word n-grams appearing in at least `minDocs`
     * distinct documents. One explode + one count-distinct aggregation —
     * the distinct is per (gram, doc) pair first (map-side combinable),

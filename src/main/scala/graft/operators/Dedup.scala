@@ -363,11 +363,15 @@ object Dedup {
       .distinct().cache()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("cluster", col("id"))
-    var previous: DataFrame = null
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // neighbor labels: for each edge a→b, b's current label
+      // neighbor labels: for each edge a→b, b's current label.
+      // localCheckpoint (not cache) each round: a cache leaves the
+      // LOGICAL plan nested 3 levels deeper per round (next references
+      // labels twice + the convergence probe once), which is exponential
+      // tree growth — at ~15+ rounds the optimizer/explain string alone
+      // OOMs. Checkpointing truncates the plan to the materialized blocks.
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "b"), Seq("b"))
         .groupBy(col("a").as("id"))
@@ -375,32 +379,127 @@ object Dedup {
       val next = labels.join(neighborMin, Seq("id"), "left_outer")
         .select(col("id"),
           least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("cluster"))
-        .cache()
+        .localCheckpoint(eager = true)
       val changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
         .filter(col("cluster") =!= col("old")).limit(1).count()
-      if (previous != null) previous.unpersist()
-      previous = labels
       labels = next
       converged = changed == 0
       iter += 1
     }
-    if (previous != null) previous.unpersist()
     // wrong labels are worse than no labels: refuse to return unconverged
     if (!converged) {
-      labels.unpersist(); edges.unpersist()
+      edges.unpersist()
       throw new graft.GraftException(
         s"connectedComponents did not converge in $maxIter iterations " +
-          "(component diameter too large — raise maxIter)")
+          "(component diameter too large — raise maxIter, or use " +
+          "connectedComponentsLogStar whose rounds are O(log n))")
     }
-    // hand back a materialized copy with truncated lineage, then drop the
-    // loop caches — callers were otherwise left holding one cached frame
-    // per call (and an iteration-deep lineage) until they guessed to
-    // unpersist; checkpoint blocks are reclaimed by the ContextCleaner
-    // when the returned frame is GC'd
-    val out = labels.localCheckpoint(eager = true)
-    labels.unpersist()
+    // labels is already a materialized localCheckpoint (truncated
+    // lineage); its blocks are reclaimed by the ContextCleaner when the
+    // returned frame is GC'd
     edges.unpersist()
-    out
+    labels
+  }
+
+  /** Connected components in O(log n) rounds via alternating large-star /
+    * small-star (Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii,
+    * "Connected Components in MapReduce and Beyond", ACM SoCC 2014).
+    *
+    * [[connectedComponents]]' label propagation needs one round per unit
+    * of component DIAMETER — fine for blob-shaped near-dup clusters, but a
+    * re-crawl CHAIN of length d (page edited once per crawl, each version
+    * near-dup only with its neighbors) costs d shuffles. Star contraction
+    * converges in O(log d) rounds regardless of shape:
+    *
+    *  - large-star: every node connects its LARGER neighbors to the
+    *    minimum of its closed neighborhood;
+    *  - small-star: every node connects its smaller neighbors (and
+    *    itself) to the minimum of its smaller neighbors.
+    *
+    * Both are one aggregate + one self-join on node id — the aggregate's
+    * shuffle partitioning is reused by the join, so each half-round is a
+    * single shuffle of the current edge set. The fixpoint is the star
+    * forest: every node points at its component minimum. Output matches
+    * [[connectedComponents]] exactly: (id, cluster=min member id) for
+    * every node that appears in a pair.
+    */
+  def connectedComponentsLogStar(pairs: DataFrame, maxIter: Int = 30): DataFrame =
+    ccLogStar(pairs, maxIter)._1
+
+  /** [[connectedComponentsLogStar]] plus the number of rounds used —
+    * exposed so the spec can assert the logarithmic bound on a long chain.
+    */
+  private[graft] def ccLogStar(pairs: DataFrame, maxIter: Int): (DataFrame, Int) = {
+    val nodes = pairs.select(col("ida").as("id"))
+      .union(pairs.select(col("idb").as("id")))
+      .distinct().localCheckpoint(eager = true)
+
+    // canonical edge orientation: a > b (both star steps emit it this way)
+    var edges = pairs
+      .select(greatest(col("ida"), col("idb")).as("a"),
+        least(col("ida"), col("idb")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct().localCheckpoint(eager = true)
+
+    // large-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u.
+    // Every edge survives via its smaller endpoint's neighborhood.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy("a").agg(min("b").as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      sym.join(mins, "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+
+    // small-star(u): m = min of u's smaller neighbors N(u); emit (v, m)
+    // for v ∈ N(u) ∪ {u} \ {m}. Input is already oriented a > b.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("a").agg(min("b").as("m"))
+      e.join(mins, "a")
+        .select(col("b").as("a"), col("m").as("b"))
+        .union(mins.select(col("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+
+    // converged ⟺ the round was a no-op AND the set is a star forest
+    // (one parent per child, no parent is itself a child) — the second
+    // clause makes the returned labels correct by construction rather
+    // than by appeal to the fixpoint theorem
+    def isStarForest(e: DataFrame): Boolean = {
+      val oneParent = e.groupBy("a").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).limit(1).count() == 0
+      lazy val rootsFlat = e.select(col("b").as("a")).join(e, Seq("a"), "left_semi")
+        .limit(1).count() == 0
+      oneParent && rootsFlat
+    }
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = true)
+      // both sides are distinct canonical sets: equal ⟺ same count and
+      // no row of next outside edges
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).limit(1).count() == 0 &&
+        isStarForest(next)
+      edges = next
+      iter += 1
+    }
+    if (!converged) {
+      throw new graft.GraftException(
+        s"connectedComponentsLogStar did not converge in $maxIter rounds " +
+          "(theoretical bound is O(log n) — raise maxIter)")
+    }
+    // fixpoint = star forest: every non-root points at its component min
+    val labels = nodes
+      .join(edges.select(col("a").as("id"), col("b").as("parent")),
+        Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("parent"), col("id")).as("cluster"))
+      .localCheckpoint(eager = true)
+    (labels, iter)
   }
 
   /** Edit-distance near-dup pairs with LOSSLESS length blocking:

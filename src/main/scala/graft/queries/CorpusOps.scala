@@ -54,6 +54,39 @@ object CorpusOps {
               |GROUP BY 1, 2 HAVING COUNT(*) >= 10
               |ORDER BY doc_id, probe_id""".stripMargin)),
 
+    // CC3 — containment-scored contamination: probes are benchmark-style
+    // SHORT quotes (first 20 words of every 10th doc); a doc is flagged
+    // when it contains ≥80% of a probe's distinct 5-grams. The asymmetric
+    // metric Jaccard can't express: the quoted source doc scores 1000
+    // even though its full gram set dwarfs the probe's.
+    Q("cc3_containment",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val probes = t(s, dir, "documents")
+          .filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("probe_id"),
+            concat_ws(" ", slice(Corpus.words(col("text")), 1, 20))
+              .as("probe_text"))
+        Corpus.containment(docs, "doc_id", "text",
+            probes, "probe_id", "probe_text", n = 5, minPermille = 800)
+          .orderBy("doc_id", "probe_id")
+      },
+      Some(s"""WITH dg AS (${gramsSql("documents", "doc_id", 5)}),
+              |pg AS (
+              | ${gramsSql(
+                  "(SELECT doc_id + 1000000 AS probe_id, " +
+                  "array_to_string(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')[1:20], ' ') AS text " +
+                  "FROM documents WHERE doc_id % 10 = 0)",
+                  "probe_id", 5)}),
+              |psz AS (SELECT probe_id, COUNT(*) AS probe_grams FROM pg GROUP BY 1),
+              |ov AS (SELECT dg.doc_id, pg.probe_id, COUNT(*) AS overlap
+              |       FROM dg JOIN pg USING (gram) GROUP BY 1, 2)
+              |SELECT ov.doc_id, ov.probe_id, ov.overlap,
+              | CAST(ov.overlap * 1000 // psz.probe_grams AS BIGINT) AS containment_permille
+              |FROM ov JOIN psz USING (probe_id)
+              |WHERE ov.overlap * 1000 // psz.probe_grams >= 800
+              |ORDER BY doc_id, probe_id""".stripMargin)),
+
     // BP1 — boilerplate trigrams: word 3-grams occurring in ≥5 distinct
     // documents (the repeated-template detector of a curation pipeline)
     Q("bp1_boilerplate",

@@ -381,6 +381,26 @@ object LlmData {
               |SELECT id, MIN(label) AS cluster FROM reach GROUP BY id
               |ORDER BY id""".stripMargin)),
 
+    // DD17 — the same cluster labels via alternating large-star/small-star
+    // contraction (Kiveris et al. 2014): O(log n) rounds where dd7's label
+    // propagation needs O(component diameter) — the form that survives
+    // re-crawl CHAINS at 100 TB. Same recursive-CTE reachability oracle.
+    Q("dd17_cc_logstar",
+      (s, dir) => Dedup.connectedComponentsLogStar(
+        Dedup.minHashDedup(t(s, dir, "documents"), "doc_id", "text"))
+        .orderBy("id"),
+      Some(s"""WITH RECURSIVE base AS ($bruteJaccardSql),
+              |nodes AS (SELECT ida AS id FROM base UNION SELECT idb FROM base),
+              |edges AS (SELECT ida AS a, idb AS b FROM base
+              |          UNION ALL SELECT idb, ida FROM base),
+              |reach(id, label) AS (
+              | SELECT id, id FROM nodes
+              | UNION
+              | SELECT e.a, r.label FROM edges e JOIN reach r ON r.id = e.b
+              |)
+              |SELECT id, MIN(label) AS cluster FROM reach GROUP BY id
+              |ORDER BY id""".stripMargin)),
+
     // DD8 — the dedup APPLY step: corpus minus non-representative near-
     // dup cluster members (keep the min-id doc per cluster)
     Q("dd8_dedup_apply",
@@ -804,6 +824,51 @@ object LlmData {
              |  GROUP BY source))
              |ORDER BY source""".stripMargin)),
 
+    // CUR7 — TEMPERATURE-scaled source mixing (the multilingual-sampling
+    // rule of mBERT / mT5, arXiv:1910.10683 §3.4.1: sample source i with
+    // probability ∝ p_i^α, α = 1/2): rare sources are upsampled, dominant
+    // ones damped. Exact-integer: share in ppm, then FLOOR(SQRT(ppm)) —
+    // sqrt of an integer-valued double is correctly rounded IEEE in both
+    // engines, and fe4 set the one-sqrt precedent. Source-cardinality
+    // frames throughout; one scan + one tiny window.
+    Q("cur7_temperature_mix",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy().rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        t(s, dir, "documents")
+          .select(col("source"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+          .groupBy("source")
+          .agg(sum("n_tokens").as("tot_tokens"))
+          .withColumn("grand", sum("tot_tokens").over(w))
+          .withColumn("share_ppm",
+            expr("CAST(tot_tokens * 1000000 div grand AS BIGINT)"))
+          .withColumn("root",
+            expr("CAST(FLOOR(SQRT(CAST(share_ppm AS DOUBLE))) AS BIGINT)"))
+          .withColumn("root_sum", sum("root").over(w))
+          .select(col("source"), col("tot_tokens"), col("share_ppm"),
+            expr("CAST(root * 1000000 div root_sum AS BIGINT)").as("sampled_ppm"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, tot_tokens, share_ppm,
+             | CAST(root * 1000000 // SUM(root) OVER () AS BIGINT) AS sampled_ppm
+             |FROM (
+             | SELECT source, tot_tokens, share_ppm,
+             |  CAST(FLOOR(SQRT(CAST(share_ppm AS DOUBLE))) AS BIGINT) AS root
+             | FROM (
+             |  SELECT source, tot_tokens,
+             |   CAST(tot_tokens * 1000000 // SUM(tot_tokens) OVER () AS BIGINT) AS share_ppm
+             |  FROM (
+             |   SELECT source, CAST(SUM(CAST(CASE WHEN nrm = '' THEN 0
+             |    ELSE length(nrm) - length(replace(nrm, ' ', '')) + 1 END AS BIGINT)) AS BIGINT) AS tot_tokens
+             |   FROM (SELECT source,
+             |     trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nrm
+             |    FROM documents)
+             |   GROUP BY source)))
+             |ORDER BY source""".stripMargin)),
+
     // S4 — deterministic train/val/test split on a PORTABLE content
     // hash: bucket = first 16 bits of md5(text) mod 100 (Spark `conv`,
     // DuckDB hex-digit fold — same value in both engines, unlike
@@ -882,6 +947,67 @@ object LlmData {
              |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
              |   (a, x) -> a * 16 + x) % 1000000 < LEAST(w.w_ppm, 1000000)
              |ORDER BY d.doc_id""".stripMargin)),
+
+    // S8 — LEAKAGE-SAFE train/val/test split: s4's portable md5 bucket,
+    // but keyed on the near-dup CLUSTER representative instead of the
+    // doc's own content — every member of a near-dup cluster lands in
+    // the same split, so a test doc can never have a near-duplicate in
+    // train. The output is the per-split audit (docs, distinct groups,
+    // and the PROVEN-zero count of clusters spanning >1 split). At scale:
+    // clusters come from the LSH pipeline + log-star contraction; the
+    // split itself is one broadcast-sized join + scan-side hash.
+    Q("s8_cluster_split",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val clusters = Dedup.connectedComponentsLogStar(
+          Dedup.minHashDedup(docs, "doc_id", "text"))
+          .withColumnRenamed("id", "doc_id")
+        val withRep = docs.join(clusters, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("cluster"), col("doc_id")).as("rep"))
+        val bucket = expr(
+          "CAST(conv(substring(md5(CAST(rep AS STRING)), 1, 4), 16, 10) AS BIGINT) % 100")
+        val assigned = withRep.withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        val leaky = assigned.groupBy("rep")
+          .agg(countDistinct("split").as("ns"))
+          .filter(col("ns") > 1)
+          .agg(count(lit(1)).as("leaky_clusters"))
+        assigned.groupBy("split")
+          .agg(count(lit(1)).as("n_docs"), countDistinct("rep").as("n_groups"))
+          .crossJoin(leaky)
+          .orderBy("split")
+      },
+      Some(s"""WITH RECURSIVE base AS ($bruteJaccardSql),
+              |nodes AS (SELECT ida AS id FROM base UNION SELECT idb FROM base),
+              |edges AS (SELECT ida AS a, idb AS b FROM base
+              |          UNION ALL SELECT idb, ida FROM base),
+              |reach(id, label) AS (
+              | SELECT id, id FROM nodes
+              | UNION
+              | SELECT e.a, r.label FROM edges e JOIN reach r ON r.id = e.b
+              |),
+              |clusters AS (SELECT id, MIN(label) AS cluster FROM reach GROUP BY id),
+              |assigned AS (
+              | SELECT doc_id, rep,
+              |  CASE WHEN bucket < 80 THEN 'train'
+              |       WHEN bucket < 90 THEN 'val'
+              |       ELSE 'test' END AS split
+              | FROM (
+              |  SELECT d0.doc_id, COALESCE(c.cluster, d0.doc_id) AS rep,
+              |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |    list_transform(str_split(substring(
+              |      md5(CAST(COALESCE(c.cluster, d0.doc_id) AS VARCHAR)), 1, 4), ''),
+              |     h -> CAST(strpos('0123456789abcdef', h) - 1 AS BIGINT))),
+              |    (a, x) -> a * 16 + x) % 100 AS bucket
+              |  FROM documents d0 LEFT JOIN clusters c ON c.id = d0.doc_id)),
+              |leaky AS (SELECT COUNT(*) AS leaky_clusters FROM (
+              |  SELECT rep FROM assigned GROUP BY rep
+              |  HAVING COUNT(DISTINCT split) > 1))
+              |SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT rep) AS n_groups,
+              | (SELECT leaky_clusters FROM leaky) AS leaky_clusters
+              |FROM assigned GROUP BY split
+              |ORDER BY split""".stripMargin)),
 
     // E16 — embedding normalization stats + int8 quantization scale
     // (per-vector max-abs), the preprocessing step before ANN indexing

@@ -194,6 +194,67 @@ object ScanOps {
              |  md5(kept) AS kept_fp
              |FROM k ORDER BY doc_id""".stripMargin)),
 
+    // SK8 — mergeable quantile sketch via the bottom-k hash sample
+    // (the KMV sample re-used as a uniform row sample: the k rows with
+    // the smallest md5 of their PRIMARY KEY are a deterministic simple
+    // random sample, and bottomk(bottomk(A) ∪ bottomk(B)) == bottomk(A∪B)
+    // makes it mergeable — partition-local bottom-k heaps, one tiny
+    // combine, never a global sort of values). Quantile estimates are
+    // `percentile` over the 256 sampled cents; a9 established that
+    // Spark's percentile == DuckDB's quantile_cont bit-for-bit over
+    // sorted longs. Emitted next to the EXACT quantiles and the
+    // merge-identity flag (estimates from two half-sketches merged ==
+    // the direct sketch) — the at-scale contract in one row.
+    Q("sk8_quantile_sketch",
+      (s, dir) => {
+        val k = 256
+        val base = t(s, dir, "lineitem").select(
+          col("l_orderkey"),
+          md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"))).as("h"),
+          expr("CAST(ROUND(l_extendedprice*100) AS BIGINT)").as("c"))
+        def est(df: DataFrame, p50: String, p90: String): DataFrame =
+          df.orderBy("h").limit(k).agg(
+            expr("percentile(c, 0.5)").as(p50),
+            expr("percentile(c, 0.9)").as(p90))
+        val direct = est(base, "est_p50_c", "est_p90_c")
+        val merged = est(
+          base.filter(col("l_orderkey") % 2 === 0).orderBy("h").limit(k)
+            .unionByName(
+              base.filter(col("l_orderkey") % 2 === 1).orderBy("h").limit(k)),
+          "m_p50", "m_p90")
+        val exact = base.agg(
+          expr("percentile(c, 0.5)").as("exact_p50_c"),
+          expr("percentile(c, 0.9)").as("exact_p90_c"))
+        direct.crossJoin(exact).crossJoin(merged)
+          .select(lit(256L).as("k"),
+            col("est_p50_c"), col("est_p90_c"),
+            col("exact_p50_c"), col("exact_p90_c"),
+            (col("m_p50") === col("est_p50_c") &&
+             col("m_p90") === col("est_p90_c")).cast("bigint").as("merged_ok"))
+      },
+      Some("""WITH base AS (SELECT l_orderkey,
+             |  md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+             |      CAST(l_linenumber AS VARCHAR)) AS h,
+             |  CAST(ROUND(l_extendedprice*100) AS BIGINT) AS c
+             | FROM lineitem),
+             |sk AS (SELECT c FROM base ORDER BY h LIMIT 256),
+             |ska AS (SELECT h, c FROM base WHERE l_orderkey % 2 = 0
+             |        ORDER BY h LIMIT 256),
+             |skb AS (SELECT h, c FROM base WHERE l_orderkey % 2 = 1
+             |        ORDER BY h LIMIT 256),
+             |skm AS (SELECT c FROM (SELECT * FROM ska UNION ALL SELECT * FROM skb)
+             |        ORDER BY h LIMIT 256)
+             |SELECT CAST(256 AS BIGINT) AS k,
+             | (SELECT quantile_cont(c, 0.5) FROM sk) AS est_p50_c,
+             | (SELECT quantile_cont(c, 0.9) FROM sk) AS est_p90_c,
+             | (SELECT quantile_cont(c, 0.5) FROM base) AS exact_p50_c,
+             | (SELECT quantile_cont(c, 0.9) FROM base) AS exact_p90_c,
+             | CAST((SELECT quantile_cont(c, 0.5) FROM skm) =
+             |        (SELECT quantile_cont(c, 0.5) FROM sk)
+             |  AND (SELECT quantile_cont(c, 0.9) FROM skm) =
+             |        (SELECT quantile_cont(c, 0.9) FROM sk) AS BIGINT) AS merged_ok
+             |""".stripMargin)),
+
     // SK7 — deterministic Bloom filter (Bloom 1970), the runtime-filter
     // primitive: the distinct order-placing custkeys are folded into a
     // 4096-bit array (k=3 salted md5 positions — the same deterministic-

@@ -122,6 +122,43 @@ class LlmOpsSpec extends SparkSpec {
     assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("logStar CC == label propagation on the corpus near-dup pairs") {
+    val pairs = Dedup.minHashDedup(docs, "doc_id", "text")
+    val viaProp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStar = Dedup.connectedComponentsLogStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar === viaProp)
+    assert(viaStar.nonEmpty)
+  }
+
+  test("logStar CC: 1000-node chain converges in O(log n) rounds") {
+    // the case label propagation CANNOT handle: a re-crawl chain of
+    // diameter 999 costs it 999 rounds (its maxIter=50 would throw);
+    // star contraction must label it in ~log2(1000) rounds
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("ida", "idb")
+    val (labels, rounds) = Dedup.ccLogStar(chain, maxIter = 30)
+    assert(rounds <= 15, s"expected O(log n) rounds, used $rounds")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 1000)
+    assert(got.values.forall(_ == 0L))
+  }
+
+  test("logStar CC == label propagation on seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val n = 200 + trial * 100
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .toDF("ida", "idb")
+      val viaProp = Dedup.connectedComponents(pairs = edges, maxIter = 200)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaStar = Dedup.connectedComponentsLogStar(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaStar === viaProp, s"trial $trial diverged")
+    }
+  }
+
   test("ANN LSH top-k: structural invariants + recall vs brute force") {
     val query = emb.filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0).toArray

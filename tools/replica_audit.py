@@ -52,7 +52,11 @@ BOUNDED_PREFIXES = (
     "ss2_ann", "ss3_ann", "ss1b",
     # round-9 scan ops: prefix-sum packing, bigram scoring, HLL registers,
     # substring-dedup stats — all linear-cost oracles
-    "pk1", "lm1", "sk6", "sk7", "dd15", "dd16")
+    "pk1", "lm1", "sk6", "sk7", "dd15", "dd16",
+    # round-9 late additions: containment join (cc1-shaped), the
+    # temperature mix (source-cardinality), and the bottom-k quantile
+    # sketch (TakeOrdered + one exact percentile) are linear-cost oracles
+    "cc3", "cur7", "sk8")
 
 
 def main():
@@ -62,7 +66,8 @@ def main():
     out = "/tmp/graft-replica-audit"
     oracle = json.loads((REPO / "ORACLE_SQL.json").read_text())
     keep = sorted(n for n in oracle
-                  if not n.startswith(("dd", "ss", "mm", "fj", "sj1", "sql2", "cur6"))) + [
+                  if not n.startswith(("dd", "ss", "mm", "fj", "sj1", "sql2",
+                                       "cur6", "s8_"))) + [
         "ss1_cosine_topk", "dd13_span_dedup", "ss2_ann_lsh", "ss3_ann_ivf",
         "ss1b_cosine_topk_indexed", "dd15_substring_dedup", "dd16_substring_cut",
         "ddf5_span_splice", "mm5_wav_meta"]  # linear oracles in excluded prefixes

@@ -430,12 +430,20 @@ object Dedup {
     * exposed so the spec can assert the logarithmic bound on a long chain.
     */
   private[graft] def ccLogStar(pairs: DataFrame, maxIter: Int): (DataFrame, Int) = {
-    val nodes = pairs.select(col("ida").as("id"))
-      .union(pairs.select(col("idb").as("id")))
+    // materialize the raw pair set first: (1) nodes and edges below each
+    // read it, so a complex upstream pipeline (LSH, semi-join lineage)
+    // runs once, not twice; (2) Catalyst's constraint inference
+    // mis-rewrites union constraints (key-not-found in
+    // UnionBase.rewriteConstraints) when the greatest/least + distinct
+    // stack sits directly on self-referencing union lineage — the
+    // barrier hands it a clean LogicalRDD instead
+    val src = pairs.select(col("ida"), col("idb")).localCheckpoint(eager = true)
+    val nodes = src.select(col("ida").as("id"))
+      .union(src.select(col("idb").as("id")))
       .distinct().localCheckpoint(eager = true)
 
     // canonical edge orientation: a > b (both star steps emit it this way)
-    var edges = pairs
+    var edges = src
       .select(greatest(col("ida"), col("idb")).as("a"),
         least(col("ida"), col("idb")).as("b"))
       .filter(col("a") =!= col("b"))
@@ -500,6 +508,37 @@ object Dedup {
       .select(col("id"), coalesce(col("parent"), col("id")).as("cluster"))
       .localCheckpoint(eager = true)
     (labels, iter)
+  }
+
+  /** Incremental cluster maintenance — the daily-ingest companion to
+    * [[incrementalNearDups]]: merge a batch's new near-dup pairs into an
+    * existing component labeling WITHOUT re-clustering the corpus.
+    *
+    * Only components touched by a new pair can change. Their star edges
+    * (member → root) are pulled with one semi-join against the
+    * batch-sized touched set, unioned with the new pairs, and
+    * re-contracted with [[connectedComponentsLogStar]]; every other label
+    * passes through untouched. Replacing a component's internal edges by
+    * its star preserves connectivity, so the result equals a full
+    * re-clustering over (old pairs ∪ new pairs) — spec-gated. Work
+    * scales with the batch and its affected clusters, never the corpus.
+    *
+    * `labels`: (id, cluster) as produced by either components operator;
+    * `newPairs`: (ida, idb) — every pair involving ≥1 batch doc
+    * (corpus↔batch plus batch↔batch).
+    */
+  def incrementalComponents(labels: DataFrame, newPairs: DataFrame): DataFrame = {
+    val touched = newPairs.select(col("ida").as("id"))
+      .union(newPairs.select(col("idb").as("id"))).distinct()
+    val affected = labels.join(touched, Seq("id"), "left_semi")
+      .select(col("cluster")).distinct()
+    val subEdges = labels.join(affected, Seq("cluster"), "left_semi")
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as("ida"), col("cluster").as("idb"))
+    val relabeled = connectedComponentsLogStar(subEdges.unionByName(newPairs))
+    labels.join(affected, Seq("cluster"), "left_anti")
+      .select(col("id"), col("cluster"))
+      .unionByName(relabeled)
   }
 
   /** Edit-distance near-dup pairs with LOSSLESS length blocking:

@@ -401,6 +401,48 @@ object LlmData {
               |SELECT id, MIN(label) AS cluster FROM reach GROUP BY id
               |ORDER BY id""".stripMargin)),
 
+    // DD18 — incremental cluster MAINTENANCE: the corpus labeling plus a
+    // re-crawl batch's pairs (corpus↔batch via the band-index probe,
+    // batch↔batch via LSH over the batch alone), merged by relabeling
+    // ONLY the affected clusters — the corpus is never re-clustered.
+    // Oracle = full recursive-CTE reachability over the union pool, so
+    // the gate IS the incremental == full-recompute identity.
+    Q("dd18_incremental_cc",
+      (s, dir) => {
+        val corpus = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val batch = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        val labels = Dedup.connectedComponentsLogStar(
+          Dedup.minHashDedup(corpus, "doc_id", "text"))
+        val newPairs = Dedup.incrementalNearDups(corpus, batch, "doc_id", "text")
+          .unionByName(Dedup.minHashDedup(batch, "doc_id", "text"))
+        Dedup.incrementalComponents(labels, newPairs).orderBy("id")
+      },
+      Some(s"""WITH RECURSIVE pool AS ($docsWithDupsSql),
+              |grams AS (
+              |  SELECT DISTINCT doc_id, ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2] AS gram
+              |  FROM (SELECT doc_id,
+              |          string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS ws
+              |        FROM pool) w,
+              |  LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS g) _t
+              |), gc AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+              |i AS (SELECT x.doc_id AS ida, y.doc_id AS idb, COUNT(*) AS inter
+              |      FROM grams x JOIN grams y ON x.gram = y.gram AND x.doc_id < y.doc_id
+              |      GROUP BY 1, 2),
+              |base AS (SELECT i.ida, i.idb FROM i
+              | JOIN gc a ON a.doc_id = i.ida JOIN gc b ON b.doc_id = i.idb
+              | WHERE 5 * i.inter >= 4 * (a.n + b.n - i.inter)),
+              |nodes AS (SELECT ida AS id FROM base UNION SELECT idb FROM base),
+              |edges AS (SELECT ida AS a, idb AS b FROM base
+              |          UNION ALL SELECT idb, ida FROM base),
+              |reach(id, label) AS (
+              | SELECT id, id FROM nodes
+              | UNION
+              | SELECT e.a, r.label FROM edges e JOIN reach r ON r.id = e.b
+              |)
+              |SELECT id, MIN(label) AS cluster FROM reach GROUP BY id
+              |ORDER BY id""".stripMargin)),
+
     // DD8 — the dedup APPLY step: corpus minus non-representative near-
     // dup cluster members (keep the min-id doc per cluster)
     Q("dd8_dedup_apply",

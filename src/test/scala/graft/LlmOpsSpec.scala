@@ -144,6 +144,39 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.values.forall(_ == 0L))
   }
 
+  test("incrementalComponents: directed merge cases") {
+    val labels = Seq((1L, 1L), (2L, 1L), (7L, 7L), (9L, 7L)).toDF("id", "cluster")
+    // a NEW node with a smaller id joins an existing cluster: the whole
+    // cluster must relabel to the new minimum
+    val got1 = Dedup.incrementalComponents(
+      labels, Seq((3L, 9L)).toDF("ida", "idb"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got1 === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 7L -> 3L, 9L -> 3L))
+    // a new pair BRIDGING two existing clusters: both merge to the min
+    val got2 = Dedup.incrementalComponents(
+      labels, Seq((2L, 7L)).toDF("ida", "idb"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 === Map(1L -> 1L, 2L -> 1L, 7L -> 1L, 9L -> 1L))
+  }
+
+  test("incrementalComponents == full re-clustering on the corpus") {
+    val corpus = docs.select(col("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val labels = Dedup.connectedComponentsLogStar(
+      Dedup.minHashDedup(corpus, "doc_id", "text"))
+    val newPairs = Dedup.incrementalNearDups(corpus, batch, "doc_id", "text")
+      .unionByName(Dedup.minHashDedup(batch, "doc_id", "text"))
+    val inc = Dedup.incrementalComponents(labels, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.connectedComponents(
+      Dedup.minHashDedup(corpus.unionByName(batch), "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc === full)
+    assert(inc.exists { case (id, c) => id >= 1000000L && c < 1000000L },
+      "fixture should merge at least one batch doc into a corpus cluster")
+  }
+
   test("logStar CC == label propagation on seeded random graphs") {
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 3) {

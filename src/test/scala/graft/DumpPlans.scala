@@ -69,7 +69,11 @@ object DumpPlans {
       "lm1_bigram_score" ->
         "Bigram LM scoring: positional bigram explode, vocabulary-grain count tables broadcast into the scoring join, one per-doc aggregate exchange.",
       "sk6_hll_registers" ->
-        "HLL registers: scan-side md5/bin arithmetic, 64-row register aggregates for full and half-partial builds, broadcastable full-outer merge — sketch-sized payloads only past the first aggregate.")
+        "HLL registers: scan-side md5/bin arithmetic, 64-row register aggregates for full and half-partial builds, broadcastable full-outer merge — sketch-sized payloads only past the first aggregate.",
+      "cc3_containment" ->
+        "Containment decontamination: probe grams and probe sizes broadcast (benchmark-sized); the corpus side is one explode + broadcast hash join + partial aggregation — only colliding (doc, probe) pairs ever shuffle.",
+      "sk8_quantile_sketch" ->
+        "Bottom-k quantile sketch: each sketch branch is TakeOrderedAndProject (per-partition heaps — no global sort of values anywhere); percentiles aggregate 256-row samples; scalars meet in 1-row cross joins.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (auto-generated by graft.DumpPlans at sf0.1)\n\n")
     sb.append("Evidence for the plan-shape claims in README: pushed filters, pruned\n")
@@ -85,7 +89,8 @@ object DumpPlans {
       "cur3_token_budget_pack", "s4_three_way_split",
       "q15_top_supplier", "q22_global_sales",
       "ss1b_cosine_topk_indexed", "pk1_sequence_pack", "lm1_bigram_score",
-      "sk6_hll_registers").foreach { name =>
+      "sk6_hll_registers", "cc3_containment",
+      "sk8_quantile_sketch").foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       sb.append(s"\n## $name\n\n${notes(name)}\n\n```\n")
       sb.append(df.queryExecution.explainString(

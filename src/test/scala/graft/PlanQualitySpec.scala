@@ -43,6 +43,18 @@ class PlanQualitySpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), s"cartesian in dd5:\n$p")
   }
 
+  test("containment probe side broadcasts; no cartesian (cc3)") {
+    val p = plan("cc3_containment")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in cc3:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in cc3:\n$p")
+  }
+
+  test("bottom-k quantile sketch uses heaps, not a global value sort (sk8)") {
+    val p = plan("sk8_quantile_sketch")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"no TakeOrderedAndProject in sk8:\n$p")
+  }
+
   test("q18: clustered agg + top-k pushdown survive in the plan") {
     val p = plan("q18_big_orders")
     // the verified layout elides the aggregate exchange (AssumeClustered

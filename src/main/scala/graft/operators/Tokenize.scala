@@ -98,8 +98,27 @@ object Tokenize {
     * with the checkpoint: ProfileBpe / BPE_MEASURE.json).
     */
   def bpeTrain(words: DataFrame, wordCol: String, weightCol: String,
-      steps: Int, checkpointEvery: Int = 20): Seq[(Int, String, String, Long)] = {
-    var syms = words.select(col(weightCol).as("n"),
+      steps: Int, checkpointEvery: Int = 20): Seq[(Int, String, String, Long)] =
+    bpeLoop(words, wordCol, weightCol, steps, checkpointEvery)._2
+
+  /** The ENCODE step — the symbol table after `steps` trained merges:
+    * one row per distinct word with its corpus weight, piece count, and
+    * the space-separated pieces (training markers stripped). This IS how
+    * trained BPE is applied: per-doc token counts come from joining the
+    * (vocabulary-bounded) segment table back to word counts, exactly as
+    * [[docPieceStats]] does for WordPiece.
+    */
+  def bpeSegments(words: DataFrame, wordCol: String, weightCol: String,
+      steps: Int, checkpointEvery: Int = 20): DataFrame =
+    bpeLoop(words, wordCol, weightCol, steps, checkpointEvery)._1
+      .select(col("word"), col("n"),
+        size(split(col("sym"), " ")).cast(LongType).as("n_pieces"),
+        replace(col("sym"), lit("~"), lit("")).as("pieces"))
+
+  private def bpeLoop(words: DataFrame, wordCol: String, weightCol: String,
+      steps: Int, checkpointEvery: Int)
+      : (DataFrame, Seq[(Int, String, String, Long)]) = {
+    var syms = words.select(col(wordCol).as("word"), col(weightCol).as("n"),
       trim(regexp_replace(col(wordCol), "(.)", "~$1 ")).as("sym"))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     for (step <- 1 to steps) {
@@ -118,13 +137,13 @@ object Tokenize {
         val cnt = best.head.getLong(1)
         val Array(l, r) = pat.split(" ")
         merges += ((step, l.replace("~", ""), r.replace("~", ""), cnt))
-        syms = syms.select(col("n"),
+        syms = syms.select(col("word"), col("n"),
           replace(col("sym"), lit(pat), lit(pat.replace(" ", ""))).as("sym"))
         if (checkpointEvery > 0 && step % checkpointEvery == 0)
           syms = syms.localCheckpoint()
       }
     }
-    merges.toSeq
+    (syms, merges.toSeq)
   }
 
   /** Per-document subword statistics: explode to words, count per (doc,

@@ -536,6 +536,24 @@ object PipelineOps {
       },
       Some(bpeOracleSql(4))),
 
+    // TOK3 — BPE APPLY: the symbol table after tok2's 4 trained merges —
+    // the encode step of the trained tokenizer, run on the DISTINCT-word
+    // table (vocabulary-bounded, never corpus-bounded). One row per word:
+    // corpus weight, piece count, and the pieces themselves. The oracle
+    // re-trains AND re-applies all 4 merges with the identical
+    // marker-prefixed boundary-safe replaces.
+    Q("tok3_bpe_apply",
+      (s, dir) => {
+        val words = t(s, dir, "documents")
+          .select(explode(split(trim(regexp_replace(col("text"), "\\s+", " ")),
+            " ")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy("word").agg(count(lit(1)).as("n"))
+        Tokenize.bpeSegments(words, "word", "n", steps = 4)
+          .orderBy("word")
+      },
+      Some(bpeApplyOracleSql(4))),
+
     // SS6 — exact kNN join (every 10th vector's 5 nearest neighbors by
     // cosine): broadcast query side, map-side bounded top-k aggregation
     // (the shuffle carries ≤ k rows per partition × query). Scores round
@@ -735,6 +753,35 @@ object PipelineOps {
        |SELECT * FROM (
        |$finals
        |) ORDER BY step""".stripMargin
+  }
+
+  /** tok3's oracle: replay BPE training AND application — every merge
+    * stage applied (unlike [[bpeOracleSql]], which stops at the last
+    * argmax), with the word column carried through to the final symbol
+    * table.
+    */
+  private def bpeApplyOracleSql(steps: Int): String = {
+    def pairStage(i: Int): String =
+      s"""p$i AS (SELECT ws[g] || ' ' || ws[g+1] AS pair, SUM(n) AS cnt
+         | FROM (SELECT n, string_split(sym, ' ') AS ws FROM s$i) _x$i,
+         | LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS g) _g$i
+         | GROUP BY 1),
+         |b$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
+    def mergeStage(i: Int): String =
+      s"""s${i + 1} AS (SELECT word, n, replace(sym, (SELECT pair FROM b$i),
+         |  replace((SELECT pair FROM b$i), ' ', '')) AS sym FROM s$i)""".stripMargin
+    val stages = (1 to steps).map(i => pairStage(i) + ",\n" + mergeStage(i))
+      .mkString(",\n")
+    s"""WITH w AS (
+       | SELECT word, COUNT(*) AS n FROM (
+       |  SELECT unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS word
+       |  FROM documents) WHERE word <> '' GROUP BY 1),
+       |s1 AS (SELECT word, n, trim(regexp_replace(word, '(.)', '~\\1 ', 'g')) AS sym FROM w),
+       |$stages
+       |SELECT word, CAST(n AS BIGINT) AS n,
+       | CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_pieces,
+       | replace(sym, '~', '') AS pieces
+       |FROM s${steps + 1} ORDER BY word""".stripMargin
   }
 
   private def roundTripDir(dir: String, fmt: String): String =

@@ -260,3 +260,45 @@ object DocStreams {
       .toDF()
       .select(col("idb").as("doc_id"), col("ida").as("dup_of"))
 }
+
+/** Streaming CLUSTER maintenance — the standing-pipeline form of
+  * [[graft.operators.Dedup.incrementalComponents]]: the near-dup pair
+  * stream folds into a component labeling one micro-batch at a time
+  * (foreachBatch); each trigger re-contracts ONLY the clusters its new
+  * pairs touch, so per-trigger work scales with the trigger, never the
+  * corpus-so-far.
+  *
+  * Invariant (spec-gated): after any stream prefix, [[labels]] equals a
+  * full batch clustering over every pair emitted so far — however the
+  * stream was micro-batched. The label table is held behind this handle
+  * with a localCheckpoint per merge (bounded lineage); a production
+  * deployment keeps the identical merge result in a transactional table
+  * so concurrent readers see atomic label versions.
+  */
+final class ClusterMaintenance(spark: SparkSession) {
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  @volatile private var current: DataFrame = spark.createDataFrame(
+    java.util.Collections.emptyList[Row](),
+    StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("cluster", LongType, nullable = false))))
+
+  /** The labeling after every merged trigger: (id, cluster = min member). */
+  def labels: DataFrame = current
+
+  /** foreachBatch body — merge one trigger's pairs into the labeling. */
+  def merge(pairs: DataFrame): Unit = synchronized {
+    val p = pairs.select(col("ida"), col("idb")).distinct()
+    if (!p.isEmpty) {
+      current = Dedup.incrementalComponents(current, p)
+        .localCheckpoint(eager = true)
+    }
+  }
+
+  /** Wire a pair stream into this handle; `.start()` to run. */
+  def attach(pairs: Dataset[NearDupPair])
+      : org.apache.spark.sql.streaming.DataStreamWriter[NearDupPair] =
+    pairs.writeStream.outputMode("append")
+      .foreachBatch { (b: Dataset[NearDupPair], _: Long) => merge(b.toDF()) }
+}

@@ -158,4 +158,46 @@ class DocStreamsSpec extends SparkSpec {
         s"expired buckets not evicted: $lastState state rows vs $lateOnly for the late cohort alone")
     } finally q.stop()
   }
+
+  test("streaming cluster maintenance == batch clustering (3 micro-batches)") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = corpus()
+    val ms = MemoryStream[(Long, String)]
+    val cm = new graft.streaming.ClusterMaintenance(spark)
+    val q = cm.attach(DocStreams.nearDupPairs(spark,
+        ms.toDF().toDF("doc_id", "text")))
+      .start()
+    try {
+      docs.grouped(math.max(1, docs.size / 3)).foreach { b =>
+        ms.addData(b); q.processAllAvailable()
+      }
+      val inc = cm.labels
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val full = Dedup.connectedComponents(Dedup.minHashDedup(
+          Tables.load(spark, sf, "documents"), "doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(inc === full,
+        "streamed labeling diverged from batch clustering")
+      assert(inc.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("cluster maintenance is micro-batching invariant (1 vs 5 batches)") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = corpus()
+    def run(parts: Int): Map[Long, Long] = {
+      val ms = MemoryStream[(Long, String)]
+      val cm = new graft.streaming.ClusterMaintenance(spark)
+      val q = cm.attach(DocStreams.nearDupPairs(spark,
+          ms.toDF().toDF("doc_id", "text")))
+        .start()
+      try {
+        docs.grouped(math.max(1, docs.size / parts)).foreach { b =>
+          ms.addData(b); q.processAllAvailable()
+        }
+        cm.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      } finally q.stop()
+    }
+    assert(run(1) === run(5))
+  }
 }

@@ -168,6 +168,35 @@ object LlmData {
       |WHERE 5 * i.inter >= 4 * (a.n + b.n - i.inter)
       |ORDER BY i.ida, i.idb""".stripMargin
 
+  /** cur8's oracle: farthest-first traversal replayed as chained CTEs —
+    * step i's argmax over integer micro-distances (ROUND once, the
+    * e16/ss6 convention) with vec_id tie-breaks, selection accumulated
+    * via UNION ALL.
+    */
+  private def diverseSelectOracleSql(k: Int): String = {
+    val stages = (2 to k).map { i =>
+      s"""c$i AS (SELECT b.vec_id,
+         | MIN(CAST(ROUND((1 - list_cosine_similarity(b.v, s.v)) * 1000000) AS BIGINT)) AS mind
+         | FROM base b, base s
+         | WHERE s.vec_id IN (SELECT vec_id FROM sel${i - 1})
+         |   AND b.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+         | GROUP BY 1),
+         |s$i AS (SELECT CAST($i AS BIGINT) AS rk, vec_id, mind FROM c$i
+         |        ORDER BY mind DESC, vec_id LIMIT 1),
+         |sel$i AS (SELECT vec_id FROM sel${i - 1} UNION ALL SELECT vec_id FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to k).map(i => s"SELECT rk, vec_id, mind AS mind_micro FROM s$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |s1 AS (SELECT CAST(1 AS BIGINT) AS rk, vec_id, CAST(NULL AS BIGINT) AS mind
+       |       FROM base ORDER BY vec_id LIMIT 1),
+       |sel1 AS (SELECT vec_id FROM s1),
+       |$stages
+       |SELECT * FROM (
+       |$finals
+       |) ORDER BY rk""".stripMargin
+  }
+
   /** langId as a scalar SQL expression over `textExpr` (scalar subquery
     * form, for embedding in larger oracle pipelines)
     */
@@ -1050,6 +1079,43 @@ object LlmData {
               | (SELECT leaky_clusters FROM leaky) AS leaky_clusters
               |FROM assigned GROUP BY split
               |ORDER BY split""".stripMargin)),
+
+    // CUR8 — diverse subset selection by farthest-first traversal
+    // (Gonzalez 1985 k-center greedy — the coreset/diversity-sampling
+    // primitive of embedding-based curation): seed = min vec_id, then 7×
+    // add the candidate maximizing its min distance to the selected set.
+    // Distances integerize to micro-units after ONE round (the e16/ss6
+    // convention), so every argmax is an integer compare with vec_id
+    // ties. Each step is one scan + a ≤8-row broadcast join; only the
+    // 1-row argmax reaches the driver (the BPE-training loop shape).
+    // The oracle replays all 7 steps as chained CTEs.
+    Q("cur8_diverse_select",
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val k = 8
+        val seed = emb.agg(min(col("vec_id"))).head().getLong(0)
+        var selected = Vector(seed)
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Long])](
+          (1L, seed, None))
+        for (step <- 2 to k) {
+          val selDf = broadcast(emb.filter(col("vec_id").isin(selected: _*))
+            .select(col("embedding").as("sv")))
+          val best = emb.filter(!col("vec_id").isin(selected: _*))
+            .crossJoin(selDf)
+            .select(col("vec_id"),
+              round((lit(1.0) - graft.functions.VectorOps.cosineNative(
+                col("embedding"), col("sv"))) * 1000000)
+                .cast(LongType).as("d"))
+            .groupBy("vec_id").agg(min(col("d")).as("mind"))
+            .orderBy(desc("mind"), asc("vec_id"))
+            .limit(1).collect().head
+          selected = selected :+ best.getLong(0)
+          out += ((step.toLong, best.getLong(0), Some(best.getLong(1))))
+        }
+        out.toSeq.toDF("rk", "vec_id", "mind_micro").orderBy("rk")
+      },
+      Some(diverseSelectOracleSql(8))),
 
     // E16 — embedding normalization stats + int8 quantization scale
     // (per-vector max-abs), the preprocessing step before ANN indexing

@@ -56,7 +56,9 @@ BOUNDED_PREFIXES = (
     # round-9 late additions: containment join (cc1-shaped), the
     # temperature mix (source-cardinality), and the bottom-k quantile
     # sketch (TakeOrdered + one exact percentile) are linear-cost oracles
-    "cc3", "cur7", "sk8")
+    "cc3", "cur7", "sk8",
+    # farthest-first traversal: k scans x (n x <=k) cosines, linear
+    "cur8")
 
 
 def main():

@@ -415,6 +415,54 @@ object MiningOps {
              |FROM best WHERE rn = 1
              |ORDER BY ta, tb""".stripMargin)),
 
+    // TS5 — classical seasonal decomposition (ratio-to-moving-average,
+    // the Census-I shape) of the per-type daily series, all-integer:
+    // trend = centered 7-day moving average in milli (ROWS frame, edge
+    // windows average what exists), detrended ratio in permille, weekday
+    // seasonal index = integer mean of the ratios per ISO dow, residual
+    // = ratio − index. Day-grain frames only; two tiny shuffles (daily
+    // agg, dow agg) and one broadcastable (type × 7) index join.
+    Q("ts5_seasonal",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("c"))
+        val de = daily
+          .withColumn("sum_w", sum(col("c")).over(w))
+          .withColumn("cnt_w", count(lit(1)).over(w))
+          .withColumn("trend_m", expr("CAST(sum_w * 1000 div cnt_w AS BIGINT)"))
+          .withColumn("dow", (weekday(col("d")) + 1).cast(LongType))
+          .withColumn("detr_pm", expr("CAST(c * 1000000 div trend_m AS BIGINT)"))
+        val seas = de.groupBy("event_type", "dow")
+          .agg(expr("CAST(sum(detr_pm) div count(1) AS BIGINT)").as("seas_pm"))
+        de.join(broadcast(seas), Seq("event_type", "dow"))
+          .select(col("event_type"), col("d"), col("c"), col("trend_m"),
+            col("detr_pm"), col("seas_pm"),
+            (col("detr_pm") - col("seas_pm")).as("resid_pm"))
+          .orderBy("event_type", "d")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |tr AS (
+             |  SELECT event_type, d, c,
+             |    CAST(SUM(c) OVER w * 1000 // COUNT(*) OVER w AS BIGINT) AS trend_m,
+             |    CAST(isodow(d) AS BIGINT) AS dow
+             |  FROM daily
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+             |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             |de AS (SELECT *, CAST(c * 1000000 // trend_m AS BIGINT) AS detr_pm
+             |       FROM tr),
+             |se AS (SELECT event_type, dow,
+             |         CAST(SUM(detr_pm) // COUNT(*) AS BIGINT) AS seas_pm
+             |       FROM de GROUP BY 1, 2)
+             |SELECT de.event_type, de.d, de.c, de.trend_m, de.detr_pm,
+             |  se.seas_pm, CAST(de.detr_pm - se.seas_pm AS BIGINT) AS resid_pm
+             |FROM de JOIN se USING (event_type, dow)
+             |ORDER BY event_type, d""".stripMargin)),
+
     // GR2 — link prediction by common neighbors (Liben-Nowell & Kleinberg
     // 2003): for word pairs NOT currently edges of the gr1 graph, the
     // common-neighbor count and neighborhood-Jaccard permille — the

@@ -58,7 +58,9 @@ BOUNDED_PREFIXES = (
     # sketch (TakeOrdered + one exact percentile) are linear-cost oracles
     "cc3", "cur7", "sk8",
     # farthest-first traversal: k scans x (n x <=k) cosines, linear
-    "cur8")
+    "cur8",
+    # seasonal decomposition: day-grain windows + dow aggregate, linear
+    "ts5")
 
 
 def main():

@@ -1543,6 +1543,47 @@ object LlmData {
              |FROM c JOIN s ON c.user_id = s.user_id
              |ORDER BY c.user_id, event_id""".stripMargin)),
 
+    // FE5 — k-fold out-of-fold target encoding (the leakage-safe form of
+    // fe1's LOO for the train/serve split world): fold = portable md5
+    // bucket of the PRIMARY KEY (%5), oof mean for a fold = the OTHER
+    // folds' sum/count in exact integer cents. Emitted at (category,
+    // fold) grain — category-cardinality × 5 rows, the broadcastable
+    // encode table a trainer joins against; NULL when a category lives
+    // in one fold only. One scan + two tiny aggregates.
+    Q("fe5_kfold_encode",
+      (s, dir) => {
+        val c = round(col("value") * 100).cast(LongType)
+        val fold = expr(
+          "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 5")
+        val base = t(s, dir, "events")
+          .select(col("event_type"), fold.as("fold"), c.as("cc"))
+        val perFold = base.groupBy("event_type", "fold")
+          .agg(sum("cc").as("sf"), count(lit(1)).as("nf"))
+        val tot = perFold.groupBy("event_type")
+          .agg(sum("sf").as("s"), sum("nf").as("n"))
+        perFold.join(tot, Seq("event_type"))
+          .select(col("event_type"), col("fold"), col("nf"),
+            when(col("n") > col("nf"),
+              expr("CAST((s - sf) div (n - nf) AS BIGINT)")).as("oof_mean_c"))
+          .orderBy("event_type", "fold")
+      },
+      Some("""WITH c AS (SELECT event_type,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |   list_transform(str_split(substring(md5(CAST(event_id AS VARCHAR)), 1, 4), ''),
+             |    h -> CAST(strpos('0123456789abcdef', h) - 1 AS BIGINT))),
+             |   (a, x) -> a * 16 + x) % 5 AS fold,
+             |  CAST(ROUND(value*100) AS BIGINT) AS cc
+             | FROM events),
+             |pf AS (SELECT event_type, fold, CAST(SUM(cc) AS BIGINT) AS sf,
+             |  COUNT(*) AS nf FROM c GROUP BY 1, 2),
+             |t AS (SELECT event_type, CAST(SUM(sf) AS BIGINT) AS s,
+             |  CAST(SUM(nf) AS BIGINT) AS n FROM pf GROUP BY 1)
+             |SELECT pf.event_type, pf.fold, pf.nf,
+             | CASE WHEN t.n > pf.nf
+             |      THEN CAST((t.s - pf.sf) // (t.n - pf.nf) AS BIGINT) END AS oof_mean_c
+             |FROM pf JOIN t USING (event_type)
+             |ORDER BY event_type, fold""".stripMargin)),
+
     // dq1 — distribution drift monitor: population-stability-index (PSI)
     // contribution per event_type between the first and second half of
     // the month. Shares are exact long/long divisions; the ln lands in a

@@ -463,6 +463,103 @@ object MiningOps {
              |FROM de JOIN se USING (event_type, dow)
              |ORDER BY event_type, d""".stripMargin)),
 
+    // AN3 — CUSUM changepoint detection (Page 1954) on the per-type
+    // daily series: one-sided cumulative sum of milli-excess over the
+    // series mean with 10% slack, alarm when it crosses one mean's
+    // worth of accumulated excess. The sequential recurrence folds
+    // day-grain arrays via aggregate() (the ts3 shape — never raw
+    // events); the oracle replays it as a recursive CTE. Emits per type
+    // the max CUSUM, the first alarm day, and the alarm-day count —
+    // deterministic whether or not the fixture contains a shift.
+    Q("an3_cusum_changepoint",
+      (s, dir) => {
+        val daily0 = t(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("c"))
+        // two arms: the raw series (flat fixture — the no-alarm path) and
+        // a planted level shift (2nd half doubled — the alarm path MUST
+        // fire), so both sides of the detector are oracle-exercised
+        val daily = daily0.withColumn("arm", lit("raw")).unionByName(
+          daily0.select(col("event_type"), col("d"),
+            when(col("d") >= lit("2024-01-16"), col("c") * 2)
+              .otherwise(col("c")).as("c"))
+            .withColumn("arm", lit("shifted")))
+        daily.groupBy("arm", "event_type")
+          .agg(sort_array(collect_list(struct(col("d"), col("c")))).as("dc"),
+            sum("c").as("tot"), count(lit(1)).as("nd"))
+          .withColumn("mean_m", expr("CAST(tot * 1000 div nd AS BIGINT)"))
+          .withColumn("slack", expr("mean_m div 10"))
+          .withColumn("r", expr(
+            """aggregate(dc,
+              |  named_struct('s', 0L, 'mx', 0L,
+              |               'fd', CAST(NULL AS DATE), 'al', 0L),
+              |  (acc, x) -> named_struct(
+              |    's', greatest(0L, acc.s + x.c * 1000L - mean_m - slack),
+              |    'mx', greatest(acc.mx,
+              |      greatest(0L, acc.s + x.c * 1000L - mean_m - slack)),
+              |    'fd', coalesce(acc.fd,
+              |      CASE WHEN greatest(0L, acc.s + x.c * 1000L - mean_m - slack)
+              |             > mean_m THEN x.d END),
+              |    'al', acc.al +
+              |      CASE WHEN greatest(0L, acc.s + x.c * 1000L - mean_m - slack)
+              |             > mean_m THEN 1L ELSE 0L END))""".stripMargin))
+          .select(col("arm"), col("event_type"),
+            col("nd").cast(LongType).as("n_days"),
+            col("mean_m"), col("r.mx").as("max_cusum_m"),
+            col("r.fd").as("first_alarm_d"), col("r.al").as("n_alarms"))
+          .orderBy("arm", "event_type")
+      },
+      Some("""WITH RECURSIVE daily0 AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |daily AS (
+             |  SELECT 'raw' AS arm, event_type, d, c FROM daily0
+             |  UNION ALL
+             |  SELECT 'shifted', event_type, d,
+             |    CASE WHEN d >= DATE '2024-01-16' THEN c * 2 ELSE c END
+             |  FROM daily0),
+             |seq AS (SELECT arm, event_type, d, c,
+             |        row_number() OVER (PARTITION BY arm, event_type
+             |                           ORDER BY d) AS rn
+             |        FROM daily),
+             |m AS (SELECT arm, event_type,
+             |        CAST(SUM(c) * 1000 // COUNT(*) AS BIGINT) AS mean_m,
+             |        COUNT(*) AS nd FROM daily GROUP BY 1, 2),
+             |cu AS (
+             |  SELECT s.arm, s.event_type, s.rn,
+             |    GREATEST(CAST(0 AS BIGINT),
+             |      s.c * 1000 - m.mean_m - m.mean_m // 10) AS cs,
+             |    GREATEST(CAST(0 AS BIGINT),
+             |      s.c * 1000 - m.mean_m - m.mean_m // 10) AS mx,
+             |    CASE WHEN GREATEST(CAST(0 AS BIGINT),
+             |        s.c * 1000 - m.mean_m - m.mean_m // 10) > m.mean_m
+             |      THEN s.d END AS fd,
+             |    CAST(CASE WHEN GREATEST(CAST(0 AS BIGINT),
+             |        s.c * 1000 - m.mean_m - m.mean_m // 10) > m.mean_m
+             |      THEN 1 ELSE 0 END AS BIGINT) AS al
+             |  FROM seq s JOIN m USING (arm, event_type) WHERE s.rn = 1
+             |  UNION ALL
+             |  SELECT s.arm, s.event_type, s.rn,
+             |    GREATEST(CAST(0 AS BIGINT),
+             |      cu.cs + s.c * 1000 - m.mean_m - m.mean_m // 10),
+             |    GREATEST(cu.mx, GREATEST(CAST(0 AS BIGINT),
+             |      cu.cs + s.c * 1000 - m.mean_m - m.mean_m // 10)),
+             |    COALESCE(cu.fd, CASE WHEN GREATEST(CAST(0 AS BIGINT),
+             |        cu.cs + s.c * 1000 - m.mean_m - m.mean_m // 10) > m.mean_m
+             |      THEN s.d END),
+             |    cu.al + CASE WHEN GREATEST(CAST(0 AS BIGINT),
+             |        cu.cs + s.c * 1000 - m.mean_m - m.mean_m // 10) > m.mean_m
+             |      THEN 1 ELSE 0 END
+             |  FROM cu JOIN seq s ON s.arm = cu.arm
+             |                    AND s.event_type = cu.event_type
+             |                    AND s.rn = cu.rn + 1
+             |  JOIN m ON m.arm = s.arm AND m.event_type = s.event_type)
+             |SELECT cu.arm, cu.event_type, CAST(m.nd AS BIGINT) AS n_days,
+             |  m.mean_m, cu.mx AS max_cusum_m, cu.fd AS first_alarm_d,
+             |  CAST(cu.al AS BIGINT) AS n_alarms
+             |FROM cu JOIN m USING (arm, event_type) WHERE cu.rn = m.nd
+             |ORDER BY arm, event_type""".stripMargin)),
+
     // GR2 — link prediction by common neighbors (Liben-Nowell & Kleinberg
     // 2003): for word pairs NOT currently edges of the gr1 graph, the
     // common-neighbor count and neighborhood-Jaccard permille — the

@@ -60,7 +60,10 @@ BOUNDED_PREFIXES = (
     # farthest-first traversal: k scans x (n x <=k) cosines, linear
     "cur8",
     # seasonal decomposition: day-grain windows + dow aggregate, linear
-    "ts5")
+    "ts5",
+    # k-fold encode (category x 5 grain) and CUSUM (day-grain recursion
+    # of constant depth) are linear-cost oracles
+    "fe5", "an3")
 
 
 def main():

@@ -796,6 +796,54 @@ object MiningOps {
             |      FROM generate_series(1,300) _r(j)) r
             |WHERE levenshtein(ls, rs) <= 1""".stripMargin
         s"SELECT * FROM (\n$union\n) ORDER BY seedoff, lid, rid"
+      }),
+
+    // RF29 — incremental-CC differential fuzz, 5-seed matrix: per seed,
+    // 250 md5-derived random edges over 200 nodes; the FIRST 150 are the
+    // standing corpus (clustered with log-star), the LAST 100 arrive as
+    // the batch and merge via incrementalComponents. The oracle computes
+    // reachability over ALL 250 edges — so the row gates the
+    // incremental == full-recompute identity on graphs with bridges,
+    // new nodes, and multi-edges, not just the corpus fixture.
+    Q("rf29_inccc_fuzz",
+      (s, dir) => {
+        val insts = Seq(0L, 100L, 200L, 300L, 400L).map { off =>
+          def h(salt: String) = expr(
+            s"CAST(conv(substring(md5(concat('$salt$off:', CAST(id AS STRING))), 1, 4), 16, 10) AS BIGINT) % 200")
+          val e = s.range(1, 251)
+            .select(col("id").as("i"), h("A").as("ida"), h("B").as("idb"))
+            .filter(col("ida") =!= col("idb"))
+          val base = e.filter(col("i") <= 150).select("ida", "idb")
+          val batch = e.filter(col("i") > 150).select("ida", "idb")
+          graft.operators.Dedup.incrementalComponents(
+              graft.operators.Dedup.connectedComponentsLogStar(base), batch)
+            .withColumn("seedoff", lit(off))
+        }
+        insts.reduce(_.unionByName(_))
+          .select(col("seedoff"), col("id"), col("cluster"))
+          .orderBy("seedoff", "id")
+      },
+      Some {
+        def hSql(salt: String, off: Long) =
+          s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+             | list_transform(str_split(substring(md5('$salt$off:'||CAST(i AS VARCHAR)), 1, 4), ''),
+             |  h -> CAST(strpos('0123456789abcdef', h) - 1 AS BIGINT))),
+             | (a, x) -> a * 16 + x) % 200""".stripMargin
+        val per = Seq(0L, 100L, 200L, 300L, 400L).map { off =>
+          s"""(WITH RECURSIVE e AS (
+             |  SELECT a, b FROM (
+             |   SELECT ${hSql("A", off)} AS a, ${hSql("B", off)} AS b
+             |   FROM generate_series(1, 250) _g(i)) WHERE a <> b),
+             |ee AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+             |nodes AS (SELECT a AS id FROM ee GROUP BY 1),
+             |reach(id, label) AS (
+             | SELECT id, id FROM nodes
+             | UNION
+             | SELECT ee.a, r.label FROM ee JOIN reach r ON r.id = ee.b)
+             |SELECT CAST($off AS BIGINT) AS seedoff, id, MIN(label) AS cluster
+             |FROM reach GROUP BY 1, 2)""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"SELECT * FROM (\n$per\n) ORDER BY seedoff, id"
       })
   )
 }

@@ -63,7 +63,9 @@ BOUNDED_PREFIXES = (
     "ts5",
     # k-fold encode (category x 5 grain) and CUSUM (day-grain recursion
     # of constant depth) are linear-cost oracles
-    "fe5", "an3")
+    "fe5", "an3",
+    # incremental-CC fuzz: generated sf-independent graphs
+    "rf29")
 
 
 def main():

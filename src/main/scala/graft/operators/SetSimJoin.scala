@@ -105,4 +105,71 @@ object SetSimJoin {
       .select(col("ida"), col("idb"),
         (col("_inter") * 1000L / col("_union")).cast(LongType).as("jaccard_pm"))
   }
+
+  /** DIRECTED exact containment self-join: every ordered pair (a, b),
+    * a ≠ b, with |A∩B| ≥ (tNum/tDen)·|A| — "A is (mostly) contained in
+    * B", the subset/quote relation Jaccard under-scores when A is much
+    * smaller than B. Same prefix-filtering machinery as
+    * [[jaccardSelfJoin]] with the asymmetric twist: only the CONTAINED
+    * side can be prefix-blocked (if overlap ≥ ⌈t·|A|⌉, one of A's first
+    * |A|−⌈t·|A|⌉+1 rarest tokens is in B — pigeonhole on the tokens A
+    * may have outside B), while the container side must post ALL its
+    * tokens (the witness may sit anywhere in B). The posting shuffle is
+    * therefore inverted-index sized (ii1's shape); the contained side's
+    * prefix holds only its rarest tokens, so candidate buckets stay
+    * small on ordinary corpora. Seatbelt: tokens whose PREFIX posting
+    * exceeds `maxBucket` are dropped with the same completeness caveat
+    * as the Jaccard form.
+    *
+    * Returns (ida = contained, idb = container, containment_pm =
+    * floor(1000·|A∩B| / |A|)).
+    */
+  def containmentSelfJoin(df: DataFrame, idCol: String, tokensCol: String,
+      tNum: Int, tDen: Int, maxBucket: Int = 100000): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be in (0,1]")
+
+    val docs = df.select(col(idCol).as("_id"),
+      array_distinct(col(tokensCol)).as("_toks"))
+      .filter(size(col("_toks")) > 0)
+
+    val ss = df.sparkSession
+    import ss.implicits._
+    val vocab = docs.select(explode(col("_toks")).as("_tok"))
+      .groupBy("_tok").agg(count(lit(1)).as("_freq"))
+      .orderBy(col("_freq"), col("_tok"))
+      .select(col("_tok")).as[String]
+      .rdd.zipWithIndex()
+      .map { case (t, i) => (t, i + 1L) }
+      .toDF("_tok", "_tidx")
+
+    val indexed = docs.select(col("_id"), explode(col("_toks")).as("_tok"))
+      .join(vocab, "_tok")
+      .groupBy("_id").agg(sort_array(collect_list(col("_tidx"))).as("_idx"))
+      .withColumn("_sz", size(col("_idx")))
+      .withColumn("_plen",
+        expr(s"_sz - ((_sz * $tNum + ${tDen - 1}) div $tDen) + 1"))
+      .withColumn("_prefix", slice(col("_idx"), lit(1), col("_plen")))
+
+    val aBlocked = indexed.select(col("_id").as("ida"),
+      col("_idx").as("_ia"), col("_sz").as("_sza"),
+      col("_prefix").as("_pa"), explode(col("_prefix")).as("_ptok"))
+    val hot = aBlocked.groupBy("_ptok").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") > maxBucket).select("_ptok")
+    val aSafe = aBlocked.join(hot, Seq("_ptok"), "left_anti")
+
+    // container side posts EVERY token
+    val bSide = indexed.select(col("_id").as("idb"), col("_idx").as("_ib"),
+      explode(col("_idx")).as("_ptok"))
+
+    aSafe.join(bSide, "_ptok")
+      .filter(col("ida") =!= col("idb"))
+      // emit each pair once: on the minimal token shared between A's
+      // prefix and B's full set (exactly the join-key domain)
+      .filter(col("_ptok") === array_min(array_intersect(col("_pa"), col("_ib"))))
+      .withColumn("_inter",
+        size(array_intersect(col("_ia"), col("_ib"))).cast(LongType))
+      .filter(col("_inter") * tDen >= col("_sza").cast(LongType) * tNum)
+      .select(col("ida"), col("idb"),
+        expr("CAST(_inter * 1000 div _sza AS BIGINT)").as("containment_pm"))
+  }
 }

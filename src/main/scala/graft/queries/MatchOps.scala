@@ -174,6 +174,36 @@ object MatchOps {
              |FROM p WHERE inter * 10 >= uni * 9
              |ORDER BY ida, idb""".stripMargin)),
 
+    // SJ2 — EXACT directed CONTAINMENT self-join on 3-gram sets:
+    // |A∩B| >= 0.9·|A| — "A quoted/contained in B", the asymmetric
+    // relation Jaccard under-scores when the contained doc is small.
+    // The contained side prefix-blocks (pigeonhole on its rarest
+    // grams); the container side posts all grams (inverted-index-sized
+    // shuffle, ii1's shape); the oracle spells the all-pairs compare
+    // the plan never forms.
+    Q("sj2_containment_join",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"),
+            array_distinct(Corpus.shingles(col("text"), 3)).as("toks"))
+        graft.operators.SetSimJoin
+          .containmentSelfJoin(docs, "doc_id", "toks", tNum = 9, tDen = 10)
+          .orderBy("ida", "idb")
+      },
+      Some("""WITH g AS (
+             |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+             |  FROM (SELECT doc_id,
+             |          string_split(trim(regexp_replace(text,'\s+',' ','g')), ' ') AS ws
+             |        FROM documents) w,
+             |  LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i) _t),
+             |s AS (SELECT doc_id, list(gram) AS toks FROM g GROUP BY 1)
+             |SELECT a.doc_id AS ida, b.doc_id AS idb,
+             |  CAST(len(list_intersect(a.toks, b.toks)) * 1000 // len(a.toks) AS BIGINT)
+             |    AS containment_pm
+             |FROM s a JOIN s b ON a.doc_id <> b.doc_id
+             |WHERE len(list_intersect(a.toks, b.toks)) * 10 >= 9 * len(a.toks)
+             |ORDER BY ida, idb""".stripMargin)),
+
     // RF28 — set-similarity-join differential fuzz, 5-seed matrix: per
     // seed, 160 synthetic token sets (sizes 3-8 over a 25-token
     // vocabulary, tokens drawn by portable md5 so both engines construct

@@ -612,6 +612,41 @@ object PipelineOps {
              | CAST(CASE WHEN value >= lo AND value <= hi THEN 1 ELSE 0 END AS BIGINT) AS ok
              |FROM rows_ ORDER BY chk""".stripMargin)),
 
+    // DQ5 — k-anonymity audit (Sweeney 2002): group events by the
+    // quasi-identifier (event_type, signup-week user cohort bucket) and
+    // report, per k threshold in {2, 5, 10}, how many equivalence
+    // classes and rows fall below k — the re-identification risk screen
+    // a release pipeline runs before publishing. One aggregate to
+    // QI-cardinality rows, then a 3-row threshold explode; scale-free.
+    Q("dq5_kanonymity",
+      (s, dir) => {
+        val qi = t(s, dir, "events")
+          .filter(col("user_id").isNotNull)
+          .groupBy(col("event_type"), (col("user_id") % 20).as("cohort"))
+          .agg(count(lit(1)).as("n"))
+        qi.crossJoin(broadcast(
+            s.range(0, 3).select(element_at(
+              typedLit(Seq(2L, 5L, 10L)), col("id").cast(IntegerType) + 1)
+              .as("k"))))
+          .groupBy("k")
+          .agg(count(lit(1)).as("n_classes"),
+            sum(when(col("n") < col("k"), 1L).otherwise(0L)).as("small_classes"),
+            sum(when(col("n") < col("k"), col("n")).otherwise(0L)).as("rows_at_risk"),
+            min(col("n")).as("min_class_size"))
+          .orderBy("k")
+      },
+      Some("""WITH qi AS (
+             |  SELECT event_type, user_id % 20 AS cohort, count(*) AS n
+             |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+             |ks(k) AS (VALUES (CAST(2 AS BIGINT)), (CAST(5 AS BIGINT)),
+             |          (CAST(10 AS BIGINT)))
+             |SELECT k, count(*) AS n_classes,
+             |  CAST(SUM(CASE WHEN n < k THEN 1 ELSE 0 END) AS BIGINT) AS small_classes,
+             |  CAST(SUM(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+             |  CAST(MIN(n) AS BIGINT) AS min_class_size
+             |FROM qi CROSS JOIN ks GROUP BY k
+             |ORDER BY k""".stripMargin)),
+
     // IO4 — parquet schema evolution: half the table written with a
     // 3-column early schema, half with the full 6-column schema;
     // mergeSchema unifies the read and evolved-away columns come back

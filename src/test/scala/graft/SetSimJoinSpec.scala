@@ -79,4 +79,59 @@ class SetSimJoinSpec extends SparkSpec {
       1, 2, maxBucket = 10)
     assert(got.count() == 0L)
   }
+
+  private def bruteContain(docs: Seq[(Long, Seq[String])], tNum: Int, tDen: Int) =
+    (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia != ib
+      sa = ta.toSet; sb = tb.toSet
+      inter = (sa & sb).size.toLong
+      if inter * tDen >= sa.size.toLong * tNum
+    } yield (ia, ib, inter * 1000L / sa.size)).toSet
+
+  private def runContain(docs: Seq[(Long, Seq[String])], tNum: Int, tDen: Int) = {
+    val df = docs.toDF("id", "toks")
+    SetSimJoin.containmentSelfJoin(df, "id", "toks", tNum, tDen)
+      .as[(Long, Long, Long)].collect().toSet
+  }
+
+  test("containment: directed cases — subset both ways, partial, disjoint") {
+    val docs = Seq(
+      1L -> Seq("a", "b"),                      // ⊂ 2, ⊂ 3
+      2L -> Seq("a", "b", "c", "d"),            // contains 1; 3 ⊄ 2 at 0.9
+      3L -> Seq("a", "b", "c", "d", "e", "f"),  // contains 1 and 2
+      4L -> Seq("x", "y"),                      // disjoint
+      5L -> Seq("a", "b", "c", "d", "q"))       // 4/5 of it in 2/3
+    for ((tn, td) <- Seq((1, 1), (9, 10), (4, 5), (1, 2)))
+      assert(runContain(docs, tn, td) == bruteContain(docs, tn, td),
+        s"t=$tn/$td")
+  }
+
+  test("containment: seeded random corpus == brute force") {
+    val rnd = new scala.util.Random(29)
+    val universe = (1 to 30).map(i => s"t$i")
+    val docs = (1L to 120L).map { i =>
+      val sz = 2 + rnd.nextInt(8)
+      i -> rnd.shuffle(universe).take(sz)
+    }
+    for ((tn, td) <- Seq((1, 1), (9, 10), (2, 3))) {
+      val got = runContain(docs, tn, td)
+      val want = bruteContain(docs, tn, td)
+      assert(got == want, s"t=$tn/$td: got ${got.size}, want ${want.size}")
+    }
+    assert(bruteContain(docs, 2, 3).nonEmpty)
+  }
+
+  test("containment: no cartesian, asymmetric pairs both directions") {
+    val docs = Seq(1L -> Seq("a", "b"), 2L -> Seq("a", "b"),
+      3L -> Seq("a", "b", "c"))
+    val plan = SetSimJoin.containmentSelfJoin(
+        docs.toDF("id", "toks"), "id", "toks", 1, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // identical sets contain each other: both (1,2) and (2,1) emitted;
+    // (1,3)/(2,3) only in the subset direction
+    val got = runContain(docs, 1, 1).map { case (a, b, _) => (a, b) }
+    assert(got == Set((1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L)))
+  }
 }

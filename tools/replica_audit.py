@@ -65,7 +65,9 @@ BOUNDED_PREFIXES = (
     # of constant depth) are linear-cost oracles
     "fe5", "an3",
     # incremental-CC fuzz: generated sf-independent graphs
-    "rf29")
+    "rf29",
+    # k-anonymity: one aggregate to QI-cardinality rows
+    "dq5")
 
 
 def main():
@@ -75,8 +77,8 @@ def main():
     out = "/tmp/graft-replica-audit"
     oracle = json.loads((REPO / "ORACLE_SQL.json").read_text())
     keep = sorted(n for n in oracle
-                  if not n.startswith(("dd", "ss", "mm", "fj", "sj1", "sql2",
-                                       "cur6", "s8_"))) + [
+                  if not n.startswith(("dd", "ss", "mm", "fj", "sj1", "sj2",
+                                       "sql2", "cur6", "s8_"))) + [
         "ss1_cosine_topk", "dd13_span_dedup", "ss2_ann_lsh", "ss3_ann_ivf",
         "ss1b_cosine_topk_indexed", "dd15_substring_dedup", "dd16_substring_cut",
         "ddf5_span_splice", "mm5_wav_meta"]  # linear oracles in excluded prefixes

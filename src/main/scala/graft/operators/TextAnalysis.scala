@@ -164,4 +164,29 @@ object TextAnalysis {
     val codes = transform(split(text, ""), ch => ascii(ch).cast(LongType))
     aggregate(codes, lit(0L), (acc, c) => acc * 31L + c)
   }
+
+  /** Canonical URL host: lowercased authority with `www.` and any port
+    * stripped. Pure regexp — identically expressible in the oracle.
+    */
+  def urlHost(url: Column): Column =
+    regexp_replace(
+      lower(regexp_extract(url, "^[a-zA-Z]+://([^/:?#]+)", 1)),
+      "^www\\.", "")
+
+  /** Canonical URL form — the web-pipeline dedup key (every crawl
+    * pipeline's URL-normalization stage): scheme folded to https, host
+    * lowercased with www./port stripped, trailing slashes trimmed from
+    * the path, fragment dropped, and utm_* tracking parameters removed
+    * from the query string. All regexp/array kernels, no UDF.
+    */
+  def normalizeUrl(url: Column): Column = {
+    val host = urlHost(url)
+    val path = regexp_replace(
+      regexp_extract(url, "^[a-zA-Z]+://[^/?#]*([^?#]*)", 1), "/+$", "")
+    val q = regexp_extract(url, "\\?([^#]*)", 1)
+    val q2 = array_join(
+      filter(split(q, "&"), x => !x.startsWith("utm_") && x =!= ""), "&")
+    concat(lit("https://"), host, path,
+      when(q2 === "", lit("")).otherwise(concat(lit("?"), q2)))
+  }
 }

@@ -612,6 +612,64 @@ object PipelineOps {
              | CAST(CASE WHEN value >= lo AND value <= hi THEN 1 ELSE 0 END AS BIGINT) AS ok
              |FROM rows_ ORDER BY chk""".stripMargin)),
 
+    // TX13 — URL normalization + blocklist audit, every crawl pipeline's
+    // first stage: canonical form (https, lowercase host, www./port
+    // stripped, trailing slash trimmed, fragment dropped, utm_* params
+    // removed) as pure regexp/array kernels, then per-host dedup counts
+    // and the blocklist flag. URLs are built deterministically from
+    // (source, doc_id) — three raw variants per doc that MUST collapse
+    // to one canonical form (n_urls < n_docs proves the merge). One
+    // scan + one host-grain aggregate.
+    Q("tx13_url_normalize",
+      (s, dir) => {
+        val raw = concat(lit("HTTPS://WWW."), upper(col("source")),
+          lit(".Example.COM:443/p"), (col("doc_id") % 50).cast(StringType),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("/?utm_source=x&id="), (col("doc_id") % 7).cast(StringType)))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("?id="), (col("doc_id") % 7).cast(StringType),
+              lit("&utm_campaign=y#frag")))
+          .otherwise(lit("/")))
+        t(s, dir, "documents")
+          .select(TextAnalysis.normalizeUrl(raw).as("url_norm"),
+            TextAnalysis.urlHost(raw).as("host"))
+          .groupBy("host")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct("url_norm").as("n_urls"))
+          .withColumn("blocked",
+            when(col("host").isin("src0.example.com", "src13.example.com"), 1L)
+              .otherwise(0L))
+          .orderBy("host")
+      },
+      Some("""WITH raw AS (SELECT doc_id,
+             |  'HTTPS://WWW.' || upper(source) || '.Example.COM:443/p' ||
+             |  CAST(doc_id % 50 AS VARCHAR) ||
+             |  CASE WHEN doc_id % 3 = 0
+             |       THEN '/?utm_source=x&id=' || CAST(doc_id % 7 AS VARCHAR)
+             |       WHEN doc_id % 3 = 1
+             |       THEN '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=y#frag'
+             |       ELSE '/' END AS url
+             | FROM documents),
+             |q AS (SELECT doc_id, url,
+             |  COALESCE(array_to_string(list_filter(
+             |    string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+             |    x -> NOT starts_with(x, 'utm_') AND x <> ''), '&'), '') AS q2
+             | FROM raw),
+             |n AS (SELECT doc_id,
+             |  regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1)),
+             |    '^www\.', '') AS host,
+             |  'https://' ||
+             |   regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1)),
+             |     '^www\.', '') ||
+             |   regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]*([^?#]*)', 1),
+             |     '/+$', '') ||
+             |   CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS url_norm
+             | FROM q)
+             |SELECT host, COUNT(*) AS n_docs, COUNT(DISTINCT url_norm) AS n_urls,
+             | CAST(CASE WHEN host IN ('src0.example.com', 'src13.example.com')
+             |      THEN 1 ELSE 0 END AS BIGINT) AS blocked
+             |FROM n GROUP BY host ORDER BY host""".stripMargin)),
+
     // DQ5 — k-anonymity audit (Sweeney 2002): group events by the
     // quasi-identifier (event_type, signup-week user cohort bucket) and
     // report, per k threshold in {2, 5, 10}, how many equivalence

@@ -194,6 +194,55 @@ object ScanOps {
              |  md5(kept) AS kept_fp
              |FROM k ORDER BY doc_id""".stripMargin)),
 
+    // SK9 — join-size estimation from Count-Min inner products (Cormode
+    // & Muthukrishnan 2005 §4.2), the cost-based-planner primitive: the
+    // self-join size on l_partkey is Σ_p c(p)², and the CMS estimate is
+    // min over rows r of Σ_b cnt_r[b]² — computable from two 4x4096-counter
+    // sketches without touching the key space, which is why a planner
+    // can afford it per candidate join at 100 TB. Deterministic md5
+    // bucketing (sk4's hash), so the oracle rebuilds the identical
+    // sketch; squares accumulate in DECIMAL/HUGEINT (the fe4 silent-wrap
+    // class). est >= exact always (collision inflation); the emitted
+    // ratio shows the estimate's tightness.
+    Q("sk9_join_size_cms",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        def bucket(r: org.apache.spark.sql.Column,
+        k: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          pmod(conv(substring(md5(concat(r.cast(StringType), lit(":"),
+            k.cast(StringType))), 1, 8), 16, 10).cast(LongType), lit(4096L))
+        val exact = li.groupBy("l_partkey").agg(count(lit(1)).as("c"))
+          .agg(sum(col("c").cast(DecimalType(38, 0)) * col("c"))
+            .cast(LongType).as("exact_pairs"))
+        val est = li
+          .select(col("l_partkey"), explode(sequence(lit(0), lit(3))).as("r"))
+          .groupBy(col("r"), bucket(col("r"), col("l_partkey")).as("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("r")
+          .agg(sum(col("cnt").cast(DecimalType(38, 0)) * col("cnt"))
+            .cast(LongType).as("ip"))
+          .agg(min(col("ip")).as("est_cms"))
+        exact.crossJoin(est)
+          .select(col("exact_pairs"), col("est_cms"),
+            expr("CAST(exact_pairs * 1000 div est_cms AS BIGINT)")
+              .as("tightness_pm"))
+      },
+      Some("""WITH c AS (SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1),
+             |exact AS (SELECT CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT) AS exact_pairs
+             |          FROM c),
+             |rows4 AS (SELECT unnest(generate_series(0,3)) AS r),
+             |counters AS (
+             |  SELECT r,
+             |    CAST(('0x'||substr(md5(CAST(r AS VARCHAR)||':'||CAST(l_partkey AS VARCHAR)),1,8)) AS UBIGINT) % 4096 AS bucket,
+             |    count(*) AS cnt
+             |  FROM lineitem, rows4 GROUP BY 1, 2),
+             |ip AS (SELECT r, CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS BIGINT) AS ip
+             |       FROM counters GROUP BY 1),
+             |est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_cms FROM ip)
+             |SELECT exact_pairs, est_cms,
+             |  CAST(exact_pairs * 1000 // est_cms AS BIGINT) AS tightness_pm
+             |FROM exact, est""".stripMargin)),
+
     // SK8 — mergeable quantile sketch via the bottom-k hash sample
     // (the KMV sample re-used as a uniform row sample: the k rows with
     // the smallest md5 of their PRIMARY KEY are a deterministic simple

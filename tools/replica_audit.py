@@ -67,7 +67,9 @@ BOUNDED_PREFIXES = (
     # incremental-CC fuzz: generated sf-independent graphs
     "rf29",
     # k-anonymity: one aggregate to QI-cardinality rows
-    "dq5")
+    "dq5",
+    # CMS join-size estimate: two sketch-sized aggregates
+    "sk9")
 
 
 def main():

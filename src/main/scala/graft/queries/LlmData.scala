@@ -940,6 +940,50 @@ object LlmData {
              |   GROUP BY source)))
              |ORDER BY source""".stripMargin)),
 
+    // S9 — Neyman optimal stratified allocation (Neyman 1934): a 10k-doc
+    // sample budget split across sources ∝ N_h·σ_h — strata with more
+    // internal variance (here: of doc length) get more samples than
+    // proportional allocation gives them. σ from exact integer sums
+    // (n·Σx² − (Σx)², the fe4 overflow class → DECIMAL), one FLOOR(SQRT)
+    // per stratum (the cur7 precedent). Source-cardinality frames only.
+    Q("s9_neyman_alloc",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy().rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        t(s, dir, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_h"),
+            sum(col("n_chars")).as("sx"),
+            sum(col("n_chars").cast(DecimalType(38, 0)) * col("n_chars"))
+              .as("sxx"))
+          // integer variance proxy: floor of population variance
+          .withColumn("var_h",
+            expr("CAST((n_h * sxx - CAST(sx AS DECIMAL(38,0)) * sx) div (CAST(n_h AS DECIMAL(38,0)) * n_h) AS BIGINT)"))
+          .withColumn("sd_h",
+            expr("CAST(FLOOR(SQRT(CAST(var_h AS DOUBLE))) AS BIGINT)"))
+          .withColumn("nsd", col("n_h") * col("sd_h"))
+          .withColumn("nsd_tot", sum("nsd").over(w))
+          .select(col("source"), col("n_h"), col("var_h"), col("sd_h"),
+            expr("CAST(nsd * 10000 div nsd_tot AS BIGINT)").as("alloc"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, n_h, var_h,
+             | CAST(FLOOR(SQRT(CAST(var_h AS DOUBLE))) AS BIGINT) AS sd_h,
+             | CAST(n_h * CAST(FLOOR(SQRT(CAST(var_h AS DOUBLE))) AS BIGINT) * 10000
+             |   // SUM(n_h * CAST(FLOOR(SQRT(CAST(var_h AS DOUBLE))) AS BIGINT)) OVER ()
+             |   AS BIGINT) AS alloc
+             |FROM (
+             | SELECT source, n_h,
+             |  CAST((n_h * sxx - sx * sx) // (CAST(n_h AS HUGEINT) * n_h) AS BIGINT) AS var_h
+             | FROM (
+             |  SELECT source, COUNT(*) AS n_h,
+             |   CAST(SUM(n_chars) AS HUGEINT) AS sx,
+             |   SUM(CAST(n_chars AS HUGEINT) * n_chars) AS sxx
+             |  FROM documents GROUP BY source))
+             |ORDER BY source""".stripMargin)),
+
     // S4 — deterministic train/val/test split on a PORTABLE content
     // hash: bucket = first 16 bits of md5(text) mod 100 (Spark `conv`,
     // DuckDB hex-digit fold — same value in both engines, unlike

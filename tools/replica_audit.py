@@ -69,7 +69,9 @@ BOUNDED_PREFIXES = (
     # k-anonymity: one aggregate to QI-cardinality rows
     "dq5",
     # CMS join-size estimate: two sketch-sized aggregates
-    "sk9")
+    "sk9",
+    # Neyman allocation: one aggregate to source-cardinality rows
+    "s9_")
 
 
 def main():

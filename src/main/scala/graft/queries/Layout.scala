@@ -131,5 +131,54 @@ object LayoutOps {
              |FROM orders WHERE o_custkey % 50 = 0
              |WINDOW w AS (PARTITION BY o_custkey
              | ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST)
-             |ORDER BY k NULLS FIRST, valid_from NULLS FIRST, attr NULLS FIRST""".stripMargin)))
+             |ORDER BY k NULLS FIRST, valid_from NULLS FIRST, attr NULLS FIRST""".stripMargin)),
+
+    // CD3 — dataset version diff: two corpus snapshots compared by
+    // content fingerprint — the release audit every dataset publication
+    // runs ("what changed since v1?"). v2 is derived deterministically:
+    // every 7th doc dropped, every 10th (surviving) doc edited, 50 new
+    // docs appended. One full-outer join on the key comparing md5; the
+    // per-source × change-type matrix is the audit artifact.
+    Q("cd3_dataset_diff",
+      (s, dir) => {
+        val v1 = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+        val v2base = t(s, dir, "documents")
+          .filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("source"),
+            md5(when(col("doc_id") % 10 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text"))).as("fp"))
+        val v2new = t(s, dir, "documents")
+          .filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+            md5(concat(lit("new:"), col("text"))).as("fp"))
+        val v2 = v2base.unionByName(v2new)
+        v1.select(col("doc_id"), col("source").as("src1"), col("fp").as("fp1"))
+          .join(v2.select(col("doc_id"), col("source").as("src2"),
+            col("fp").as("fp2")), Seq("doc_id"), "full_outer")
+          .select(coalesce(col("src1"), col("src2")).as("source"),
+            when(col("fp1").isNull, "added")
+              .when(col("fp2").isNull, "removed")
+              .when(col("fp1") === col("fp2"), "unchanged")
+              .otherwise("modified").as("change"))
+          .groupBy("source", "change")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("source", "change")
+      },
+      Some("""WITH v1 AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+             |v2 AS (
+             |  SELECT doc_id, source,
+             |    md5(CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END) AS fp
+             |  FROM documents WHERE doc_id % 7 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, source, md5('new:' || text)
+             |  FROM documents WHERE doc_id % 9 = 0)
+             |SELECT COALESCE(v1.source, v2.source) AS source,
+             |  CASE WHEN v1.fp IS NULL THEN 'added'
+             |       WHEN v2.fp IS NULL THEN 'removed'
+             |       WHEN v1.fp = v2.fp THEN 'unchanged'
+             |       ELSE 'modified' END AS change,
+             |  COUNT(*) AS n
+             |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+             |GROUP BY 1, 2 ORDER BY source, change""".stripMargin)))
 }

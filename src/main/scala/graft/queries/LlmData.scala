@@ -472,6 +472,35 @@ object LlmData {
               |SELECT id, MIN(label) AS cluster FROM reach GROUP BY id
               |ORDER BY id""".stripMargin)),
 
+    // DD19 — source-overlap audit (mirror-site detection): near-dup
+    // pairs rolled up to the (source, source) matrix — a hot off-diagonal
+    // cell means two sources carry the same content and one should be
+    // dropped wholesale before doc-level dedup spends compute on it.
+    // Pairs from the LSH pipeline; source lookup is two broadcastable
+    // doc-grain joins on the pair ids only.
+    Q("dd19_source_overlap",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minHashDedup(docs, "doc_id", "text")
+        val src = docs.select(col("doc_id"), col("source"))
+        pairs
+          .join(src.select(col("doc_id").as("ida"), col("source").as("sa")), "ida")
+          .join(src.select(col("doc_id").as("idb"), col("source").as("sb")), "idb")
+          .select(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""WITH base AS ($bruteJaccardSql),
+              |j AS (SELECT LEAST(da.source, db.source) AS source_a,
+              |        GREATEST(da.source, db.source) AS source_b
+              |      FROM base JOIN documents da ON base.ida = da.doc_id
+              |                JOIN documents db ON base.idb = db.doc_id)
+              |SELECT source_a, source_b, COUNT(*) AS n_pairs
+              |FROM j GROUP BY 1, 2
+              |ORDER BY source_a, source_b""".stripMargin)),
+
     // DD8 — the dedup APPLY step: corpus minus non-representative near-
     // dup cluster members (keep the min-id doc per cluster)
     Q("dd8_dedup_apply",

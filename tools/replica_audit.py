@@ -71,7 +71,9 @@ BOUNDED_PREFIXES = (
     # CMS join-size estimate: two sketch-sized aggregates
     "sk9",
     # Neyman allocation: one aggregate to source-cardinality rows
-    "s9_")
+    "s9_",
+    # dataset diff: one full-outer join on the key, linear
+    "cd3")
 
 
 def main():

@@ -251,6 +251,47 @@ object MatchOps {
         s"SELECT * FROM (\n$union\n) ORDER BY seedoff, ida, idb"
       }),
 
+    // RF30 — containment-join differential fuzz, rf28's sibling for the
+    // DIRECTED form: 5 seeds × 160 md5-constructed token sets, the
+    // asymmetric prefix-filtered join at containment ≥ 2/3 vs the
+    // oracle's all-pairs list_intersect over IDENTICAL sets — both
+    // directions of every ordered pair exercised.
+    Q("rf30_containment_fuzz",
+      (s, dir) => {
+        val insts = Seq(0L, 100L, 200L, 300L, 400L).map { off =>
+          val docs = s.range(1, 161).select(col("id").as("doc"),
+            expr(s"""transform(sequence(1, 3 + CAST(id % 6 AS INT)),
+                     j -> concat('t', CAST(CAST(conv(substring(md5(
+                            concat('C$off:', CAST(id AS STRING), ':', CAST(j AS STRING))
+                          ), 1, 6), 16, 10) AS BIGINT) % 25 AS STRING)))""").as("toks"))
+          graft.operators.SetSimJoin
+            .containmentSelfJoin(docs, "doc", "toks", tNum = 2, tDen = 3)
+            .withColumn("seedoff", lit(off))
+        }
+        insts.reduce(_.unionByName(_)).orderBy("seedoff", "ida", "idb")
+      },
+      Some {
+        def side(off: Long) =
+          s"""SELECT i AS doc, list_distinct(list('t' || CAST(
+             |    CAST(('0x' || substr(md5('C$off:'||CAST(i AS VARCHAR)||':'||CAST(j AS VARCHAR)),1,6)) AS UBIGINT) % 25
+             |    AS VARCHAR))) AS toks
+             |  FROM generate_series(1, 160) _i(i),
+             |       LATERAL (SELECT unnest(generate_series(1, 3 + i % 6)) AS j) _j
+             |  GROUP BY i""".stripMargin
+        val union = Seq(0L, 100L, 200L, 300L, 400L).map { off =>
+          s"""SELECT CAST($off AS BIGINT) AS seedoff, a.doc AS ida, b.doc AS idb,
+             |  CAST(len(list_intersect(a.toks, b.toks)) * 1000 // len(a.toks)
+             |       AS BIGINT) AS containment_pm
+             |FROM (
+             |${side(off)}) a
+             |JOIN (
+             |${side(off)}) b
+             |ON a.doc <> b.doc
+             |WHERE len(list_intersect(a.toks, b.toks)) * 3 >= 2 * len(a.toks)""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"SELECT * FROM (\n$union\n) ORDER BY seedoff, ida, idb"
+      }),
+
     // SK3 — KMV (k-minimum-values) distinct-count sketch, k=256: the
     // mergeable NDV estimator of Bar-Yossef et al. 2002. Fully
     // deterministic — the sketch is the 256 smallest md5 values, so the

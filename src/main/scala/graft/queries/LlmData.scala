@@ -174,23 +174,29 @@ object LlmData {
     * via UNION ALL.
     */
   private def diverseSelectOracleSql(k: Int): String = {
+    // every CTE is MATERIALIZED and the candidate/selected sides are
+    // split into their own CTEs: DuckDB inlines plain CTEs, so the
+    // chained selection otherwise re-expands exponentially, and IN /
+    // NOT IN inside one cross-join clause plans as a per-pair mark join
+    // — >120 s at the 100x replica vs 1.2 s in this shape
     val stages = (2 to k).map { i =>
-      s"""c$i AS (SELECT b.vec_id,
+      s"""cand$i AS MATERIALIZED (
+         | SELECT base.* FROM base WHERE vec_id NOT IN (SELECT vec_id FROM sel${i - 1})),
+         |sv$i AS MATERIALIZED (
+         | SELECT base.v FROM base WHERE vec_id IN (SELECT vec_id FROM sel${i - 1})),
+         |c$i AS MATERIALIZED (SELECT b.vec_id,
          | MIN(CAST(ROUND((1 - list_cosine_similarity(b.v, s.v)) * 1000000) AS BIGINT)) AS mind
-         | FROM base b, base s
-         | WHERE s.vec_id IN (SELECT vec_id FROM sel${i - 1})
-         |   AND b.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
-         | GROUP BY 1),
-         |s$i AS (SELECT CAST($i AS BIGINT) AS rk, vec_id, mind FROM c$i
+         | FROM cand$i b, sv$i s GROUP BY 1),
+         |s$i AS MATERIALIZED (SELECT CAST($i AS BIGINT) AS rk, vec_id, mind FROM c$i
          |        ORDER BY mind DESC, vec_id LIMIT 1),
-         |sel$i AS (SELECT vec_id FROM sel${i - 1} UNION ALL SELECT vec_id FROM s$i)""".stripMargin
+         |sel$i AS MATERIALIZED (SELECT vec_id FROM sel${i - 1} UNION ALL SELECT vec_id FROM s$i)""".stripMargin
     }.mkString(",\n")
     val finals = (1 to k).map(i => s"SELECT rk, vec_id, mind AS mind_micro FROM s$i")
       .mkString("\nUNION ALL\n")
-    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |s1 AS (SELECT CAST(1 AS BIGINT) AS rk, vec_id, CAST(NULL AS BIGINT) AS mind
+    s"""WITH base AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |s1 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS rk, vec_id, CAST(NULL AS BIGINT) AS mind
        |       FROM base ORDER BY vec_id LIMIT 1),
-       |sel1 AS (SELECT vec_id FROM s1),
+       |sel1 AS MATERIALIZED (SELECT vec_id FROM s1),
        |$stages
        |SELECT * FROM (
        |$finals

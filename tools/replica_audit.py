@@ -73,7 +73,10 @@ BOUNDED_PREFIXES = (
     # Neyman allocation: one aggregate to source-cardinality rows
     "s9_",
     # dataset diff: one full-outer join on the key, linear
-    "cd3")
+    "cd3",
+    # PageRank: 5 fixed iterations of node-grain join+agg over the
+    # vocabulary-grain cooc edge list, linear per iteration
+    "gr3")
 
 
 def main():

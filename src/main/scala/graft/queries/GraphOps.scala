@@ -65,6 +65,68 @@ object GraphOps {
        |ORDER BY rank_micro DESC, word""".stripMargin
   }
 
+  /** Directed bigram edge list (x precedes y somewhere in the corpus). */
+  private val dirPrelude: String =
+    s"""ws AS (SELECT string_split(trim(regexp_replace(text,'\\s+',' ','g')),' ') AS w
+       |       FROM documents),
+       |bi AS (SELECT w[i] AS x, w[i+1] AS y FROM ws,
+       |       LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) _t
+       |       WHERE w[i] <> w[i+1]),
+       |d AS (SELECT DISTINCT x AS src, y AS dst FROM bi)""".stripMargin
+
+  private def hitsOracleSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""h$i AS (SELECT d.src AS node,
+         |  CAST(sum(a.auth) AS BIGINT) AS hub
+         | FROM d JOIN a${i - 1} a ON a.node = d.dst GROUP BY 1),
+         |hn$i AS (SELECT node,
+         |  hub * 1000000 // (SELECT max(hub) FROM h$i) AS hub FROM h$i),
+         |a$i AS (SELECT d.dst AS node,
+         |  CAST(sum(h.hub) AS BIGINT) AS auth
+         | FROM d JOIN hn$i h ON h.node = d.src GROUP BY 1),
+         |an$i AS (SELECT node,
+         |  auth * 1000000 // (SELECT max(auth) FROM a$i) AS auth FROM a$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $dirPrelude,
+       |nodes AS (SELECT src AS node FROM d UNION SELECT dst FROM d),
+       |a0 AS (SELECT node, CAST(1000000 AS BIGINT) AS auth FROM nodes),
+       |$steps
+       |SELECT n.node AS word,
+       |       COALESCE(a.auth, 0) AS auth_micro,
+       |       COALESCE(h.hub, 0) AS hub_micro
+       |FROM nodes n
+       |LEFT JOIN an$iters a ON a.node = n.node
+       |LEFT JOIN hn$iters h ON h.node = n.node
+       |ORDER BY auth_micro DESC, hub_micro DESC, word""".stripMargin
+  }
+
+  private def kcoreOracleSql(k: Int, peels: Int): String = {
+    val steps = (1 to peels).map { i =>
+      s"""n$i AS (SELECT src AS node FROM deg$i WHERE deg >= $k),
+         |deg${i + 1} AS (SELECT e.src, count(*) AS deg FROM e
+         |  JOIN n$i a ON a.node = e.src JOIN n$i b ON b.node = e.dst
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgePrelude,
+       |deg1 AS (SELECT src, deg FROM deg),
+       |$steps
+       |SELECT src AS word, deg FROM deg${peels + 1}
+       |ORDER BY deg DESC, word""".stripMargin
+  }
+
+  private def bfsOracleSql(hops: Int): String = {
+    val steps = (1 to hops).map { i =>
+      s"""r$i AS (SELECT node, min(hop) AS hop FROM (
+         |  SELECT e.dst AS node, r.hop + 1 AS hop
+         |    FROM r${i - 1} r JOIN e ON e.src = r.node
+         |  UNION ALL SELECT node, hop FROM r${i - 1}) _u GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgePrelude,
+       |r0 AS (SELECT min(src) AS node, 0 AS hop FROM e),
+       |$steps
+       |SELECT node AS word, hop FROM r$hops ORDER BY hop, word""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
 
     // GR3 — PageRank, 5 power iterations, damping 0.85, integer micro
@@ -100,5 +162,102 @@ object GraphOps {
         rank.select(col("node").as("word"), col("rank_micro"))
           .orderBy(col("rank_micro").desc, col("word"))
       },
-      Some(pagerankOracleSql(5))))
+      Some(pagerankOracleSql(5))),
+
+    // GR4 — HITS hubs & authorities (Kleinberg 1999), 3 power iterations
+    // on the DIRECTED bigram graph, integer micro fixed point. Each half
+    // step max-normalizes with truncating division (score * 1e6 div max)
+    // so the recurrence never overflows and both engines replay it
+    // bit-identically — the max is a 1-row aggregate broadcast into the
+    // node-grain frame (structurally bounded, safe to hint). Per
+    // iteration: two node-grain equi-joins + aggregates over the
+    // vocabulary-grain edge list; lineage is flattened per half step via
+    // localCheckpoint, same discipline as gr3.
+    Q("gr4_hits",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val bi = docs
+          .select(explode(Corpus.shingles(col("text"), 2)).as("g"))
+          .select(split(col("g"), " ").getItem(0).as("x"),
+            split(col("g"), " ").getItem(1).as("y"))
+          .filter(col("x") =!= col("y"))
+        val d = bi.select(col("x").as("src"), col("y").as("dst"))
+          .distinct().localCheckpoint()
+        val nodes = d.select(col("src").as("node"))
+          .union(d.select(col("dst").as("node"))).distinct().localCheckpoint()
+        var auth = nodes.select(col("node"), lit(1000000L).as("auth"))
+        var hub: org.apache.spark.sql.DataFrame = null
+        for (_ <- 1 to 3) {
+          val h = d.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+            .groupBy(col("src").as("node"))
+            .agg(expr("CAST(sum(auth) AS BIGINT)").as("hub"))
+          val hmax = h.agg(max(col("hub")).as("hmax"))
+          hub = h.crossJoin(broadcast(hmax))
+            .select(col("node"), expr("hub * 1000000 div hmax").as("hub"))
+            .localCheckpoint()
+          val a = d.join(hub.withColumnRenamed("node", "src"), Seq("src"))
+            .groupBy(col("dst").as("node"))
+            .agg(expr("CAST(sum(hub) AS BIGINT)").as("auth"))
+          val amax = a.agg(max(col("auth")).as("amax"))
+          auth = a.crossJoin(broadcast(amax))
+            .select(col("node"), expr("auth * 1000000 div amax").as("auth"))
+            .localCheckpoint()
+        }
+        nodes
+          .join(auth, Seq("node"), "left")
+          .join(hub, Seq("node"), "left")
+          .select(col("node").as("word"),
+            coalesce(col("auth"), lit(0L)).as("auth_micro"),
+            coalesce(col("hub"), lit(0L)).as("hub_micro"))
+          .orderBy(col("auth_micro").desc, col("hub_micro").desc, col("word"))
+      },
+      Some(hitsOracleSql(3))),
+
+    // GR5 — k-core peeling (k=16, 5 rounds): repeatedly drop nodes whose
+    // degree in the SURVIVING subgraph is < k; emit the round-5 degree
+    // table. Each round is one edge-grain double semi-join + node-grain
+    // aggregate (never all-pairs); the fixed round count makes the
+    // result a deterministic prefix of the true k-core fixpoint that the
+    // chained-CTE oracle replays exactly. At web scale the edge list is
+    // the co-partitioned join input and survivors shrink monotonically.
+    Q("gr5_kcore",
+      (s, dir) => {
+        val edges = coocEdges(t(s, dir, "documents")).localCheckpoint()
+        var deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        for (_ <- 1 to 5) {
+          val keep = deg.filter(col("deg") >= 16)
+            .select(col("src").as("node")).localCheckpoint()
+          deg = edges
+            .join(keep.withColumnRenamed("node", "src"), Seq("src"), "semi")
+            .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "semi")
+            .groupBy("src").agg(count(lit(1)).as("deg"))
+            .localCheckpoint()
+        }
+        deg.select(col("src").as("word"), col("deg"))
+          .orderBy(col("deg").desc, col("word"))
+      },
+      Some(kcoreOracleSql(16, 5))),
+
+    // GR6 — BFS hop distance from the lexicographically-first word, 4
+    // frontier expansions as min-plus propagation: hop(u) =
+    // min(hop(u), 1 + min over neighbors). Each round is one node-grain
+    // join + union + min-aggregate; min() makes re-discovery idempotent
+    // so no visited-set state is needed — the shape that scales to
+    // billion-edge graphs (it is one Pregel superstep per round).
+    Q("gr6_bfs_hops",
+      (s, dir) => {
+        val edges = coocEdges(t(s, dir, "documents")).localCheckpoint()
+        var front = edges.agg(min(col("src")).as("node"))
+          .withColumn("hop", lit(0))
+        for (_ <- 1 to 4) {
+          front = front.join(edges, front("node") === edges("src"))
+            .select(col("dst").as("node"), (col("hop") + lit(1)).as("hop"))
+            .unionAll(front)
+            .groupBy("node").agg(min(col("hop")).as("hop"))
+            .localCheckpoint()
+        }
+        front.select(col("node").as("word"), col("hop"))
+          .orderBy(col("hop"), col("word"))
+      },
+      Some(bfsOracleSql(4))))
 }

@@ -74,9 +74,9 @@ BOUNDED_PREFIXES = (
     "s9_",
     # dataset diff: one full-outer join on the key, linear
     "cd3",
-    # PageRank: 5 fixed iterations of node-grain join+agg over the
-    # vocabulary-grain cooc edge list, linear per iteration
-    "gr3")
+    # PageRank / HITS / k-core / BFS: fixed iterations of node-grain
+    # join+agg over the vocabulary-grain cooc edge list, linear each
+    "gr3", "gr4", "gr5", "gr6")
 
 
 def main():

@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.operators.Corpus
+import graft.sources.Tables
+
+/** Data-selection operators for training-corpus curation: hashed n-gram
+  * importance resampling (the DSIR recipe — Xie et al. 2023, "Data
+  * Selection for Language Models via Importance Resampling") and the
+  * signed hashing trick (Weinberger et al. 2009, "Feature Hashing for
+  * Large Scale Multitask Learning").
+  *
+  * Everything is integer fixed-point over md5-derived buckets so the
+  * DuckDB oracle replays each pipeline bit-for-bit: Spark
+  * `conv(substr(md5(x),1,k),16,10)` == DuckDB
+  * `CAST(('0x'||substr(md5(x),1,k)) AS UBIGINT)` (lowercase hex in both
+  * engines; k<=12 hex chars stay inside int64).
+  *
+  * Ref: the reference (slide/utils.py) has no corpus-selection surface;
+  * these extend the curation family (cur*/fe*) per the north-star scope.
+  */
+object SelectionOps {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Per-(doc, hashed-bigram-bucket) counts: one explode + one aggregate.
+    * 256 buckets — the feature space is CONSTANT-grain, which is the whole
+    * point of the hashing trick at 100 TB: the target/raw distributions
+    * below are 256-row frames no matter the corpus size.
+    */
+  private def hashedBigramCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        explode(Corpus.shingles(col("text"), 2)).as("g"))
+      .select(col("doc_id"), col("source"),
+        expr("CAST(conv(substr(md5(g),1,4),16,10) AS BIGINT) % 256").as("b"))
+      .groupBy("doc_id", "source", "b")
+      .agg(count(lit(1)).as("cnt"))
+
+  private val featPrelude: String =
+    """ws AS (SELECT doc_id, source,
+      |        string_split(trim(regexp_replace(text,'\s+',' ','g')),' ') AS w
+      |        FROM documents WHERE trim(text) <> ''),
+      |bi AS (SELECT doc_id, source, w[i] || ' ' || w[i+1] AS g FROM ws,
+      |        LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) _t),
+      |fb AS (SELECT doc_id, source,
+      |         CAST(CAST(('0x'||substr(md5(g),1,4)) AS UBIGINT) % 256 AS BIGINT) AS b,
+      |         count(*) AS cnt
+      |        FROM bi GROUP BY 1,2,3)""".stripMargin
+
+  def all: Seq[Q] = Seq(
+
+    // IMP1 — DSIR-style importance resampling: fit hashed-bigram bag
+    // models on a target domain (source 'src0') and on the raw pool
+    // (everything else), weight each raw document by how target-like its
+    // feature counts are, keep the top 50. The per-bucket weight is the
+    // add-one-smoothed probability ratio in permille,
+    //   r(b) = ((tgt(b)+1) * raw_tot * 1000) div ((raw(b)+1) * tgt_tot),
+    // and the document score is the count-weighted mean of r over its
+    // buckets — a monotone linear proxy of DSIR's log-likelihood-ratio
+    // sum that stays in exact integer arithmetic (no log, no floats), so
+    // both engines rank identically. The ratio numerator is a product of
+    // two corpus-grain sums → computed in Decimal(38,0) on the Spark side
+    // (HUGEINT in DuckDB) per the silent-int64-wrap convention.
+    //
+    // Scale shape: features are one explode + one (doc,b) aggregate; the
+    // two distribution frames are 256 rows (constant), broadcast into the
+    // doc-grain scoring join; top-50 is TakeOrdered. Nothing here is more
+    // than one pass over the corpus — the DSIR paper's selling point,
+    // kept intact.
+    Q("imp1_dsir_select",
+      (s, dir) => {
+        val dec = DecimalType(38, 0)
+        val fb = hashedBigramCounts(t(s, dir, "documents")).localCheckpoint()
+        val tgtF = fb.filter(col("source") === "src0")
+        val rawF = fb.filter(col("source") =!= "src0")
+        val tgt = tgtF.groupBy("b").agg(sum(col("cnt")).as("tc"))
+        val tgtTot = tgtF.agg(sum(col("cnt")).as("tgt_tot"))
+        val rawB = rawF.groupBy("b").agg(sum(col("cnt")).as("rc"))
+        val rawTot = rawF.agg(sum(col("cnt")).as("raw_tot"))
+        // 256-row × 1-row frames: structurally bounded, safe to hint.
+        val r = rawB.join(tgt, Seq("b"), "left")
+          .crossJoin(broadcast(tgtTot)).crossJoin(broadcast(rawTot))
+          .select(col("b"),
+            expr("CAST((CAST(coalesce(tc, 0) + 1 AS DECIMAL(38,0)) * raw_tot * 1000) div " +
+              "(CAST(rc + 1 AS DECIMAL(38,0)) * tgt_tot) AS BIGINT)").as("r_pm"))
+        rawF.join(broadcast(r), Seq("b"))
+          .groupBy("doc_id")
+          .agg(expr("CAST(sum(cnt * r_pm) div sum(cnt) AS BIGINT)").as("score_pm"))
+          .orderBy(col("score_pm").desc, col("doc_id"))
+          .limit(50)
+      },
+      Some(s"""WITH $featPrelude,
+        |tgt AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS tc FROM fb
+        |        WHERE source = 'src0' GROUP BY 1),
+        |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS tgt_tot FROM fb WHERE source = 'src0'),
+        |rawb AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS rc FROM fb
+        |         WHERE source <> 'src0' GROUP BY 1),
+        |rt AS (SELECT CAST(sum(cnt) AS BIGINT) AS raw_tot FROM fb WHERE source <> 'src0'),
+        |r AS (SELECT rawb.b,
+        |        CAST((CAST(COALESCE(tgt.tc, 0) + 1 AS HUGEINT) * raw_tot * 1000) //
+        |             (CAST(rawb.rc + 1 AS HUGEINT) * tgt_tot) AS BIGINT) AS r_pm
+        |      FROM rawb LEFT JOIN tgt ON tgt.b = rawb.b, tt, rt)
+        |SELECT fb.doc_id,
+        |       CAST(CAST(sum(fb.cnt * r.r_pm) AS HUGEINT) //
+        |            CAST(sum(fb.cnt) AS HUGEINT) AS BIGINT) AS score_pm
+        |FROM fb JOIN r ON r.b = fb.b
+        |WHERE fb.source <> 'src0'
+        |GROUP BY 1
+        |ORDER BY score_pm DESC, doc_id
+        |LIMIT 50""".stripMargin)),
+
+    // FE6 — signed feature hashing (the hashing trick): project each
+    // document's bag of words into 64 buckets, with a ±1 sign drawn from
+    // an independent hash bit so collisions cancel in expectation
+    // (Weinberger 2009 §3 — the sign is what makes the estimator
+    // unbiased). Emitted for the deterministic 1-in-11 doc_id sample so
+    // the output stays sample-grain while the transform itself is one
+    // explode + one aggregate over the full corpus shape. Bucket and sign
+    // both come from md5 nibbles, replayed exactly by the oracle.
+    Q("fe6_feature_hash",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .filter(col("doc_id") % 11 === 0)
+          .select(col("doc_id"), explode(Corpus.words(col("text"))).as("wd"))
+          .select(col("doc_id"),
+            expr("CAST(conv(substr(md5(wd),1,3),16,10) AS BIGINT) % 64").as("b"),
+            expr("CASE WHEN CAST(conv(substr(md5(wd),4,1),16,10) AS BIGINT) % 2 = 0 " +
+              "THEN 1 ELSE -1 END").as("sgn"))
+          .groupBy("doc_id", "b")
+          .agg(expr("CAST(sum(sgn) AS BIGINT)").as("val"))
+          .filter(col("val") =!= 0)
+          .orderBy(col("doc_id"), col("b"))
+      },
+      Some("""WITH ws AS (SELECT doc_id,
+        |        string_split(trim(regexp_replace(text,'\s+',' ','g')),' ') AS w
+        |        FROM documents WHERE doc_id % 11 = 0 AND trim(text) <> ''),
+        |wx AS (SELECT doc_id, unnest(w) AS wd FROM ws),
+        |h AS (SELECT doc_id,
+        |        CAST(CAST(('0x'||substr(md5(wd),1,3)) AS UBIGINT) % 64 AS BIGINT) AS b,
+        |        CASE WHEN CAST(('0x'||substr(md5(wd),4,1)) AS UBIGINT) % 2 = 0
+        |             THEN 1 ELSE -1 END AS sgn
+        |      FROM wx)
+        |SELECT doc_id, b, CAST(sum(sgn) AS BIGINT) AS val
+        |FROM h GROUP BY 1, 2
+        |HAVING CAST(sum(sgn) AS BIGINT) <> 0
+        |ORDER BY doc_id, b""".stripMargin)))
+}

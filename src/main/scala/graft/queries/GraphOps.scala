@@ -49,6 +49,29 @@ object GraphOps {
        |      UNION SELECT y AS src, x AS dst FROM bi),
        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1)""".stripMargin
 
+  /** The gr3 power-iteration kernel over an arbitrary `edges(src, dst)`
+    * list, public so PlanQualitySpec can assert the per-iteration
+    * localCheckpoint barrier holds at 50 iterations (flat logical plan —
+    * replacing the checkpoint with cache() grows the plan ~3× per round
+    * and OOMs the optimizer near 15; see the ccLogStar lesson).
+    */
+  def pagerankRanks(edges: DataFrame, iters: Int): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ed = edges.join(deg, "src").localCheckpoint()
+    var rank = deg.select(col("src").as("node"),
+      lit(1000000L).as("rank_micro"))
+    for (_ <- 1 to iters) {
+      rank = ed
+        .join(rank.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), expr("rank_micro div deg").as("c"))
+        .groupBy("node")
+        .agg(expr("CAST(150000 + (850 * sum(c)) div 1000 AS BIGINT)")
+          .as("rank_micro"))
+        .localCheckpoint()
+    }
+    rank
+  }
+
   private def pagerankOracleSql(iters: Int): String = {
     val steps = (1 to iters).map { i =>
       s"""r$i AS (SELECT e.dst AS node,
@@ -144,24 +167,10 @@ object GraphOps {
     // 50-iteration web-graph run from exponential plan growth. Per-node
     // sums are bounded by total mass (~N * 1e6), far inside int64.
     Q("gr3_pagerank",
-      (s, dir) => {
-        val edges = coocEdges(t(s, dir, "documents")).localCheckpoint()
-        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        val ed = edges.join(deg, "src").localCheckpoint()
-        var rank = deg.select(col("src").as("node"),
-          lit(1000000L).as("rank_micro"))
-        for (_ <- 1 to 5) {
-          rank = ed
-            .join(rank.withColumnRenamed("node", "src"), Seq("src"))
-            .select(col("dst").as("node"), expr("rank_micro div deg").as("c"))
-            .groupBy("node")
-            .agg(expr("CAST(150000 + (850 * sum(c)) div 1000 AS BIGINT)")
-              .as("rank_micro"))
-            .localCheckpoint()
-        }
-        rank.select(col("node").as("word"), col("rank_micro"))
-          .orderBy(col("rank_micro").desc, col("word"))
-      },
+      (s, dir) =>
+        pagerankRanks(coocEdges(t(s, dir, "documents")).localCheckpoint(), 5)
+          .select(col("node").as("word"), col("rank_micro"))
+          .orderBy(col("rank_micro").desc, col("word")),
       Some(pagerankOracleSql(5))),
 
     // GR4 — HITS hubs & authorities (Kleinberg 1999), 3 power iterations

@@ -2,8 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
-import graft.operators.Corpus
+import graft.operators.{Corpus, PrefixSum, TextAnalysis}
 import graft.sources.Tables
 
 /** Data-selection operators for training-corpus curation: hashed n-gram
@@ -19,7 +18,7 @@ import graft.sources.Tables
   * engines; k<=12 hex chars stay inside int64).
   *
   * Ref: the reference (slide/utils.py) has no corpus-selection surface;
-  * these extend the curation family (cur*/fe*) per the north-star scope.
+  * these extend the curation family (cur, fe) per the north-star scope.
   */
 object SelectionOps {
 
@@ -51,6 +50,76 @@ object SelectionOps {
       |         count(*) AS cnt
       |        FROM bi GROUP BY 1,2,3)""".stripMargin
 
+  /** (doc_id, score_pm) for every raw-pool document: the DSIR importance
+    * score as the count-weighted mean of the per-bucket smoothed
+    * target/raw probability ratio in permille. Shared by imp1 (top-k),
+    * imp2 (resample) and imp3 (end-to-end shard build). Scale shape: the
+    * ratio table is a CONSTANT 256 rows (broadcast); the corpus is
+    * touched by one explode + two aggregates.
+    */
+  private def dsirScored(s: SparkSession, dir: String): DataFrame = {
+    val fb = hashedBigramCounts(t(s, dir, "documents")).localCheckpoint()
+    val tgtF = fb.filter(col("source") === "src0")
+    val rawF = fb.filter(col("source") =!= "src0")
+    val tgt = tgtF.groupBy("b").agg(sum(col("cnt")).as("tc"))
+    val tgtTot = tgtF.agg(sum(col("cnt")).as("tgt_tot"))
+    val rawB = rawF.groupBy("b").agg(sum(col("cnt")).as("rc"))
+    val rawTot = rawF.agg(sum(col("cnt")).as("raw_tot"))
+    // 256-row × 1-row frames: structurally bounded, safe to hint.
+    val r = rawB.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(tgtTot)).crossJoin(broadcast(rawTot))
+      .select(col("b"),
+        expr("CAST((CAST(coalesce(tc, 0) + 1 AS DECIMAL(38,0)) * raw_tot * 1000) div " +
+          "(CAST(rc + 1 AS DECIMAL(38,0)) * tgt_tot) AS BIGINT)").as("r_pm"))
+    rawF.join(broadcast(r), Seq("b"))
+      .groupBy("doc_id")
+      .agg(expr("CAST(sum(cnt * r_pm) div sum(cnt) AS BIGINT)").as("score_pm"))
+  }
+
+  /** Deterministic importance RESAMPLE (the actual "R" of DSIR): accept
+    * a document iff its content-independent md5 permille draw falls
+    * below score_pm scaled to [0,1000] by the global max — a
+    * hash-rejection Bernoulli thinning with acceptance probability
+    * proportional to the importance weight (the cur-series hash-gate
+    * shape), so the decision is reproducible on any cluster at any
+    * parallelism. The max is a 1-row broadcast.
+    */
+  private def dsirSelected(scored: DataFrame): DataFrame = {
+    val mx = scored.agg(max(col("score_pm")).as("max_pm"))
+    scored.crossJoin(broadcast(mx))
+      .withColumn("accept_pm", expr("CAST(score_pm * 1000 div max_pm AS BIGINT)"))
+      .withColumn("draw_pm",
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)),1,4),16,10) AS BIGINT) % 1000"))
+      .filter(col("draw_pm") < col("accept_pm"))
+  }
+
+  /** Oracle CTE chain up to `scored(doc_id, score_pm)` — the SQL replay
+    * of [[dsirScored]].
+    */
+  private val scorePrelude: String =
+    s"""$featPrelude,
+      |tgt AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS tc FROM fb
+      |        WHERE source = 'src0' GROUP BY 1),
+      |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS tgt_tot FROM fb WHERE source = 'src0'),
+      |rawb AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS rc FROM fb
+      |         WHERE source <> 'src0' GROUP BY 1),
+      |rt AS (SELECT CAST(sum(cnt) AS BIGINT) AS raw_tot FROM fb WHERE source <> 'src0'),
+      |r AS (SELECT rawb.b,
+      |        CAST((CAST(COALESCE(tgt.tc, 0) + 1 AS HUGEINT) * raw_tot * 1000) //
+      |             (CAST(rawb.rc + 1 AS HUGEINT) * tgt_tot) AS BIGINT) AS r_pm
+      |      FROM rawb LEFT JOIN tgt ON tgt.b = rawb.b, tt, rt),
+      |scored AS (SELECT fb.doc_id,
+      |        CAST(CAST(sum(fb.cnt * r.r_pm) AS HUGEINT) //
+      |             CAST(sum(fb.cnt) AS HUGEINT) AS BIGINT) AS score_pm
+      |      FROM fb JOIN r ON r.b = fb.b
+      |      WHERE fb.source <> 'src0'
+      |      GROUP BY 1)""".stripMargin
+
+  /** SQL replay of [[dsirSelected]]'s draw and acceptance threshold. */
+  private val drawSql =
+    "CAST(CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,4)) AS UBIGINT) % 1000 AS BIGINT)"
+  private val acceptSql = "CAST(score_pm * 1000 // max_pm AS BIGINT)"
+
   def all: Seq[Q] = Seq(
 
     // IMP1 — DSIR-style importance resampling: fit hashed-bigram bag
@@ -72,46 +141,111 @@ object SelectionOps {
     // than one pass over the corpus — the DSIR paper's selling point,
     // kept intact.
     Q("imp1_dsir_select",
-      (s, dir) => {
-        val dec = DecimalType(38, 0)
-        val fb = hashedBigramCounts(t(s, dir, "documents")).localCheckpoint()
-        val tgtF = fb.filter(col("source") === "src0")
-        val rawF = fb.filter(col("source") =!= "src0")
-        val tgt = tgtF.groupBy("b").agg(sum(col("cnt")).as("tc"))
-        val tgtTot = tgtF.agg(sum(col("cnt")).as("tgt_tot"))
-        val rawB = rawF.groupBy("b").agg(sum(col("cnt")).as("rc"))
-        val rawTot = rawF.agg(sum(col("cnt")).as("raw_tot"))
-        // 256-row × 1-row frames: structurally bounded, safe to hint.
-        val r = rawB.join(tgt, Seq("b"), "left")
-          .crossJoin(broadcast(tgtTot)).crossJoin(broadcast(rawTot))
-          .select(col("b"),
-            expr("CAST((CAST(coalesce(tc, 0) + 1 AS DECIMAL(38,0)) * raw_tot * 1000) div " +
-              "(CAST(rc + 1 AS DECIMAL(38,0)) * tgt_tot) AS BIGINT)").as("r_pm"))
-        rawF.join(broadcast(r), Seq("b"))
-          .groupBy("doc_id")
-          .agg(expr("CAST(sum(cnt * r_pm) div sum(cnt) AS BIGINT)").as("score_pm"))
+      (s, dir) =>
+        dsirScored(s, dir)
           .orderBy(col("score_pm").desc, col("doc_id"))
-          .limit(50)
-      },
-      Some(s"""WITH $featPrelude,
-        |tgt AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS tc FROM fb
-        |        WHERE source = 'src0' GROUP BY 1),
-        |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS tgt_tot FROM fb WHERE source = 'src0'),
-        |rawb AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS rc FROM fb
-        |         WHERE source <> 'src0' GROUP BY 1),
-        |rt AS (SELECT CAST(sum(cnt) AS BIGINT) AS raw_tot FROM fb WHERE source <> 'src0'),
-        |r AS (SELECT rawb.b,
-        |        CAST((CAST(COALESCE(tgt.tc, 0) + 1 AS HUGEINT) * raw_tot * 1000) //
-        |             (CAST(rawb.rc + 1 AS HUGEINT) * tgt_tot) AS BIGINT) AS r_pm
-        |      FROM rawb LEFT JOIN tgt ON tgt.b = rawb.b, tt, rt)
-        |SELECT fb.doc_id,
-        |       CAST(CAST(sum(fb.cnt * r.r_pm) AS HUGEINT) //
-        |            CAST(sum(fb.cnt) AS HUGEINT) AS BIGINT) AS score_pm
-        |FROM fb JOIN r ON r.b = fb.b
-        |WHERE fb.source <> 'src0'
-        |GROUP BY 1
+          .limit(50),
+      Some(s"""WITH $scorePrelude
+        |SELECT doc_id, score_pm FROM scored
         |ORDER BY score_pm DESC, doc_id
         |LIMIT 50""".stripMargin)),
+
+    // IMP2 — the RESAMPLING half of DSIR (Xie 2023 §2 step 3): turn the
+    // importance scores into an actual selected subset by deterministic
+    // hash-rejection — accept doc iff md5(doc_id) permille draw <
+    // score_pm·1000/max(score_pm). Acceptance probability is
+    // proportional to the importance weight, the draw is content-keyed
+    // and cluster-invariant, and the whole decision is one broadcast
+    // 1-row max + one filter on the doc-grain score frame — selection
+    // composes with any downstream pipeline without a shuffle.
+    Q("imp2_dsir_resample",
+      (s, dir) =>
+        dsirSelected(dsirScored(s, dir))
+          .select("doc_id", "score_pm", "accept_pm", "draw_pm")
+          .orderBy("doc_id"),
+      Some(s"""WITH $scorePrelude,
+        |mx AS (SELECT MAX(score_pm) AS max_pm FROM scored)
+        |SELECT doc_id, score_pm, $acceptSql AS accept_pm, $drawSql AS draw_pm
+        |FROM scored, mx
+        |WHERE $drawSql < $acceptSql
+        |ORDER BY doc_id""".stripMargin)),
+
+    // IMP3 — the full "build a training shard" composition, one
+    // declarative plan: DSIR selection (imp2's hash-rejection) → global
+    // sequence packing of the survivors into 512-token windows (pk1's
+    // two-pass PrefixSum — no single-partition Window) → per-source
+    // temperature-mix accounting (cur7's α=1/2 rule) over the packed
+    // shard. Output: per source, docs/tokens/window-slots plus raw and
+    // temperature-scaled sampling shares.
+    //
+    // Shuffle ledger vs the sum of parts (plan in PLANS.md): feature
+    // explode + (doc,b) aggregate [1 shuffle], doc-grain score aggregate
+    // [1], selection filter [broadcast, 0], token join back to documents
+    // [1, doc_id-keyed], PrefixSum range sort [1] + #partitions-row
+    // totals exchange, source-grain aggregate [1] + source-cardinality
+    // window — exactly the shuffles its three parts pay alone; the
+    // composition adds none.
+    Q("imp3_select_pack_mix",
+      (s, dir) => {
+        val L = 512
+        val docs = t(s, dir, "documents")
+        val sel = dsirSelected(dsirScored(s, dir)).select("doc_id")
+        val toks = docs.join(sel, Seq("doc_id"))
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+          .filter(col("n_tokens") > 0)
+        val packed = PrefixSum.exclusive(toks, "doc_id", "n_tokens", "tok_offset")
+          .withColumn("first_win", expr(s"tok_offset div $L"))
+          .withColumn("last_win", expr(s"(tok_offset + n_tokens - 1) div $L"))
+        val perSrc = packed.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("tot_tokens"),
+            sum(col("last_win") - col("first_win") + lit(1)).as("win_slots"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy().rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        perSrc
+          .withColumn("grand", sum("tot_tokens").over(w))
+          .withColumn("share_ppm",
+            expr("CAST(tot_tokens * 1000000 div grand AS BIGINT)"))
+          .withColumn("root",
+            expr("CAST(FLOOR(SQRT(CAST(share_ppm AS DOUBLE))) AS BIGINT)"))
+          .withColumn("root_sum", sum("root").over(w))
+          .select(col("source"), col("n_docs"), col("tot_tokens"),
+            col("win_slots"), col("share_ppm"),
+            expr("CAST(root * 1000000 div root_sum AS BIGINT)").as("sampled_ppm"))
+          .orderBy("source")
+      },
+      Some(s"""WITH $scorePrelude,
+        |mx AS (SELECT MAX(score_pm) AS max_pm FROM scored),
+        |sel AS (SELECT doc_id FROM scored, mx WHERE $drawSql < $acceptSql),
+        |tk AS (SELECT d.doc_id, d.source, d.n_tokens
+        |       FROM (SELECT doc_id, source, CAST(CASE WHEN nrm = '' THEN 0
+        |          ELSE length(nrm) - length(replace(nrm, ' ', '')) + 1 END AS BIGINT) AS n_tokens
+        |         FROM (SELECT doc_id, source,
+        |            trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nrm
+        |           FROM documents)) d
+        |       JOIN sel USING (doc_id)
+        |       WHERE d.n_tokens > 0),
+        |packed AS (SELECT doc_id, source, n_tokens,
+        |        SUM(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS tok_offset
+        |       FROM tk),
+        |per AS (SELECT source, COUNT(*) AS n_docs,
+        |        CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+        |        CAST(SUM((tok_offset + n_tokens - 1) // 512 - tok_offset // 512 + 1) AS BIGINT) AS win_slots
+        |       FROM packed GROUP BY 1)
+        |SELECT source, n_docs, tot_tokens, win_slots, share_ppm,
+        |  CAST(root * 1000000 // SUM(root) OVER () AS BIGINT) AS sampled_ppm
+        |FROM (
+        | SELECT source, n_docs, tot_tokens, win_slots, share_ppm,
+        |  CAST(FLOOR(SQRT(CAST(share_ppm AS DOUBLE))) AS BIGINT) AS root
+        | FROM (
+        |  SELECT source, n_docs, tot_tokens, win_slots,
+        |   CAST(tot_tokens * 1000000 // SUM(tot_tokens) OVER () AS BIGINT) AS share_ppm
+        |  FROM per))
+        |ORDER BY source""".stripMargin)),
 
     // FE6 — signed feature hashing (the hashing trick): project each
     // document's bag of words into 64 buckets, with a ±1 sign drawn from

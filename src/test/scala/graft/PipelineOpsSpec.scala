@@ -297,4 +297,49 @@ class PipelineOpsSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
+
+  test("DSIR selection: resample invariants and select→pack→mix consistency") {
+    // imp2's acceptance rule, checked against its own output: the draw
+    // is always below the acceptance threshold, the threshold is the
+    // score scaled by the global max (so the top-scored doc is ALWAYS
+    // kept — acceptance probability 1000/1000), and acceptance is
+    // deterministic in doc_id (re-running selects the identical set).
+    val imp2 = SparkEntry.queries("imp2_dsir_resample")(spark, sf).cache()
+    val rows = imp2.collect()
+    assert(rows.nonEmpty, "resample selected nothing")
+    val maxScore = rows.map(_.getAs[Long]("score_pm")).max
+    rows.foreach { r =>
+      assert(r.getAs[Long]("draw_pm") < r.getAs[Long]("accept_pm"))
+    }
+    // the max-scored doc in the full scored set survives: its accept_pm
+    // is exactly 1000 and every permille draw is < 1000
+    val imp1 = SparkEntry.queries("imp1_dsir_select")(spark, sf).collect()
+    val topDoc = imp1.head
+    assert(rows.exists(_.getAs[Long]("doc_id") == topDoc.getAs[Long]("doc_id")),
+      "globally top-scored doc was not selected")
+    assert(maxScore <= topDoc.getAs[Long]("score_pm"))
+    val again = SparkEntry.queries("imp2_dsir_resample")(spark, sf).collect()
+    assert(again.map(_.getAs[Long]("doc_id")).toSet ===
+      rows.map(_.getAs[Long]("doc_id")).toSet, "selection not deterministic")
+    // imp3 composes the same selection: its per-source doc total equals
+    // the imp2 survivor count restricted to docs with >0 tokens
+    val imp3 = SparkEntry.queries("imp3_select_pack_mix")(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("nt"))
+    val expected = docs.join(imp2.select("doc_id"), Seq("doc_id"))
+      .filter(col("nt") > 0).count()
+    assert(imp3.map(_.getAs[Long]("n_docs")).sum === expected)
+    // packing bounds: every doc occupies at least its own ceil(n/512)
+    // windows, so slots >= max(n_docs, ceil(tokens/512)); and a doc of n
+    // tokens can straddle at most (n-1) div 512 + 2 windows, so
+    // slots <= tokens div 512 + 2*n_docs
+    imp3.foreach { r =>
+      val tok = r.getAs[Long]("tot_tokens"); val slots = r.getAs[Long]("win_slots")
+      val nd = r.getAs[Long]("n_docs")
+      assert(slots >= math.max(nd, (tok + 511) / 512) &&
+        slots <= tok / 512 + 2 * nd,
+        s"win_slots $slots outside bounds for n_docs=$nd tot_tokens=$tok")
+    }
+    imp2.unpersist()
+  }
 }

@@ -253,4 +253,26 @@ class PlanQualitySpec extends SparkSpec {
       lines(wi + 1).contains("false, 0"),
       s"window not fed by a partition-local sort:\n$p")
   }
+
+  test("iterative graph loop stays flat under the localCheckpoint barrier " +
+    "(gr3 kernel, 50 iterations)") {
+    // A 50-round web-graph PageRank must not grow the logical plan with
+    // the iteration count: each round ends in localCheckpoint, so the
+    // next round's lineage starts from a LogicalRDD of constant size.
+    // Swapping the checkpoint for cache() keeps correctness but grows
+    // the plan ~3x per round (exponential) and OOMs the optimizer near
+    // 15 rounds — the regression this guard exists to catch.
+    import spark.implicits._
+    val edges = (0 until 12).flatMap { i =>
+      val a = f"n$i%02d"; val b = f"n${(i + 1) % 12}%02d"
+      Seq((a, b), (b, a))
+    }.toDF("src", "dst").localCheckpoint()
+    def planNodes(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case n => n }.size
+    val r10 = queries.GraphOps.pagerankRanks(edges, 10)
+    val r50 = queries.GraphOps.pagerankRanks(edges, 50)
+    assert(planNodes(r50) == planNodes(r10),
+      s"plan grew with iterations: ${planNodes(r10)} -> ${planNodes(r50)}")
+    assert(r50.count() == 12)
+  }
 }

@@ -2,7 +2,11 @@
 """Local stand-in for the driver's correctness gate (dev tooling only; the
 library itself has no Python dependency). Usage:
 
-    python3 tools/check.py <sfDir> <verifyOutDir>
+    python3 tools/check.py <sfDir> <verifyOutDir> [--present-only]
+
+With --present-only, checks only the queries whose parquet dump exists in
+<verifyOutDir> (for name-filtered graft.Verify runs — dev iteration and
+tools/precommit.py); the full-registry mode treats a missing dump as FAIL.
 
 Loads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
 matching SQL from oracle_sql.json in DuckDB with the sfDir tables registered
@@ -60,6 +64,7 @@ def norm(rows, cols):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    present_only = "--present-only" in sys.argv[3:]
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -74,6 +79,8 @@ def main():
         sql = oracle[name]
         pdir = Path(out_dir) / name
         if not pdir.exists():
+            if present_only:
+                continue
             results[name] = "MISSING(spark output)"
             n_fail += 1
             continue

@@ -67,6 +67,10 @@ def render_readme_counts(n_specs, n_green, n_total):
         f"from the run's own outputs, {time.strftime('%Y-%m-%d')}): "
         f"`sbt test` **{n_specs}/{n_specs}**; registry **{n_total}** queries, "
         f"**{n_green}** oracle-green vs DuckDB at sf0.01 " + tail,
+        f"*These counts are valid ONLY at `{head}` — if "
+        f"`git rev-parse --short HEAD` prints anything else, every artifact "
+        f"(ORACLE_SQL, audits, BENCHSCALE) is stale; `tools/precommit.py` "
+        f"warns on this, `tools/round_snapshot.py` clears it.*",
         end])
     p = REPO / "README.md"
     text = p.read_text()

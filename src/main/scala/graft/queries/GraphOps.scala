@@ -123,6 +123,35 @@ object GraphOps {
        |ORDER BY auth_micro DESC, hub_micro DESC, word""".stripMargin
   }
 
+  /** gr7's oracle: replay the personalized recurrence — teleport mass
+    * only on the src0 seed vocabulary, contributions damped 850/1000
+    * with truncating division, zero-rank rows retained until output.
+    */
+  private def pprOracleSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""p$i AS (SELECT t.node,
+         |  CAST(150000 * t.tele + (850 * COALESCE(c.s, 0)) // 1000 AS BIGINT) AS rank_micro
+         | FROM tele t LEFT JOIN (
+         |   SELECT e.dst AS node, CAST(sum(r.rank_micro // d.deg) AS BIGINT) AS s
+         |   FROM e JOIN p${i - 1} r ON r.node = e.src
+         |          JOIN deg d ON d.src = e.src
+         |   GROUP BY 1) c ON c.node = t.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgePrelude,
+       |sw AS (SELECT string_split(trim(regexp_replace(text,'\\s+',' ','g')),' ') AS w
+       |       FROM documents WHERE source = 'src0' AND trim(text) <> ''),
+       |seeds AS (SELECT DISTINCT wd FROM (SELECT unnest(w) AS wd FROM sw) _u
+       |          WHERE wd <> ''),
+       |tele AS (SELECT d.src AS node,
+       |         CAST(CASE WHEN s.wd IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS tele
+       |         FROM deg d LEFT JOIN seeds s ON s.wd = d.src),
+       |p0 AS (SELECT node, CAST(1000000 * tele AS BIGINT) AS rank_micro FROM tele),
+       |$steps
+       |SELECT node AS word, rank_micro FROM p$iters
+       |WHERE rank_micro > 0
+       |ORDER BY rank_micro DESC, word""".stripMargin
+  }
+
   private def kcoreOracleSql(k: Int, peels: Int): String = {
     val steps = (1 to peels).map { i =>
       s"""n$i AS (SELECT src AS node FROM deg$i WHERE deg >= $k),
@@ -268,5 +297,48 @@ object GraphOps {
         front.select(col("node").as("word"), col("hop"))
           .orderBy(col("hop"), col("word"))
       },
-      Some(bfsOracleSql(4))))
+      Some(bfsOracleSql(4))),
+
+    // GR7 — PERSONALIZED PageRank (Haveliwala 2002, "Topic-Sensitive
+    // PageRank"): the random walk teleports only to the target-domain
+    // seed vocabulary (words of src0 documents) instead of uniformly, so
+    // the stationary mass measures proximity to the domain — the graph
+    // counterpart of imp1's bag-of-ngrams importance score, usable as a
+    // curation prior for off-domain corpora. Same integer micro fixed
+    // point and truncating recurrence as gr3; the teleport vector is a
+    // node-grain frame joined once per iteration, zero-mass nodes kept
+    // in the vector (they can re-gain mass through neighbors) and
+    // dropped only at output. Scale shape: per iteration one
+    // co-partitioned node-grain join + aggregate + one left join against
+    // the checkpointed teleport frame; lineage flattened per round.
+    Q("gr7_ppr_domain",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val edges = coocEdges(docs).localCheckpoint()
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        val ed = edges.join(deg, "src").localCheckpoint()
+        val seeds = docs.filter(col("source") === "src0")
+          .select(explode(Corpus.words(col("text"))).as("node")).distinct()
+        val tele = deg.select(col("src").as("node"))
+          .join(seeds.withColumn("t1", lit(1L)), Seq("node"), "left")
+          .select(col("node"), coalesce(col("t1"), lit(0L)).as("tele"))
+          .localCheckpoint()
+        var rank = tele.select(col("node"),
+          (col("tele") * lit(1000000L)).as("rank_micro"))
+        for (_ <- 1 to 5) {
+          val contrib = ed
+            .join(rank.withColumnRenamed("node", "src"), Seq("src"))
+            .select(col("dst").as("node"), expr("rank_micro div deg").as("c"))
+            .groupBy("node").agg(sum(col("c")).as("s"))
+          rank = tele.join(contrib, Seq("node"), "left")
+            .select(col("node"),
+              expr("CAST(150000 * tele + (850 * coalesce(s, 0)) div 1000 AS BIGINT)")
+                .as("rank_micro"))
+            .localCheckpoint()
+        }
+        rank.filter(col("rank_micro") > 0)
+          .select(col("node").as("word"), col("rank_micro"))
+          .orderBy(col("rank_micro").desc, col("word"))
+      },
+      Some(pprOracleSql(5))))
 }

@@ -57,7 +57,11 @@ object SelectionOps {
     * ratio table is a CONSTANT 256 rows (broadcast); the corpus is
     * touched by one explode + two aggregates.
     */
-  private def dsirScored(s: SparkSession, dir: String): DataFrame = {
+  private final case class Dsir(fb: DataFrame, tgt: DataFrame,
+      tgtTot: DataFrame, rawB: DataFrame, rawTot: DataFrame,
+      scored: DataFrame)
+
+  private def dsir(s: SparkSession, dir: String): Dsir = {
     val fb = hashedBigramCounts(t(s, dir, "documents")).localCheckpoint()
     val tgtF = fb.filter(col("source") === "src0")
     val rawF = fb.filter(col("source") =!= "src0")
@@ -71,10 +75,14 @@ object SelectionOps {
       .select(col("b"),
         expr("CAST((CAST(coalesce(tc, 0) + 1 AS DECIMAL(38,0)) * raw_tot * 1000) div " +
           "(CAST(rc + 1 AS DECIMAL(38,0)) * tgt_tot) AS BIGINT)").as("r_pm"))
-    rawF.join(broadcast(r), Seq("b"))
+    val scored = rawF.join(broadcast(r), Seq("b"))
       .groupBy("doc_id")
       .agg(expr("CAST(sum(cnt * r_pm) div sum(cnt) AS BIGINT)").as("score_pm"))
+    Dsir(fb, tgt, tgtTot, rawB, rawTot, scored)
   }
+
+  private def dsirScored(s: SparkSession, dir: String): DataFrame =
+    dsir(s, dir).scored
 
   /** Deterministic importance RESAMPLE (the actual "R" of DSIR): accept
     * a document iff its content-independent md5 permille draw falls
@@ -246,6 +254,103 @@ object SelectionOps {
         |   CAST(tot_tokens * 1000000 // SUM(tot_tokens) OVER () AS BIGINT) AS share_ppm
         |  FROM per))
         |ORDER BY source""".stripMargin)),
+
+    // IMP4 — dedup-aware selection audit: per source, how many
+    // DSIR-selected documents are exact duplicates (md5-of-lowered-text
+    // key occurring >= 2 times anywhere in the corpus). Importance
+    // resampling upweights target-like text, and boilerplate that
+    // happens to look target-like gets selected MANY times over — this
+    // is the observability row that catches selection concentrating
+    // duplicate mass (the reason DSIR pipelines run dedup after
+    // selection). Plan: the dup-key table is one hash aggregate, the
+    // audit one key-equi join + source-grain aggregate; nothing
+    // all-pairs, joins unhinted so AQE sizes them.
+    Q("imp4_select_dedup_overlap",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sel = dsirSelected(dsirScored(s, dir)).select("doc_id")
+        val dup = docs.groupBy(md5(lower(col("text"))).as("k"))
+          .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+          .select(col("k"), lit(1L).as("isdup"))
+        docs.join(sel, Seq("doc_id"))
+          .withColumn("k", md5(lower(col("text"))))
+          .join(dup, Seq("k"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_sel"),
+            sum(coalesce(col("isdup"), lit(0L))).as("n_sel_dup"))
+          .select(col("source"), col("n_sel"), col("n_sel_dup"),
+            expr("CAST(n_sel_dup * 1000 div n_sel AS BIGINT)").as("dup_pm"))
+          .orderBy(asc_nulls_first("source"))
+      },
+      Some(s"""WITH $scorePrelude,
+        |mx AS (SELECT MAX(score_pm) AS max_pm FROM scored),
+        |sel AS (SELECT doc_id FROM scored, mx WHERE $drawSql < $acceptSql),
+        |dk AS (SELECT md5(lower(text)) AS k FROM documents
+        |       GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT d.source, COUNT(*) AS n_sel,
+        | CAST(SUM(CASE WHEN dk.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_sel_dup,
+        | CAST(CAST(SUM(CASE WHEN dk.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000
+        |   // COUNT(*) AS BIGINT) AS dup_pm
+        |FROM documents d
+        |JOIN sel USING (doc_id)
+        |LEFT JOIN dk ON dk.k = md5(lower(d.text))
+        |GROUP BY 1
+        |ORDER BY source NULLS FIRST""".stripMargin)),
+
+    // IMP5 — selection-shift evaluation: L1 distance (in ppm, over the
+    // 256 hashed-bigram buckets) between the target, raw-pool, and
+    // DSIR-selected feature distributions — the "did selection actually
+    // move the corpus toward the target domain" scalar (Xie 2023 §4
+    // evaluates selection the same way, via feature-space divergence;
+    // L1 instead of KL keeps it in exact integer arithmetic). Expected
+    // invariant: l1_sel_tgt < l1_raw_tgt. Everything after the shared
+    // feature pass is 256-row-frame algebra; the spine keeps buckets
+    // with zero mass in one distribution comparable.
+    Q("imp5_selection_shift",
+      (s, dir) => {
+        val d = dsir(s, dir)
+        val sel = dsirSelected(d.scored).select("doc_id")
+        val selF = d.fb.join(sel, Seq("doc_id"))
+        val selB = selF.groupBy("b").agg(sum(col("cnt")).as("sc"))
+        val selTot = selF.agg(sum(col("cnt")).as("sel_tot"))
+        val spine = s.range(256).select(col("id").as("b"))
+        spine
+          .join(d.tgt, Seq("b"), "left")
+          .join(d.rawB, Seq("b"), "left")
+          .join(selB, Seq("b"), "left")
+          .crossJoin(broadcast(d.tgtTot)).crossJoin(broadcast(d.rawTot))
+          .crossJoin(broadcast(selTot))
+          .select(
+            expr("CAST(CAST(coalesce(tc, 0) AS DECIMAL(38,0)) * 1000000 div tgt_tot AS BIGINT)").as("pt"),
+            expr("CAST(CAST(coalesce(rc, 0) AS DECIMAL(38,0)) * 1000000 div raw_tot AS BIGINT)").as("pr"),
+            expr("CAST(CAST(coalesce(sc, 0) AS DECIMAL(38,0)) * 1000000 div sel_tot AS BIGINT)").as("ps"))
+          .agg(
+            expr("CAST(sum(abs(pr - pt)) AS BIGINT)").as("l1_raw_tgt_ppm"),
+            expr("CAST(sum(abs(ps - pt)) AS BIGINT)").as("l1_sel_tgt_ppm"),
+            expr("CAST(sum(abs(ps - pr)) AS BIGINT)").as("l1_sel_raw_ppm"))
+          .orderBy("l1_raw_tgt_ppm")
+      },
+      Some(s"""WITH $scorePrelude,
+        |mx AS (SELECT MAX(score_pm) AS max_pm FROM scored),
+        |sel AS (SELECT doc_id FROM scored, mx WHERE $drawSql < $acceptSql),
+        |selc AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS sc FROM fb
+        |         JOIN sel USING (doc_id) GROUP BY 1),
+        |st AS (SELECT CAST(sum(cnt) AS BIGINT) AS sel_tot FROM fb
+        |       JOIN sel USING (doc_id)),
+        |spine AS (SELECT unnest(generate_series(0, 255)) AS b),
+        |dist AS (SELECT
+        |   CAST(CAST(COALESCE(t.tc, 0) AS HUGEINT) * 1000000 // tt.tgt_tot AS BIGINT) AS pt,
+        |   CAST(CAST(COALESCE(rb.rc, 0) AS HUGEINT) * 1000000 // rt.raw_tot AS BIGINT) AS pr,
+        |   CAST(CAST(COALESCE(sc.sc, 0) AS HUGEINT) * 1000000 // st.sel_tot AS BIGINT) AS ps
+        |  FROM spine sp
+        |  LEFT JOIN tgt t ON t.b = sp.b
+        |  LEFT JOIN rawb rb ON rb.b = sp.b
+        |  LEFT JOIN selc sc ON sc.b = sp.b, tt, rt, st)
+        |SELECT CAST(SUM(ABS(pr - pt)) AS BIGINT) AS l1_raw_tgt_ppm,
+        |       CAST(SUM(ABS(ps - pt)) AS BIGINT) AS l1_sel_tgt_ppm,
+        |       CAST(SUM(ABS(ps - pr)) AS BIGINT) AS l1_sel_raw_ppm
+        |FROM dist
+        |ORDER BY l1_raw_tgt_ppm""".stripMargin)),
 
     // FE6 — signed feature hashing (the hashing trick): project each
     // document's bag of words into 64 buckets, with a ±1 sign drawn from

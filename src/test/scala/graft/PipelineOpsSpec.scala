@@ -340,6 +340,13 @@ class PipelineOpsSpec extends SparkSpec {
         slots <= tok / 512 + 2 * nd,
         s"win_slots $slots outside bounds for n_docs=$nd tot_tokens=$tok")
     }
+    // imp5: selection must move the feature distribution toward the
+    // target — the whole point of importance resampling (checked at
+    // both sf0.001 and sf0.01 before pinning; deterministic data)
+    val imp5 = SparkEntry.queries("imp5_selection_shift")(spark, sf)
+      .collect().head
+    assert(imp5.getAs[Long]("l1_sel_tgt_ppm") <= imp5.getAs[Long]("l1_raw_tgt_ppm"),
+      "selection did not move the corpus toward the target distribution")
     imp2.unpersist()
   }
 }

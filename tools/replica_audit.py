@@ -74,9 +74,14 @@ BOUNDED_PREFIXES = (
     "s9_",
     # dataset diff: one full-outer join on the key, linear
     "cd3",
-    # PageRank / HITS / k-core / BFS: fixed iterations of node-grain
-    # join+agg over the vocabulary-grain cooc edge list, linear each
-    "gr3", "gr4", "gr5", "gr6")
+    # PageRank / HITS / k-core / BFS / personalized PageRank: fixed
+    # iterations of node-grain join+agg over the vocabulary-grain cooc
+    # edge list, linear each
+    "gr3", "gr4", "gr5", "gr6", "gr7",
+    # DSIR selection family + signed feature hashing: one explode + a
+    # constant 256/64-bucket feature space; imp3's packing window is the
+    # pk1 cumulative sum — all linear-cost oracles
+    "imp", "fe6")
 
 
 def main():

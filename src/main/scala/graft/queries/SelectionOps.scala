@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Corpus, PrefixSum, TextAnalysis}
+import graft.operators.{Corpus, DsirSelection, PrefixSum, TextAnalysis}
 import graft.sources.Tables
 
 /** Data-selection operators for training-corpus curation: hashed n-gram
@@ -25,19 +25,14 @@ object SelectionOps {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Per-(doc, hashed-bigram-bucket) counts: one explode + one aggregate.
-    * 256 buckets — the feature space is CONSTANT-grain, which is the whole
-    * point of the hashing trick at 100 TB: the target/raw distributions
-    * below are 256-row frames no matter the corpus size.
+  /** Per-(doc, hashed-bigram-bucket) counts — the shared DSIR kernel's
+    * feature pass ([[graft.operators.DsirSelection]]). 256 buckets: the
+    * feature space is CONSTANT-grain, which is the whole point of the
+    * hashing trick at 100 TB — the target/raw distributions below are
+    * 256-row frames no matter the corpus size.
     */
   private def hashedBigramCounts(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), col("source"),
-        explode(Corpus.shingles(col("text"), 2)).as("g"))
-      .select(col("doc_id"), col("source"),
-        expr("CAST(conv(substr(md5(g),1,4),16,10) AS BIGINT) % 256").as("b"))
-      .groupBy("doc_id", "source", "b")
-      .agg(count(lit(1)).as("cnt"))
+    DsirSelection.hashedBigramCounts(docs)
 
   private val featPrelude: String =
     """ws AS (SELECT doc_id, source,
@@ -69,15 +64,11 @@ object SelectionOps {
     val tgtTot = tgtF.agg(sum(col("cnt")).as("tgt_tot"))
     val rawB = rawF.groupBy("b").agg(sum(col("cnt")).as("rc"))
     val rawTot = rawF.agg(sum(col("cnt")).as("raw_tot"))
-    // 256-row × 1-row frames: structurally bounded, safe to hint.
-    val r = rawB.join(tgt, Seq("b"), "left")
-      .crossJoin(broadcast(tgtTot)).crossJoin(broadcast(rawTot))
-      .select(col("b"),
-        expr("CAST((CAST(coalesce(tc, 0) + 1 AS DECIMAL(38,0)) * raw_tot * 1000) div " +
-          "(CAST(rc + 1 AS DECIMAL(38,0)) * tgt_tot) AS BIGINT)").as("r_pm"))
-    val scored = rawF.join(broadcast(r), Seq("b"))
-      .groupBy("doc_id")
-      .agg(expr("CAST(sum(cnt * r_pm) div sum(cnt) AS BIGINT)").as("score_pm"))
+    // ratio + scoring via the shared kernel (the r table is identical to
+    // rawB left-join tgt with zero-filled tc: bucketState zero-fills and
+    // ratioTable keeps rc > 0 buckets — the rawB bucket set)
+    val scored = DsirSelection.scoreDocs(fb,
+      DsirSelection.ratioTable(DsirSelection.bucketState(fb)))
     Dsir(fb, tgt, tgtTot, rawB, rawTot, scored)
   }
 
@@ -92,14 +83,8 @@ object SelectionOps {
     * shape), so the decision is reproducible on any cluster at any
     * parallelism. The max is a 1-row broadcast.
     */
-  private def dsirSelected(scored: DataFrame): DataFrame = {
-    val mx = scored.agg(max(col("score_pm")).as("max_pm"))
-    scored.crossJoin(broadcast(mx))
-      .withColumn("accept_pm", expr("CAST(score_pm * 1000 div max_pm AS BIGINT)"))
-      .withColumn("draw_pm",
-        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)),1,4),16,10) AS BIGINT) % 1000"))
-      .filter(col("draw_pm") < col("accept_pm"))
-  }
+  private def dsirSelected(scored: DataFrame): DataFrame =
+    DsirSelection.resample(scored)
 
   /** Oracle CTE chain up to `scored(doc_id, score_pm)` — the SQL replay
     * of [[dsirScored]].

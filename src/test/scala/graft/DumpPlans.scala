@@ -73,7 +73,9 @@ object DumpPlans {
       "cc3_containment" ->
         "Containment decontamination: probe grams and probe sizes broadcast (benchmark-sized); the corpus side is one explode + broadcast hash join + partial aggregation — only colliding (doc, probe) pairs ever shuffle.",
       "sk8_quantile_sketch" ->
-        "Bottom-k quantile sketch: each sketch branch is TakeOrderedAndProject (per-partition heaps — no global sort of values anywhere); percentiles aggregate 256-row samples; scalars meet in 1-row cross joins.")
+        "Bottom-k quantile sketch: each sketch branch is TakeOrderedAndProject (per-partition heaps — no global sort of values anywhere); percentiles aggregate 256-row samples; scalars meet in 1-row cross joins.",
+      "imp3_select_pack_mix" ->
+        "End-to-end shard build (DSIR select → prefix-sum pack → temperature mix): the 256-row ratio table and 1-row max broadcast into the doc-grain score/selection stages (BroadcastHashJoin, zero extra exchange); the packing stage enters as the pk1 prefix-sum RDD (range sort + per-partition offsets, already executed — see pk1 entry); after it only the source-grain aggregate exchange and a source-cardinality window remain. The composition pays exactly the shuffles of its parts.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (auto-generated by graft.DumpPlans at sf0.1)\n\n")
     sb.append("Evidence for the plan-shape claims in README: pushed filters, pruned\n")
@@ -90,7 +92,7 @@ object DumpPlans {
       "q15_top_supplier", "q22_global_sales",
       "ss1b_cosine_topk_indexed", "pk1_sequence_pack", "lm1_bigram_score",
       "sk6_hll_registers", "cc3_containment",
-      "sk8_quantile_sketch").foreach { name =>
+      "sk8_quantile_sketch", "imp3_select_pack_mix").foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       sb.append(s"\n## $name\n\n${notes(name)}\n\n```\n")
       sb.append(df.queryExecution.explainString(

@@ -337,6 +337,79 @@ object SelectionOps {
         |FROM dist
         |ORDER BY l1_raw_tgt_ppm""".stripMargin)),
 
+    // CUR9 — UniMax budget allocation (Chung et al. 2023, "UniMax:
+    // Fairer and More Effective Language Sampling for Large-Scale
+    // Multilingual Pretraining"): split a total token budget (here 70%
+    // of one corpus epoch) across sources, capping every source at 1
+    // epoch of its own data — the published successor to cur7's
+    // temperature rule that stops rare-source over-repetition. The
+    // water-filling has a closed form over sources sorted by capacity:
+    // k* = the longest ascending prefix whose members can be fully
+    // capped within budget (lhs_i = P_i + (n-i)·c_i <= B), every later
+    // source gets the integer water level θ = (B - P_k*) div (n - k*).
+    // All window algebra on a SOURCE-cardinality frame (bounded — the
+    // single-partition windows hold ~20 rows here, ~10^3 at worst in
+    // production), so the corpus is touched exactly once by the token
+    // aggregate. Products are (small count)×(sum) — bounded inside
+    // int64, not the sum×sum overflow class.
+    Q("cur9_unimax_alloc",
+      (s, dir) => {
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy().orderBy(col("tok"), col("source"))
+        val wCum = wOrd.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+        val wAll = org.apache.spark.sql.expressions.Window
+          .partitionBy().rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        t(s, dir, "documents")
+          .groupBy("source")
+          .agg(sum(TextAnalysis.tokenCount(col("text"))).as("tok"))
+          .withColumn("i", row_number().over(wOrd).cast("long"))
+          .withColumn("p", sum("tok").over(wCum))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("grand", sum("tok").over(wAll))
+          .withColumn("budget", expr("CAST(grand * 7 div 10 AS BIGINT)"))
+          .withColumn("lhs", expr("p + (n - i) * tok"))
+          .withColumn("k", coalesce(
+            max(when(col("lhs") <= col("budget"), col("i"))).over(wAll), lit(0L)))
+          .withColumn("pk", coalesce(
+            max(when(col("lhs") <= col("budget"), col("p"))).over(wAll), lit(0L)))
+          .withColumn("alloc",
+            expr("CAST(CASE WHEN i <= k OR k >= n THEN tok " +
+              "ELSE least(tok, (budget - pk) div (n - k)) END AS BIGINT)"))
+          .select(col("source"), col("tok"), col("alloc"),
+            expr("CAST(CASE WHEN tok = 0 THEN 0 ELSE alloc * 1000 div tok END AS BIGINT)")
+              .as("epochs_pm"))
+          .orderBy(asc_nulls_first("source"))
+      },
+      Some(s"""WITH tok AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS tok
+        |  FROM (SELECT source, CAST(CASE WHEN nrm = '' THEN 0
+        |     ELSE length(nrm) - length(replace(nrm, ' ', '')) + 1 END AS BIGINT) AS nt
+        |    FROM (SELECT source, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nrm
+        |      FROM documents)) GROUP BY 1),
+        |b AS (SELECT source, tok,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY tok, source) AS BIGINT) AS i,
+        |  CAST(SUM(tok) OVER (ORDER BY tok, source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p,
+        |  CAST(COUNT(*) OVER () AS BIGINT) AS n,
+        |  CAST(SUM(tok) OVER () * 7 // 10 AS BIGINT) AS budget
+        | FROM tok),
+        |c AS (SELECT *, p + (n - i) * tok AS lhs FROM b),
+        |d AS (SELECT *,
+        |  COALESCE(MAX(CASE WHEN lhs <= budget THEN i END) OVER (), 0) AS k,
+        |  COALESCE(MAX(CASE WHEN lhs <= budget THEN p END) OVER (), 0) AS pk
+        | FROM c),
+        |e AS (SELECT source, tok,
+        |  CAST(CASE WHEN i <= k OR k >= n THEN tok
+        |       ELSE LEAST(tok, (budget - pk) // (n - k)) END AS BIGINT) AS alloc
+        | FROM d)
+        |SELECT source, tok, alloc,
+        |  CAST(CASE WHEN tok = 0 THEN 0 ELSE alloc * 1000 // tok END AS BIGINT) AS epochs_pm
+        |FROM e
+        |ORDER BY source NULLS FIRST""".stripMargin)),
+
     // FE6 — signed feature hashing (the hashing trick): project each
     // document's bag of words into 64 buckets, with a ±1 sign drawn from
     // an independent hash bit so collisions cancel in expectation

@@ -81,7 +81,10 @@ BOUNDED_PREFIXES = (
     # DSIR selection family + signed feature hashing: one explode + a
     # constant 256/64-bucket feature space; imp3's packing window is the
     # pk1 cumulative sum — all linear-cost oracles
-    "imp", "fe6")
+    "imp", "fe6",
+    # UniMax water-filling: one token aggregate to a source-cardinality
+    # frame + window algebra, linear
+    "cur9")
 
 
 def main():

@@ -337,6 +337,77 @@ object SelectionOps {
         |FROM dist
         |ORDER BY l1_raw_tgt_ppm""".stripMargin)),
 
+    // RF31 — DSIR-selection differential fuzz, the rf27-rf30 pattern
+    // for the new family: 5 seeds × 200 md5-constructed documents over
+    // a 20-word vocabulary (8 sources, src0 the target), the
+    // DsirSelection kernel end-to-end (features → bucket state → ratio
+    // → score → resample) vs the oracle's full SQL replay over the
+    // IDENTICAL generate_series-derived corpus. Catches any divergence
+    // the fixed gate corpus can't reach (empty buckets, single-bigram
+    // docs, ties in the max).
+    Q("rf31_dsir_fuzz",
+      (s, dir) => {
+        val insts = Seq(0L, 100L, 200L, 300L, 400L).map { off =>
+          val docs = s.range(1, 201).select(
+            col("id").as("doc_id"),
+            concat(lit("src"), (col("id") % 8).cast("string")).as("source"),
+            expr(s"""concat_ws(' ', transform(sequence(1, 6 + CAST(id % 5 AS INT)),
+                     j -> concat('w', CAST(CAST(conv(substring(md5(
+                            concat('D$off:', CAST(id AS STRING), ':', CAST(j AS STRING))
+                          ), 1, 6), 16, 10) AS BIGINT) % 20 AS STRING))))""").as("text"))
+          val fb = DsirSelection.hashedBigramCounts(docs)
+          val sel = DsirSelection.resample(DsirSelection.scoreDocs(fb,
+            DsirSelection.ratioTable(DsirSelection.bucketState(fb))))
+          sel.select(lit(off).as("seedoff"), col("doc_id"), col("score_pm"),
+            col("accept_pm"), col("draw_pm"))
+        }
+        insts.reduce(_.unionByName(_)).orderBy("seedoff", "doc_id")
+      },
+      Some {
+        def chain(off: Long, x: String): String =
+          s"""d$x AS (SELECT i AS doc_id, 'src' || CAST(i % 8 AS VARCHAR) AS source
+             |  FROM generate_series(1, 200) _i(i)),
+             |ws$x AS (SELECT d$x.doc_id, d$x.source, list('w' || CAST(
+             |    CAST(('0x'||substr(md5('D$off:'||CAST(d$x.doc_id AS VARCHAR)||':'||CAST(j AS VARCHAR)),1,6)) AS UBIGINT) % 20
+             |    AS VARCHAR) ORDER BY j) AS w
+             |  FROM d$x, LATERAL (SELECT unnest(generate_series(1, 6 + d$x.doc_id % 5)) AS j) _j
+             |  GROUP BY 1, 2),
+             |bi$x AS (SELECT doc_id, source, w[i] || ' ' || w[i+1] AS g FROM ws$x,
+             |  LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) _t),
+             |fb$x AS (SELECT doc_id, source,
+             |    CAST(CAST(('0x'||substr(md5(g),1,4)) AS UBIGINT) % 256 AS BIGINT) AS b,
+             |    count(*) AS cnt FROM bi$x GROUP BY 1,2,3),
+             |tgt$x AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS tc FROM fb$x
+             |    WHERE source = 'src0' GROUP BY 1),
+             |tt$x AS (SELECT CAST(sum(cnt) AS BIGINT) AS tgt_tot FROM fb$x WHERE source = 'src0'),
+             |rawb$x AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS rc FROM fb$x
+             |    WHERE source <> 'src0' GROUP BY 1),
+             |rt$x AS (SELECT CAST(sum(cnt) AS BIGINT) AS raw_tot FROM fb$x WHERE source <> 'src0'),
+             |r$x AS (SELECT rawb$x.b,
+             |    CAST((CAST(COALESCE(tgt$x.tc, 0) + 1 AS HUGEINT) * raw_tot * 1000) //
+             |         (CAST(rawb$x.rc + 1 AS HUGEINT) * tgt_tot) AS BIGINT) AS r_pm
+             |  FROM rawb$x LEFT JOIN tgt$x ON tgt$x.b = rawb$x.b, tt$x, rt$x),
+             |sc$x AS (SELECT fb$x.doc_id,
+             |    CAST(CAST(sum(fb$x.cnt * r$x.r_pm) AS HUGEINT) //
+             |         CAST(sum(fb$x.cnt) AS HUGEINT) AS BIGINT) AS score_pm
+             |  FROM fb$x JOIN r$x ON r$x.b = fb$x.b
+             |  WHERE fb$x.source <> 'src0' GROUP BY 1),
+             |mx$x AS (SELECT MAX(score_pm) AS max_pm FROM sc$x)""".stripMargin
+        val offs = Seq(0L, 100L, 200L, 300L, 400L)
+        val withs = offs.zipWithIndex
+          .map { case (off, i) => chain(off, s"_$i") }.mkString(",\n")
+        val union = offs.zipWithIndex.map { case (off, i) =>
+          val x = s"_$i"
+          s"""SELECT CAST($off AS BIGINT) AS seedoff, doc_id, score_pm,
+             |  CAST(score_pm * 1000 // max_pm AS BIGINT) AS accept_pm,
+             |  CAST(CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,4)) AS UBIGINT) % 1000 AS BIGINT) AS draw_pm
+             |FROM sc$x, mx$x
+             |WHERE CAST(CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,4)) AS UBIGINT) % 1000 AS BIGINT)
+             |      < CAST(score_pm * 1000 // max_pm AS BIGINT)""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"WITH $withs\nSELECT * FROM (\n$union\n) ORDER BY seedoff, doc_id"
+      }),
+
     // CUR9 — UniMax budget allocation (Chung et al. 2023, "UniMax:
     // Fairer and More Effective Language Sampling for Large-Scale
     // Multilingual Pretraining"): split a total token budget (here 70%

@@ -64,8 +64,9 @@ BOUNDED_PREFIXES = (
     # k-fold encode (category x 5 grain) and CUSUM (day-grain recursion
     # of constant depth) are linear-cost oracles
     "fe5", "an3",
-    # incremental-CC / containment fuzz: generated sf-independent data
-    "rf29", "rf30",
+    # incremental-CC / containment / DSIR fuzz: generated sf-independent
+    # data
+    "rf29", "rf30", "rf31",
     # k-anonymity: one aggregate to QI-cardinality rows
     "dq5",
     # CMS join-size estimate: two sketch-sized aggregates

@@ -1019,6 +1019,57 @@ object LlmData {
              |  FROM documents GROUP BY source))
              |ORDER BY source""".stripMargin)),
 
+    // S10 — split LEAKAGE audit: near-duplicate pairs (Jaccard >= 9/10
+    // on word sets, the cur6/sj1 join) that cross the s4 train/val/test
+    // boundaries — the measurement behind "a near-copy of a test doc
+    // sits in train", which is what cluster-grain splitting (s8) exists
+    // to prevent and naive content-hash splitting (s4) does not. Output
+    // is the (split_a, split_b) pair-count matrix; off-diagonal rows
+    // are the leak. Spark side never forms the all-pairs compare (the
+    // prefix-filtered join prunes); the oracle spells the quadratic
+    // truth, so this row stays out of the large-replica audits like
+    // sj1/cur6.
+    Q("s10_split_leakage",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val bucket = expr(
+          "CAST(conv(substring(md5(text), 1, 4), 16, 10) AS BIGINT) % 100")
+        val sp = docs.select(col("doc_id"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"))
+        val toks = docs.select(col("doc_id"),
+          graft.operators.Corpus.words(col("text")).as("toks"))
+        val pairs = graft.operators.SetSimJoin
+          .jaccardSelfJoin(toks, "doc_id", "toks", tNum = 9, tDen = 10)
+        pairs
+          .join(sp.select(col("doc_id").as("ida"), col("split").as("split_a")),
+            Seq("ida"))
+          .join(sp.select(col("doc_id").as("idb"), col("split").as("split_b")),
+            Seq("idb"))
+          .groupBy("split_a", "split_b")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(asc_nulls_first("split_a"), asc_nulls_first("split_b"))
+      },
+      Some("""WITH s AS (SELECT doc_id,
+             |  list_distinct(string_split(trim(regexp_replace(text,'\s+',' ','g')),' ')) AS toks
+             |  FROM documents),
+             |sn AS (SELECT doc_id, toks FROM s WHERE len(toks) > 0),
+             |sp AS (SELECT doc_id,
+             |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+             |       ELSE 'test' END AS split
+             | FROM (SELECT doc_id,
+             |    CAST(CAST(('0x'||substr(md5(text),1,4)) AS UBIGINT) % 100 AS BIGINT) AS b
+             |   FROM documents)),
+             |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb
+             | FROM sn a JOIN sn b ON a.doc_id < b.doc_id
+             | WHERE len(list_intersect(a.toks, b.toks)) * 10
+             |   >= (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) * 9)
+             |SELECT sa.split AS split_a, sb.split AS split_b, count(*) AS n_pairs
+             |FROM p JOIN sp sa ON sa.doc_id = p.ida
+             |       JOIN sp sb ON sb.doc_id = p.idb
+             |GROUP BY 1, 2
+             |ORDER BY split_a NULLS FIRST, split_b NULLS FIRST""".stripMargin)),
+
     // S4 — deterministic train/val/test split on a PORTABLE content
     // hash: bucket = first 16 bits of md5(text) mod 100 (Spark `conv`,
     // DuckDB hex-digit fold — same value in both engines, unlike

@@ -96,7 +96,7 @@ def main():
     oracle = json.loads((REPO / "ORACLE_SQL.json").read_text())
     keep = sorted(n for n in oracle
                   if not n.startswith(("dd", "ss", "mm", "fj", "sj1", "sj2",
-                                       "sql2", "cur6", "s8_"))) + [
+                                       "sql2", "cur6", "s8_", "s10"))) + [
         "ss1_cosine_topk", "dd13_span_dedup", "ss2_ann_lsh", "ss3_ann_ivf",
         "ss1b_cosine_topk_indexed", "dd15_substring_dedup", "dd16_substring_cut",
         "ddf5_span_splice", "mm5_wav_meta"]  # linear oracles in excluded prefixes

@@ -424,37 +424,10 @@ object SelectionOps {
     // aggregate. Products are (small count)×(sum) — bounded inside
     // int64, not the sum×sum overflow class.
     Q("cur9_unimax_alloc",
-      (s, dir) => {
-        val wOrd = org.apache.spark.sql.expressions.Window
-          .partitionBy().orderBy(col("tok"), col("source"))
-        val wCum = wOrd.rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-        val wAll = org.apache.spark.sql.expressions.Window
-          .partitionBy().rowsBetween(
-            org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      (s, dir) => graft.operators.Mixing.unimaxAlloc(
         t(s, dir, "documents")
           .groupBy("source")
-          .agg(sum(TextAnalysis.tokenCount(col("text"))).as("tok"))
-          .withColumn("i", row_number().over(wOrd).cast("long"))
-          .withColumn("p", sum("tok").over(wCum))
-          .withColumn("n", count(lit(1)).over(wAll))
-          .withColumn("grand", sum("tok").over(wAll))
-          .withColumn("budget", expr("CAST(grand * 7 div 10 AS BIGINT)"))
-          .withColumn("lhs", expr("p + (n - i) * tok"))
-          .withColumn("k", coalesce(
-            max(when(col("lhs") <= col("budget"), col("i"))).over(wAll), lit(0L)))
-          .withColumn("pk", coalesce(
-            max(when(col("lhs") <= col("budget"), col("p"))).over(wAll), lit(0L)))
-          .withColumn("alloc",
-            expr("CAST(CASE WHEN i <= k OR k >= n THEN tok " +
-              "ELSE least(tok, (budget - pk) div (n - k)) END AS BIGINT)"))
-          .select(col("source"), col("tok"), col("alloc"),
-            expr("CAST(CASE WHEN tok = 0 THEN 0 ELSE alloc * 1000 div tok END AS BIGINT)")
-              .as("epochs_pm"))
-          .orderBy(asc_nulls_first("source"))
-      },
+          .agg(sum(TextAnalysis.tokenCount(col("text"))).as("tok"))),
       Some(s"""WITH tok AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS tok
         |  FROM (SELECT source, CAST(CASE WHEN nrm = '' THEN 0
         |     ELSE length(nrm) - length(replace(nrm, ' ', '')) + 1 END AS BIGINT) AS nt

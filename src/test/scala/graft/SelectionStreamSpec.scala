@@ -47,6 +47,26 @@ class SelectionStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed mix totals == batch totals; UniMax allocation matches cur9") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = corpus()
+    val ms = MemoryStream[(Long, String, String)]
+    val mm = new graft.streaming.MixMaintenance(spark)
+    val q = mm.attach(ms.toDF().toDF("doc_id", "source", "text")).start()
+    try {
+      docs.grouped(math.max(1, docs.size / 4)).foreach { b =>
+        ms.addData(b); q.processAllAvailable()
+      }
+      val streamed = mm.unimaxAlloc().collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val batch = SparkEntry.queries("cur9_unimax_alloc")(spark, sf).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(streamed.toSeq === batch.toSeq,
+        "streamed UniMax allocation diverged from batch cur9")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("selection maintenance is micro-batching invariant (1 vs 5 batches)") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val docs = corpus()

@@ -337,6 +337,48 @@ object SelectionOps {
         |FROM dist
         |ORDER BY l1_raw_tgt_ppm""".stripMargin)),
 
+    // AN4 — per-source feature DRIFT: L1 distance (ppm over the 256
+    // hashed-bigram buckets) between each source's content distribution
+    // and the corpus-wide one — the ingest observability row that flags
+    // a source whose content changed shape (contamination, encoding
+    // bug, a crawler gone off-domain) without reading any of it twice.
+    // One corpus feature pass; everything after is (sources × 256)
+    // bounded-frame algebra with the global distribution broadcast.
+    Q("an4_source_drift",
+      (s, dir) => {
+        val fb = hashedBigramCounts(t(s, dir, "documents")).localCheckpoint()
+        val perSrc = fb.groupBy("source", "b").agg(sum(col("cnt")).as("c"))
+        val srcTot = fb.groupBy("source").agg(sum(col("cnt")).as("tot"))
+        val glob = fb.groupBy("b").agg(sum(col("cnt")).as("gc"))
+        val globTot = fb.agg(sum(col("cnt")).as("gt"))
+        srcTot
+          .crossJoin(s.range(256).select(col("id").as("b")))
+          .join(perSrc, Seq("source", "b"), "left")
+          .join(broadcast(glob), Seq("b"), "left")
+          .crossJoin(broadcast(globTot))
+          .select(col("source"),
+            expr("CAST(CAST(coalesce(c, 0) AS DECIMAL(38,0)) * 1000000 div tot AS BIGINT)").as("ps"),
+            expr("CAST(CAST(coalesce(gc, 0) AS DECIMAL(38,0)) * 1000000 div gt AS BIGINT)").as("pg"))
+          .groupBy("source")
+          .agg(expr("CAST(sum(abs(ps - pg)) AS BIGINT)").as("l1_ppm"))
+          .orderBy(col("l1_ppm").desc, col("source"))
+      },
+      Some(s"""WITH $featPrelude,
+        |ps AS (SELECT source, b, CAST(sum(cnt) AS BIGINT) AS c FROM fb GROUP BY 1, 2),
+        |stot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS tot FROM fb GROUP BY 1),
+        |g AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS gc FROM fb GROUP BY 1),
+        |gt AS (SELECT CAST(sum(cnt) AS BIGINT) AS gt FROM fb),
+        |spine AS (SELECT stot.source, stot.tot, sb.b
+        |          FROM stot, (SELECT unnest(generate_series(0, 255)) AS b) sb)
+        |SELECT spine.source,
+        | CAST(SUM(ABS(CAST(CAST(COALESCE(ps.c, 0) AS HUGEINT) * 1000000 // spine.tot AS BIGINT)
+        |            - CAST(CAST(COALESCE(g.gc, 0) AS HUGEINT) * 1000000 // gt.gt AS BIGINT))) AS BIGINT) AS l1_ppm
+        |FROM spine
+        |LEFT JOIN ps ON ps.source = spine.source AND ps.b = spine.b
+        |LEFT JOIN g ON g.b = spine.b, gt
+        |GROUP BY 1
+        |ORDER BY l1_ppm DESC, spine.source""".stripMargin)),
+
     // RF31 — DSIR-selection differential fuzz, the rf27-rf30 pattern
     // for the new family: 5 seeds × 200 md5-constructed documents over
     // a 20-word vocabulary (8 sources, src0 the target), the

@@ -64,6 +64,9 @@ BOUNDED_PREFIXES = (
     # k-fold encode (category x 5 grain) and CUSUM (day-grain recursion
     # of constant depth) are linear-cost oracles
     "fe5", "an3",
+    # per-source feature drift: one feature pass + (sources x 256)
+    # bounded-frame algebra, linear
+    "an4",
     # incremental-CC / containment / DSIR fuzz: generated sf-independent
     # data
     "rf29", "rf30", "rf31",

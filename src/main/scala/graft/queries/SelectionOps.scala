@@ -337,6 +337,81 @@ object SelectionOps {
         |FROM dist
         |ORDER BY l1_raw_tgt_ppm""".stripMargin)),
 
+    // PK2 — packing-efficiency report: how many 512-token training
+    // windows the corpus needs under one-doc-per-window-set padding
+    // (sum of per-doc ceils) vs pk1's concat-then-chunk stream
+    // (one global ceil), and the padding waste of each in ppm — the
+    // numbers that justify sequence packing in the first place (the
+    // delta IS the GPU-hours saved). One aggregate over token counts.
+    Q("pk2_pack_efficiency",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(TextAnalysis.tokenCount(col("text")).as("n"))
+          .filter(col("n") > 0)
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n")).as("total_tokens"),
+            sum(expr("(n + 511) div 512")).as("padded_windows"))
+          .select(col("n_docs"), col("total_tokens"), col("padded_windows"),
+            expr("CAST((total_tokens + 511) div 512 AS BIGINT)").as("concat_windows"),
+            expr("CAST((padded_windows * 512 - total_tokens) * 1000 div (padded_windows * 512) AS BIGINT)")
+              .as("waste_padded_pm"),
+            expr("CAST((((total_tokens + 511) div 512) * 512 - total_tokens) * 1000 div (((total_tokens + 511) div 512) * 512) AS BIGINT)")
+              .as("waste_concat_pm"))
+          .orderBy("n_docs"),
+      Some(s"""WITH tk AS (SELECT CAST(CASE WHEN nrm = '' THEN 0
+        |    ELSE length(nrm) - length(replace(nrm, ' ', '')) + 1 END AS BIGINT) AS n
+        |  FROM (SELECT trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nrm
+        |    FROM documents)),
+        |agg AS (SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(n) AS BIGINT) AS total_tokens,
+        |    CAST(SUM((n + 511) // 512) AS BIGINT) AS padded_windows
+        |  FROM tk WHERE n > 0)
+        |SELECT n_docs, total_tokens, padded_windows,
+        |  CAST((total_tokens + 511) // 512 AS BIGINT) AS concat_windows,
+        |  CAST((padded_windows * 512 - total_tokens) * 1000 // (padded_windows * 512) AS BIGINT) AS waste_padded_pm,
+        |  CAST((((total_tokens + 511) // 512) * 512 - total_tokens) * 1000 // (((total_tokens + 511) // 512) * 512) AS BIGINT) AS waste_concat_pm
+        |FROM agg
+        |ORDER BY n_docs""".stripMargin)),
+
+    // IMP6 — pairwise domain-AFFINITY matrix: L1 distance (ppm over the
+    // 256 hashed-bigram buckets) between every pair of source content
+    // distributions — the input to curriculum ordering and to choosing
+    // transfer sources for a low-resource target domain (an4 is the
+    // one-vs-corpus column of this matrix). One corpus feature pass;
+    // the matrix itself is (sources² × 256) bounded-frame algebra —
+    // quadratic only in the SOURCE CATALOG (~10²-10³), never the corpus.
+    Q("imp6_domain_affinity",
+      (s, dir) => {
+        val fb = hashedBigramCounts(t(s, dir, "documents")).localCheckpoint()
+        val stot = fb.groupBy("source").agg(sum(col("cnt")).as("tot"))
+        val d = stot
+          .crossJoin(s.range(256).select(col("id").as("b")))
+          .join(fb.groupBy("source", "b").agg(sum(col("cnt")).as("c")),
+            Seq("source", "b"), "left")
+          .select(col("source"), col("b"),
+            expr("CAST(CAST(coalesce(c, 0) AS DECIMAL(38,0)) * 1000000 div tot AS BIGINT)").as("p"))
+        d.select(col("source").as("src_a"), col("b"), col("p").as("pa"))
+          .join(d.select(col("source").as("src_b"), col("b"), col("p").as("pb")),
+            Seq("b"))
+          .filter(col("src_a") < col("src_b"))
+          .groupBy("src_a", "src_b")
+          .agg(expr("CAST(sum(abs(pa - pb)) AS BIGINT)").as("l1_ppm"))
+          .orderBy("l1_ppm", "src_a", "src_b")
+      },
+      Some(s"""WITH $featPrelude,
+        |stot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS tot FROM fb GROUP BY 1),
+        |pc AS (SELECT source, b, CAST(sum(cnt) AS BIGINT) AS c FROM fb GROUP BY 1, 2),
+        |spine AS (SELECT stot.source, stot.tot, sb.b
+        |          FROM stot, (SELECT unnest(generate_series(0, 255)) AS b) sb),
+        |d AS (SELECT spine.source, spine.b,
+        |    CAST(CAST(COALESCE(pc.c, 0) AS HUGEINT) * 1000000 // spine.tot AS BIGINT) AS p
+        |  FROM spine LEFT JOIN pc ON pc.source = spine.source AND pc.b = spine.b)
+        |SELECT a.source AS src_a, b2.source AS src_b,
+        |  CAST(SUM(ABS(a.p - b2.p)) AS BIGINT) AS l1_ppm
+        |FROM d a JOIN d b2 ON a.b = b2.b AND a.source < b2.source
+        |GROUP BY 1, 2
+        |ORDER BY l1_ppm, src_a, src_b""".stripMargin)),
+
     // AN4 — per-source feature DRIFT: L1 distance (ppm over the 256
     // hashed-bigram buckets) between each source's content distribution
     // and the corpus-wide one — the ingest observability row that flags

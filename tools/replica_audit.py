@@ -52,7 +52,7 @@ BOUNDED_PREFIXES = (
     "ss2_ann", "ss3_ann", "ss1b",
     # round-9 scan ops: prefix-sum packing, bigram scoring, HLL registers,
     # substring-dedup stats — all linear-cost oracles
-    "pk1", "lm1", "sk6", "sk7", "dd15", "dd16",
+    "pk1", "pk2", "lm1", "sk6", "sk7", "dd15", "dd16",
     # round-9 late additions: containment join (cc1-shaped), the
     # temperature mix (source-cardinality), and the bottom-k quantile
     # sketch (TakeOrdered + one exact percentile) are linear-cost oracles

@@ -554,6 +554,41 @@ object PipelineOps {
       },
       Some(bpeApplyOracleSql(4))),
 
+    // TOK5 — tokenizer FERTILITY: corpus-weighted pieces-per-word and
+    // chars-per-piece (both permille) of the 4-merge BPE tokenizer —
+    // the evaluation numbers a tokenizer choice is made on (fertility
+    // drives sequence length, and sequence length drives training
+    // cost). Same vocabulary-bounded segmentation as tok3, reduced to
+    // one scalar row; the oracle re-trains and re-applies the merges.
+    Q("tok5_fertility",
+      (s, dir) => {
+        val words = t(s, dir, "documents")
+          .select(explode(split(trim(regexp_replace(col("text"), "\\s+", " ")),
+            " ")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy("word").agg(count(lit(1)).as("n"))
+        Tokenize.bpeSegments(words, "word", "n", steps = 4)
+          .agg(
+            expr("CAST(sum(n) AS BIGINT)").as("corpus_words"),
+            expr("CAST(sum(n * n_pieces) AS BIGINT)").as("corpus_pieces"),
+            expr("CAST(sum(n * length(word)) AS BIGINT)").as("corpus_chars"))
+          .select(col("corpus_words"), col("corpus_pieces"), col("corpus_chars"),
+            expr("CAST(corpus_pieces * 1000 div corpus_words AS BIGINT)")
+              .as("fertility_pm"),
+            expr("CAST(corpus_chars * 1000 div corpus_pieces AS BIGINT)")
+              .as("chars_per_piece_pm"))
+          .orderBy("corpus_words")
+      },
+      Some(s"""WITH ${bpeChainSql(4)},
+             |f AS (SELECT CAST(SUM(n) AS BIGINT) AS corpus_words,
+             |  CAST(SUM(n * len(string_split(sym, ' '))) AS BIGINT) AS corpus_pieces,
+             |  CAST(SUM(n * length(word)) AS BIGINT) AS corpus_chars
+             | FROM s5)
+             |SELECT corpus_words, corpus_pieces, corpus_chars,
+             | CAST(corpus_pieces * 1000 // corpus_words AS BIGINT) AS fertility_pm,
+             | CAST(corpus_chars * 1000 // corpus_pieces AS BIGINT) AS chars_per_piece_pm
+             |FROM f ORDER BY corpus_words""".stripMargin)),
+
     // SS6 — exact kNN join (every 10th vector's 5 nearest neighbors by
     // cosine): broadcast query side, map-side bounded top-k aggregation
     // (the shuffle carries ≤ k rows per partition × query). Scores round
@@ -853,7 +888,11 @@ object PipelineOps {
     * argmax), with the word column carried through to the final symbol
     * table.
     */
-  private def bpeApplyOracleSql(steps: Int): String = {
+  /** The shared w/s1/merge-stage CTE chain of the BPE apply oracles:
+    * re-trains and re-applies `steps` merges, ending at s{steps+1}
+    * (word, n, sym).
+    */
+  private def bpeChainSql(steps: Int): String = {
     def pairStage(i: Int): String =
       s"""p$i AS (SELECT ws[g] || ' ' || ws[g+1] AS pair, SUM(n) AS cnt
          | FROM (SELECT n, string_split(sym, ' ') AS ws FROM s$i) _x$i,
@@ -865,17 +904,20 @@ object PipelineOps {
          |  replace((SELECT pair FROM b$i), ' ', '')) AS sym FROM s$i)""".stripMargin
     val stages = (1 to steps).map(i => pairStage(i) + ",\n" + mergeStage(i))
       .mkString(",\n")
-    s"""WITH w AS (
+    s"""w AS (
        | SELECT word, COUNT(*) AS n FROM (
        |  SELECT unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS word
        |  FROM documents) WHERE word <> '' GROUP BY 1),
        |s1 AS (SELECT word, n, trim(regexp_replace(word, '(.)', '~\\1 ', 'g')) AS sym FROM w),
-       |$stages
+       |$stages""".stripMargin
+  }
+
+  private def bpeApplyOracleSql(steps: Int): String =
+    s"""WITH ${bpeChainSql(steps)}
        |SELECT word, CAST(n AS BIGINT) AS n,
        | CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_pieces,
        | replace(sym, '~', '') AS pieces
        |FROM s${steps + 1} ORDER BY word""".stripMargin
-  }
 
   private def roundTripDir(dir: String, fmt: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_io_${fmt}_" +

@@ -14,7 +14,8 @@ object SparkEntry {
       LlmData.all ++ Advanced.all ++ Tpch.all ++ Functions.all ++
       RandDiff.all ++ Temporal.all ++ CorpusOps.all ++ DedupFuzz.all ++
       SketchOps.all ++ LayoutOps.all ++ PipelineOps.all ++ MatchOps.all ++
-      MiningOps.all ++ ScanOps.all ++ GraphOps.all ++ SelectionOps.all
+      MiningOps.all ++ ScanOps.all ++ GraphOps.all ++ SelectionOps.all ++
+      EmbedOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

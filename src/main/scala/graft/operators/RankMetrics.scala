@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rank-based evaluation metrics for curation signals — "does this score
+  * actually separate the docs we want from the docs we don't", answered
+  * without floats so a DuckDB oracle replays it exactly.
+  *
+  * Ref: the reference (slide/utils.py) has no evaluation surface; this
+  * extends the analysis family (an*) per the north-star scope.
+  */
+object RankMetrics {
+
+  /** AUC (= Mann–Whitney U / (P·N)) of `scoreCol` predicting the 0/1
+    * `labelCol`, in permille, with the standard half-credit for ties:
+    *
+    *   AUC = [ #{(p,n): s_p > s_n} + ½·#{(p,n): s_p = s_n} ] / (P·N)
+    *
+    * Computed by rank algebra on the SCORE-GRAIN count table, never on
+    * pairs: group docs by score (for an integerized permille score that
+    * is a bounded frame — ≤1001 rows at any corpus size), take the
+    * running count of negatives strictly below each score, and fold
+    *
+    *   2·U = Σ_s  2·np(s)·cum_nn(<s) + np(s)·nn(s).
+    *
+    * The products of corpus-grain counts wrap int64 silently in
+    * non-ANSI Spark at ~1e9 docs, so internals are Decimal(38,0)
+    * (HUGEINT in the oracle) per the repo convention; the result is one
+    * row (n_pos, n_neg, auc_pm), all BIGINT.
+    *
+    * The one window runs over the score-grain frame — bounded by the
+    * score domain, not the corpus, so the lone-partition sort is
+    * constant work at 100 TB.
+    */
+  def aucPermille(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val g = df
+      .groupBy(col(scoreCol).as("s"))
+      .agg(sum(col(labelCol)).as("np"),
+        (count(lit(1)) - sum(col(labelCol))).as("nn"))
+    val below = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cnn", coalesce(sum(col("nn")).over(below), lit(0L)))
+      .agg(
+        sum(col("np")).as("n_pos"),
+        sum(col("nn")).as("n_neg"),
+        expr("""CAST(sum(2 * CAST(np AS DECIMAL(38,0)) * cnn
+                    + CAST(np AS DECIMAL(38,0)) * nn) * 1000
+                div (2 * CAST(sum(np) AS DECIMAL(38,0)) * sum(nn))
+                AS BIGINT)""").as("auc_pm"))
+  }
+}

@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Embedding-space curation operators: prototype-based cluster pruning
+  * (the SSL-prototypes / D4 recipe — Sorscher et al. 2022 "Beyond neural
+  * scaling laws", Tirumala et al. 2023 "D4") and Johnson–Lindenstrauss
+  * sign random projection (Achlioptas 2003) with a measured distortion
+  * audit.
+  *
+  * Everything runs in integer micro fixed point (floor of 1e6 times the
+  * float-widened-to-double component — floor, not round, so there is no
+  * half-way tie to disagree on) over md5-derived signs, so the DuckDB
+  * oracle replays each pipeline bit-for-bit.
+  *
+  * Ref: the reference (slide/utils.py) has no embedding surface; these
+  * extend the selection family (imp, fe) per the north-star scope.
+  */
+object EmbedOps {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Integer micro embedding: FLOAT widened exactly to DOUBLE, scaled,
+    * floored — both engines do the identical IEEE multiply and floor.
+    */
+  private val microVec =
+    transform(col("embedding"),
+      x => floor(x.cast("double") * lit(1000000d)).cast("long"))
+
+  /** (vec_id, cl, j, v) — one row per vector component, with the 4-bit
+    * coordinate-sign cluster id (16 clusters; in production the cluster
+    * id is the IVF centroid assignment — thousands of clusters — and the
+    * plan below is unchanged).
+    */
+  private def exploded(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        Similarity.signCluster(col("embedding"), 4).as("cl"),
+        posexplode(microVec).as(Seq("j", "v")))
+
+  def all: Seq[Q] = Seq(
+
+    // IMP7 — prototype pruning (SSL-prototypes, Sorscher 2022; the
+    // second half of the D4 pipeline after dd11's SemDeDup): within each
+    // cluster, the docs CLOSEST to the cluster centroid are the most
+    // prototypical — the easy, redundant examples — and pruning them
+    // beats random subsampling when data is abundant. Drop the closest
+    // quarter (rank by squared L2 to the integer centroid, ties by
+    // vec_id), keep the rest.
+    //
+    // Scale shape: one explode to component grain (linear, 64x), one
+    // (cl, j) aggregate for the centroids (bounded: clusters x dim
+    // rows, broadcast back), one vec-grain aggregate for distances, and
+    // a rank window PER CLUSTER — partitions are cluster-sized, the
+    // same bound SemDeDup already lives with; nothing is all-pairs.
+    Q("imp7_prototype_prune",
+      (s, dir) => {
+        val e = exploded(t(s, dir, "embeddings"))
+        val c = e.groupBy("cl", "j")
+          .agg(expr("sum(v) div count(1)").as("cj"))
+        val d = e.join(c, Seq("cl", "j"))
+          .groupBy("vec_id", "cl")
+          .agg(expr("sum((v - cj) * (v - cj))").as("dist2"))
+        d.withColumn("rk",
+            row_number().over(Window.partitionBy("cl")
+              .orderBy(col("dist2"), col("vec_id"))))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("cl")))
+          .select(col("vec_id"), col("cl").cast("long").as("cl"),
+            col("dist2"),
+            when(col("rk") <= expr("n div 4"), 0L).otherwise(1L).as("kept"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH m AS (SELECT vec_id,
+             |    (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END
+             |    +CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END
+             |    +CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END
+             |    +CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS cl,
+             |    list_transform(embedding,
+             |      x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS mv
+             |  FROM embeddings),
+             |e AS (SELECT vec_id, cl, i AS j, mv[i] AS v
+             |  FROM m, LATERAL (SELECT unnest(generate_series(1, len(mv))) AS i) _t),
+             |c AS (SELECT cl, j, CAST(CAST(sum(v) AS BIGINT) // count(*) AS BIGINT) AS cj
+             |  FROM e GROUP BY 1, 2),
+             |d AS (SELECT e.vec_id, e.cl,
+             |    CAST(sum((e.v - c.cj) * (e.v - c.cj)) AS BIGINT) AS dist2
+             |  FROM e JOIN c ON c.cl = e.cl AND c.j = e.j GROUP BY 1, 2),
+             |r AS (SELECT vec_id, cl, dist2,
+             |   ROW_NUMBER() OVER (PARTITION BY cl ORDER BY dist2, vec_id) AS rk,
+             |   COUNT(*) OVER (PARTITION BY cl) AS n FROM d)
+             |SELECT vec_id, CAST(cl AS BIGINT) AS cl, dist2,
+             |  CAST(CASE WHEN rk <= n // 4 THEN 0 ELSE 1 END AS BIGINT) AS kept
+             |FROM r ORDER BY vec_id""".stripMargin)),
+
+    // FE7 — sign random projection (Achlioptas 2003's database-friendly
+    // JL transform): project 64-dim embeddings to 8 dims with a
+    // deterministic ±1 matrix drawn from md5 nibbles, then AUDIT the
+    // distortion the way the JL lemma promises: for sampled neighbor
+    // pairs, est2 = (squared L2 in projected space) div k is an
+    // unbiased estimate of the original squared L2 (cross terms cancel
+    // in expectation for iid signs). Emitted per pair: original dist2,
+    // est2, and their ratio in permille — the measured operating point
+    // for running ANN on 8x-smaller vectors.
+    //
+    // Scale shape: the sign matrix is a CONSTANT 64x8 = 512-row frame
+    // (structurally bounded, broadcast); projection is one explode +
+    // one (vec, k) aggregate; the pair sample is id-keyed (consecutive
+    // ids, every 10th), so both pair joins are equi-joins on vec_id —
+    // linear end to end.
+    Q("fe7_random_projection",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .filter(col("vec_id") % 10 <= 1)
+        val e = emb.select(col("vec_id"), posexplode(microVec).as(Seq("j0", "v")))
+          .withColumn("j", col("j0") + 1)
+        val sg = s.range(1, 65).toDF("j")
+          .crossJoin(s.range(0, 8).toDF("k"))
+          .withColumn("sgn", expr(
+            """IF(CAST(conv(substr(md5(concat('rp-', CAST(j AS STRING),
+              |'-', CAST(k AS STRING))), 1, 1), 16, 10) AS BIGINT) % 2 = 0,
+              |1L, -1L)""".stripMargin.replace("\n", " ")))
+        val p = e.join(broadcast(sg), Seq("j"))
+          .groupBy("vec_id", "k").agg(sum(col("v") * col("sgn")).as("p"))
+        val pd = p.as("a")
+          .join(p.as("b"),
+            col("b.vec_id") === col("a.vec_id") + 1 &&
+              col("a.vec_id") % 10 === 0 && col("a.k") === col("b.k"))
+          .groupBy(col("a.vec_id").as("ida"))
+          .agg(expr("sum((a.p - b.p) * (a.p - b.p)) div 8").as("est2"))
+        val od = e.as("a")
+          .join(e.as("b"),
+            col("b.vec_id") === col("a.vec_id") + 1 &&
+              col("a.vec_id") % 10 === 0 && col("a.j") === col("b.j"))
+          .groupBy(col("a.vec_id").as("ida"))
+          .agg(expr("sum((a.v - b.v) * (a.v - b.v))").as("dist2"))
+        od.join(pd, Seq("ida"))
+          .filter(col("dist2") > 0)
+          .select(col("ida"), col("dist2"), col("est2"),
+            expr("est2 * 1000 div dist2").as("ratio_pm"))
+          .orderBy("ida")
+      },
+      Some("""WITH m AS (SELECT vec_id,
+             |    list_transform(embedding,
+             |      x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS mv
+             |  FROM embeddings WHERE vec_id % 10 <= 1),
+             |e AS (SELECT vec_id, i AS j, mv[i] AS v
+             |  FROM m, LATERAL (SELECT unnest(generate_series(1, len(mv))) AS i) _t),
+             |sg AS (SELECT j, k,
+             |    CASE WHEN CAST(('0x'||substr(md5('rp-'||j||'-'||k),1,1)) AS UBIGINT)
+             |      % 2 = 0 THEN 1 ELSE -1 END AS s
+             |  FROM generate_series(1,64) _a(j), generate_series(0,7) _b(k)),
+             |p AS (SELECT e.vec_id, sg.k, CAST(sum(e.v * sg.s) AS BIGINT) AS p
+             |  FROM e JOIN sg ON sg.j = e.j GROUP BY 1, 2),
+             |pd AS (SELECT a.vec_id AS ida,
+             |    CAST(sum((a.p - b.p) * (a.p - b.p)) // 8 AS BIGINT) AS est2
+             |  FROM p a JOIN p b ON b.vec_id = a.vec_id + 1
+             |    AND a.vec_id % 10 = 0 AND a.k = b.k
+             |  GROUP BY 1),
+             |od AS (SELECT a.vec_id AS ida,
+             |    CAST(sum((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS dist2
+             |  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+             |    AND a.vec_id % 10 = 0 AND a.j = b.j
+             |  GROUP BY 1)
+             |SELECT od.ida, od.dist2, pd.est2,
+             |  CAST(pd.est2 * 1000 // od.dist2 AS BIGINT) AS ratio_pm
+             |FROM od JOIN pd ON pd.ida = od.ida
+             |WHERE od.dist2 > 0
+             |ORDER BY od.ida""".stripMargin)))
+}

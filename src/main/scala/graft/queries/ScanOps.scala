@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.operators.{Dedup, PrefixSum, TextAnalysis}
+import graft.operators.{Dedup, PrefixSum, RankMetrics, TextAnalysis}
 import graft.sources.Tables
 
 /** Scan-primitive pipeline ops: distributed global prefix sums (sequence
@@ -31,6 +31,50 @@ object ScanOps {
 
   private def bloomPosSql(j: Int, c: String, m: Int) =
     s"CAST(CAST(('0x'||substr(md5('$j'||CAST($c AS VARCHAR)),1,8)) AS UBIGINT) % $m AS BIGINT)"
+
+  /** (doc_id, n_bg, lm_pm) — the lm1 count-LM predictability score,
+    * shared by lm1, cur10 and an5. One pass builds the bigram/unigram
+    * count tables, one pass scores; joins deliberately unhinted (AQE
+    * broadcasts the vocabulary-sized counts at gate scale, degrades to
+    * a shuffle join instead of an OOM at web scale).
+    */
+  private def lmScored(docs: DataFrame): DataFrame = {
+    val ws = split(trim(regexp_replace(col("text"), "\\s+", " ")), " ")
+    val docBg = docs.select(col("doc_id"), explode(
+      when(size(ws) < 2, array().cast(ArrayType(StringType)))
+        .otherwise(transform(sequence(lit(1), size(ws) - 1),
+          i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1)))))
+      .as("bg"))
+    val c2 = docBg.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = docs.select(explode(ws).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    docBg
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(c2, "bg")
+      .join(c1, col("w1") === col("w"))
+      .select(col("doc_id"), expr("c2 * 1000 div c1").as("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bg"),
+        expr("CAST(sum(s) div count(1) AS BIGINT)").as("lm_pm"))
+  }
+
+  /** Oracle CTE chain replaying [[lmScored]] up to
+    * `sc(doc_id, n_bg, lm_pm)`; `d(doc_id, source, ws)` stays visible
+    * for consumers that need the source column (cur10).
+    */
+  private val lmPrelude: String =
+    """d AS (SELECT doc_id, source,
+      |  string_split(trim(regexp_replace(text,'\s+',' ','g')),' ') AS ws
+      |  FROM documents),
+      |b AS (SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i+1] AS bg
+      |  FROM d, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) _t),
+      |c2 AS (SELECT bg, count(*) AS c2 FROM b GROUP BY 1),
+      |c1 AS (SELECT w, count(*) AS c1
+      |  FROM (SELECT unnest(ws) AS w FROM d) GROUP BY 1),
+      |sc AS (SELECT doc_id, count(*) AS n_bg,
+      |  CAST(SUM(c2.c2 * 1000 // c1.c1) // count(*) AS BIGINT) AS lm_pm
+      |FROM b JOIN c2 USING (bg) JOIN c1 ON b.w1 = c1.w
+      |GROUP BY doc_id)""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -76,40 +120,97 @@ object ScanOps {
     // dwarf executor memory) the same plan degrades to a shuffle join
     // instead of an OOM — a forced hint would pin the wrong choice.
     Q("lm1_bigram_score",
+      (s, dir) => lmScored(t(s, dir, "documents")).orderBy("doc_id"),
+      Some(s"""WITH $lmPrelude
+             |SELECT doc_id, n_bg, lm_pm FROM sc
+             |ORDER BY doc_id""".stripMargin)),
+
+    // CUR10 — CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    // arXiv:1911.00359): within each source, rank documents by the lm1
+    // count-LM predictability score and split into equal-depth
+    // head/middle/tail thirds — the bucket boundary CCNet uses to keep
+    // head+middle and drop (or down-weight) the tail. Output is the
+    // per-(source, bucket) accounting: docs, characters, and the score
+    // band. The NTILE window partitions by SOURCE — bounded by the
+    // source catalog (languages, in CCNet), never the corpus, and each
+    // partition's sort is the per-source doc list, the same bound every
+    // per-source rule here lives with.
+    Q("cur10_ccnet_buckets",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val ws = split(trim(regexp_replace(col("text"), "\\s+", " ")), " ")
-        val docBg = docs.select(col("doc_id"), explode(
-          when(size(ws) < 2, array().cast(ArrayType(StringType)))
-            .otherwise(transform(sequence(lit(1), size(ws) - 1),
-              i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1)))))
-          .as("bg"))
-        val c2 = docBg.groupBy("bg").agg(count(lit(1)).as("c2"))
-        val c1 = docs.select(explode(ws).as("w"))
-          .groupBy("w").agg(count(lit(1)).as("c1"))
-        docBg
-          .withColumn("w1", split(col("bg"), " ").getItem(0))
-          .join(c2, "bg")
-          .join(c1, col("w1") === col("w"))
-          .select(col("doc_id"), expr("c2 * 1000 div c1").as("s"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bg"),
-            expr("CAST(sum(s) div count(1) AS BIGINT)").as("lm_pm"))
-          .orderBy("doc_id")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("lm_pm").desc, col("doc_id"))
+        docs.select(col("doc_id"), col("source"),
+            length(col("text")).cast(LongType).as("chars"))
+          .join(lmScored(docs), Seq("doc_id"))
+          .withColumn("bucket", ntile(3).over(w).cast(LongType))
+          .groupBy("source", "bucket")
+          .agg(count(lit(1)).as("n_docs"), sum("chars").as("chars"),
+            min("lm_pm").as("min_pm"), max("lm_pm").as("max_pm"))
+          .orderBy("source", "bucket")
       },
-      Some("""WITH d AS (SELECT doc_id,
-             |  string_split(trim(regexp_replace(text,'\s+',' ','g')),' ') AS ws
-             |  FROM documents),
-             |b AS (SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i+1] AS bg
-             |  FROM d, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) _t),
-             |c2 AS (SELECT bg, count(*) AS c2 FROM b GROUP BY 1),
-             |c1 AS (SELECT w, count(*) AS c1
-             |  FROM (SELECT unnest(ws) AS w FROM d) GROUP BY 1)
-             |SELECT doc_id, count(*) AS n_bg,
-             |  CAST(SUM(c2.c2 * 1000 // c1.c1) // count(*) AS BIGINT) AS lm_pm
-             |FROM b JOIN c2 USING (bg) JOIN c1 ON b.w1 = c1.w
-             |GROUP BY doc_id
-             |ORDER BY doc_id""".stripMargin)),
+      Some(s"""WITH $lmPrelude,
+             |nt AS (SELECT d.doc_id, d.source, sc.lm_pm,
+             |    length(dd.text) AS chars,
+             |    NTILE(3) OVER (PARTITION BY d.source
+             |      ORDER BY sc.lm_pm DESC, d.doc_id) AS bkt
+             |  FROM sc JOIN d ON d.doc_id = sc.doc_id
+             |  JOIN documents dd ON dd.doc_id = sc.doc_id)
+             |SELECT source, CAST(bkt AS BIGINT) AS bucket,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(chars) AS BIGINT) AS chars,
+             |  CAST(min(lm_pm) AS BIGINT) AS min_pm,
+             |  CAST(max(lm_pm) AS BIGINT) AS max_pm
+             |FROM nt GROUP BY 1, 2
+             |ORDER BY source, bucket""".stripMargin)),
+
+    // AN5 — does the curation signal actually rank what it claims to?
+    // AUC (Mann–Whitney, tie-corrected) of the lm1 predictability score
+    // predicting "this document contains a duplicated length-50
+    // substring" (dd15's label) — boilerplate is the predictable text a
+    // count LM scores high, so a working signal lands well above the
+    // 500-permille coin flip. The kernel ([[graft.operators.RankMetrics]])
+    // works on the SCORE-GRAIN count table (<= 1001 rows at any corpus
+    // size), so the AUC costs two corpus passes (score + label) plus
+    // constant-size rank algebra; corpus-grain count products run in
+    // Decimal(38,0) per the silent-int64-wrap convention.
+    Q("an5_score_auc",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val lab = Dedup.duplicatedSubstringStats(docs, "doc_id", "text", l = 50)
+          .filter(col("dup_windows") > 0)
+          .select(col("doc_id"), lit(1L).as("y1"))
+        val ls = lmScored(docs)
+          .join(lab, Seq("doc_id"), "left")
+          .select(col("lm_pm"), coalesce(col("y1"), lit(0L)).as("y"))
+        RankMetrics.aucPermille(ls, "lm_pm", "y")
+      },
+      Some(s"""WITH $lmPrelude,
+             |docs50 AS (SELECT doc_id, text FROM documents
+             |  WHERE length(text) >= 50),
+             |w AS (SELECT doc_id, md5(substr(text, i, 50)) AS wh
+             |  FROM docs50, LATERAL
+             |   (SELECT unnest(generate_series(1, length(text) - 49)) AS i) _t),
+             |dh AS (SELECT wh FROM w GROUP BY wh HAVING count(*) >= 2),
+             |lab AS (SELECT DISTINCT doc_id FROM w JOIN dh USING (wh)),
+             |ls AS (SELECT sc.lm_pm,
+             |    CASE WHEN lab.doc_id IS NOT NULL THEN 1 ELSE 0 END AS y
+             |  FROM sc LEFT JOIN lab ON lab.doc_id = sc.doc_id),
+             |g AS (SELECT lm_pm, CAST(sum(y) AS BIGINT) AS np,
+             |    CAST(count(*) - sum(y) AS BIGINT) AS nn
+             |  FROM ls GROUP BY 1),
+             |cum AS (SELECT lm_pm, np, nn,
+             |    COALESCE(CAST(SUM(nn) OVER (ORDER BY lm_pm
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS BIGINT), 0) AS cnn
+             |  FROM g)
+             |SELECT CAST((SELECT sum(np) FROM g) AS BIGINT) AS n_pos,
+             |  CAST((SELECT sum(nn) FROM g) AS BIGINT) AS n_neg,
+             |  CAST(sum(2 * CAST(np AS HUGEINT) * cnn
+             |           + CAST(np AS HUGEINT) * nn) * 1000 //
+             |    (2 * (SELECT CAST(sum(np) AS HUGEINT) FROM g)
+             |       * (SELECT sum(nn) FROM g)) AS BIGINT) AS auc_pm
+             |FROM cum""".stripMargin)),
 
     // DD15 — exact duplicated-substring statistics (Lee et al. 2022):
     // per document, the length-50 character windows that occur >= 2

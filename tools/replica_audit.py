@@ -88,7 +88,12 @@ BOUNDED_PREFIXES = (
     "imp", "fe6",
     # UniMax water-filling: one token aggregate to a source-cardinality
     # frame + window algebra, linear
-    "cur9")
+    "cur9",
+    # round-10: prototype prune + JL projection (one explode to
+    # component grain, bounded centroid/sign frames), CCNet buckets
+    # (lm1's linear machinery + source-partition NTILE), rank-AUC
+    # (score-grain count algebra over lm1 + dd15's linear label)
+    "fe7", "an5", "cur10")
 
 
 def main():

@@ -169,5 +169,149 @@ object EmbedOps {
              |  CAST(pd.est2 * 1000 // od.dist2 AS BIGINT) AS ratio_pm
              |FROM od JOIN pd ON pd.ida = od.ida
              |WHERE od.dist2 > 0
-             |ORDER BY od.ida""".stripMargin)))
+             |ORDER BY od.ida""".stripMargin)),
+
+    // DD20 — the full D4 pipeline (Tirumala et al. 2023): SemDeDup first
+    // (dd11's rule — drop docs with a lower-id same-cluster neighbor at
+    // cosine >= 0.4), then prototype pruning on the SURVIVORS (imp7's
+    // rule — drop the quarter closest to each cluster's centroid,
+    // centroids computed over survivors, where D4 recomputes clusters
+    // after dedup). Output is the per-cluster funnel: raw -> after
+    // semdedup -> after prune, the accounting a curation run reports.
+    //
+    // Scale shape: semdedup is the cluster-key anti-join (pairwise work
+    // bounded by cluster size), the prune is imp7's explode + bounded
+    // centroid frame + per-cluster rank window; the funnel rollup is a
+    // 3-frame join at CLUSTER grain (16 rows here, centroid-catalog
+    // sized in production).
+    Q("dd20_d4_pipeline",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cl4 = Similarity.signCluster(col("embedding"), 4)
+        val raw = emb.select(cl4.as("cl"))
+          .groupBy("cl").agg(count(lit(1)).as("n_raw"))
+        val surv = Similarity.semDedup(emb, "embedding", "vec_id", cl4, tau = 0.4)
+        val e = exploded(surv)
+        val c = e.groupBy("cl", "j")
+          .agg(expr("sum(v) div count(1)").as("cj"))
+        val d = e.join(c, Seq("cl", "j"))
+          .groupBy("vec_id", "cl")
+          .agg(expr("sum((v - cj) * (v - cj))").as("dist2"))
+        val r = d
+          .withColumn("rk", row_number().over(Window.partitionBy("cl")
+            .orderBy(col("dist2"), col("vec_id"))))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("cl")))
+        val kept = r.groupBy("cl")
+          .agg(count(lit(1)).as("n_semdedup"),
+            sum(when(col("rk") > expr("n div 4"), 1L).otherwise(0L)).as("n_kept"))
+        raw.join(kept, Seq("cl"), "left")
+          .select(col("cl").cast("long").as("cl"), col("n_raw"),
+            coalesce(col("n_semdedup"), lit(0L)).as("n_semdedup"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+          .orderBy("cl")
+      },
+      Some("""WITH m AS (SELECT vec_id,
+             |    (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END
+             |    +CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END
+             |    +CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END
+             |    +CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS cl,
+             |    embedding,
+             |    list_transform(embedding,
+             |      x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS mv
+             |  FROM embeddings),
+             |surv AS (SELECT a.vec_id, a.cl, a.mv FROM m a WHERE NOT EXISTS (
+             |  SELECT 1 FROM m b WHERE b.cl = a.cl AND b.vec_id < a.vec_id
+             |    AND list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+             |      CAST(a.embedding AS DOUBLE[])) >= 0.4)),
+             |e AS (SELECT vec_id, cl, i AS j, mv[i] AS v
+             |  FROM surv, LATERAL (SELECT unnest(generate_series(1, len(mv))) AS i) _t),
+             |c AS (SELECT cl, j, CAST(CAST(sum(v) AS BIGINT) // count(*) AS BIGINT) AS cj
+             |  FROM e GROUP BY 1, 2),
+             |d AS (SELECT e.vec_id, e.cl,
+             |    CAST(sum((e.v - c.cj) * (e.v - c.cj)) AS BIGINT) AS dist2
+             |  FROM e JOIN c ON c.cl = e.cl AND c.j = e.j GROUP BY 1, 2),
+             |r AS (SELECT vec_id, cl, dist2,
+             |   ROW_NUMBER() OVER (PARTITION BY cl ORDER BY dist2, vec_id) AS rk,
+             |   COUNT(*) OVER (PARTITION BY cl) AS n FROM d),
+             |raw AS (SELECT cl, count(*) AS n_raw FROM m GROUP BY 1)
+             |SELECT CAST(raw.cl AS BIGINT) AS cl,
+             |  CAST(raw.n_raw AS BIGINT) AS n_raw,
+             |  CAST(count(r.vec_id) AS BIGINT) AS n_semdedup,
+             |  CAST(COALESCE(sum(CASE WHEN r.rk > r.n // 4 THEN 1 ELSE 0 END), 0)
+             |    AS BIGINT) AS n_kept
+             |FROM raw LEFT JOIN r ON r.cl = raw.cl
+             |GROUP BY raw.cl, raw.n_raw
+             |ORDER BY cl""".stripMargin)),
+
+    // DQ6 — embedding-table quality audit (the dq2/dq4 shape for the
+    // vector column): per arm, vectors whose integer micro norm-squared
+    // is zero, far below or far above the unit band, or whose
+    // dimensionality is wrong — the four ways an encoder batch job
+    // corrupts a 100 TB embedding table (dead inputs, double-scaled
+    // outputs, truncated writes). Three PLANTED defect arms (the dq4
+    // planted-deletion discipline) prove each check demonstrably fires;
+    // the corpus arm is the release gate that should read all zeros.
+    // One scan of the pool, no shuffle past the 4-row rollup.
+    Q("dq6_embedding_quality",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val pool = emb
+          .select(lit("corpus").as("arm"), col("vec_id"), col("embedding"))
+          .unionAll(emb.filter(col("vec_id") % 97 === 0)
+            .select(lit("planted_zero").as("arm"),
+              (col("vec_id") + 1000000L).as("vec_id"),
+              transform(col("embedding"), _ => lit(0f)).as("embedding")))
+          .unionAll(emb.filter(col("vec_id") % 89 === 1)
+            .select(lit("planted_scale").as("arm"),
+              (col("vec_id") + 2000000L).as("vec_id"),
+              transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+          .unionAll(emb.filter(col("vec_id") % 83 === 2)
+            .select(lit("planted_dim").as("arm"),
+              (col("vec_id") + 3000000L).as("vec_id"),
+              slice(col("embedding"), 1, 32).as("embedding")))
+        pool
+          .select(col("arm"), size(col("embedding")).as("dim"),
+            expr("""aggregate(transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),
+              0L, (a, v) -> a + v * v)""").as("norm2"))
+          .groupBy("arm")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when(col("norm2") === 0L, 1L).otherwise(0L)).as("n_zero"),
+            sum(when(col("norm2") > 0L && col("norm2") < 900000000000L, 1L)
+              .otherwise(0L)).as("n_low"),
+            sum(when(col("norm2") > 1100000000000L, 1L).otherwise(0L)).as("n_high"),
+            sum(when(col("dim") =!= 64, 1L).otherwise(0L)).as("n_dim"),
+            min(col("norm2")).as("min_norm2"),
+            max(col("norm2")).as("max_norm2"))
+          .orderBy("arm")
+      },
+      Some("""WITH pool AS (
+             |  SELECT 'corpus' AS arm, vec_id, embedding FROM embeddings
+             |  UNION ALL
+             |  SELECT 'planted_zero', vec_id + 1000000,
+             |    list_transform(embedding, x -> CAST(0 AS FLOAT))
+             |  FROM embeddings WHERE vec_id % 97 = 0
+             |  UNION ALL
+             |  SELECT 'planted_scale', vec_id + 2000000,
+             |    list_transform(embedding, x -> CAST(x * 2 AS FLOAT))
+             |  FROM embeddings WHERE vec_id % 89 = 1
+             |  UNION ALL
+             |  SELECT 'planted_dim', vec_id + 3000000, embedding[1:32]
+             |  FROM embeddings WHERE vec_id % 83 = 2),
+             |n AS (SELECT arm, vec_id, len(embedding) AS dim,
+             |    CAST(list_sum(list_transform(
+             |      list_transform(embedding,
+             |        x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)),
+             |      v -> v*v)) AS BIGINT) AS norm2
+             |  FROM pool)
+             |SELECT arm, CAST(count(*) AS BIGINT) AS n_vecs,
+             |  CAST(sum(CASE WHEN norm2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+             |  CAST(sum(CASE WHEN norm2 > 0 AND norm2 < 900000000000 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_low,
+             |  CAST(sum(CASE WHEN norm2 > 1100000000000 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_high,
+             |  CAST(sum(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_dim,
+             |  CAST(min(norm2) AS BIGINT) AS min_norm2,
+             |  CAST(max(norm2) AS BIGINT) AS max_norm2
+             |FROM n GROUP BY 1 ORDER BY arm""".stripMargin)))
 }

@@ -76,6 +76,33 @@ object ScanOps {
       |FROM b JOIN c2 USING (bg) JOIN c1 ON b.w1 = c1.w
       |GROUP BY doc_id)""".stripMargin
 
+  /** Oracle CTE chain for the boilerplate label shared by an5/an6:
+    * `lab(doc_id)` = documents containing a duplicated length-50
+    * substring (dd15's linear window machinery).
+    */
+  private val labPrelude: String =
+    """docs50 AS (SELECT doc_id, text FROM documents
+      |  WHERE length(text) >= 50),
+      |w AS (SELECT doc_id, md5(substr(text, i, 50)) AS wh
+      |  FROM docs50, LATERAL
+      |   (SELECT unnest(generate_series(1, length(text) - 49)) AS i) _t),
+      |dh AS (SELECT wh FROM w GROUP BY wh HAVING count(*) >= 2),
+      |lab AS (SELECT DISTINCT doc_id FROM w JOIN dh USING (wh))""".stripMargin
+
+  /** (lm_pm, y) for every scored document — the lm1 predictability
+    * score next to the 0/1 duplicated-substring label; shared by an5
+    * (AUC) and an6 (calibration).
+    */
+  private def scoredLabeled(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val lab = Dedup.duplicatedSubstringStats(docs, "doc_id", "text", l = 50)
+      .filter(col("dup_windows") > 0)
+      .select(col("doc_id"), lit(1L).as("y1"))
+    lmScored(docs)
+      .join(lab, Seq("doc_id"), "left")
+      .select(col("lm_pm"), coalesce(col("y1"), lit(0L)).as("y"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // PK1 — sequence packing (concat-then-chunk): documents in doc_id
@@ -176,23 +203,11 @@ object ScanOps {
     // Decimal(38,0) per the silent-int64-wrap convention.
     Q("an5_score_auc",
       (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val lab = Dedup.duplicatedSubstringStats(docs, "doc_id", "text", l = 50)
-          .filter(col("dup_windows") > 0)
-          .select(col("doc_id"), lit(1L).as("y1"))
-        val ls = lmScored(docs)
-          .join(lab, Seq("doc_id"), "left")
-          .select(col("lm_pm"), coalesce(col("y1"), lit(0L)).as("y"))
+        val ls = scoredLabeled(s, dir)
         RankMetrics.aucPermille(ls, "lm_pm", "y")
       },
       Some(s"""WITH $lmPrelude,
-             |docs50 AS (SELECT doc_id, text FROM documents
-             |  WHERE length(text) >= 50),
-             |w AS (SELECT doc_id, md5(substr(text, i, 50)) AS wh
-             |  FROM docs50, LATERAL
-             |   (SELECT unnest(generate_series(1, length(text) - 49)) AS i) _t),
-             |dh AS (SELECT wh FROM w GROUP BY wh HAVING count(*) >= 2),
-             |lab AS (SELECT DISTINCT doc_id FROM w JOIN dh USING (wh)),
+             |$labPrelude,
              |ls AS (SELECT sc.lm_pm,
              |    CASE WHEN lab.doc_id IS NOT NULL THEN 1 ELSE 0 END AS y
              |  FROM sc LEFT JOIN lab ON lab.doc_id = sc.doc_id),
@@ -211,6 +226,31 @@ object ScanOps {
              |    (2 * (SELECT CAST(sum(np) AS HUGEINT) FROM g)
              |       * (SELECT sum(nn) FROM g)) AS BIGINT) AS auc_pm
              |FROM cum""".stripMargin)),
+
+    // AN6 — the calibration companion to an5's discrimination: per
+    // observed score value, how often the "contains a duplicated
+    // substring" label actually fires (rate in permille). an5 says the
+    // signal RANKS correctly; this is the table you read a threshold
+    // off — e.g. "above 34 permille predictability, more than 15% of
+    // docs are boilerplate, cut there". Score-grain output (<= 1001
+    // rows at any corpus size), built from the same two corpus passes
+    // as an5 — no window at all, just one aggregate.
+    Q("an6_score_calibration",
+      (s, dir) => scoredLabeled(s, dir)
+        .groupBy("lm_pm")
+        .agg(count(lit(1)).as("n_docs"), sum("y").as("n_dup"),
+          expr("sum(y) * 1000 div count(1)").as("rate_pm"))
+        .orderBy("lm_pm"),
+      Some(s"""WITH $lmPrelude,
+             |$labPrelude
+             |SELECT sc.lm_pm, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN lab.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_dup,
+             |  CAST(sum(CASE WHEN lab.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             |    * 1000 // count(*) AS BIGINT) AS rate_pm
+             |FROM sc LEFT JOIN lab ON lab.doc_id = sc.doc_id
+             |GROUP BY 1
+             |ORDER BY lm_pm""".stripMargin)),
 
     // DD15 — exact duplicated-substring statistics (Lee et al. 2022):
     // per document, the length-50 character windows that occur >= 2

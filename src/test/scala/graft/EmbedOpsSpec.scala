@@ -58,10 +58,36 @@ class EmbedOpsSpec extends SparkSpec {
       .collect().head.getAs[Long]("auc_pm") == 750L)
   }
 
+  test("dd20 funnel is monotone per cluster and prune keeps 3/4 of survivors") {
+    val rows = q("dd20_d4_pipeline").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nRaw, nSd, nKept) =
+        (r.getAs[Long]("n_raw"), r.getAs[Long]("n_semdedup"), r.getAs[Long]("n_kept"))
+      assert(nRaw >= nSd && nSd >= nKept)
+      assert(nKept == nSd - nSd / 4)
+    }
+  }
+
+  test("dq6 planted arms each fire exactly; corpus arm is clean") {
+    val rows = q("dq6_embedding_quality").collect()
+      .map(r => r.getAs[String]("arm") -> r).toMap
+    val corpus = rows("corpus")
+    assert(corpus.getAs[Long]("n_zero") == 0 && corpus.getAs[Long]("n_low") == 0
+      && corpus.getAs[Long]("n_high") == 0 && corpus.getAs[Long]("n_dim") == 0)
+    assert(rows("planted_zero").getAs[Long]("n_zero") ==
+      rows("planted_zero").getAs[Long]("n_vecs"))
+    assert(rows("planted_scale").getAs[Long]("n_high") ==
+      rows("planted_scale").getAs[Long]("n_vecs"))
+    assert(rows("planted_dim").getAs[Long]("n_dim") ==
+      rows("planted_dim").getAs[Long]("n_vecs"))
+  }
+
   test("registry exposes the new rows") {
-    assert(EmbedOps.all.map(_.name) ==
-      Seq("imp7_prototype_prune", "fe7_random_projection"))
+    assert(EmbedOps.all.map(_.name) == Seq("imp7_prototype_prune",
+      "fe7_random_projection", "dd20_d4_pipeline", "dq6_embedding_quality"))
     assert(graft.SparkEntry.queries.contains("an5_score_auc"))
+    assert(graft.SparkEntry.queries.contains("an6_score_calibration"))
     assert(graft.SparkEntry.queries.contains("cur10_ccnet_buckets"))
   }
 }

@@ -93,7 +93,11 @@ BOUNDED_PREFIXES = (
     # component grain, bounded centroid/sign frames), CCNet buckets
     # (lm1's linear machinery + source-partition NTILE), rank-AUC
     # (score-grain count algebra over lm1 + dd15's linear label)
-    "fe7", "an5", "cur10")
+    "fe7", "an5", "cur10",
+    # an6 shares an5's linear machinery; dq6 is one embeddings-pool
+    # scan to a 4-row rollup (dd20's oracle is cluster-quadratic like
+    # dd11's -> stays audit-excluded with its family)
+    "an6", "dq6")
 
 
 def main():

@@ -1070,6 +1070,60 @@ object LlmData {
              |GROUP BY 1, 2
              |ORDER BY split_a NULLS FIRST, split_b NULLS FIRST""".stripMargin)),
 
+    // S11 — temporal split with an embargo gap (the backtesting split:
+    // train strictly before day 19, a 2-day embargo absorbing
+    // label/feature horizons that straddle the boundary, test from day
+    // 21) — the time-series sibling of s4's content-hash split and
+    // s8's cluster split. Split assignment is a pure function of event
+    // time, so it is reproducible on any cluster. The audit emits per
+    // split: events, distinct users, how many of those users also
+    // appear in train (time splits share users BY DESIGN — this column
+    // is the number a user-level-split decision is made on), and the
+    // day range proving the embargo gap is respected.
+    Q("s11_temporal_split",
+      (s, dir) => {
+        val e = t(s, dir, "events").select(col("event_id"), col("user_id"),
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+            .cast(LongType).as("day"))
+        val sp = e.withColumn("split",
+          when(col("day") < 19, "train").when(col("day") < 21, "embargo")
+            .otherwise("test"))
+        val trainUsers = sp.filter(col("split") === "train")
+          .select("user_id").distinct()
+        val overlap = sp.select("split", "user_id").distinct()
+          .join(trainUsers, Seq("user_id"))
+          .groupBy("split").agg(count(lit(1)).as("n_users_in_train"))
+        sp.groupBy("split")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            min("day").as("min_day"), max("day").as("max_day"))
+          .join(overlap, Seq("split"), "left")
+          .select(col("split"), col("n_events"), col("n_users"),
+            coalesce(col("n_users_in_train"), lit(0L)).as("n_users_in_train"),
+            col("min_day"), col("max_day"))
+          .orderBy("split")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id,
+             |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+             |  FROM events),
+             |s AS (SELECT event_id, user_id, day,
+             |  CASE WHEN day < 19 THEN 'train' WHEN day < 21 THEN 'embargo'
+             |       ELSE 'test' END AS split FROM e),
+             |tu AS (SELECT DISTINCT user_id FROM s WHERE split = 'train'),
+             |ov AS (SELECT du.split,
+             |    CAST(count(*) AS BIGINT) AS n_users_in_train
+             |  FROM (SELECT DISTINCT split, user_id FROM s) du
+             |  JOIN tu USING (user_id) GROUP BY 1)
+             |SELECT s.split, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(count(DISTINCT s.user_id) AS BIGINT) AS n_users,
+             |  CAST(COALESCE(any_value(ov.n_users_in_train), 0) AS BIGINT)
+             |    AS n_users_in_train,
+             |  CAST(min(s.day) AS BIGINT) AS min_day,
+             |  CAST(max(s.day) AS BIGINT) AS max_day
+             |FROM s LEFT JOIN ov ON ov.split = s.split
+             |GROUP BY s.split
+             |ORDER BY s.split""".stripMargin)),
+
     // S4 — deterministic train/val/test split on a PORTABLE content
     // hash: bucket = first 16 bits of md5(text) mod 100 (Spark `conv`,
     // DuckDB hex-digit fold — same value in both engines, unlike

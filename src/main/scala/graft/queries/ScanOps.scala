@@ -252,6 +252,77 @@ object ScanOps {
              |GROUP BY 1
              |ORDER BY lm_pm""".stripMargin)),
 
+    // AN7 — per-source Kolmogorov–Smirnov drift on the score
+    // distribution: D = max over score values of |CDF_source −
+    // CDF_rest|, in permille — the shape-sensitive companion to an4's
+    // L1 feature drift (KS catches a shifted or bimodal source whose
+    // bucket masses still roughly match). Exact integer arithmetic via
+    // cross-multiplication: |f_src·n_rest − f_rest·n_src| compared at
+    // every observed score, products in Decimal(38,0)/HUGEINT per the
+    // silent-int64-wrap convention.
+    //
+    // Scale shape: one corpus pass to the (source, score) count table,
+    // then ALL work is on bounded frames — the grid is source-catalog x
+    // score-domain (<= sources x 1001 rows), the CDF windows partition
+    // by source over that grid, and the rollup is source-grain.
+    Q("an7_ks_drift",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ds = lmScored(docs)
+          .join(docs.select("doc_id", "source"), Seq("doc_id"))
+          .select(col("source"), col("lm_pm"))
+        val cSrc = ds.groupBy("source", "lm_pm").agg(count(lit(1)).as("c"))
+        val cAll = ds.groupBy("lm_pm").agg(count(lit(1)).as("ca"))
+        val grid = ds.select("source").distinct()
+          .crossJoin(cAll)
+          .join(cSrc, Seq("source", "lm_pm"), "left")
+          .select(col("source"), col("lm_pm"),
+            coalesce(col("c"), lit(0L)).as("c_src"),
+            (col("ca") - coalesce(col("c"), lit(0L))).as("c_rest"))
+        val wCum = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("lm_pm")
+        val cum = grid
+          .withColumn("f_src", sum("c_src").over(wCum))
+          .withColumn("f_rest", sum("c_rest").over(wCum))
+        val tot = cum.groupBy("source")
+          .agg(max("f_src").as("n_src"), max("f_rest").as("n_rest"))
+        cum.join(tot, Seq("source"))
+          .groupBy("source", "n_src", "n_rest")
+          .agg(expr("""CAST(max(abs(CAST(f_src AS DECIMAL(38,0)) * n_rest
+                    - CAST(f_rest AS DECIMAL(38,0)) * n_src)) * 1000
+                div (CAST(n_src AS DECIMAL(38,0)) * n_rest)
+                AS BIGINT)""").as("ks_pm"))
+          .select(col("source"), col("n_src"), col("ks_pm"))
+          .orderBy("source")
+      },
+      Some(s"""WITH $lmPrelude,
+             |ds AS (SELECT d.source, sc.lm_pm FROM sc JOIN d USING (doc_id)),
+             |csrc AS (SELECT source, lm_pm, CAST(count(*) AS BIGINT) AS c
+             |  FROM ds GROUP BY 1, 2),
+             |call AS (SELECT lm_pm, CAST(count(*) AS BIGINT) AS ca
+             |  FROM ds GROUP BY 1),
+             |grid AS (SELECT src.source, ca.lm_pm,
+             |    COALESCE(cs.c, 0) AS c_src,
+             |    ca.ca - COALESCE(cs.c, 0) AS c_rest
+             |  FROM (SELECT DISTINCT source FROM ds) src
+             |  CROSS JOIN call ca
+             |  LEFT JOIN csrc cs ON cs.source = src.source AND cs.lm_pm = ca.lm_pm),
+             |cum AS (SELECT source, lm_pm,
+             |    CAST(SUM(c_src) OVER (PARTITION BY source ORDER BY lm_pm)
+             |      AS BIGINT) AS f_src,
+             |    CAST(SUM(c_rest) OVER (PARTITION BY source ORDER BY lm_pm)
+             |      AS BIGINT) AS f_rest
+             |  FROM grid),
+             |tot AS (SELECT source, CAST(max(f_src) AS BIGINT) AS n_src,
+             |  CAST(max(f_rest) AS BIGINT) AS n_rest FROM cum GROUP BY 1)
+             |SELECT c.source, t.n_src,
+             |  CAST(max(abs(CAST(c.f_src AS HUGEINT) * t.n_rest
+             |      - CAST(c.f_rest AS HUGEINT) * t.n_src)) * 1000 //
+             |    (CAST(t.n_src AS HUGEINT) * t.n_rest) AS BIGINT) AS ks_pm
+             |FROM cum c JOIN tot t USING (source)
+             |GROUP BY c.source, t.n_src, t.n_rest
+             |ORDER BY c.source""".stripMargin)),
+
     // DD15 — exact duplicated-substring statistics (Lee et al. 2022):
     // per document, the length-50 character windows that occur >= 2
     // times anywhere in the corpus, and the characters covered by at

@@ -97,7 +97,11 @@ BOUNDED_PREFIXES = (
     # an6 shares an5's linear machinery; dq6 is one embeddings-pool
     # scan to a 4-row rollup (dd20's oracle is cluster-quadratic like
     # dd11's -> stays audit-excluded with its family)
-    "an6", "dq6")
+    "an6", "dq6",
+    # KS drift: one pass to the (source, score) count table, then
+    # bounded-grid algebra; temporal split: one events scan + user-set
+    # joins at split grain
+    "an7", "s11")
 
 
 def main():

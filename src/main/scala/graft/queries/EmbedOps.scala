@@ -1,9 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.Similarity
+import graft.operators.{ProtoPrune, Similarity}
 import graft.sources.Tables
 
 /** Embedding-space curation operators: prototype-based cluster pruning
@@ -26,21 +25,10 @@ object EmbedOps {
     Tables.load(s, dir, name)
 
   /** Integer micro embedding: FLOAT widened exactly to DOUBLE, scaled,
-    * floored — both engines do the identical IEEE multiply and floor.
+    * floored — both engines do the identical IEEE multiply and floor
+    * ([[graft.operators.ProtoPrune.micro]] is the shared definition).
     */
-  private val microVec =
-    transform(col("embedding"),
-      x => floor(x.cast("double") * lit(1000000d)).cast("long"))
-
-  /** (vec_id, cl, j, v) — one row per vector component, with the 4-bit
-    * coordinate-sign cluster id (16 clusters; in production the cluster
-    * id is the IVF centroid assignment — thousands of clusters — and the
-    * plan below is unchanged).
-    */
-  private def exploded(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"),
-        Similarity.signCluster(col("embedding"), 4).as("cl"),
-        posexplode(microVec).as(Seq("j", "v")))
+  private val microVec = ProtoPrune.micro
 
   def all: Seq[Q] = Seq(
 
@@ -58,22 +46,8 @@ object EmbedOps {
     // a rank window PER CLUSTER — partitions are cluster-sized, the
     // same bound SemDeDup already lives with; nothing is all-pairs.
     Q("imp7_prototype_prune",
-      (s, dir) => {
-        val e = exploded(t(s, dir, "embeddings"))
-        val c = e.groupBy("cl", "j")
-          .agg(expr("sum(v) div count(1)").as("cj"))
-        val d = e.join(c, Seq("cl", "j"))
-          .groupBy("vec_id", "cl")
-          .agg(expr("sum((v - cj) * (v - cj))").as("dist2"))
-        d.withColumn("rk",
-            row_number().over(Window.partitionBy("cl")
-              .orderBy(col("dist2"), col("vec_id"))))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy("cl")))
-          .select(col("vec_id"), col("cl").cast("long").as("cl"),
-            col("dist2"),
-            when(col("rk") <= expr("n div 4"), 0L).otherwise(1L).as("kept"))
-          .orderBy("vec_id")
-      },
+      (s, dir) => ProtoPrune.pruneSelf(t(s, dir, "embeddings"))
+        .orderBy("vec_id"),
       Some("""WITH m AS (SELECT vec_id,
              |    (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END
              |    +CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END
@@ -191,19 +165,8 @@ object EmbedOps {
         val raw = emb.select(cl4.as("cl"))
           .groupBy("cl").agg(count(lit(1)).as("n_raw"))
         val surv = Similarity.semDedup(emb, "embedding", "vec_id", cl4, tau = 0.4)
-        val e = exploded(surv)
-        val c = e.groupBy("cl", "j")
-          .agg(expr("sum(v) div count(1)").as("cj"))
-        val d = e.join(c, Seq("cl", "j"))
-          .groupBy("vec_id", "cl")
-          .agg(expr("sum((v - cj) * (v - cj))").as("dist2"))
-        val r = d
-          .withColumn("rk", row_number().over(Window.partitionBy("cl")
-            .orderBy(col("dist2"), col("vec_id"))))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy("cl")))
-        val kept = r.groupBy("cl")
-          .agg(count(lit(1)).as("n_semdedup"),
-            sum(when(col("rk") > expr("n div 4"), 1L).otherwise(0L)).as("n_kept"))
+        val kept = ProtoPrune.pruneSelf(surv).groupBy("cl")
+          .agg(count(lit(1)).as("n_semdedup"), sum("kept").as("n_kept"))
         raw.join(kept, Seq("cl"), "left")
           .select(col("cl").cast("long").as("cl"), col("n_raw"),
             coalesce(col("n_semdedup"), lit(0L)).as("n_semdedup"),

@@ -75,7 +75,11 @@ object DumpPlans {
       "sk8_quantile_sketch" ->
         "Bottom-k quantile sketch: each sketch branch is TakeOrderedAndProject (per-partition heaps — no global sort of values anywhere); percentiles aggregate 256-row samples; scalars meet in 1-row cross joins.",
       "imp3_select_pack_mix" ->
-        "End-to-end shard build (DSIR select → prefix-sum pack → temperature mix): the 256-row ratio table and 1-row max broadcast into the doc-grain score/selection stages (BroadcastHashJoin, zero extra exchange); the packing stage enters as the pk1 prefix-sum RDD (range sort + per-partition offsets, already executed — see pk1 entry); after it only the source-grain aggregate exchange and a source-cardinality window remain. The composition pays exactly the shuffles of its parts.")
+        "End-to-end shard build (DSIR select → prefix-sum pack → temperature mix): the 256-row ratio table and 1-row max broadcast into the doc-grain score/selection stages (BroadcastHashJoin, zero extra exchange); the packing stage enters as the pk1 prefix-sum RDD (range sort + per-partition offsets, already executed — see pk1 entry); after it only the source-grain aggregate exchange and a source-cardinality window remain. The composition pays exactly the shuffles of its parts.",
+      "imp7_prototype_prune" ->
+        "Prototype pruning: component-grain explode, (cluster x dim)-bounded centroid aggregate broadcast back into the component stream (BroadcastHashJoin BuildRight), one vec-grain distance aggregate, rank+count windows sharing ONE cluster-partitioned sort — no all-pairs stage anywhere; window partitions are cluster-sized (centroid-catalog cardinality in production).",
+      "dd20_d4_pipeline" ->
+        "D4 funnel (SemDeDup then prototype-prune): the dedup stage is the cluster-key LEFT ANTI join (pairwise work bounded by cluster size, nothing materializes past the first match), survivors flow into the imp7 prune plan, and the rollup joins three CLUSTER-grain frames — after the anti-join nothing wider than the cluster catalog moves.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (auto-generated by graft.DumpPlans at sf0.1)\n\n")
     sb.append("Evidence for the plan-shape claims in README: pushed filters, pruned\n")
@@ -92,7 +96,8 @@ object DumpPlans {
       "q15_top_supplier", "q22_global_sales",
       "ss1b_cosine_topk_indexed", "pk1_sequence_pack", "lm1_bigram_score",
       "sk6_hll_registers", "cc3_containment",
-      "sk8_quantile_sketch", "imp3_select_pack_mix").foreach { name =>
+      "sk8_quantile_sketch", "imp3_select_pack_mix",
+      "imp7_prototype_prune", "dd20_d4_pipeline").foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       sb.append(s"\n## $name\n\n${notes(name)}\n\n```\n")
       sb.append(df.queryExecution.explainString(

@@ -83,4 +83,35 @@ class SelectionStreamSpec extends SparkSpec {
     }
     assert(run(1) === run(5))
   }
+
+  test("streamed centroid state == batch; prune through handle == batch imp7") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val vecs = emb.as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val em = new graft.streaming.EmbedMaintenance(spark)
+    val q = em.attach(ms.toDF().toDF("vec_id", "embedding")).start()
+    try {
+      vecs.grouped(math.max(1, vecs.size / 3)).foreach { b =>
+        ms.addData(b); q.processAllAvailable()
+      }
+      val streamedState = em.componentState.collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      val batchState = graft.operators.ProtoPrune.componentState(
+        graft.operators.ProtoPrune.components(emb)).collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(streamedState === batchState,
+        "streamed centroid sufficient statistics diverged from batch")
+      val streamed = em.prune(emb)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val batch = SparkEntry.queries("imp7_prototype_prune")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(streamed.sortBy(_._1).toSeq === batch.sortBy(_._1).toSeq,
+        "streamed prune diverged from batch imp7")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }

@@ -390,4 +390,149 @@ object Multimodal {
       }
     }(Encoders.row(wavMetaSchema))
   }
+
+  // ---- ISO-BMFF (MP4) — the video sibling of the WAV chunk walk ----
+
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+
+  val mp4MetaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("timescale", LongType),
+    StructField("duration", LongType),
+    StructField("mdat_bytes", LongType),
+    StructField("duration_ms", LongType),
+    StructField("n_top_boxes", LongType)))
+
+  /** (timescale, duration, mdatBytes, nTopBoxes) parsed from a real
+    * ISO-BMFF byte stream, or None when the payload is not MP4. A
+    * genuine BOX WALK over the big-endian container: every top-level
+    * box is (u32be size, fourcc, payload) with the two real size edge
+    * forms handled — size == 1 means a u64be LARGESIZE follows the
+    * fourcc (how >4 GiB mdat boxes are written in practice; planted on
+    * every n%7==0 payload so a parser that ignores it fails the
+    * round-trip), size == 0 means the box runs to end-of-file. The
+    * movie header is found by a NESTED walk inside `moov` (mvhd
+    * version 0: timescale u32be at +20, duration u32be at +24).
+    *
+    * Hostile-size guards (the mm5 u32 lesson, big-endian edition): a
+    * box smaller than its own header, a largesize past Int.MaxValue,
+    * or a box overrunning the buffer rejects the payload — the walk
+    * can never stall or read out of bounds.
+    */
+  def parseMp4Meta(bytes: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    if (bytes.length < 8 || fourcc(bytes, 4) != "ftyp") return None
+    var i = 0
+    var ts: Option[Long] = None
+    var dur: Option[Long] = None
+    var mdat: Option[Long] = None
+    var nBoxes = 0L
+    while (i + 8 <= bytes.length) {
+      val size32 = be32(bytes, i)
+      val cc = fourcc(bytes, i + 4)
+      val (payloadStart, boxLen): (Int, Long) =
+        if (size32 == 1L) {
+          if (i + 16 > bytes.length) return None
+          (i + 16, be64(bytes, i + 8))
+        } else if (size32 == 0L) (i + 8, (bytes.length - i).toLong)
+        else (i + 8, size32)
+      val hdr = (payloadStart - i).toLong
+      if (boxLen < hdr || boxLen > Int.MaxValue.toLong) return None
+      if (i + boxLen > bytes.length) return None
+      nBoxes += 1
+      if (cc == "moov") {
+        var k = payloadStart
+        val end = (i + boxLen).toInt
+        while (k + 8 <= end && ts.isEmpty) {
+          val s2 = be32(bytes, k)
+          if (s2 < 8 || k + s2 > end) return None
+          if (fourcc(bytes, k + 4) == "mvhd" && s2 >= 32 &&
+              (bytes(k + 8) & 0xff) == 0) {
+            ts = Some(be32(bytes, k + 20))
+            dur = Some(be32(bytes, k + 24))
+          }
+          k += s2.toInt
+        }
+      } else if (cc == "mdat") {
+        mdat = Some(boxLen - hdr)
+      }
+      i += boxLen.toInt
+    }
+    for (t <- ts; d <- dur; m <- mdat; if t > 0) yield (t, d, m, nBoxes)
+  }
+
+  /** Deterministic REAL-container MP4 payload (the video half of the
+    * plant/parse round-trip, mirroring [[plantWavPayload]]):
+    *
+    *   timescale  = 600 + (n % 7) * 100     (n = |text| bytes)
+    *   duration   = n * 100 timescale units
+    *   mdat body  = the n text bytes; n % 7 == 0 writes the mdat in the
+    *                size==1 + u64 LARGESIZE form
+    *   odd n additionally gets a 12-byte `free` junk box before `moov`
+    *   so the parser must walk boxes
+    */
+  def plantMp4Payload(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val txtIdx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val body = r.getString(txtIdx).getBytes("UTF-8")
+        val n = body.length
+        val timescale = 600 + (n % 7) * 100
+        val duration = n * 100
+        val large = n % 7 == 0
+        val freeLen = if (n % 2 == 1) 12 else 0
+        val mvhdLen = 108
+        val moovLen = 8 + mvhdLen
+        val mdatLen = (if (large) 16 else 8) + n
+        // ISO-BMFF is big-endian — ByteBuffer's default order
+        val bb = java.nio.ByteBuffer.allocate(16 + freeLen + moovLen + mdatLen)
+        bb.putInt(16).put("ftyp".getBytes("US-ASCII"))
+          .put("isom".getBytes("US-ASCII")).putInt(0)
+        if (freeLen > 0) {
+          bb.putInt(12).put("free".getBytes("US-ASCII")).putInt(0x4a4a4a4a)
+        }
+        bb.putInt(moovLen).put("moov".getBytes("US-ASCII"))
+        bb.putInt(mvhdLen).put("mvhd".getBytes("US-ASCII"))
+        bb.putInt(0) // version 0 + flags
+        bb.putInt(0).putInt(0) // creation, modification
+        bb.putInt(timescale).putInt(duration)
+        bb.putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate, volume, reserved
+        bb.putInt(0).putInt(0) // reserved[2]
+        for (_ <- 0 until 9) bb.putInt(0) // matrix
+        for (_ <- 0 until 6) bb.putInt(0) // pre_defined
+        bb.putInt(2) // next_track_id
+        if (large) {
+          bb.putInt(1).put("mdat".getBytes("US-ASCII")).putLong(16L + n)
+        } else {
+          bb.putInt(8 + n).put("mdat".getBytes("US-ASCII"))
+        }
+        bb.put(body)
+        Row(id, bb.array())
+      }
+    }(Encoders.row(out))
+  }
+
+  /** Parsed MP4 metadata + derived duration_ms = duration * 1000 div
+    * timescale — the columns a video-curation pipeline filters on
+    * (clip length, payload size) before any frame is decoded.
+    */
+  def decodeMp4Meta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        parseMp4Meta(r.getAs[Array[Byte]](binIdx)) match {
+          case Some((ts, dur, mdatBytes, nBoxes)) =>
+            Row(id, ts, dur, mdatBytes, dur * 1000L / ts, nBoxes)
+          case None => Row(id, null, null, null, null, null)
+        }
+      }
+    }(Encoders.row(mp4MetaSchema))
+  }
 }

@@ -707,6 +707,29 @@ object MiningOps {
              |FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // MM6 — MP4 metadata round-trip, the video sibling of mm5:
+    // plantMp4Payload writes a REAL big-endian ISO-BMFF stream (ftyp /
+    // optional `free` junk box / moov>mvhd nested walk / mdat — written
+    // in the size==1 + u64 LARGESIZE form on every n%7==0 payload, the
+    // >4 GiB edge every real MP4 parser must handle), decodeMp4Meta
+    // box-walks it back, and the oracle recomputes the planted
+    // parameters from the source text length — an encoder bug and a
+    // parser bug cannot cancel.
+    Q("mm6_mp4_meta",
+      (s, dir) => graft.operators.Multimodal.decodeMp4Meta(
+        graft.operators.Multimodal.plantMp4Payload(
+          t(s, dir, "documents"), "doc_id", "text"),
+        "doc_id", "payload")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(600 + (n % 7) * 100 AS BIGINT) AS timescale,
+             |  CAST(n * 100 AS BIGINT) AS duration,
+             |  CAST(n AS BIGINT) AS mdat_bytes,
+             |  CAST((n * 100) * 1000 // (600 + (n % 7) * 100) AS BIGINT) AS duration_ms,
+             |  CAST(3 + n % 2 AS BIGINT) AS n_top_boxes
+             |FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
     // CUR6 — curation v3: EXACT near-dup removal through the prefix-
     // filtered set-similarity join (Jaccard >= 9/10 on word sets),
     // greedy earliest-id-wins (drop any doc similar to an earlier one),

@@ -50,4 +50,63 @@ class MultimodalGuardSpec extends AnyFunSuite {
     assert(Multimodal.parseWavHeader(wav(2, 16, 8000))
       .contains((2L, 8000L, 16L, 4L)))
   }
+
+  private def mp4(body: java.nio.ByteBuffer => Unit, cap: Int = 256): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(cap) // big-endian default
+    bb.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0)
+    body(bb)
+    java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
+  private def moovMvhd(bb: java.nio.ByteBuffer, ts: Int, dur: Int): Unit = {
+    bb.putInt(116).put("moov".getBytes("US-ASCII"))
+    bb.putInt(108).put("mvhd".getBytes("US-ASCII"))
+    bb.putInt(0).putInt(0).putInt(0).putInt(ts).putInt(dur)
+    bb.putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+    bb.putInt(0).putInt(0)
+    for (_ <- 0 until 9) bb.putInt(0)
+    for (_ <- 0 until 6) bb.putInt(0)
+    bb.putInt(2)
+  }
+
+  test("mp4 box walk: hostile sizes are rejected, never looped on") {
+    // box size smaller than its own header (2..7) — advance would stall
+    assert(Multimodal.parseMp4Meta(mp4(bb =>
+      bb.putInt(4).put("mdat".getBytes("US-ASCII")))).isEmpty)
+    // largesize smaller than its 16-byte header
+    assert(Multimodal.parseMp4Meta(mp4(bb =>
+      bb.putInt(1).put("mdat".getBytes("US-ASCII")).putLong(8L))).isEmpty)
+    // box overrunning the buffer
+    assert(Multimodal.parseMp4Meta(mp4(bb =>
+      bb.putInt(4096).put("mdat".getBytes("US-ASCII")))).isEmpty)
+    // largesize past Int.MaxValue cannot fit a JVM array
+    assert(Multimodal.parseMp4Meta(mp4(bb =>
+      bb.putInt(1).put("mdat".getBytes("US-ASCII"))
+        .putLong(0x100000000L))).isEmpty)
+    // not-MP4: first box must be ftyp
+    assert(Multimodal.parseMp4Meta("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("mp4 box walk: well-formed controls parse, incl. largesize and to-EOF") {
+    // plain mdat
+    val plain = mp4 { bb =>
+      moovMvhd(bb, 600, 1200)
+      bb.putInt(8 + 4).put("mdat".getBytes("US-ASCII")).putInt(0x55aa55aa)
+    }
+    assert(Multimodal.parseMp4Meta(plain).contains((600L, 1200L, 4L, 3L)))
+    // u64 largesize mdat
+    val large = mp4 { bb =>
+      moovMvhd(bb, 700, 2100)
+      bb.putInt(1).put("mdat".getBytes("US-ASCII")).putLong(16L + 4)
+        .putInt(0x55aa55aa)
+    }
+    assert(Multimodal.parseMp4Meta(large).contains((700L, 2100L, 4L, 3L)))
+    // size==0: mdat runs to end of file
+    val toEof = mp4 { bb =>
+      moovMvhd(bb, 800, 800)
+      bb.putInt(0).put("mdat".getBytes("US-ASCII")).putInt(0x55aa55aa)
+    }
+    assert(Multimodal.parseMp4Meta(toEof).contains((800L, 800L, 4L, 3L)))
+  }
 }

@@ -115,7 +115,8 @@ def main():
                                        "sql2", "cur6", "s8_", "s10"))) + [
         "ss1_cosine_topk", "dd13_span_dedup", "ss2_ann_lsh", "ss3_ann_ivf",
         "ss1b_cosine_topk_indexed", "dd15_substring_dedup", "dd16_substring_cut",
-        "ddf5_span_splice", "mm5_wav_meta"]  # linear oracles in excluded prefixes
+        "ddf5_span_splice", "mm5_wav_meta",
+        "mm6_mp4_meta"]  # linear oracles in excluded prefixes
     if bounded:
         keep = [n for n in keep if n.startswith(BOUNDED_PREFIXES)]
     keep = sorted(set(keep))

@@ -206,6 +206,67 @@ object EmbedOps {
              |GROUP BY raw.cl, raw.n_raw
              |ORDER BY cl""".stripMargin)),
 
+    // RF32 — ProtoPrune differential fuzz: 5 seed-offset instances of
+    // 160 constructed 8-dim vectors whose components are EXACT binary
+    // fractions ((md5-derived k in -16..15) / 32 — float-representable,
+    // so the micro integerization has no rounding edge to disagree on),
+    // pruned by the shared kernel and replayed CTE-for-CTE by the
+    // oracle. The rf-matrix discipline (rf27-rf31) for the embedding
+    // family: sf-independent generated data, full output compared.
+    Q("rf32_protoprune_fuzz",
+      (s, dir) => {
+        val insts = Seq(0L, 100L, 200L, 300L, 400L).map { off =>
+          val emb = s.range(1, 161).select(
+            col("id").as("vec_id"),
+            expr(s"""transform(sequence(1, 8), j -> CAST(
+                     (CAST(conv(substring(md5(concat('V$off:',
+                        CAST(id AS STRING), ':', CAST(j AS STRING))), 1, 2),
+                       16, 10) AS BIGINT) % 32 - 16) / 32.0
+                     AS FLOAT))""").as("embedding"))
+          ProtoPrune.pruneSelf(emb)
+            .select(lit(off).as("seedoff"), col("vec_id"), col("cl"),
+              col("dist2"), col("kept"))
+        }
+        insts.reduce(_.unionByName(_)).orderBy("seedoff", "vec_id")
+      },
+      Some {
+        def chain(off: Long, x: String): String =
+          s"""emb$x AS (SELECT i AS vec_id,
+             |    list(CAST((CAST(CAST(('0x'||substr(md5('V$off:'||CAST(i AS VARCHAR)||':'||CAST(j AS VARCHAR)),1,2)) AS UBIGINT) AS BIGINT) % 32 - 16) / 32.0 AS FLOAT)
+             |      ORDER BY j) AS embedding
+             |  FROM generate_series(1, 160) _i(i),
+             |    LATERAL (SELECT unnest(generate_series(1, 8)) AS j) _j
+             |  GROUP BY 1),
+             |m$x AS (SELECT vec_id,
+             |    (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END
+             |    +CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END
+             |    +CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END
+             |    +CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS cl,
+             |    list_transform(embedding,
+             |      x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS mv
+             |  FROM emb$x),
+             |e$x AS (SELECT vec_id, cl, i AS j, mv[i] AS v
+             |  FROM m$x, LATERAL (SELECT unnest(generate_series(1, len(mv))) AS i) _t),
+             |c$x AS (SELECT cl, j, CAST(CAST(sum(v) AS BIGINT) // count(*) AS BIGINT) AS cj
+             |  FROM e$x GROUP BY 1, 2),
+             |d$x AS (SELECT e$x.vec_id, e$x.cl,
+             |    CAST(sum((e$x.v - c$x.cj) * (e$x.v - c$x.cj)) AS BIGINT) AS dist2
+             |  FROM e$x JOIN c$x ON c$x.cl = e$x.cl AND c$x.j = e$x.j GROUP BY 1, 2),
+             |r$x AS (SELECT vec_id, cl, dist2,
+             |   ROW_NUMBER() OVER (PARTITION BY cl ORDER BY dist2, vec_id) AS rk,
+             |   COUNT(*) OVER (PARTITION BY cl) AS n FROM d$x)""".stripMargin
+        val offs = Seq(0L, 100L, 200L, 300L, 400L)
+        val withs = offs.zipWithIndex
+          .map { case (off, i) => chain(off, s"_$i") }.mkString(",\n")
+        val union = offs.zipWithIndex.map { case (off, i) =>
+          s"""SELECT CAST($off AS BIGINT) AS seedoff, vec_id,
+             |  CAST(cl AS BIGINT) AS cl, dist2,
+             |  CAST(CASE WHEN rk <= n // 4 THEN 0 ELSE 1 END AS BIGINT) AS kept
+             |FROM r_$i""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"WITH $withs\nSELECT * FROM (\n$union\n) ORDER BY seedoff, vec_id"
+      }),
+
     // DQ6 — embedding-table quality audit (the dq2/dq4 shape for the
     // vector column): per arm, vectors whose integer micro norm-squared
     // is zero, far below or far above the unit band, or whose

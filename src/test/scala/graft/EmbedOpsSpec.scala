@@ -85,7 +85,8 @@ class EmbedOpsSpec extends SparkSpec {
 
   test("registry exposes the new rows") {
     assert(EmbedOps.all.map(_.name) == Seq("imp7_prototype_prune",
-      "fe7_random_projection", "dd20_d4_pipeline", "dq6_embedding_quality"))
+      "fe7_random_projection", "dd20_d4_pipeline", "rf32_protoprune_fuzz",
+      "dq6_embedding_quality"))
     assert(graft.SparkEntry.queries.contains("an5_score_auc"))
     assert(graft.SparkEntry.queries.contains("an6_score_calibration"))
     assert(graft.SparkEntry.queries.contains("cur10_ccnet_buckets"))

@@ -69,7 +69,7 @@ BOUNDED_PREFIXES = (
     "an4",
     # incremental-CC / containment / DSIR fuzz: generated sf-independent
     # data
-    "rf29", "rf30", "rf31",
+    "rf29", "rf30", "rf31", "rf32",
     # k-anonymity: one aggregate to QI-cardinality rows
     "dq5",
     # CMS join-size estimate: two sketch-sized aggregates

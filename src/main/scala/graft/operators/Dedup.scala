@@ -824,4 +824,65 @@ object Dedup {
     base.join(rebuilt, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("_kept"), col("_txt")).as(textCol))
   }
+
+  /** Content-defined chunking (the LBFS/rsync family — Muthitacharoen
+    * et al., SOSP 2001; the FastCDC refinement is the same boundary
+    * rule with gear tables): split each document at every position
+    * where a polynomial rolling hash of the LAST `w` characters is
+    * 0 mod `modulus`, plus a final cut at end-of-text. Boundaries
+    * depend only on a `w`-char local window, so an edit early in a
+    * document shifts every FIXED-size block but leaves all
+    * content-defined chunks outside the edit window byte-identical —
+    * the property that makes chunk-grain dedup robust to edits, which
+    * doc-grain (dd1) and window-grain (dd15) dedup are not.
+    *
+    * Hash at position j (1-based): sum of `code(j-i) * base^i` for
+    * i in [0, w), over Unicode code points, in Long arithmetic (no
+    * overflow below code points ~2^41/base^(w-1)). Expected chunk
+    * length is `modulus` characters.
+    *
+    * Distributed shape: three narrow projections (code-point array,
+    * cut-position array, chunk array) then one explode — per-row work
+    * linear in characters with a constant `w`-term window, no shuffle
+    * introduced here at all; downstream chunk-hash aggregation is the
+    * only exchange, exactly dd15's corpus-bytes-grain profile.
+    *
+    * Output: input columns + (`chunk_idx` 1-based, `chunk`);
+    * concatenating chunks in chunk_idx order rebuilds the text exactly
+    * (DedupSpec property). Empty text yields zero chunks.
+    */
+  def contentDefinedChunks(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 4, base: Int = 31, modulus: Int = 16): DataFrame = {
+    require(w >= 2 && base >= 2 && modulus >= 2, "degenerate CDC params")
+    val Seq(codesC, cutsC) = Cols.fresh(Seq("_codes", "_cuts"), df.columns)
+    val txt = col(textCol)
+    val n = length(txt).cast(LongType)
+    // per-char code points; slice(..) drops any trailing "" artifact of
+    // split-by-empty-regex and yields [] for empty text
+    val codes = transform(
+      slice(split(txt, ""), lit(1), length(txt)), ch => ascii(ch).cast(LongType))
+    val pows = (0 until w).map(i => math.pow(base.toDouble, i.toDouble).toLong)
+    def hashAt(j: Column, cs: Column): Column =
+      pows.zipWithIndex.map { case (p, i) =>
+        element_at(cs, (j - i).cast(IntegerType)) * p
+      }.reduce(_ + _)
+    val inner = when(n < w, array().cast(ArrayType(LongType)))
+      .otherwise(filter(sequence(lit(w.toLong), n),
+        j => pmod(hashAt(j, col(codesC)), lit(modulus.toLong)) === 0L))
+    val cuts = when(n === 0L, array().cast(ArrayType(LongType)))
+      .otherwise(array_distinct(concat(inner, array(n))))
+    // index-lambda transform (i is 0-based): prev cut = cuts(i), or 0 for
+    // the first chunk — no sequence() call, so empty cuts stays empty
+    val chunks = transform(col(cutsC), (c, i) => {
+      val prev = when(i === 0, lit(0L))
+        .otherwise(element_at(col(cutsC), i.cast(IntegerType)))
+      struct((i + 1).cast(LongType).as("chunk_idx"),
+        txt.substr((prev + 1L).cast(IntegerType),
+          (c - prev).cast(IntegerType)).as("chunk"))
+    })
+    df.withColumn(codesC, codes)
+      .withColumn(cutsC, cuts)
+      .select(df.columns.map(col) :+ explode(chunks).as("_c"): _*)
+      .select(df.columns.map(col) :+ col("_c.chunk_idx") :+ col("_c.chunk"): _*)
+  }
 }

@@ -621,6 +621,113 @@ object ScanOps {
              | FROM h0 FULL OUTER JOIN h1 USING (reg))
              |SELECT reg, rho, rho_merged
              |FROM f JOIN m USING (reg)
-             |ORDER BY reg""".stripMargin))
+             |ORDER BY reg""".stripMargin)),
+
+    // DD21 — content-defined chunking dedup: rolling-hash chunk
+    // boundaries ([[graft.operators.Dedup.contentDefinedChunks]], the
+    // LBFS/FastCDC family), then per-source chunk-grain dedup stats
+    // under the global first-occurrence rule (first = smallest
+    // (doc_id, chunk_idx)). The chunk-grain complement to dd1 (doc
+    // grain) and dd15 (fixed-window grain): robust to edits because
+    // boundaries are content-local. Linear in corpus characters; the
+    // only shuffles are the fp first-occurrence aggregate and the
+    // fp join (unhinted — chunk-vocabulary grain, AQE decides).
+    Q("dd21_cdc_chunks",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+        val ch = Dedup.contentDefinedChunks(docs, "doc_id", "text")
+        val occ = ch.select(col("source"), md5(col("chunk")).as("fp"),
+          length(col("chunk")).cast(LongType).as("len"),
+          (col("doc_id") * 1000000L + col("chunk_idx")).as("grank"))
+        val firsts = occ.groupBy("fp").agg(min("grank").as("first_rank"))
+        occ.join(firsts, "fp")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_chunks"),
+            countDistinct(col("fp")).as("distinct_chunks"),
+            sum(col("len")).as("chunk_bytes"),
+            sum(when(col("grank") > col("first_rank"), 1L).otherwise(0L))
+              .as("dup_chunks"),
+            sum(when(col("grank") > col("first_rank"), col("len"))
+              .otherwise(0L)).as("dup_bytes"))
+          .orderBy(asc_nulls_first("source"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source, text, length(text) AS n
+             |  FROM documents WHERE length(text) >= 1),
+             |cuts AS (SELECT doc_id, source, text, list_sort(list_distinct(
+             |    [j FOR j IN range(4, n+1)
+             |       IF (ascii(text[j]) + 31*ascii(text[j-1]) + 961*ascii(text[j-2])
+             |           + 29791*ascii(text[j-3])) % 16 = 0] || [n])) AS cut
+             |  FROM d),
+             |occ AS (SELECT source, md5(chunk) AS fp, length(chunk) AS len,
+             |    doc_id * 1000000 + i AS grank
+             |  FROM (SELECT doc_id, source, i,
+             |          text[CASE WHEN i=1 THEN 1 ELSE cut[i-1]+1 END : cut[i]] AS chunk
+             |        FROM cuts,
+             |          LATERAL (SELECT unnest(generate_series(1, len(cut))) AS i) _t)),
+             |f AS (SELECT fp, min(grank) AS first_rank FROM occ GROUP BY 1)
+             |SELECT source, count(*) AS n_chunks,
+             |  count(DISTINCT occ.fp) AS distinct_chunks,
+             |  CAST(sum(len) AS BIGINT) AS chunk_bytes,
+             |  CAST(sum(CASE WHEN grank > first_rank THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS dup_chunks,
+             |  CAST(sum(CASE WHEN grank > first_rank THEN len ELSE 0 END) AS BIGINT)
+             |    AS dup_bytes
+             |FROM occ JOIN f USING (fp)
+             |GROUP BY source ORDER BY source NULLS FIRST""".stripMargin)),
+
+    // RF33 — CDC chunking differential fuzz, the rf27/rf31 pattern:
+    // 5 seed instances of 300 generated hex strings (lengths 1-40 plus
+    // every-7th empty) chunked by the operator vs the oracle's full
+    // list-comprehension replay of the SAME generate_series strings,
+    // compared chunk-for-chunk; instance seedoff=500 is the DEGENERATE
+    // single-symbol case ('a'*k, k=0..16): the rolling hash is constant
+    // — 'aaaa' hashes to 97*32784 which is 0 mod 16 — so EVERY position
+    // ≥ 4 is a boundary and the walk must emit runs of 1-char chunks
+    // plus the leading 3-char remainder without dropping or merging.
+    Q("rf33_cdc_fuzz",
+      (s, dir) => {
+        val insts = Seq(0L, 100L, 200L, 300L, 400L).map { off =>
+          val txt = when(pmod(col("id"), lit(7)) === 0, lit(""))
+            .otherwise(concat(
+              md5(concat(lit(s"C$off:"), col("id").cast(StringType))),
+              md5(concat(lit(s"D$off:"), col("id").cast(StringType))))
+              .substr(lit(1), (lit(1) + pmod(col("id"), lit(40))).cast(IntegerType)))
+          s.range(1, 301).select(col("id").as("sid"), txt.as("txt"))
+            .withColumn("seedoff", lit(off))
+        }
+        val deg = s.range(1, 301).select(col("id").as("sid"),
+          lit("a" * 16).substr(lit(1),
+            pmod(col("id"), lit(17)).cast(IntegerType)).as("txt"))
+          .withColumn("seedoff", lit(500L))
+        (insts :+ deg).map(df =>
+            Dedup.contentDefinedChunks(df, "sid", "txt")
+              .select("seedoff", "sid", "chunk_idx", "chunk"))
+          .reduce(_.unionByName(_))
+          .orderBy("seedoff", "sid", "chunk_idx")
+      },
+      Some {
+        def inst(off: Long, gen: String) =
+          s"""SELECT CAST($off AS BIGINT) AS seedoff, sid, i AS chunk_idx,
+             |  txt[CASE WHEN i=1 THEN 1 ELSE cut[i-1]+1 END : cut[i]] AS chunk
+             |FROM (
+             |  SELECT sid, txt, list_sort(list_distinct(
+             |    [j FOR j IN range(4, n+1)
+             |       IF (ascii(txt[j]) + 31*ascii(txt[j-1]) + 961*ascii(txt[j-2])
+             |           + 29791*ascii(txt[j-3])) % 16 = 0] || [n])) AS cut
+             |  FROM (SELECT i AS sid, $gen AS txt
+             |        FROM generate_series(1,300) _g(i)) _s,
+             |    LATERAL (SELECT length(txt) AS n) _n
+             |  WHERE n >= 1) _c,
+             |  LATERAL (SELECT unnest(generate_series(1, len(cut))) AS i) _t""".stripMargin
+        val seeds = Seq(0L, 100L, 200L, 300L, 400L).map { off =>
+          inst(off,
+            s"""CASE WHEN i%7=0 THEN '' ELSE substr(
+               |  md5('C$off:'||CAST(i AS VARCHAR))||md5('D$off:'||CAST(i AS VARCHAR)),
+               |  1, CAST(1 + i%40 AS INT)) END""".stripMargin)
+        }
+        val deg = inst(500L, s"substr('${"a" * 16}', 1, CAST(i%17 AS INT))")
+        (seeds :+ deg).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) ORDER BY seedoff, sid, chunk_idx")
+      })
   )
 }

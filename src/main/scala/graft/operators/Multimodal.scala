@@ -535,4 +535,146 @@ object Multimodal {
       }
     }(Encoders.row(mp4MetaSchema))
   }
+
+  // ---- WARC — the web-crawl container (ISO 28500; what Common Crawl
+  // ships), the ingestion-side sibling of the WAV/MP4 chunk walks ----
+
+  val warcMetaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_records", LongType),
+    StructField("n_requests", LongType),
+    StructField("response_bytes", LongType),
+    StructField("has_warcinfo", LongType),
+    StructField("total_bytes", LongType)))
+
+  /** Walk a WARC file: records are `WARC/1.x` + named headers + CRLF +
+    * Content-Length body bytes + CRLFCRLF. Header names are
+    * case-insensitive. Hostile-input guards (each rejects the whole
+    * payload rather than trusting it): missing/non-numeric/negative
+    * Content-Length, declared length past the buffer or past
+    * Int.MaxValue, a header line without ':', a record not terminated
+    * by CRLFCRLF, or trailing garbage after the last record.
+    *
+    * Returns (n_records, n_requests, sum of response Content-Lengths,
+    * has_warcinfo 0/1).
+    */
+  def parseWarc(bytes: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    def lineEnd(from: Int): Int = { // index of '\r' of the next CRLF, or -1
+      var i = from
+      while (i + 1 < bytes.length &&
+        !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
+      if (i + 1 < bytes.length) i else -1
+    }
+    def str(a: Int, b: Int) = new String(bytes, a, b - a, "US-ASCII")
+    var i = 0
+    var nRec = 0L; var nReq = 0L; var respBytes = 0L; var hasInfo = 0L
+    while (i < bytes.length) {
+      val ve = lineEnd(i)
+      if (ve < 0 || !str(i, ve).startsWith("WARC/")) return None
+      i = ve + 2
+      var cl = -1L
+      var wtype = ""
+      var done = false
+      while (!done) {
+        val he = lineEnd(i)
+        if (he < 0) return None
+        if (he == i) { done = true; i += 2 } // blank line: headers end
+        else {
+          val line = str(i, he)
+          val c = line.indexOf(':')
+          if (c < 0) return None
+          val name = line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
+          val value = line.substring(c + 1).trim
+          if (name == "content-length") {
+            if (!value.forall(_.isDigit) || value.isEmpty) return None
+            val v = BigInt(value)
+            if (v > Int.MaxValue) return None // cannot fit a JVM buffer
+            cl = v.toLong
+          } else if (name == "warc-type") wtype = value
+          i = he + 2
+        }
+      }
+      if (cl < 0) return None
+      if (i + cl + 4 > bytes.length) return None // body past the buffer
+      val bodyEnd = i + cl.toInt
+      if (!(bytes(bodyEnd) == '\r' && bytes(bodyEnd + 1) == '\n' &&
+          bytes(bodyEnd + 2) == '\r' && bytes(bodyEnd + 3) == '\n')) return None
+      i = bodyEnd + 4
+      nRec += 1
+      wtype match {
+        case "request" => nReq += 1
+        case "response" => respBytes += cl
+        case "warcinfo" => hasInfo = 1L
+        case _ => ()
+      }
+    }
+    if (nRec == 0) None else Some((nRec, nReq, respBytes, hasInfo))
+  }
+
+  /** Deterministic REAL WARC payload (plant/parse round-trip, the
+    * mm1/mm5/mm6 design): a warcinfo record, a request record when
+    * n = |text| is odd (so the walk must skip a variable record set),
+    * and a response record whose body is the text bytes and whose
+    * Target-URI embeds the doc id — so total payload length is pure
+    * arithmetic over n and the DIGIT COUNTS of n and id, which the
+    * oracle recomputes; an encoder and parser bug cannot cancel.
+    */
+  def plantWarcPayload(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val txtIdx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val body = r.getString(txtIdx).getBytes("UTF-8")
+        val n = body.length
+        val sb = new StringBuilder
+        sb.append("WARC/1.1\r\n")
+          .append("WARC-Type: warcinfo\r\n")
+          .append("Content-Length: 16\r\n\r\n")
+          .append("software: graft\n")
+          .append("\r\n\r\n")
+        if (n % 2 == 1)
+          sb.append("WARC/1.1\r\n")
+            .append("WARC-Type: request\r\n")
+            .append("Content-Length: 14\r\n\r\n")
+            .append("GET / HTTP/1.1")
+            .append("\r\n\r\n")
+        sb.append("WARC/1.1\r\n")
+          .append("WARC-Type: response\r\n")
+          .append(s"WARC-Target-URI: http://x/$id\r\n")
+          .append(s"Content-Length: $n\r\n\r\n")
+        val head = sb.toString.getBytes("US-ASCII")
+        val payload = new Array[Byte](head.length + n + 4)
+        System.arraycopy(head, 0, payload, 0, head.length)
+        System.arraycopy(body, 0, payload, head.length, n)
+        payload(head.length + n) = '\r'; payload(head.length + n + 1) = '\n'
+        payload(head.length + n + 2) = '\r'; payload(head.length + n + 3) = '\n'
+        Row(id, payload)
+      }
+    }(Encoders.row(out))
+  }
+
+  /** Parsed WARC metadata: record/request counts, response payload
+    * bytes, warcinfo presence, and the container size — the columns a
+    * crawl-ingestion pipeline partitions and filters on before any
+    * HTML parsing.
+    */
+  def decodeWarcMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        parseWarc(bytes) match {
+          case Some((nRec, nReq, respBytes, hasInfo)) =>
+            Row(id, nRec, nReq, respBytes, hasInfo, bytes.length.toLong)
+          case None => Row(id, null, null, null, null, null)
+        }
+      }
+    }(Encoders.row(warcMetaSchema))
+  }
 }

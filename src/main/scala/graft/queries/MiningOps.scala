@@ -730,6 +730,34 @@ object MiningOps {
              |FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // MM7 — WARC metadata round-trip (ISO 28500, the Common Crawl
+    // container — the INGESTION-side walk that precedes everything else
+    // in a crawl pipeline): plantWarcPayload writes a REAL multi-record
+    // WARC stream (warcinfo / odd-length docs get a request record so
+    // the walk length varies / response with the text as body and the
+    // doc id in the Target-URI), decodeWarcMeta record-walks it back
+    // via Content-Length + CRLF framing with hostile-size guards, and
+    // the oracle recomputes every planted parameter — including the
+    // total container size, which depends on the DIGIT COUNTS of n and
+    // doc_id — from the source text length. Same plant/parse/
+    // arithmetic-oracle design as mm1/mm5/mm6.
+    Q("mm7_warc_meta",
+      (s, dir) => graft.operators.Multimodal.decodeWarcMeta(
+        graft.operators.Multimodal.plantWarcPayload(
+          t(s, dir, "documents"), "doc_id", "text"),
+        "doc_id", "payload")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(2 + n % 2 AS BIGINT) AS n_records,
+             |  CAST(n % 2 AS BIGINT) AS n_requests,
+             |  CAST(n AS BIGINT) AS response_bytes,
+             |  CAST(1 AS BIGINT) AS has_warcinfo,
+             |  CAST(156 + n + length(CAST(doc_id AS VARCHAR))
+             |       + length(CAST(n AS VARCHAR)) + 70 * (n % 2) AS BIGINT)
+             |    AS total_bytes
+             |FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
     // CUR6 — curation v3: EXACT near-dup removal through the prefix-
     // filtered set-similarity join (Jaccard >= 9/10 on word sets),
     // greedy earliest-id-wins (drop any doc similar to an earlier one),

@@ -109,4 +109,45 @@ class MultimodalGuardSpec extends AnyFunSuite {
     }
     assert(Multimodal.parseMp4Meta(toEof).contains((800L, 800L, 4L, 3L)))
   }
+
+  private def warc(s: String) = s.getBytes("US-ASCII")
+
+  test("warc record walk: hostile inputs are rejected, never looped on") {
+    // Content-Length past the buffer
+    assert(Multimodal.parseWarc(warc(
+      "WARC/1.1\r\nWARC-Type: response\r\nContent-Length: 4096\r\n\r\nhi\r\n\r\n")).isEmpty)
+    // missing Content-Length entirely
+    assert(Multimodal.parseWarc(warc(
+      "WARC/1.1\r\nWARC-Type: response\r\n\r\nhi\r\n\r\n")).isEmpty)
+    // non-numeric / negative lengths
+    assert(Multimodal.parseWarc(warc(
+      "WARC/1.1\r\nContent-Length: -2\r\n\r\nhi\r\n\r\n")).isEmpty)
+    assert(Multimodal.parseWarc(warc(
+      "WARC/1.1\r\nContent-Length: 0x10\r\n\r\nhi\r\n\r\n")).isEmpty)
+    // length past Int.MaxValue cannot fit a JVM buffer
+    assert(Multimodal.parseWarc(warc(
+      "WARC/1.1\r\nContent-Length: 4294967290\r\n\r\nhi\r\n\r\n")).isEmpty)
+    // record body not terminated by CRLFCRLF
+    assert(Multimodal.parseWarc(warc(
+      "WARC/1.1\r\nContent-Length: 2\r\n\r\nhiXXXX")).isEmpty)
+    // header line without a colon; not-WARC magic; empty payload
+    assert(Multimodal.parseWarc(warc(
+      "WARC/1.1\r\nContent-Length 2\r\n\r\nhi\r\n\r\n")).isEmpty)
+    assert(Multimodal.parseWarc(warc("HTTP/1.1 200 OK\r\n\r\n")).isEmpty)
+    assert(Multimodal.parseWarc(Array.emptyByteArray).isEmpty)
+    // trailing garbage after the last record rejects the payload
+    assert(Multimodal.parseWarc(warc(
+      "WARC/1.1\r\nContent-Length: 2\r\n\r\nhi\r\n\r\nJUNK")).isEmpty)
+  }
+
+  test("warc record walk: well-formed multi-record payloads parse") {
+    val two = "WARC/1.1\r\nWARC-Type: warcinfo\r\nContent-Length: 3\r\n\r\nabc\r\n\r\n" +
+      "WARC/1.1\r\nWARC-Type: response\r\ncontent-length: 5\r\n\r\nhello\r\n\r\n"
+    assert(Multimodal.parseWarc(warc(two)).contains((2L, 0L, 5L, 1L)))
+    // header-name case-insensitivity + a request record + unknown type
+    val three = "WARC/1.1\r\nwarc-type: request\r\nCONTENT-LENGTH: 0\r\n\r\n\r\n\r\n" +
+      "WARC/1.1\r\nWARC-Type: metadata\r\nContent-Length: 1\r\n\r\nz\r\n\r\n" +
+      "WARC/1.1\r\nWARC-Type: response\r\nContent-Length: 2\r\n\r\nok\r\n\r\n"
+    assert(Multimodal.parseWarc(warc(three)).contains((3L, 1L, 2L, 0L)))
+  }
 }

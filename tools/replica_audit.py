@@ -104,7 +104,9 @@ BOUNDED_PREFIXES = (
     "an7", "s11",
     # CDC chunking: corpus-chars-grain list comprehension + chunk-hash
     # aggregate, linear; rf33's generated sides are sf-independent
-    "dd21", "rf33")
+    "dd21", "rf33",
+    # WARC walk: per-doc byte arithmetic, linear
+    "mm7")
 
 
 def main():
@@ -119,7 +121,8 @@ def main():
         "ss1_cosine_topk", "dd13_span_dedup", "ss2_ann_lsh", "ss3_ann_ivf",
         "ss1b_cosine_topk_indexed", "dd15_substring_dedup", "dd16_substring_cut",
         "ddf5_span_splice", "mm5_wav_meta",
-        "mm6_mp4_meta", "dd21_cdc_chunks"]  # linear oracles in excluded prefixes
+        "mm6_mp4_meta", "dd21_cdc_chunks",
+        "mm7_warc_meta"]  # linear oracles in excluded prefixes
     if bounded:
         keep = [n for n in keep if n.startswith(BOUNDED_PREFIXES)]
     keep = sorted(set(keep))

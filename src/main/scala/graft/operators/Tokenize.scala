@@ -166,4 +166,77 @@ object Tokenize {
         sum(col("n") * col("n_pieces")).as("n_pieces"),
         sum(col("n") * col("n_unk")).as("n_unk"))
   }
+
+  /** Unigram-LM (SentencePiece-style, Kudo 2018) Viterbi segmentation
+    * with an INTEGER objective: the candidate-unit table is every
+    * substring of length 1..`maxUnit` of the distinct words, a unit is
+    * in the vocabulary when its corpus occurrence count reaches
+    * `minFreq` (single characters always qualify, so segmentation is
+    * total), and each word takes the segmentation minimizing
+    *
+    *   cost = pieces * 10^9 − Σ min(freq(unit), 999999)
+    *
+    * — fewest pieces first, then highest total unit frequency: the
+    * deterministic integer stand-in for maximizing Σ log p(unit)
+    * (float log-probs order differently across engines; this objective
+    * is exactly replayable in SQL). The minimal cost per word is unique
+    * even when multiple segmentations attain it, so the output is
+    * engine-deterministic without a path tie-break.
+    *
+    * Distributed shape: the span/frequency tables are one explode +
+    * one aggregate over the DISTINCT-word table (vocabulary-bounded,
+    * not corpus-bounded — tok1's posture); the Viterbi DP is layered
+    * BFS over end positions, `maxWordLen` rounds of a (word, pos)
+    * equi-join + min-aggregate on word-grain frames (gr6's shape —
+    * parallel across words, rounds bounded by the length cap, NOT by
+    * corpus size). Words longer than `maxWordLen` are excluded (a real
+    * pipeline pre-splits such blobs; the cap bounds the driver loop).
+    *
+    * Output: (word, n_chars, n_pieces, freq_sum, cost) — cost as above,
+    * n_pieces = cost div 10^9 + 1, freq_sum = n_pieces·10^9 − cost.
+    */
+  def unigramSegment(words: DataFrame, wordCol: String, maxUnit: Int = 6,
+      minFreq: Long = 3L, maxWordLen: Int = 24): DataFrame = {
+    val w = words.select(col(wordCol).as("word")).distinct()
+      .filter(length(col("word")).between(1, maxWordLen))
+    val spans = w
+      .select(col("word"), explode(sequence(lit(1), length(col("word")))).as("i"))
+      .select(col("word"), col("i"), explode(sequence(lit(1),
+        least(lit(maxUnit), length(col("word")) - col("i") + 1))).as("l"))
+      .select(col("word"), col("i"), col("l"),
+        col("word").substr(col("i"), col("l")).as("unit"))
+    val freq = spans.groupBy("unit").agg(count(lit(1)).as("freq"))
+    val vocab = freq.filter(col("freq") >= minFreq || length(col("unit")) === 1)
+    // valid DP edges: word, start (0-based), end, integer edge cost
+    // localCheckpoint: every DP layer re-reads the edge table, and each
+    // layer's plan would otherwise embed all previous layers' plans —
+    // the O(L^2)-recompute class the CC loop hit (see ccLogStar)
+    val edges = spans.join(vocab, "unit")
+      .select(col("word"), (col("i") - 1).cast(LongType).as("s"),
+        (col("i") - 1 + col("l")).cast(LongType).as("e"),
+        (lit(1000000000L) - least(col("freq"), lit(999999L))).as("c"))
+      .localCheckpoint()
+    val maxLen = w.agg(coalesce(max(length(col("word"))), lit(0)))
+      .head().getInt(0)
+    var best = w.select(col("word"), lit(0L).as("pos"), lit(0L).as("cost"))
+      .localCheckpoint()
+    for (j <- 1 to maxLen) {
+      val step = edges.filter(col("e") === j)
+        .join(best.filter(col("pos") >= j - maxUnit)
+          .select(col("word"), col("pos").as("s"), col("cost")), Seq("word", "s"))
+        .groupBy("word")
+        .agg(min(col("cost") + col("c")).as("cost"))
+        .select(col("word"), lit(j.toLong).as("pos"), col("cost"))
+      best = best.unionByName(step).localCheckpoint()
+    }
+    val wl = w.select(col("word"), length(col("word")).cast(LongType).as("n_chars"))
+    wl.join(best, Seq("word"))
+      .filter(col("pos") === col("n_chars"))
+      // decode (pieces, freq_sum) from the packed cost: S = Σmin(freq) is
+      // in [P, P*999999], so cost div 10^9 = P − 1 exactly
+      .withColumn("n_pieces", expr("cost div 1000000000") + 1L)
+      .select(col("word"), col("n_chars"), col("n_pieces"),
+        (col("n_pieces") * 1000000000L - col("cost")).as("freq_sum"),
+        col("cost"))
+  }
 }

@@ -503,6 +503,53 @@ object PipelineOps {
               |FROM wcounts JOIN pieces USING (word)
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // TOK4 — unigram-LM segmentation (SentencePiece shape, Kudo 2018):
+    // substring-candidate vocabulary (freq >= 3, single chars always
+    // in), then Viterbi per distinct word under the packed integer
+    // objective pieces*10^9 - Σmin(freq, 999999) — fewest pieces, then
+    // highest total unit frequency; the minimal cost is unique per word
+    // so no path tie-break is needed. Spark runs layered min-DP
+    // (word-grain joins, rounds = max word length); the oracle
+    // enumerates ALL segmentations with a recursive CTE and takes the
+    // same MIN — two different algorithms, one answer.
+    Q("tok4_unigram_lm",
+      (s, dir) => {
+        val words = t(s, dir, "documents")
+          .select(explode(split(trim(regexp_replace(col("text"), "\\s+", " ")),
+            " ")).as("word"))
+          .filter(col("word") =!= "")
+        Tokenize.unigramSegment(words, "word")
+          .orderBy("word")
+      },
+      Some("""WITH RECURSIVE w AS (
+             |  SELECT word FROM (
+             |    SELECT DISTINCT unnest(string_split(
+             |      trim(regexp_replace(text,'\s+',' ','g')),' ')) AS word
+             |    FROM documents)
+             |  WHERE length(word) BETWEEN 1 AND 24),
+             |sp AS (SELECT word, i, l, substr(word, CAST(i AS INT), CAST(l AS INT)) AS unit
+             |  FROM w,
+             |    LATERAL (SELECT unnest(generate_series(1, length(word))) AS i) _i,
+             |    LATERAL (SELECT unnest(generate_series(1,
+             |      least(6, length(word) - i + 1))) AS l) _l),
+             |f AS (SELECT unit, count(*) AS freq FROM sp GROUP BY 1),
+             |v AS (SELECT unit, freq FROM f WHERE freq >= 3 OR length(unit) = 1),
+             |ed AS (SELECT sp.word, sp.i - 1 AS s, sp.i - 1 + sp.l AS e,
+             |    1000000000 - least(freq, 999999) AS c
+             |  FROM sp JOIN v USING (unit)),
+             |seg AS (
+             |  SELECT word, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS cost FROM w
+             |  UNION ALL
+             |  SELECT ed.word, ed.e, seg.cost + ed.c
+             |  FROM seg JOIN ed ON ed.word = seg.word AND ed.s = seg.pos),
+             |m AS (SELECT word, min(cost) AS cost FROM seg
+             |  WHERE pos = length(word) GROUP BY word)
+             |SELECT word, CAST(length(word) AS BIGINT) AS n_chars,
+             |  CAST(cost // 1000000000 + 1 AS BIGINT) AS n_pieces,
+             |  CAST((cost // 1000000000 + 1) * 1000000000 - cost AS BIGINT) AS freq_sum,
+             |  cost
+             |FROM m ORDER BY word""".stripMargin)),
+
     // TX10 — TextRank keywords (Mihalcea & Tarau 2004): 5 PageRank power
     // iterations over the word co-occurrence graph (adjacent-word edges,
     // symmetric, document-frequency weighted). All-integer fixed-point

@@ -174,6 +174,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(1) === Row(2L, 2L, 5L, 1L))
   }
 
+  test("unigram segment: fewest pieces, then highest unit frequency") {
+    // distinct words xyxy/xy/yx: substring freqs x=4, y=4, xy=3, yx=2 —
+    // so vocab = {x, y, xy} (singles always in, xy reaches minFreq=3)
+    val words = Seq("xyxy", "xy", "yx", "xyxy").toDF("word")
+    val got = Tokenize.unigramSegment(words, "word")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("xyxy") == ((4L, 2L, 6L, 2000000000L - 6L))) // xy+xy
+    assert(got("xy") == ((2L, 1L, 3L, 1000000000L - 3L)))   // xy
+    assert(got("yx") == ((2L, 2L, 8L, 2000000000L - 8L)))   // y+x (yx not in vocab)
+    assert(got.size == 3)
+  }
+
+  test("unigram segment: words past the length cap are excluded; " +
+      "unit frequency counts DISTINCT words, so repeats add nothing") {
+    // "abcdef" repeated: distinct-word freq of every substring is 1,
+    // so only singles are in vocab -> 6 pieces, freq_sum = 6
+    val words = (Seq.fill(3)("abcdef") :+ ("z" * 30)).toDF("word")
+    val got = Tokenize.unigramSegment(words, "word")
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map("abcdef" -> ((6L, 6L)))) // z*30 excluded by the cap
+  }
+
   test("BPE training: merged symbols chain into later merges; " +
       "marker encoding prevents cross-boundary false matches") {
     // corpus: 'abab' x3, 'tab' x2 — step 1 merges (a,b) [freq 3*2+2=8].

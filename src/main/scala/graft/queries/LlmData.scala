@@ -149,6 +149,76 @@ object LlmData {
     per.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY query_vec")
   }
 
+  /** ss7's oracle: the full IVF→PQ pipeline replayed in SQL. Coarse
+    * quantizer and PQ codebooks are the DETERMINISTIC iters=0 forms (8 /
+    * 16 lowest-id vectors), so cell assignment, per-block code
+    * assignment (first-max argmax over sub-vector cosines), the ADC
+    * table math, and both rankings are pure functions of the data. The
+    * per-block dot/norm partials and their 8-block sums are spelled as
+    * EXPLICIT left-associated additions in ascending index order —
+    * exactly the fold order of the Spark side's driver-computed lookup
+    * tables and its `aggregate` over blocks — so the doubles agree
+    * bit-for-bit.
+    */
+  private lazy val ss7OracleSql: String = {
+    def terms(f: Int => String) = (1 to 8).map(f).mkString(" + ")
+    val pdot = terms(i => s"cv[bk*8+$i]*qv[bk*8+$i]")
+    val pn2 = terms(i => s"cv[bk*8+$i]*cv[bk*8+$i]")
+    def sum8(l: String) = (1 to 8).map(i => s"$l[$i]").mkString(" + ")
+    val qn2 = (1 to 64).map(i => s"qv[$i]*qv[$i]").mkString(" + ")
+    val per = (0 to 4).map { qid =>
+      s"""(WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |    FROM embeddings WHERE vec_id <> $qid),
+         |  q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |    FROM embeddings WHERE vec_id = $qid),
+         |  qn AS (SELECT sqrt($qn2) AS qnorm FROM q),
+         |  cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv
+         |    FROM (SELECT vec_id, v FROM b ORDER BY vec_id LIMIT 8)),
+         |  probes AS (SELECT cidx FROM cent, q
+         |    ORDER BY COALESCE(list_cosine_similarity(cv, qv), -2.0) DESC, cidx
+         |    LIMIT 6),
+         |  assign AS (SELECT vec_id, v, cidx FROM (
+         |    SELECT b.vec_id, b.v, cent.cidx,
+         |      row_number() OVER (PARTITION BY b.vec_id
+         |        ORDER BY COALESCE(list_cosine_similarity(b.v, cent.cv), -2.0)
+         |          DESC, cent.cidx) AS rn
+         |    FROM b CROSS JOIN cent) WHERE rn = 1),
+         |  cand AS (SELECT a.vec_id, a.v FROM assign a JOIN probes USING (cidx)),
+         |  cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+         |    FROM (SELECT vec_id, v FROM b ORDER BY vec_id LIMIT 16)),
+         |  blks AS (SELECT unnest(generate_series(0, 7)) AS bk),
+         |  codes AS (SELECT vec_id, bk, c FROM (
+         |    SELECT cand.vec_id, blks.bk, cb.c,
+         |      row_number() OVER (PARTITION BY cand.vec_id, blks.bk
+         |        ORDER BY COALESCE(list_cosine_similarity(
+         |          cand.v[blks.bk*8+1 : blks.bk*8+8],
+         |          cb.cv[blks.bk*8+1 : blks.bk*8+8]), -2.0) DESC, cb.c) AS rn
+         |    FROM cand, blks, cb) WHERE rn = 1),
+         |  pb AS (SELECT cb.c, blks.bk, ($pdot) AS pdot, ($pn2) AS pn2
+         |    FROM cb, blks, q),
+         |  pl AS (SELECT codes.vec_id,
+         |      list(pdot ORDER BY codes.bk) AS dl,
+         |      list(pn2 ORDER BY codes.bk) AS nl
+         |    FROM codes JOIN pb ON pb.c = codes.c AND pb.bk = codes.bk
+         |    GROUP BY codes.vec_id),
+         |  adc AS (SELECT pl.vec_id,
+         |      CASE WHEN qn.qnorm = 0.0 OR (${sum8("nl")}) = 0.0 THEN -2.0
+         |           ELSE (${sum8("dl")}) / (qn.qnorm * sqrt(${sum8("nl")})) END AS a
+         |    FROM pl, qn),
+         |  pool AS (SELECT cand.vec_id, cand.v FROM adc JOIN cand USING (vec_id)
+         |    ORDER BY adc.a DESC, cand.vec_id LIMIT 20),
+         |  approx AS (SELECT vec_id FROM pool, q
+         |    ORDER BY list_cosine_similarity(v, qv) DESC, vec_id LIMIT 10),
+         |  exact AS (SELECT vec_id FROM b, q
+         |    ORDER BY list_cosine_similarity(v, qv) DESC, vec_id LIMIT 10)
+         |SELECT CAST($qid AS BIGINT) AS query_vec,
+         |  CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_probed,
+         |  CAST((SELECT count(*) FROM approx JOIN exact USING (vec_id)) * 100
+         |    AS BIGINT) AS recall_permille)""".stripMargin
+    }
+    per.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY query_vec")
+  }
+
   /** brute-force word-3-shingle Jaccard pairs ≥ 4/5 in DuckDB (the LSH
     * oracle; recall argument in the scaladoc above)
     */
@@ -1406,6 +1476,44 @@ object LlmData {
              |WHERE e.vec_id <> 3
              |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q) DESC,
              |  e.vec_id LIMIT 10""".stripMargin)),
+
+    // SS7 — IVF + PQ combined, the composition a 100 TB ANN index
+    // actually runs: the coarse quantizer prunes to nprobe cells, ADC
+    // table lookups (8 adds per row over a 128-entry table — no vector
+    // math on the scan) order the survivors, and only the top `rerank`
+    // are exact-scored. Both quantizers are the deterministic iters=0
+    // forms, so — unlike the recall-gated Lloyd-trained operating point
+    // in LlmOpsSpec — the WHOLE pipeline here replays in SQL: ss3's
+    // cell replay composed with ss5's ADC math, emitting the same
+    // integer (n_probed, recall@10) bookkeeping as ss2/ss3.
+    Q("ss7_ann_ivfpq",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val rows = (0L to 4L).map { qid =>
+          val query = emb.filter(col("vec_id") === qid)
+            .select("embedding").head().getSeq[Float](0).toArray
+          val base = emb.filter(col("vec_id") =!= qid)
+          val cents = Similarity.trainIvfCentroids(
+            base, "embedding", "vec_id", k = 8, iters = 0)
+          val books = Similarity.trainPqCodebooks(
+            base, "embedding", "vec_id", nBlocks = 8, k = 16, iters = 0)
+          val cand = Similarity.ivfCandidates(
+            base, "embedding", "vec_id", query, cents, nprobe = 6)
+          val approx = Similarity.pqTopK(
+            cand, "embedding", "vec_id", query, 10, books, rerank = 20)
+            .select("vec_id")
+          val exact = Similarity.bruteForceTopK(
+            base, "embedding", "vec_id", query, 10).select("vec_id")
+          val nProbed = cand.agg(count(lit(1)).as("n_probed"))
+          val hits = approx.join(exact, Seq("vec_id"))
+            .agg(count(lit(1)).as("hits"))
+          nProbed.crossJoin(hits).select(
+            lit(qid).as("query_vec"), col("n_probed"),
+            (col("hits") * 100).as("recall_permille"))
+        }
+        rows.reduce(_.unionByName(_)).orderBy("query_vec")
+      },
+      Some(ss7OracleSql)),
 
     // TX1 — n-gram/stopword language ID with per-language scores
     Q("tx1_langid",

@@ -310,6 +310,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(recalls.forall(_ >= 0.9), s"recalls: $recalls")
   }
 
+  test("IVF+PQ pipeline: trained quantizers, bounded rerank, recall holds") {
+    // the composed ss7 path with TRAINED (Lloyd) quantizers — the
+    // operating point the oracle can't hash-gate (ULP-order-dependent
+    // centroids); gate recall here like the IVF/LSH trained gates
+    val centroids = Similarity.trainIvfCentroids(emb, "embedding", "vec_id", k = 8, iters = 3)
+    val books = Similarity.trainPqCodebooks(emb, "embedding", "vec_id", iters = 2)
+    val recalls = Seq(0L, 42L, 123L).map { id =>
+      val q = emb.filter(col("vec_id") === id)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val rest = emb.filter(col("vec_id") =!= id)
+      val exact = Similarity.bruteForceTopK(rest, "embedding", "vec_id", q, 10)
+        .collect().map(_.getLong(0)).toSet
+      val cand = Similarity.ivfCandidates(rest, "embedding", "vec_id", q,
+        centroids, nprobe = 6)
+      // candidate set must actually prune (nprobe=6 of 8 cells)
+      assert(cand.count() < rest.count())
+      val got = Similarity.pqTopK(cand, "embedding", "vec_id", q, 10, books,
+          rerank = 100)
+        .collect().map(_.getLong(0)).toSet
+      got.intersect(exact).size / 10.0
+    }
+    // ADC over 8x16 codebooks + rerank 100 recovers what IVF pruning kept
+    // (this corpus has NO tight neighbors — the hardest ADC regime)
+    assert(recalls.forall(_ >= 0.8), s"recalls: $recalls")
+  }
+
   test("LSH recall@10 >= 0.9 across seeds in its design regime") {
     // LSH buckets pay off when neighbors are tight (cosine >= ~0.9) —
     // plant 10 neighbors at cosine ~0.98 around each of 3 query points

@@ -550,6 +550,71 @@ object PipelineOps {
              |  cost
              |FROM m ORDER BY word""".stripMargin)),
 
+    // TOK6 — per-source unigram fertility: tok4's segmentation applied
+    // corpus-wide through the (source, word) count table — pieces per
+    // word and chars per piece BY DOMAIN, the table a tokenizer
+    // evaluation actually reads (a domain whose fertility is high is
+    // under-served by the vocab). Same distinct-word-grain DP as tok4;
+    // the corpus join adds one aggregate. Words past the tok4 length
+    // cap are excluded from both engines' totals.
+    Q("tok6_unigram_fertility",
+      (s, dir) => {
+        val wc = t(s, dir, "documents")
+          .select(col("source"), explode(split(trim(
+            regexp_replace(col("text"), "\\s+", " ")), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy("source", "word").agg(count(lit(1)).as("n"))
+        val seg = Tokenize.unigramSegment(wc.select("word"), "word")
+        wc.join(seg, Seq("word"))
+          .groupBy("source")
+          .agg(sum(col("n")).as("corpus_words"),
+            sum(col("n") * col("n_pieces")).as("corpus_pieces"),
+            sum(col("n") * col("n_chars")).as("corpus_chars"))
+          .select(col("source"), col("corpus_words"), col("corpus_pieces"),
+            col("corpus_chars"),
+            expr("CAST(corpus_pieces * 1000 div corpus_words AS BIGINT)")
+              .as("fertility_pm"),
+            expr("CAST(corpus_chars * 1000 div corpus_pieces AS BIGINT)")
+              .as("chars_per_piece_pm"))
+          .orderBy(asc_nulls_first("source"))
+      },
+      Some("""WITH RECURSIVE wc AS (
+             |  SELECT source, word, count(*) AS n FROM (
+             |    SELECT source, unnest(string_split(
+             |      trim(regexp_replace(text,'\s+',' ','g')),' ')) AS word
+             |    FROM documents)
+             |  WHERE word <> '' GROUP BY 1, 2),
+             |w AS (SELECT DISTINCT word FROM wc
+             |  WHERE length(word) BETWEEN 1 AND 24),
+             |sp AS (SELECT word, i, l, substr(word, CAST(i AS INT), CAST(l AS INT)) AS unit
+             |  FROM w,
+             |    LATERAL (SELECT unnest(generate_series(1, length(word))) AS i) _i,
+             |    LATERAL (SELECT unnest(generate_series(1,
+             |      least(6, length(word) - i + 1))) AS l) _l),
+             |f AS (SELECT unit, count(*) AS freq FROM sp GROUP BY 1),
+             |v AS (SELECT unit, freq FROM f WHERE freq >= 3 OR length(unit) = 1),
+             |ed AS (SELECT sp.word, sp.i - 1 AS s, sp.i - 1 + sp.l AS e,
+             |    1000000000 - least(freq, 999999) AS c
+             |  FROM sp JOIN v USING (unit)),
+             |seg AS (
+             |  SELECT word, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS cost FROM w
+             |  UNION ALL
+             |  SELECT ed.word, ed.e, seg.cost + ed.c
+             |  FROM seg JOIN ed ON ed.word = seg.word AND ed.s = seg.pos),
+             |m AS (SELECT word, length(word) AS n_chars,
+             |    min(cost) // 1000000000 + 1 AS n_pieces
+             |  FROM seg WHERE pos = length(word) GROUP BY 1, 2),
+             |t AS (SELECT source,
+             |  CAST(SUM(n) AS BIGINT) AS corpus_words,
+             |  CAST(SUM(n * n_pieces) AS BIGINT) AS corpus_pieces,
+             |  CAST(SUM(n * n_chars) AS BIGINT) AS corpus_chars
+             | FROM wc JOIN m USING (word) GROUP BY 1)
+             |SELECT source, corpus_words, corpus_pieces, corpus_chars,
+             |  CAST(corpus_pieces * 1000 // corpus_words AS BIGINT) AS fertility_pm,
+             |  CAST(corpus_chars * 1000 // corpus_pieces AS BIGINT)
+             |    AS chars_per_piece_pm
+             |FROM t ORDER BY source NULLS FIRST""".stripMargin)),
+
     // TX10 — TextRank keywords (Mihalcea & Tarau 2004): 5 PageRank power
     // iterations over the word co-occurrence graph (adjacent-word edges,
     // symmetric, document-frequency weighted). All-integer fixed-point

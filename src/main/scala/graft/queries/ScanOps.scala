@@ -623,6 +623,56 @@ object ScanOps {
              |FROM f JOIN m USING (reg)
              |ORDER BY reg""".stripMargin)),
 
+    // CUR11 — domain reweighting in the DoReMi shape (Xie et al. 2023,
+    // arXiv:2305.10429): boost the mixture weight of domains the
+    // reference model finds HARD. The published rule multiplies domain
+    // shares by exp(excess loss / T) — float, engine-divergent — so
+    // this is the exact-integer proxy: deficit_pm = how far the
+    // domain's mean lm1 predictability sits BELOW the corpus mean, and
+    // weight ∝ tokens × (1000 + deficit_pm), normalized to ppm by
+    // integer division. One corpus scan (lm1's machinery), one
+    // source-grain aggregate, two structurally-1-row broadcasts.
+    Q("cur11_doremi_reweight",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val per = docs.select(col("doc_id"), col("source"),
+            size(split(trim(regexp_replace(col("text"), "\\s+", " ")), " "))
+              .cast(LongType).as("tok"))
+          .join(lmScored(docs), Seq("doc_id"))
+        val src = per.groupBy("source")
+          .agg(count(lit(1)).as("docs"), sum(col("tok")).as("tokens"),
+            expr("CAST(sum(lm_pm) div count(1) AS BIGINT)").as("mean_lm_pm"))
+        val g = broadcast(per.agg(
+          expr("CAST(sum(lm_pm) div count(1) AS BIGINT)").as("gmean")))
+        val b = src.crossJoin(g)
+          .withColumn("deficit_pm",
+            greatest(lit(0L), col("gmean") - col("mean_lm_pm")))
+          .withColumn("wraw", col("tokens") * (lit(1000L) + col("deficit_pm")))
+        val tot = broadcast(b.agg(sum(col("wraw")).as("wtot")))
+        b.crossJoin(tot)
+          .select(col("source"), col("docs"), col("tokens"),
+            col("mean_lm_pm"), col("deficit_pm"),
+            expr("wraw * 1000000 div wtot").as("weight_ppm"))
+          .orderBy(asc_nulls_first("source"))
+      },
+      Some(s"""WITH $lmPrelude,
+             |per AS (SELECT d.doc_id, d.source, len(ws) AS tok, sc.lm_pm
+             |  FROM d JOIN sc USING (doc_id)),
+             |src AS (SELECT source, count(*) AS docs,
+             |    CAST(SUM(tok) AS BIGINT) AS tokens,
+             |    CAST(SUM(lm_pm) // count(*) AS BIGINT) AS mean_lm_pm
+             |  FROM per GROUP BY 1),
+             |g AS (SELECT CAST(SUM(lm_pm) // count(*) AS BIGINT) AS gmean FROM per),
+             |bw AS (SELECT source, docs, tokens, mean_lm_pm,
+             |    greatest(0, gmean - mean_lm_pm) AS deficit_pm,
+             |    tokens * (1000 + greatest(0, gmean - mean_lm_pm)) AS wraw
+             |  FROM src, g),
+             |tot AS (SELECT CAST(SUM(wraw) AS BIGINT) AS wtot FROM bw)
+             |SELECT source, docs, tokens, mean_lm_pm,
+             |  CAST(deficit_pm AS BIGINT) AS deficit_pm,
+             |  CAST(wraw * 1000000 // wtot AS BIGINT) AS weight_ppm
+             |FROM bw, tot ORDER BY source NULLS FIRST""".stripMargin)),
+
     // DD21 — content-defined chunking dedup: rolling-hash chunk
     // boundaries ([[graft.operators.Dedup.contentDefinedChunks]], the
     // LBFS/FastCDC family), then per-source chunk-grain dedup stats

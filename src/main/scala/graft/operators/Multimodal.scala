@@ -657,6 +657,167 @@ object Multimodal {
     }(Encoders.row(out))
   }
 
+  // ---- tar (POSIX ustar) — the ML-dataset shard container
+  // (WebDataset ships training shards as plain tar files) ----
+
+  val tarMetaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_members", LongType),
+    StructField("payload_bytes", LongType),
+    StructField("txt_bytes", LongType),
+    StructField("total_bytes", LongType)))
+
+  /** Walk a ustar archive: 512-byte headers (name, 12-char octal size,
+    * 8-char octal checksum, `ustar` magic), size-rounded data blocks,
+    * two zero blocks at the end. The checksum is RECOMPUTED (header
+    * bytes with the checksum field as spaces) and must match — a
+    * corrupted shard fails loudly, the property a training-data loader
+    * needs. Hostile guards (each rejects the payload): non-octal size
+    * or checksum, size past Int.MaxValue or past the buffer, missing
+    * terminator, non-zero bytes after it, or a header without the
+    * magic.
+    *
+    * Returns (n_members, Σ member sizes, size of the first `.txt`
+    * member or 0).
+    */
+  def parseTar(bytes: Array[Byte]): Option[(Long, Long, Long)] = {
+    def isZeroBlock(off: Int): Boolean = {
+      var i = off
+      while (i < off + 512) { if (bytes(i) != 0) return false; i += 1 }
+      true
+    }
+    def octal(off: Int, len: Int): Option[Long] = {
+      var s = 0; var e = len
+      while (s < e && (bytes(off + s) == ' ' || bytes(off + s) == 0)) s += 1
+      while (e > s && (bytes(off + e - 1) == ' ' || bytes(off + e - 1) == 0)) e -= 1
+      if (s == e) return None
+      var v = 0L
+      var i = s
+      while (i < e) {
+        val c = bytes(off + i)
+        if (c < '0' || c > '7') return None
+        v = v * 8 + (c - '0')
+        if (v > Int.MaxValue) return None
+        i += 1
+      }
+      Some(v)
+    }
+    if (bytes.length % 512 != 0) return None
+    var off = 0
+    var n = 0L; var payload = 0L; var txt = 0L
+    while (off + 512 <= bytes.length && !isZeroBlock(off)) {
+      // magic "ustar" at 257
+      if (off + 512 > bytes.length) return None
+      if (!(bytes(off + 257) == 'u' && bytes(off + 258) == 's' &&
+          bytes(off + 259) == 't' && bytes(off + 260) == 'a' &&
+          bytes(off + 261) == 'r')) return None
+      val size = octal(off + 124, 12).getOrElse(return None)
+      val stored = octal(off + 148, 8).getOrElse(return None)
+      var sum = 0L
+      var i = 0
+      while (i < 512) {
+        sum += (if (i >= 148 && i < 156) ' '.toLong
+                else bytes(off + i).toLong & 0xff)
+        i += 1
+      }
+      if (sum != stored) return None
+      val nameEnd = {
+        var j = off
+        while (j < off + 100 && bytes(j) != 0) j += 1
+        j
+      }
+      val name = new String(bytes, off, nameEnd - off, "US-ASCII")
+      val blocks = ((size + 511) / 512).toInt
+      if (off + 512 + blocks.toLong * 512 > bytes.length) return None
+      n += 1; payload += size
+      if (txt == 0L && name.endsWith(".txt")) txt = size
+      off += 512 + blocks * 512
+    }
+    // require the two-zero-block terminator and nothing but zeros after
+    if (off + 1024 > bytes.length) return None
+    var i = off
+    while (i < bytes.length) { if (bytes(i) != 0) return None; i += 1 }
+    if (n == 0) None else Some((n, payload, txt))
+  }
+
+  /** Deterministic REAL ustar payload (plant/parse round-trip): a
+    * `d<id>.txt` member whose body is the text, plus — on odd n — a
+    * 20-byte `d<id>.bin` member so the member count varies; headers
+    * carry true octal sizes and VALID recomputed checksums, so the
+    * parser's checksum verification path is exercised on every row.
+    * Total size is pure 512-block arithmetic over n the oracle
+    * recomputes.
+    */
+  def plantTarPayload(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val txtIdx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val body = r.getString(txtIdx).getBytes("UTF-8")
+        val n = body.length
+        def header(name: String, size: Int): Array[Byte] = {
+          val h = new Array[Byte](512)
+          val nm = name.getBytes("US-ASCII")
+          System.arraycopy(nm, 0, h, 0, nm.length)
+          def put(off: Int, s: String): Unit = {
+            val b = s.getBytes("US-ASCII")
+            System.arraycopy(b, 0, h, off, b.length)
+          }
+          put(100, "0000644 ") // mode
+          put(108, "0000000 ") // uid
+          put(116, "0000000 ") // gid
+          put(124, f"$size%011o" + " ") // size, 11 octal digits + NUL
+          put(136, "00000000000 ") // mtime
+          h(156) = '0' // typeflag: regular file
+          put(257, "ustar ") // magic
+          put(263, "00") // version
+          java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+          var sum = 0L
+          for (i <- 0 until 512) sum += h(i).toLong & 0xff
+          put(148, f"$sum%06o" + "  ")
+          h
+        }
+        def blocks(size: Int) = (size + 511) / 512 * 512
+        val members = Seq(("d" + id + ".txt", body)) ++
+          (if (n % 2 == 1) Seq(("d" + id + ".bin", Array.fill[Byte](20)(0x42)))
+           else Seq.empty)
+        val total = members.map { case (_, b) => 512 + blocks(b.length) }.sum + 1024
+        val payload = new Array[Byte](total)
+        var off = 0
+        for ((name, b) <- members) {
+          System.arraycopy(header(name, b.length), 0, payload, off, 512)
+          System.arraycopy(b, 0, payload, off + 512, b.length)
+          off += 512 + blocks(b.length)
+        }
+        Row(id, payload)
+      }
+    }(Encoders.row(out))
+  }
+
+  /** Parsed tar metadata: member count, payload bytes, text-member
+    * bytes, container size — what a shard-oriented loader inventories
+    * before reading any member.
+    */
+  def decodeTarMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        parseTar(bytes) match {
+          case Some((n, payload, txt)) =>
+            Row(id, n, payload, txt, bytes.length.toLong)
+          case None => Row(id, null, null, null, null)
+        }
+      }
+    }(Encoders.row(tarMetaSchema))
+  }
+
   /** Parsed WARC metadata: record/request counts, response payload
     * bytes, warcinfo presence, and the container size — the columns a
     * crawl-ingestion pipeline partitions and filters on before any

@@ -758,6 +758,30 @@ object MiningOps {
              |FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // MM8 — tar (ustar) metadata round-trip: the ML shard container
+    // (WebDataset ships training data as plain tar files). plantTar
+    // writes REAL 512-block ustar archives (d<id>.txt with the text as
+    // body; odd-n rows add a 20-byte .bin member so the walk length
+    // varies; true octal sizes and VALID checksums), decodeTarMeta
+    // walks blocks back VERIFYING each header checksum, and the oracle
+    // recomputes member counts and the exact 512-rounded container
+    // size from the text length. Same plant/parse/arithmetic-oracle
+    // design as mm5/mm6/mm7.
+    Q("mm8_tar_meta",
+      (s, dir) => graft.operators.Multimodal.decodeTarMeta(
+        graft.operators.Multimodal.plantTarPayload(
+          t(s, dir, "documents"), "doc_id", "text"),
+        "doc_id", "payload")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(1 + n % 2 AS BIGINT) AS n_members,
+             |  CAST(n + 20 * (n % 2) AS BIGINT) AS payload_bytes,
+             |  CAST(n AS BIGINT) AS txt_bytes,
+             |  CAST(512 + ((n + 511) // 512) * 512 + (n % 2) * 1024 + 1024
+             |    AS BIGINT) AS total_bytes
+             |FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
     // CUR6 — curation v3: EXACT near-dup removal through the prefix-
     // filtered set-similarity join (Jaccard >= 9/10 on word sets),
     // greedy earliest-id-wins (drop any doc similar to an earlier one),

@@ -109,7 +109,9 @@ BOUNDED_PREFIXES = (
     "mm7",
     # IVF+PQ replay: n x (8 coarse + 128 sub-block) cosines, linear
     # with a fat constant
-    "ss7")
+    "ss7",
+    # tar walk: per-doc 512-block arithmetic, linear
+    "mm8")
 
 
 def main():
@@ -125,7 +127,8 @@ def main():
         "ss1b_cosine_topk_indexed", "dd15_substring_dedup", "dd16_substring_cut",
         "ddf5_span_splice", "mm5_wav_meta",
         "mm6_mp4_meta", "dd21_cdc_chunks",
-        "mm7_warc_meta", "ss7_ann_ivfpq"]  # linear oracles in excluded prefixes
+        "mm7_warc_meta", "ss7_ann_ivfpq",
+        "mm8_tar_meta"]  # linear oracles in excluded prefixes
     if bounded:
         keep = [n for n in keep if n.startswith(BOUNDED_PREFIXES)]
     keep = sorted(set(keep))

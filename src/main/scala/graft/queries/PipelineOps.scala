@@ -723,6 +723,80 @@ object PipelineOps {
              | FROM q JOIN c ON qid <> nid)
              |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)),
 
+    // DQ7 — column-profile drift between two dataset versions (the
+    // Deequ/Great-Expectations "profile and compare" step — the
+    // version-grain complement to dq1's distribution PSI and cd3's row
+    // diff): per column, (null count, distinct count, min, max,
+    // mean-cents) for orders before/after a version cut, unpivoted to
+    // (column, metric) rows with an integer relative-drift score. ONE
+    // scan per version computes every metric (multi-distinct handled by
+    // Spark's Expand), the compare is a 1-row × 1-row broadcast cross —
+    // profiling stays scan-bound at any scale.
+    Q("dq7_profile_drift",
+      (s, dir) => {
+        def prof(df: DataFrame, p: String) = df.agg(
+          count(lit(1)).as(p + "rows"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as(p + "ck_null"),
+          countDistinct(col("o_custkey")).as(p + "ck_dist"),
+          min(col("o_custkey")).as(p + "ck_min"),
+          max(col("o_custkey")).as(p + "ck_max"),
+          min(floor(col("o_totalprice") * 100).cast(LongType)).as(p + "tp_min"),
+          max(floor(col("o_totalprice") * 100).cast(LongType)).as(p + "tp_max"),
+          expr("CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) div count(1) AS BIGINT)")
+            .as(p + "tp_mean"),
+          countDistinct(col("o_orderpriority")).as(p + "pr_dist"))
+        val o = t(s, dir, "orders")
+        val cut = "1998-01-01"
+        val v1 = prof(o.filter(col("o_orderdate") < lit(cut)), "a_")
+        val v2 = prof(o.filter(col("o_orderdate") >= lit(cut)), "b_")
+        val metrics = Seq(
+          ("o_orderkey", "rows", "rows"), ("o_custkey", "n_null", "ck_null"),
+          ("o_custkey", "n_distinct", "ck_dist"), ("o_custkey", "min", "ck_min"),
+          ("o_custkey", "max", "ck_max"), ("o_totalprice", "min_cents", "tp_min"),
+          ("o_totalprice", "max_cents", "tp_max"),
+          ("o_totalprice", "mean_cents", "tp_mean"),
+          ("o_orderpriority", "n_distinct", "pr_dist"))
+        val stack = metrics.map { case (c, m, f) =>
+          s"'$c', '$m', a_$f, b_$f"
+        }.mkString(", ")
+        v1.crossJoin(broadcast(v2))
+          .selectExpr(s"stack(${metrics.size}, $stack) AS (col_name, metric, v1, v2)")
+          .withColumn("drift_pm",
+            expr("abs(v1 - v2) * 1000 div greatest(abs(v1), 1)"))
+          .orderBy("col_name", "metric")
+      },
+      Some("""WITH v1 AS (SELECT count(*) AS rows_,
+             |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ck_null,
+             |    count(DISTINCT o_custkey) AS ck_dist,
+             |    min(o_custkey) AS ck_min, max(o_custkey) AS ck_max,
+             |    CAST(min(floor(o_totalprice * 100)) AS BIGINT) AS tp_min,
+             |    CAST(max(floor(o_totalprice * 100)) AS BIGINT) AS tp_max,
+             |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) // count(*) AS BIGINT) AS tp_mean,
+             |    count(DISTINCT o_orderpriority) AS pr_dist
+             |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+             |v2 AS (SELECT count(*) AS rows_,
+             |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ck_null,
+             |    count(DISTINCT o_custkey) AS ck_dist,
+             |    min(o_custkey) AS ck_min, max(o_custkey) AS ck_max,
+             |    CAST(min(floor(o_totalprice * 100)) AS BIGINT) AS tp_min,
+             |    CAST(max(floor(o_totalprice * 100)) AS BIGINT) AS tp_max,
+             |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) // count(*) AS BIGINT) AS tp_mean,
+             |    count(DISTINCT o_orderpriority) AS pr_dist
+             |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+             |rows_u AS (
+             |  SELECT 'o_orderkey' AS col_name, 'rows' AS metric, v1.rows_ AS v1, v2.rows_ AS v2 FROM v1, v2
+             |  UNION ALL SELECT 'o_custkey', 'n_null', v1.ck_null, v2.ck_null FROM v1, v2
+             |  UNION ALL SELECT 'o_custkey', 'n_distinct', v1.ck_dist, v2.ck_dist FROM v1, v2
+             |  UNION ALL SELECT 'o_custkey', 'min', v1.ck_min, v2.ck_min FROM v1, v2
+             |  UNION ALL SELECT 'o_custkey', 'max', v1.ck_max, v2.ck_max FROM v1, v2
+             |  UNION ALL SELECT 'o_totalprice', 'min_cents', v1.tp_min, v2.tp_min FROM v1, v2
+             |  UNION ALL SELECT 'o_totalprice', 'max_cents', v1.tp_max, v2.tp_max FROM v1, v2
+             |  UNION ALL SELECT 'o_totalprice', 'mean_cents', v1.tp_mean, v2.tp_mean FROM v1, v2
+             |  UNION ALL SELECT 'o_orderpriority', 'n_distinct', v1.pr_dist, v2.pr_dist FROM v1, v2)
+             |SELECT col_name, metric, v1, v2,
+             |  CAST(abs(v1 - v2) * 1000 // greatest(abs(v1), 1) AS BIGINT) AS drift_pm
+             |FROM rows_u ORDER BY col_name, metric""".stripMargin)),
+
     // DQ2 — declarative data-quality constraint audit: five checks
     // (completeness permille, primary-key duplicate count, domain
     // membership, range, timestamp completeness) evaluated in ONE

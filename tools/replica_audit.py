@@ -111,7 +111,9 @@ BOUNDED_PREFIXES = (
     # with a fat constant
     "ss7",
     # tar walk: per-doc 512-block arithmetic, linear
-    "mm8")
+    "mm8",
+    # version profile diff: two single-scan aggregates to 9 metric rows
+    "dq7")
 
 
 def main():

@@ -782,6 +782,46 @@ object MiningOps {
              |FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // RF34 — container-walk differential fuzz: bodies of EVERY length
+    // 0..600 (hex text from repeated md5s — the sweep crosses the tar
+    // 512-block boundaries at 511/512/513 and the n=0 empty-member
+    // edge) planted into BOTH containers and walked back; the oracle
+    // recomputes all five outputs from pure length arithmetic over the
+    // SAME generate_series strings. An off-by-one in block rounding,
+    // header size, digit-count accounting, or the odd-n member rule
+    // shows up as a row mismatch at the exact boundary length.
+    Q("rf34_container_fuzz",
+      (s, dir) => {
+        val gen = s.range(0, 601).select(col("id").as("sid"),
+          repeat(md5(concat(lit("T:"), col("id").cast(StringType))), 20)
+            .substr(lit(1), col("id").cast(IntegerType)).as("text"))
+        val tar = graft.operators.Multimodal.decodeTarMeta(
+          graft.operators.Multimodal.plantTarPayload(gen, "sid", "text"),
+          "doc_id", "payload")
+          .select(col("doc_id").as("sid"), col("n_members"),
+            col("payload_bytes"), col("total_bytes").as("tar_bytes"))
+        val warc = graft.operators.Multimodal.decodeWarcMeta(
+          graft.operators.Multimodal.plantWarcPayload(gen, "sid", "text"),
+          "doc_id", "payload")
+          .select(col("doc_id").as("sid"), col("n_records"),
+            col("total_bytes").as("warc_bytes"))
+        tar.join(warc, Seq("sid")).orderBy("sid")
+      },
+      Some("""SELECT i AS sid,
+             |  CAST(1 + n % 2 AS BIGINT) AS n_members,
+             |  CAST(n + 20 * (n % 2) AS BIGINT) AS payload_bytes,
+             |  CAST(512 + ((n + 511) // 512) * 512 + (n % 2) * 1024 + 1024
+             |    AS BIGINT) AS tar_bytes,
+             |  CAST(2 + n % 2 AS BIGINT) AS n_records,
+             |  CAST(156 + n + length(CAST(i AS VARCHAR))
+             |       + length(CAST(n AS VARCHAR)) + 70 * (n % 2) AS BIGINT)
+             |    AS warc_bytes
+             |FROM (SELECT i, octet_length(encode(
+             |        substr(repeat(md5('T:'||CAST(i AS VARCHAR)), 20), 1,
+             |          CAST(i AS INT)))) AS n
+             |      FROM generate_series(0, 600) _g(i))
+             |ORDER BY sid""".stripMargin)),
+
     // CUR6 — curation v3: EXACT near-dup removal through the prefix-
     // filtered set-similarity join (Jaccard >= 9/10 on word sets),
     // greedy earliest-id-wins (drop any doc similar to an earlier one),

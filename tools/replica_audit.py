@@ -113,7 +113,9 @@ BOUNDED_PREFIXES = (
     # tar walk: per-doc 512-block arithmetic, linear
     "mm8",
     # version profile diff: two single-scan aggregates to 9 metric rows
-    "dq7")
+    "dq7",
+    # container fuzz: generated sf-independent sweep
+    "rf34")
 
 
 def main():

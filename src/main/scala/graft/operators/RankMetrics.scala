@@ -51,4 +51,37 @@ object RankMetrics {
                 div (2 * CAST(sum(np) AS DECIMAL(38,0)) * sum(nn))
                 AS BIGINT)""").as("auc_pm"))
   }
+
+  /** Full precision/recall/F1 threshold curve for the rule "predict
+    * positive when score >= t", one row per DISTINCT score value — the
+    * operating-point table that turns an AUC into a deployable cutoff.
+    *
+    * Same scale posture as [[aucPermille]]: all cumulative counts run
+    * on the score-grain table (bounded by the score domain, ≤1001 rows
+    * for a permille score at any corpus size), so the unpartitioned
+    * descending window is constant work at 100 TB; the corpus
+    * contributes one aggregate scan. All-integer fixed point (permille)
+    * so the oracle replays every cell.
+    *
+    * Output: (threshold, tp, fp, fn, precision_pm, recall_pm, f1_pm)
+    * ordered by threshold.
+    */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val g = df
+      .groupBy(col(scoreCol).as("threshold"))
+      .agg(sum(col(labelCol)).as("np"),
+        (count(lit(1)) - sum(col(labelCol))).as("nn"))
+    val above = Window.orderBy(desc("threshold"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = broadcast(g.agg(sum(col("np")).as("pos")))
+    g.withColumn("tp", sum(col("np")).over(above))
+      .withColumn("fp", sum(col("nn")).over(above))
+      .crossJoin(tot)
+      .select(col("threshold"), col("tp"), col("fp"),
+        (col("pos") - col("tp")).as("fn"),
+        expr("tp * 1000 div (tp + fp)").as("precision_pm"),
+        expr("tp * 1000 div pos").as("recall_pm"),
+        expr("2 * tp * 1000 div (2 * tp + fp + (pos - tp))").as("f1_pm"))
+      .orderBy("threshold")
+  }
 }

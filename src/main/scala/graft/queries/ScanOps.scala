@@ -623,6 +623,36 @@ object ScanOps {
              |FROM f JOIN m USING (reg)
              |ORDER BY reg""".stripMargin)),
 
+    // AN8 — precision/recall/F1 threshold curve for the lm1 score
+    // against the dd15 duplicated-substring label: the operating-point
+    // table that turns an5's AUC into a deployable cutoff ("flag a doc
+    // when lm_pm >= t"). One corpus scan to the score-grain count
+    // table; every cumulative runs on that bounded frame
+    // (RankMetrics.prCurve), so the curve is constant work at any
+    // corpus size.
+    Q("an8_pr_curve",
+      (s, dir) => RankMetrics.prCurve(scoredLabeled(s, dir), "lm_pm", "y"),
+      Some(s"""WITH $lmPrelude,
+             |$labPrelude,
+             |ls AS (SELECT sc.lm_pm,
+             |    CASE WHEN lab.doc_id IS NOT NULL THEN 1 ELSE 0 END AS y
+             |  FROM sc LEFT JOIN lab ON lab.doc_id = sc.doc_id),
+             |g AS (SELECT lm_pm AS threshold, CAST(sum(y) AS BIGINT) AS np,
+             |    CAST(count(*) - sum(y) AS BIGINT) AS nn
+             |  FROM ls GROUP BY 1),
+             |cum AS (SELECT threshold, np, nn,
+             |    CAST(SUM(np) OVER (ORDER BY threshold DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+             |    CAST(SUM(nn) OVER (ORDER BY threshold DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+             |  FROM g),
+             |tot AS (SELECT CAST(sum(np) AS BIGINT) AS pos FROM g)
+             |SELECT threshold, tp, fp, pos - tp AS fn,
+             |  CAST(tp * 1000 // (tp + fp) AS BIGINT) AS precision_pm,
+             |  CAST(tp * 1000 // pos AS BIGINT) AS recall_pm,
+             |  CAST(2 * tp * 1000 // (2 * tp + fp + (pos - tp)) AS BIGINT) AS f1_pm
+             |FROM cum, tot ORDER BY threshold""".stripMargin)),
+
     // CUR11 — domain reweighting in the DoReMi shape (Xie et al. 2023,
     // arXiv:2305.10429): boost the mixture weight of domains the
     // reference model finds HARD. The published rule multiplies domain

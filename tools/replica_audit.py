@@ -115,7 +115,9 @@ BOUNDED_PREFIXES = (
     # version profile diff: two single-scan aggregates to 9 metric rows
     "dq7",
     # container fuzz: generated sf-independent sweep
-    "rf34")
+    "rf34",
+    # PR curve: an5's linear machinery to a score-grain frame
+    "an8")
 
 
 def main():

@@ -680,7 +680,18 @@ object Multimodal {
     * Returns (n_members, Σ member sizes, size of the first `.txt`
     * member or 0).
     */
-  def parseTar(bytes: Array[Byte]): Option[(Long, Long, Long)] = {
+  def parseTar(bytes: Array[Byte]): Option[(Long, Long, Long)] =
+    parseTarMembers(bytes).map { ms =>
+      (ms.size.toLong, ms.map(_._2).sum,
+        ms.find(_._1.endsWith(".txt")).map(_._2).getOrElse(0L))
+    }
+
+  /** The member walk behind [[parseTar]]: every (name, size) in archive
+    * order, with the same checksum verification and hostile guards.
+    * Member-grain is what the WebDataset pairing rule needs — samples
+    * are members grouped by basename key.
+    */
+  def parseTarMembers(bytes: Array[Byte]): Option[Seq[(String, Long)]] = {
     def isZeroBlock(off: Int): Boolean = {
       var i = off
       while (i < off + 512) { if (bytes(i) != 0) return false; i += 1 }
@@ -704,7 +715,7 @@ object Multimodal {
     }
     if (bytes.length % 512 != 0) return None
     var off = 0
-    var n = 0L; var payload = 0L; var txt = 0L
+    val members = scala.collection.mutable.ArrayBuffer[(String, Long)]()
     while (off + 512 <= bytes.length && !isZeroBlock(off)) {
       // magic "ustar" at 257
       if (off + 512 > bytes.length) return None
@@ -729,15 +740,48 @@ object Multimodal {
       val name = new String(bytes, off, nameEnd - off, "US-ASCII")
       val blocks = ((size + 511) / 512).toInt
       if (off + 512 + blocks.toLong * 512 > bytes.length) return None
-      n += 1; payload += size
-      if (txt == 0L && name.endsWith(".txt")) txt = size
+      members += ((name, size))
       off += 512 + blocks * 512
     }
     // require the two-zero-block terminator and nothing but zeros after
     if (off + 1024 > bytes.length) return None
     var i = off
     while (i < bytes.length) { if (bytes(i) != 0) return None; i += 1 }
-    if (n == 0) None else Some((n, payload, txt))
+    if (members.isEmpty) None else Some(members.toSeq)
+  }
+
+  val tarMemberSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("member_idx", LongType),
+    StructField("name", StringType),
+    StructField("key", StringType),
+    StructField("role", StringType),
+    StructField("size", LongType)))
+
+  /** Member-grain tar decode with the WebDataset pairing columns: key =
+    * basename before the last extension, role = the extension — samples
+    * are all members sharing a key ((img, txt) pairs and friends).
+    * Malformed archives yield one NULL-member row, same posture as the
+    * other decoders.
+    */
+  def decodeTarMembers(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        parseTarMembers(r.getAs[Array[Byte]](binIdx)) match {
+          case Some(ms) => ms.zipWithIndex.map { case ((name, size), i) =>
+            val dot = name.lastIndexOf('.')
+            val (key, role) =
+              if (dot > 0) (name.substring(0, dot), name.substring(dot + 1))
+              else (name, "")
+            Row(id, (i + 1).toLong, name, key, role, size)
+          }
+          case None => Seq(Row(id, null, null, null, null, null))
+        }
+      }
+    }(Encoders.row(tarMemberSchema))
   }
 
   /** Deterministic REAL ustar payload (plant/parse round-trip): a

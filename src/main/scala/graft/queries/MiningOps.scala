@@ -782,6 +782,32 @@ object MiningOps {
              |FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // MM9 — WebDataset member pairing: the member-grain tar decode with
+    // the (key, role) split WebDataset samples group by — key = basename
+    // before the extension, role = extension. The planted archives put
+    // the text under d<id>.txt and (odd n) a binary sibling under the
+    // SAME key d<id>.bin, so the oracle reconstructs every member row —
+    // names, keys, roles, sizes, order — from doc_id and text length.
+    Q("mm9_webdataset_members",
+      (s, dir) => graft.operators.Multimodal.decodeTarMembers(
+        graft.operators.Multimodal.plantTarPayload(
+          t(s, dir, "documents"), "doc_id", "text"),
+        "doc_id", "payload")
+        .orderBy("doc_id", "member_idx"),
+      Some("""SELECT doc_id, member_idx, name, key, role, size FROM (
+             |  SELECT doc_id, CAST(1 AS BIGINT) AS member_idx,
+             |    'd' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+             |    'd' || CAST(doc_id AS VARCHAR) AS key, 'txt' AS role,
+             |    CAST(n AS BIGINT) AS size
+             |  FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+             |  UNION ALL
+             |  SELECT doc_id, CAST(2 AS BIGINT),
+             |    'd' || CAST(doc_id AS VARCHAR) || '.bin',
+             |    'd' || CAST(doc_id AS VARCHAR), 'bin', CAST(20 AS BIGINT)
+             |  FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+             |  WHERE n % 2 = 1)
+             |ORDER BY doc_id, member_idx""".stripMargin)),
+
     // RF34 — container-walk differential fuzz: bodies of EVERY length
     // 0..600 (hex text from repeated md5s — the sweep crosses the tar
     // 512-block boundaries at 511/512/513 and the n=0 empty-member

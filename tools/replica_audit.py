@@ -110,8 +110,8 @@ BOUNDED_PREFIXES = (
     # IVF+PQ replay: n x (8 coarse + 128 sub-block) cosines, linear
     # with a fat constant
     "ss7",
-    # tar walk: per-doc 512-block arithmetic, linear
-    "mm8",
+    # tar walks: per-doc 512-block arithmetic, linear
+    "mm8", "mm9",
     # version profile diff: two single-scan aggregates to 9 metric rows
     "dq7",
     # container fuzz: generated sf-independent sweep
@@ -134,7 +134,7 @@ def main():
         "ddf5_span_splice", "mm5_wav_meta",
         "mm6_mp4_meta", "dd21_cdc_chunks",
         "mm7_warc_meta", "ss7_ann_ivfpq",
-        "mm8_tar_meta"]  # linear oracles in excluded prefixes
+        "mm8_tar_meta", "mm9_webdataset_members"]  # linear oracles in excluded prefixes
     if bounded:
         keep = [n for n in keep if n.startswith(BOUNDED_PREFIXES)]
     keep = sorted(set(keep))

@@ -123,6 +123,47 @@ object Functions {
              | FROM lineitem WHERE l_orderkey % 200 = 0 GROUP BY 1)
              |ORDER BY l_orderkey""".stripMargin)),
 
+    // E32 — higher-order array functions (the lambda surface Catalyst
+    // codegens: transform/filter/exists/forall/zip_with + positional
+    // ops), the §2.2 complement to e15's scalar array functions. The
+    // empty-filter result rides COALESCE('') per the DuckDB
+    // array_to_string([]) = NULL gotcha; array_position's absent-key 0
+    // matches COALESCE(list_position, 0); zip_with pairs the array with
+    // its reverse so lengths always match in both engines.
+    Q("e32_array_lambda_funcs",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 200 === 0)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_linenumber").cast(LongType)))
+          .as("lines"))
+        .select(
+          col("l_orderkey"),
+          array_join(transform(col("lines"), _ * 2), ",").as("doubled_csv"),
+          array_join(filter(col("lines"), _ % 2 === 0), ",").as("evens_csv"),
+          exists(col("lines"), _ > 5).as("any_gt5"),
+          forall(col("lines"), _ > 0).as("all_pos"),
+          array_position(col("lines"), 3L).as("pos3"),
+          array_join(slice(col("lines"), 1, 3), ",").as("head3_csv"),
+          array_join(zip_with(col("lines"), reverse(col("lines")), _ + _), ",")
+            .as("palsum_csv"))
+        .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey,
+             | array_to_string(list_transform(lines, x -> x*2), ',') AS doubled_csv,
+             | COALESCE(array_to_string(list_filter(lines, x -> x%2=0), ','), '')
+             |   AS evens_csv,
+             | len(list_filter(lines, x -> x > 5)) > 0 AS any_gt5,
+             | len(list_filter(lines, x -> NOT (x > 0))) = 0 AS all_pos,
+             | CAST(COALESCE(list_position(lines, 3), 0) AS BIGINT) AS pos3,
+             | array_to_string(lines[1:3], ',') AS head3_csv,
+             | array_to_string(list_transform(
+             |   list_zip(lines, list_reverse(lines)), x -> x[1] + x[2]), ',')
+             |   AS palsum_csv
+             |FROM (
+             | SELECT l_orderkey,
+             |  list_sort(list(CAST(l_linenumber AS BIGINT))) AS lines
+             | FROM lineitem WHERE l_orderkey % 200 = 0 GROUP BY 1)
+             |ORDER BY l_orderkey""".stripMargin)),
+
     // explode round-trip: array construction per group, unnest back,
     // re-aggregate — generator (UDTF-shape) surface
     Q("e20_explode_roundtrip",

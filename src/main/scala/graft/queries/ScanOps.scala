@@ -719,8 +719,12 @@ object ScanOps {
         val occ = ch.select(col("source"), md5(col("chunk")).as("fp"),
           length(col("chunk")).cast(LongType).as("len"),
           (col("doc_id") * 1000000L + col("chunk_idx")).as("grank"))
-        val firsts = occ.groupBy("fp").agg(min("grank").as("first_rank"))
-        occ.join(firsts, "fp")
+        // first occurrence via a window over fp, NOT a groupBy + self-
+        // join: the join form re-chunks the whole corpus for the
+        // aggregate side (two full scans in the plan); the window is
+        // one scan + one fp-hash exchange
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+        occ.withColumn("first_rank", min(col("grank")).over(w))
           .groupBy("source")
           .agg(count(lit(1)).as("n_chunks"),
             countDistinct(col("fp")).as("distinct_chunks"),

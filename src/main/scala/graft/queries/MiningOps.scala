@@ -364,6 +364,73 @@ object MiningOps {
              |FROM holt h JOIN n ON n.event_type = h.event_type AND h.rn = n.mx
              |ORDER BY h.event_type""".stripMargin)),
 
+    // TS6 — additive Holt–Winters (triple exponential smoothing,
+    // Winters 1960): ts3's level+trend recursion extended with a
+    // 7-slot weekly seasonal state, α=β=γ=1/2 in milli fixed point so
+    // every update is integer division (`div` == `//` on negatives per
+    // the repo convention). Same distributed shape as ts3: one day-
+    // grain aggregate, then a bounded per-key sequential fold — the
+    // `aggregate` HOF carries (level, trend, season[7], t) through the
+    // ≤30-element daily array while the oracle's recursive CTE carries
+    // the identical list state; parallelism is across keys, the ONLY
+    // axis that grows at 100 TB (days per key stay bounded).
+    Q("ts6_holt_winters",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("c"))
+        daily.groupBy("event_type")
+          .agg(sort_array(collect_list(struct(col("d"), col("c")))).as("dc"))
+          .select(col("event_type"),
+            expr("transform(dc, x -> x.c)").as("cs"))
+          .select(col("event_type"),
+            size(col("cs")).cast(LongType).as("n_days"),
+            expr("""aggregate(
+                     slice(cs, 2, greatest(size(cs) - 1, 0)),
+                     named_struct('l', element_at(cs, 1) * 1000L, 'b', 0L,
+                       's', array_repeat(0L, 7), 'i', 1L),
+                     (acc, y) -> named_struct(
+                       'l', ((y * 1000L - element_at(acc.s, CAST(acc.i % 7 + 1 AS INT))) + acc.l + acc.b) div 2,
+                       'b', ((((y * 1000L - element_at(acc.s, CAST(acc.i % 7 + 1 AS INT))) + acc.l + acc.b) div 2) - acc.l + acc.b) div 2,
+                       's', transform(acc.s, (v, j) -> CASE WHEN j = CAST(acc.i % 7 AS INT)
+                             THEN ((y * 1000L - (((y * 1000L - element_at(acc.s, CAST(acc.i % 7 + 1 AS INT))) + acc.l + acc.b) div 2)) + v) div 2
+                             ELSE v END),
+                       'i', acc.i + 1L))
+                 """).as("h"))
+          .select(col("event_type"), col("n_days"),
+            col("h.l").as("level_milli"), col("h.b").as("trend_milli"),
+            expr("element_at(h.s, CAST((n_days + 2) % 7 + 1 AS INT))")
+              .as("season3_milli"),
+            expr("h.l + 3 * h.b + element_at(h.s, CAST((n_days + 2) % 7 + 1 AS INT))")
+              .as("forecast3_milli"))
+          .orderBy("event_type")
+      },
+      Some("""WITH RECURSIVE daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |seq AS (SELECT event_type, c,
+             |        row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+             |        FROM daily),
+             |n AS (SELECT event_type, max(rn) AS mx FROM seq GROUP BY 1),
+             |hw AS (
+             |  SELECT event_type, 1 AS rn, c*1000 AS l, CAST(0 AS BIGINT) AS b,
+             |    CAST([0,0,0,0,0,0,0] AS BIGINT[]) AS s
+             |  FROM seq WHERE rn = 1
+             |  UNION ALL
+             |  SELECT s2.event_type, s2.rn,
+             |    ((s2.c*1000 - h.s[(h.rn % 7) + 1]) + h.l + h.b) // 2,
+             |    ((((s2.c*1000 - h.s[(h.rn % 7) + 1]) + h.l + h.b) // 2) - h.l + h.b) // 2,
+             |    [CASE WHEN j = (h.rn % 7) + 1
+             |       THEN ((s2.c*1000 - (((s2.c*1000 - h.s[(h.rn % 7) + 1]) + h.l + h.b) // 2)) + h.s[j]) // 2
+             |       ELSE h.s[j] END FOR j IN range(1, 8)]
+             |  FROM hw h JOIN seq s2 ON s2.event_type = h.event_type AND s2.rn = h.rn + 1)
+             |SELECT h.event_type AS event_type, CAST(n.mx AS BIGINT) AS n_days,
+             |  l AS level_milli, b AS trend_milli,
+             |  CAST(h.s[((n.mx + 2) % 7) + 1] AS BIGINT) AS season3_milli,
+             |  CAST(l + 3*b + h.s[((n.mx + 2) % 7) + 1] AS BIGINT) AS forecast3_milli
+             |FROM hw h JOIN n ON n.event_type = h.event_type AND h.rn = n.mx
+             |ORDER BY h.event_type""".stripMargin)),
+
     // TS4 — lag cross-correlation between event-type daily series: for
     // each ordered type pair and lag 0..7, the integer dot product
     // sum(c_a[d] * c_b[d+lag]); best_lag = argmax (ties to the smaller

@@ -117,7 +117,9 @@ BOUNDED_PREFIXES = (
     # container fuzz: generated sf-independent sweep
     "rf34",
     # PR curve: an5's linear machinery to a score-grain frame
-    "an8")
+    "an8",
+    # Holt-Winters: ts3's day-grain recursion with a 7-slot state
+    "ts6")
 
 
 def main():

@@ -25,6 +25,79 @@ object MiningOps {
        |      FROM $rel) w,
        |LATERAL (SELECT unnest(generate_series(1, len(ws)-${n - 1})) AS g) _t""".stripMargin
 
+  /** pm3's oracle: journey → transition extraction, then 15 ppm value-
+    * iteration rounds per variant (base + one per removed channel) as
+    * chained MATERIALIZED CTEs — DuckDB inlines plain CTEs, so without
+    * MATERIALIZED the journey pipeline would re-expand into every one
+    * of the 5×15 iteration steps (the cur8 lesson).
+    */
+  private lazy val pm3OracleSql: String = {
+    val chans = Seq("click", "error", "signup", "view")
+    val K = 15
+    val prelude =
+      """e AS MATERIALIZED (SELECT user_id, CAST(ts AS DATE) AS d, ts, event_id, event_type
+        |  FROM events WHERE user_id IS NOT NULL),
+        |fp AS MATERIALIZED (SELECT user_id, d, min(struct_pack(ts := ts, event_id := event_id)) AS cutr
+        |  FROM e WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |pe AS MATERIALIZED (SELECT e.user_id, e.d, e.ts, e.event_id, e.event_type,
+        |    fp.cutr IS NOT NULL AS conv
+        |  FROM e LEFT JOIN fp USING (user_id, d)
+        |  WHERE e.event_type <> 'purchase'
+        |    AND (fp.cutr IS NULL OR struct_pack(ts := e.ts, event_id := e.event_id) < fp.cutr)),
+        |seqd AS MATERIALIZED (SELECT user_id, d, event_type, conv,
+        |    row_number() OVER (PARTITION BY user_id, d ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id, d) AS npath
+        |  FROM pe),
+        |tr AS MATERIALIZED (
+        |  SELECT 'START' AS src, event_type AS dst FROM seqd WHERE rn = 1
+        |  UNION ALL
+        |  SELECT prev, event_type FROM (
+        |    SELECT event_type, lag(event_type) OVER (PARTITION BY user_id, d ORDER BY rn) AS prev
+        |    FROM seqd) WHERE prev IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_type, CASE WHEN conv THEN 'CONV' ELSE 'NULL' END FROM seqd WHERE rn = npath
+        |  UNION ALL
+        |  SELECT 'START', 'CONV' FROM (
+        |    SELECT user_id, d FROM fp
+        |    EXCEPT SELECT DISTINCT user_id, d FROM pe) _z),
+        |cnt AS MATERIALIZED (SELECT src, dst, count(*) AS c FROM tr GROUP BY 1, 2),
+        |mat AS MATERIALIZED (SELECT src, dst, c * 1000000 // SUM(c) OVER (PARTITION BY src) AS p FROM cnt),
+        |states(state) AS MATERIALIZED (VALUES ('START'),('click'),('error'),('signup'),('view'))""".stripMargin
+    def variant(tag: String, removed: Option[String]): String = {
+      val excl = removed.map(c => s" WHERE s.state <> '$c'").getOrElse("")
+      val extra = removed.map(c =>
+        s" UNION ALL SELECT '$c', CAST(0 AS BIGINT)").getOrElse("")
+      val init = s"""v${tag}0 AS MATERIALIZED (SELECT 'CONV' AS state, CAST(1000000 AS BIGINT) AS v
+        | UNION ALL SELECT 'NULL', CAST(0 AS BIGINT)
+        | UNION ALL SELECT state, CAST(0 AS BIGINT) FROM states)""".stripMargin
+      val steps = (1 to K).map { k =>
+        s"""v$tag$k AS MATERIALIZED (SELECT 'CONV' AS state, CAST(1000000 AS BIGINT) AS v
+           | UNION ALL SELECT 'NULL', CAST(0 AS BIGINT)$extra
+           | UNION ALL SELECT s.state,
+           |   CAST(COALESCE((SELECT SUM(m.p * vv.v) FROM mat m JOIN v$tag${k - 1} vv ON vv.state = m.dst
+           |     WHERE m.src = s.state), 0) // 1000000 AS BIGINT)
+           | FROM states s$excl)""".stripMargin
+      }
+      (init +: steps).mkString(",\n")
+    }
+    val variants = variant("B", None) +: chans.zipWithIndex.map {
+      case (c, i) => variant(s"R$i", Some(c))
+    }
+    val resRows =
+      s"SELECT 'BASE' AS variant, (SELECT v FROM vB$K WHERE state='START') AS conv_ppm, CAST(0 AS BIGINT) AS re_ppm" +:
+        chans.zipWithIndex.map { case (c, i) =>
+          s"SELECT '$c', (SELECT v FROM vR$i$K WHERE state='START'), " +
+            s"greatest((SELECT v FROM vB$K WHERE state='START') - (SELECT v FROM vR$i$K WHERE state='START'), 0)"
+        }
+    s"""WITH $prelude,
+       |${variants.mkString(",\n")},
+       |res AS (${resRows.mkString("\nUNION ALL ")}),
+       |tot AS (SELECT CAST(SUM(re_ppm) AS BIGINT) AS t FROM res)
+       |SELECT variant, conv_ppm, re_ppm,
+       |  CAST(CASE WHEN t > 0 THEN re_ppm * 1000000 // t ELSE 0 END AS BIGINT) AS attr_ppm
+       |FROM res, tot ORDER BY variant""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
 
     // SK4 — Count-Min sketch (Cormode & Muthukrishnan 2005), d=4 rows x
@@ -363,6 +436,85 @@ object MiningOps {
              |  l + 3 * b AS forecast3_milli
              |FROM holt h JOIN n ON n.event_type = h.event_type AND h.rn = n.mx
              |ORDER BY h.event_type""".stripMargin)),
+
+    // PM3 — Markov removal-effect attribution (Anderl et al. 2014, the
+    // "Markov chain attribution" standard): user-day journeys truncate
+    // at the first purchase (→CONV, else →NULL), transitions count into
+    // a CHANNEL-GRAIN matrix (bounded by the event-type vocabulary, the
+    // sketch-frame class), conversion probability is 15 rounds of
+    // integer-ppm value iteration, and each channel's credit is the
+    // drop in P(conv) when that channel's state is pinned to zero —
+    // normalized to ppm. Distributed work is the journey scan +
+    // transition count; the ≤6×6 matrix algebra is driver-side exact
+    // Long arithmetic, and the oracle replays the SAME iterations as
+    // MATERIALIZED chained CTEs (DuckDB would otherwise re-inline the
+    // journey pipeline into every one of the 5×15 iteration steps).
+    Q("pm3_markov_attribution",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val e = t(s, dir, "events").filter(col("user_id").isNotNull)
+          .select(col("user_id"), to_date(col("ts")).as("d"),
+            col("ts"), col("event_id"), col("event_type"))
+        val fp = e.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "d")
+          .agg(min(struct(col("ts"), col("event_id"))).as("cutr"))
+        val pe = e.filter(col("event_type") =!= "purchase")
+          .join(fp, Seq("user_id", "d"), "left")
+          .filter(col("cutr").isNull ||
+            struct(col("ts"), col("event_id")) < col("cutr"))
+          .withColumn("conv", col("cutr").isNotNull)
+        val wS = Window.partitionBy("user_id", "d").orderBy("ts", "event_id")
+        val seqd = pe
+          .withColumn("rn", row_number().over(wS))
+          .withColumn("npath",
+            count(lit(1)).over(Window.partitionBy("user_id", "d")))
+          .withColumn("prev", lag(col("event_type"), 1).over(wS))
+        val trs = seqd.filter(col("rn") === 1)
+          .select(lit("START").as("src"), col("event_type").as("dst"))
+          .unionAll(seqd.filter(col("prev").isNotNull)
+            .select(col("prev").as("src"), col("event_type").as("dst")))
+          .unionAll(seqd.filter(col("rn") === col("npath"))
+            .select(col("event_type").as("src"),
+              when(col("conv"), "CONV").otherwise("NULL").as("dst")))
+          .unionAll(fp.select("user_id", "d")
+            .join(pe.select("user_id", "d").distinct(),
+              Seq("user_id", "d"), "left_anti")
+            .select(lit("START").as("src"), lit("CONV").as("dst")))
+        val cnt = trs.groupBy("src", "dst").agg(count(lit(1)).as("c"))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        val chans = Seq("click", "error", "signup", "view")
+        val states = "START" +: chans
+        val rowsum = states.map(st =>
+          st -> cnt.collect { case ((a, _), c) if a == st => c }.sum).toMap
+        val p = cnt.collect { case ((a, b), c) if rowsum.getOrElse(a, 0L) > 0 =>
+          (a, b) -> c * 1000000L / rowsum(a)
+        }
+        def absorb(removed: Option[String]): Long = {
+          var v = (states.map(_ -> 0L) ++
+            Seq("CONV" -> 1000000L, "NULL" -> 0L)).toMap ++
+            removed.map(_ -> 0L)
+          for (_ <- 1 to 15) {
+            val nv = states.filterNot(removed.contains).map { st =>
+              st -> p.collect { case ((a, b), pp) if a == st => pp * v(b) }
+                .sum / 1000000L
+            }.toMap
+            v = v ++ nv ++ removed.map(_ -> 0L)
+          }
+          v("START")
+        }
+        val base = absorb(None)
+        val rem = chans.map(c => c -> absorb(Some(c)))
+        val sumRe = rem.map { case (_, r) => math.max(base - r, 0L) }.sum
+        val rows = ("BASE", base, 0L, 0L) +: rem.map { case (c, r) =>
+          val re = math.max(base - r, 0L)
+          (c, r, re, if (sumRe > 0) re * 1000000L / sumRe else 0L)
+        }
+        rows.toDF("variant", "conv_ppm", "re_ppm", "attr_ppm")
+          .orderBy("variant")
+      },
+      Some(pm3OracleSql)),
 
     // TS6 — additive Holt–Winters (triple exponential smoothing,
     // Winters 1960): ts3's level+trend recursion extended with a

@@ -759,6 +759,55 @@ object ScanOps {
              |FROM occ JOIN f USING (fp)
              |GROUP BY source ORDER BY source NULLS FIRST""".stripMargin)),
 
+    // DD22 — the APPLY step of chunk-grain dedup (dd16's sibling at
+    // content-defined-chunk grain): rebuild every document from only
+    // the chunks whose fingerprint occurs there FIRST (global
+    // (doc_id, chunk_idx) order) — repeated boilerplate chunks vanish
+    // wherever they re-appear, within or across documents. Gated like
+    // dd16 by (kept length, md5 of the rebuilt text) so a rebuild bug
+    // cannot hide in an aggregate. Same single-scan + fp-window shape
+    // as dd21; the rebuild is one doc-grain aggregate.
+    Q("dd22_cdc_cut",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val ch = Dedup.contentDefinedChunks(docs, "doc_id", "text")
+          .select(col("doc_id"), col("chunk_idx"), col("chunk"),
+            md5(col("chunk")).as("fp"),
+            (col("doc_id") * 1000000L + col("chunk_idx")).as("grank"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+        ch.withColumn("keep", col("grank") === min(col("grank")).over(w))
+          .groupBy("doc_id")
+          .agg(array_join(transform(
+            sort_array(collect_list(when(col("keep"),
+              struct(col("chunk_idx"), col("chunk"))))),
+            x => x.getField("chunk")), "").as("kept_text"))
+          .select(col("doc_id"),
+            length(col("kept_text")).cast(LongType).as("kept_chars"),
+            md5(col("kept_text")).as("kept_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n
+             |  FROM documents WHERE length(text) >= 1),
+             |cuts AS (SELECT doc_id, text, list_sort(list_distinct(
+             |    [j FOR j IN range(4, n+1)
+             |       IF (ascii(text[j]) + 31*ascii(text[j-1]) + 961*ascii(text[j-2])
+             |           + 29791*ascii(text[j-3])) % 16 = 0] || [n])) AS cut
+             |  FROM d),
+             |occ AS (SELECT doc_id, i AS chunk_idx, chunk, md5(chunk) AS fp,
+             |    doc_id * 1000000 + i AS grank
+             |  FROM (SELECT doc_id, i,
+             |          text[CASE WHEN i=1 THEN 1 ELSE cut[i-1]+1 END : cut[i]] AS chunk
+             |        FROM cuts,
+             |          LATERAL (SELECT unnest(generate_series(1, len(cut))) AS i) _t)),
+             |kept AS (SELECT doc_id, chunk_idx, chunk,
+             |    grank = min(grank) OVER (PARTITION BY fp) AS keep FROM occ)
+             |SELECT doc_id, CAST(length(kept_text) AS BIGINT) AS kept_chars,
+             |  md5(kept_text) AS kept_md5
+             |FROM (SELECT doc_id, COALESCE(string_agg(chunk, '' ORDER BY chunk_idx)
+             |        FILTER (WHERE keep), '') AS kept_text
+             |      FROM kept GROUP BY doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // RF33 — CDC chunking differential fuzz, the rf27/rf31 pattern:
     // 5 seed instances of 300 generated hex strings (lengths 1-40 plus
     // every-7th empty) chunked by the operator vs the oracle's full

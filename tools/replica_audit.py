@@ -119,7 +119,10 @@ BOUNDED_PREFIXES = (
     # PR curve: an5's linear machinery to a score-grain frame
     "an8",
     # Holt-Winters: ts3's day-grain recursion with a 7-slot state
-    "ts6")
+    "ts6",
+    # chunk-dedup apply (dd21's scan + doc-grain rebuild) and Markov
+    # attribution (journey scan + bounded-matrix MATERIALIZED algebra)
+    "dd22", "pm3")
 
 
 def main():
@@ -136,7 +139,8 @@ def main():
         "ddf5_span_splice", "mm5_wav_meta",
         "mm6_mp4_meta", "dd21_cdc_chunks",
         "mm7_warc_meta", "ss7_ann_ivfpq",
-        "mm8_tar_meta", "mm9_webdataset_members"]  # linear oracles in excluded prefixes
+        "mm8_tar_meta", "mm9_webdataset_members",
+        "dd22_cdc_cut"]  # linear oracles in excluded prefixes
     if bounded:
         keep = [n for n in keep if n.startswith(BOUNDED_PREFIXES)]
     keep = sorted(set(keep))

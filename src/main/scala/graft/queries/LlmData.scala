@@ -1515,6 +1515,48 @@ object LlmData {
       },
       Some(ss7OracleSql)),
 
+    // SS8 — attribute-FILTERED vector search (the "filtered ANN" shape
+    // every production vector store ships): exact cosine top-10
+    // restricted to one label value per query. The label predicate is a
+    // plain pushed filter on the scan — PushedFilters carries it to
+    // parquet, so at 100 TB the search reads only the qualifying row
+    // groups and the rank is a TakeOrderedAndProject over the filtered
+    // stream; with a label-partitioned layout (ss1b's trick) the same
+    // plan prunes whole files. Exact-mode gate like ss1/ss4.
+    Q("ss8_filtered_ann",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val rows = (0L to 2L).map { qid =>
+          val query = emb.filter(col("vec_id") === qid)
+            .select("embedding").head().getSeq[Float](0).toArray
+          val lbl = qid % 10
+          val q = array(query.map(lit): _*)
+          emb.filter(col("vec_id") =!= qid && col("label") === lbl)
+            .select(lit(qid).as("query_vec"), col("vec_id"),
+              round(graft.functions.VectorOps.cosineNative(col("embedding"), q)
+                * 1000000).cast(LongType).as("cos_micro"),
+              col("label"))
+            .orderBy(desc_nulls_last("cos_micro"), asc_nulls_first("vec_id"))
+            .limit(10)
+        }
+        rows.reduce(_.unionByName(_)).orderBy(col("query_vec"),
+          desc("cos_micro"), asc("vec_id"))
+      },
+      Some {
+        val per = (0L to 2L).map { qid =>
+          s"""(SELECT CAST($qid AS BIGINT) AS query_vec, e.vec_id,
+             |  CAST(ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q)
+             |    * 1000000) AS BIGINT) AS cos_micro, e.label
+             |FROM embeddings e,
+             |  (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings
+             |   WHERE vec_id = $qid) _q
+             |WHERE e.vec_id <> $qid AND e.label = ${qid % 10}
+             |ORDER BY cos_micro DESC, e.vec_id LIMIT 10)""".stripMargin
+        }
+        per.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) ORDER BY query_vec, cos_micro DESC, vec_id")
+      }),
+
     // TX1 — n-gram/stopword language ID with per-language scores
     Q("tx1_langid",
       (s, dir) => {

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import graft.operators.Dedup
 
 /** contentDefinedChunks: reconstruction, hand-computed boundaries, the
@@ -64,6 +65,31 @@ class CdcChunkSpec extends SparkSpec {
     val sharedSuffix = ca.reverse.zip(cb.reverse).takeWhile { case (x, y) => x == y }
     assert(sharedSuffix.size >= ca.size - 3,
       s"expected re-alignment, got ${ca.mkString("|")} vs ${cb.mkString("|")}")
+  }
+
+  test("chunk-dedup apply: unique corpus unchanged, exact dup fully cut") {
+    val docs = Seq(
+      (1L, "key agg row scan slow fast table value part hash merge batch"),
+      (2L, "key agg row scan slow fast table value part hash merge batch"),
+      (3L, "zz completely different content qq")).toDF("doc_id", "text")
+    val ch = Dedup.contentDefinedChunks(docs, "doc_id", "text")
+      .select(col("doc_id"), col("chunk_idx"), col("chunk"),
+        md5(col("chunk")).as("fp"),
+        (col("doc_id") * 1000000L + col("chunk_idx")).as("grank"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val kept = ch.withColumn("keep",
+        col("grank") === min(col("grank")).over(w))
+      .filter(col("keep"))
+      .groupBy("doc_id")
+      .agg(concat_ws("", sort_array(collect_list(struct(col("chunk_idx"),
+        col("chunk")))).getField("chunk").cast("array<string>")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 (first occurrence everywhere) survives byte-identical;
+    // doc 2 is an exact duplicate -> every chunk cut; doc 3 untouched
+    assert(kept(1L) ==
+      "key agg row scan slow fast table value part hash merge batch")
+    assert(!kept.contains(2L) || kept(2L).isEmpty)
+    assert(kept(3L) == "zz completely different content qq")
   }
 
   test("extra input columns pass through") {

@@ -36,12 +36,16 @@ class ChunkStreamSpec extends SparkSpec {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val docs = corpus()
     val expected = batchIndex()
-    for (nBatches <- Seq(1, 4)) {
+    // nBatches = -4 drives the batches in REVERSE doc order: min/sum
+    // are order-independent, so even late-arriving early documents must
+    // fold to the identical index
+    for (nBatches <- Seq(1, 4, -4)) {
       val ms = MemoryStream[(Long, String)]
       val cm = new ChunkMaintenance(spark)
       val q = cm.attach(ms.toDF().toDF("doc_id", "text")).start()
       try {
-        docs.grouped(math.max(1, docs.size / nBatches)).foreach { b =>
+        val ordered = if (nBatches < 0) docs.reverse else docs
+        ordered.grouped(math.max(1, docs.size / math.abs(nBatches))).foreach { b =>
           ms.addData(b); q.processAllAvailable()
         }
         val got = cm.index.collect()

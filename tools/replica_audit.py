@@ -122,7 +122,9 @@ BOUNDED_PREFIXES = (
     "ts6",
     # chunk-dedup apply (dd21's scan + doc-grain rebuild) and Markov
     # attribution (journey scan + bounded-matrix MATERIALIZED algebra)
-    "dd22", "pm3")
+    "dd22", "pm3",
+    # filtered ANN: pushed label filter + per-label top-k, linear
+    "ss8")
 
 
 def main():
@@ -140,7 +142,7 @@ def main():
         "mm6_mp4_meta", "dd21_cdc_chunks",
         "mm7_warc_meta", "ss7_ann_ivfpq",
         "mm8_tar_meta", "mm9_webdataset_members",
-        "dd22_cdc_cut"]  # linear oracles in excluded prefixes
+        "dd22_cdc_cut", "ss8_filtered_ann"]  # linear oracles in excluded prefixes
     if bounded:
         keep = [n for n in keep if n.startswith(BOUNDED_PREFIXES)]
     keep = sorted(set(keep))

@@ -106,6 +106,42 @@ object LayoutOps {
              |FROM lineitem GROUP BY l_partkey
              |ORDER BY l_partkey NULLS FIRST""".stripMargin)),
 
+    // INC2 — incremental JOIN-view maintenance (classic IVM delta
+    // algebra): for a star-schema view agg(F ⋈ D) with a STATIC
+    // dimension, the view delta is agg(dF ⋈ D) — only the fact DELTA is
+    // joined and aggregated, never the stored base facts (the changing-
+    // dim case adds F ⋈ dD and dF ⋈ dD terms; the static-dim refresh is
+    // the overwhelmingly common warehouse shape). Composes inc1's
+    // mergeable-aggregate refresh with the delta join; the oracle is
+    // the FULL recompute over all facts, so any error in the delta
+    // algebra (double-counted rows, missed join partners) shows as a
+    // group-total mismatch.
+    Q("inc2_join_refresh",
+      (s, dir) => {
+        import graft.operators.IncrementalAgg
+        import graft.operators.IncrementalAgg.AggSpec
+        val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+          .select(col("user_id"), col("event_id"),
+            cents(col("value")).as("v_c"))
+        val dim = t(s, dir, "customer")
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+        def view(e: DataFrame) = e.join(dim, "user_id")
+        val keys = Seq("c_mktsegment")
+        val aggs = Seq(AggSpec("v_c", "sum", "val_c"),
+          AggSpec("v_c", "count", "n_events"))
+        val stored = IncrementalAgg.aggregate(
+          view(ev.filter(col("event_id") % 7 =!= 0)), keys, aggs)
+        IncrementalAgg.refresh(stored,
+            view(ev.filter(col("event_id") % 7 === 0)), keys, aggs)
+          .orderBy(asc_nulls_first("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment,
+             | CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS val_c,
+             | COUNT(value) AS n_events
+             |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             |WHERE e.user_id IS NOT NULL
+             |GROUP BY 1 ORDER BY c_mktsegment NULLS FIRST""".stripMargin)),
+
     // SCD type-2 dimension history from a changelog: per-key validity
     // intervals, half-open [valid_from, valid_to), NULL while current —
     // the oracle recomputes the same LEAD window

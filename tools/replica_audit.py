@@ -124,7 +124,9 @@ BOUNDED_PREFIXES = (
     # attribution (journey scan + bounded-matrix MATERIALIZED algebra)
     "dd22", "pm3",
     # filtered ANN: pushed label filter + per-label top-k, linear
-    "ss8")
+    "ss8",
+    # incremental join-view refresh: one fact scan + dim join + merge
+    "inc")
 
 
 def main():

@@ -615,6 +615,67 @@ object PipelineOps {
              |    AS chars_per_piece_pm
              |FROM t ORDER BY source NULLS FIRST""".stripMargin)),
 
+    // RF35 — unigram-LM differential fuzz: 2 seeded instances of 200
+    // hex words (lengths 1-10, 16-symbol alphabet so substring
+    // collisions are dense and the freq>=3 vocab is non-trivial) plus
+    // the DEGENERATE constant-symbol instance ('a'*k, k=1..16) where
+    // every unit is in-vocab and the fewest-pieces optimum has MANY
+    // piece multisets — the packed objective must still pick the unique
+    // max-frequency one (e.g. len 16 → 6+6+4 beats 6+5+5 by one freq
+    // point). Spark's layered min-DP vs the oracle's all-paths
+    // recursive CTE over the SAME generated words, per instance
+    // (vocabularies are instance-local).
+    Q("rf35_unigram_fuzz",
+      (s, dir) => {
+        def inst(off: Long) = s.range(1, 201).select(
+          md5(concat(lit(s"W$off:"), col("id").cast(StringType)))
+            .substr(lit(1), (lit(1) + pmod(col("id"), lit(10))).cast(IntegerType))
+            .as("word"))
+        val deg = s.range(1, 17).select(
+          lit("a" * 16).substr(lit(1), col("id").cast(IntegerType)).as("word"))
+        Seq(0L -> inst(0L), 100L -> inst(100L), 500L -> deg).map {
+          case (off, words) =>
+            Tokenize.unigramSegment(words, "word").withColumn("seedoff", lit(off))
+        }.reduce(_.unionByName(_))
+          .select("seedoff", "word", "n_chars", "n_pieces", "freq_sum", "cost")
+          .orderBy("seedoff", "word")
+      },
+      Some {
+        def chain(off: Long, gen: String) =
+          s"""SELECT CAST($off AS BIGINT) AS seedoff, word,
+             |  CAST(length(word) AS BIGINT) AS n_chars,
+             |  CAST(cost // 1000000000 + 1 AS BIGINT) AS n_pieces,
+             |  CAST((cost // 1000000000 + 1) * 1000000000 - cost AS BIGINT) AS freq_sum,
+             |  cost
+             |FROM (
+             |  WITH RECURSIVE w AS (SELECT DISTINCT $gen AS word
+             |      FROM generate_series(1, ${if (off == 500L) 16 else 200}) _g(i)),
+             |  sp AS (SELECT word, i, l, substr(word, CAST(i AS INT), CAST(l AS INT)) AS unit
+             |    FROM w,
+             |      LATERAL (SELECT unnest(generate_series(1, length(word))) AS i) _i,
+             |      LATERAL (SELECT unnest(generate_series(1,
+             |        least(6, length(word) - i + 1))) AS l) _l),
+             |  f AS (SELECT unit, count(*) AS freq FROM sp GROUP BY 1),
+             |  v AS (SELECT unit, freq FROM f WHERE freq >= 3 OR length(unit) = 1),
+             |  ed AS (SELECT sp.word, sp.i - 1 AS s, sp.i - 1 + sp.l AS e,
+             |      1000000000 - least(freq, 999999) AS c
+             |    FROM sp JOIN v USING (unit)),
+             |  seg AS (
+             |    SELECT word, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS cost FROM w
+             |    UNION ALL
+             |    SELECT ed.word, ed.e, seg.cost + ed.c
+             |    FROM seg JOIN ed ON ed.word = seg.word AND ed.s = seg.pos)
+             |  SELECT word, min(cost) AS cost FROM seg
+             |  WHERE pos = length(word) GROUP BY word)""".stripMargin
+        val i0 = chain(0L,
+          "substr(md5('W0:'||CAST(i AS VARCHAR)), 1, CAST(1 + i%10 AS INT))")
+        val i1 = chain(100L,
+          "substr(md5('W100:'||CAST(i AS VARCHAR)), 1, CAST(1 + i%10 AS INT))")
+        val dg = chain(500L, s"substr('${"a" * 16}', 1, CAST(i AS INT))")
+        Seq(i0, i1, dg).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) ORDER BY seedoff, word")
+      }),
+
     // TX10 — TextRank keywords (Mihalcea & Tarau 2004): 5 PageRank power
     // iterations over the word co-occurrence graph (adjacent-word edges,
     // symmetric, document-frequency weighted). All-integer fixed-point

@@ -126,7 +126,9 @@ BOUNDED_PREFIXES = (
     # filtered ANN: pushed label filter + per-label top-k, linear
     "ss8",
     # incremental join-view refresh: one fact scan + dim join + merge
-    "inc")
+    "inc",
+    # unigram fuzz: generated sf-independent word sets
+    "rf35")
 
 
 def main():

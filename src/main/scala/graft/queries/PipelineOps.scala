@@ -858,6 +858,109 @@ object PipelineOps {
              |  CAST(abs(v1 - v2) * 1000 // greatest(abs(v1), 1) AS BIGINT) AS drift_pm
              |FROM rows_u ORDER BY col_name, metric""".stripMargin)),
 
+    // SJ3 — set-similarity PROBE join (the R-S form of sj1): find every
+    // corpus document within Jaccard >= 7/10 of a probe set — the
+    // lossless decontamination/near-dup LOOKUP, where the probe is a
+    // benchmark or a fresh crawl batch, not the corpus itself.
+    // Implemented by tagging probe ids past a sentinel offset, running
+    // the prefix-filtered SELF-join on the union (one shared global
+    // token order, exactness preserved), and keeping only cross-side
+    // pairs; a dedicated R-S prefix join would additionally skip
+    // corpus-internal candidate pairs — the union form trades that
+    // constant for reusing the proven kernel. Probe = every 17th doc,
+    // so each finds at least its own original at J = 1.
+    Q("sj3_jaccard_probe",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          graft.operators.Corpus.words(col("text")).as("toks"))
+        val probe = toks.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("toks"))
+        val pairs = graft.operators.SetSimJoin.jaccardSelfJoin(
+          toks.unionByName(probe), "doc_id", "toks", tNum = 7, tDen = 10)
+        pairs.filter(col("idb") >= 1000000L && col("ida") < 1000000L)
+          .select((col("idb") - 1000000L).as("probe_id"),
+            col("ida").as("corpus_id"), col("jaccard_pm").as("j_pm"))
+          .orderBy("probe_id", "corpus_id")
+      },
+      Some("""WITH s AS (SELECT doc_id,
+             |  list_distinct(string_split(trim(regexp_replace(text,'\s+',' ','g')),' ')) AS toks
+             |  FROM documents),
+             |p AS (SELECT doc_id AS probe_id, toks FROM s WHERE doc_id % 17 = 0)
+             |SELECT p.probe_id, c.doc_id AS corpus_id,
+             |  CAST(len(list_intersect(p.toks, c.toks)) * 1000
+             |    // (len(p.toks) + len(c.toks) - len(list_intersect(p.toks, c.toks)))
+             |    AS BIGINT) AS j_pm
+             |FROM p JOIN s c ON TRUE
+             |WHERE len(list_intersect(p.toks, c.toks)) * 10
+             |      >= (len(p.toks) + len(c.toks) - len(list_intersect(p.toks, c.toks))) * 7
+             |ORDER BY probe_id, corpus_id""".stripMargin)),
+
+    // DQ8 — the quarantine APPLY of the quality audit (dq2 reports
+    // metrics; this SPLITS the rows): every event gets a reason
+    // bitmask — 1 null user, 2 unknown type, 4 value out of range, 8
+    // null ts, 16 duplicate event_id (keep-first) — and the output is
+    // the per-mask census. Three defect arms are PLANTED (every 997th
+    // event re-appears with a nulled user / bogus type / negative
+    // value per id%3, dq4's planted-violation discipline) so each
+    // reason bit demonstrably fires; the duplicate rank orders on the
+    // provenance flag so the planted copy, not the original, is the
+    // one quarantined. One scan + one event_id window — linear.
+    Q("dq8_quarantine",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+        val base = ev.withColumn("pl", lit(0L))
+        val planted = ev.filter(col("event_id") % 997 === 0)
+          .select(col("event_id"), col("ts"),
+            when(col("event_id") % 3 === 0, lit(null).cast(LongType))
+              .otherwise(col("user_id")).as("user_id"),
+            when(col("event_id") % 3 === 1, lit("bogus"))
+              .otherwise(col("event_type")).as("event_type"),
+            when(col("event_id") % 3 === 2, lit(-5.0))
+              .otherwise(col("value")).as("value"))
+          .withColumn("pl", lit(1L))
+        val rn = row_number().over(
+          Window.partitionBy("event_id").orderBy("pl"))
+        base.unionByName(planted)
+          .withColumn("rn", rn)
+          .withColumn("reason_mask",
+            when(col("user_id").isNull, 1L).otherwise(0L) +
+              when(col("event_type").isin("view", "click", "purchase",
+                "signup", "error"), 0L).otherwise(2L) +
+              when(col("value") >= 0 && col("value") <= 10000, 0L)
+                .otherwise(4L) +
+              when(col("ts").isNull, 8L).otherwise(0L) +
+              when(col("rn") > 1, 16L).otherwise(0L))
+          .groupBy("reason_mask")
+          .agg(count(lit(1)).as("n_rows"))
+          .orderBy("reason_mask")
+      },
+      Some("""WITH planted AS (
+             |  SELECT event_id, ts,
+             |    CASE WHEN event_id % 3 = 0 THEN NULL ELSE user_id END AS user_id,
+             |    CASE WHEN event_id % 3 = 1 THEN 'bogus' ELSE event_type END AS event_type,
+             |    CASE WHEN event_id % 3 = 2 THEN -5.0 ELSE value END AS value,
+             |    1 AS pl
+             |  FROM events WHERE event_id % 997 = 0),
+             |allr AS (
+             |  SELECT event_id, ts, user_id, event_type, value, 0 AS pl FROM events
+             |  UNION ALL SELECT * FROM planted),
+             |rk AS (SELECT *,
+             |    row_number() OVER (PARTITION BY event_id ORDER BY pl) AS rn
+             |  FROM allr)
+             |SELECT CAST(
+             |    CASE WHEN user_id IS NULL THEN 1 ELSE 0 END
+             |  + CASE WHEN event_type IN ('view','click','purchase','signup','error')
+             |      THEN 0 ELSE 2 END
+             |  + CASE WHEN value >= 0 AND value <= 10000 THEN 0 ELSE 4 END
+             |  + CASE WHEN ts IS NULL THEN 8 ELSE 0 END
+             |  + CASE WHEN rn > 1 THEN 16 ELSE 0 END AS BIGINT) AS reason_mask,
+             |  count(*) AS n_rows
+             |FROM rk GROUP BY 1 ORDER BY reason_mask""".stripMargin)),
+
     // DQ2 — declarative data-quality constraint audit: five checks
     // (completeness permille, primary-key duplicate count, domain
     // membership, range, timestamp completeness) evaluated in ONE

@@ -128,7 +128,9 @@ BOUNDED_PREFIXES = (
     # incremental join-view refresh: one fact scan + dim join + merge
     "inc",
     # unigram fuzz: generated sf-independent word sets
-    "rf35")
+    "rf35",
+    # quarantine apply: one scan + event_id window
+    "dq8")
 
 
 def main():
@@ -138,7 +140,7 @@ def main():
     out = "/tmp/graft-replica-audit"
     oracle = json.loads((REPO / "ORACLE_SQL.json").read_text())
     keep = sorted(n for n in oracle
-                  if not n.startswith(("dd", "ss", "mm", "fj", "sj1", "sj2",
+                  if not n.startswith(("dd", "ss", "mm", "fj", "sj1", "sj2", "sj3",
                                        "sql2", "cur6", "s8_", "s10"))) + [
         "ss1_cosine_topk", "dd13_span_dedup", "ss2_ann_lsh", "ss3_ann_ivf",
         "ss1b_cosine_topk_indexed", "dd15_substring_dedup", "dd16_substring_cut",

@@ -107,9 +107,9 @@ BOUNDED_PREFIXES = (
     "dd21", "rf33",
     # WARC walk: per-doc byte arithmetic, linear
     "mm7",
-    # IVF+PQ replay: n x (8 coarse + 128 sub-block) cosines, linear
-    # with a fat constant
-    "ss7",
+    # (ss7 IVF+PQ replay is linear but its oracle pays n x 128
+    # sub-block cosines through a 3-way-cross window argmax — past the
+    # 150s bounded referee at 100x; audited unbounded at 10x instead)
     # tar walks: per-doc 512-block arithmetic, linear
     "mm8", "mm9",
     # version profile diff: two single-scan aggregates to 9 metric rows

@@ -131,6 +131,51 @@ object Advanced {
              | FROM lineitem GROUP BY 1)
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // A12 — exact WEIGHTED median (lower form): smallest price whose
+    // cumulative quantity-weight reaches half the group total — the
+    // inventory-weighted "typical price" a9's unweighted quantiles
+    // miss. Per-group cumulative sum runs under a PARTITIONED ordered
+    // window (group-parallel — no lone-partition sort), the target is
+    // a broadcastable group-grain frame, all arithmetic integer.
+    Q("a12_weighted_median",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast(LongType).as("price_c"),
+          col("l_quantity").cast(LongType).as("w"))
+        val g = li.groupBy("l_returnflag", "price_c")
+          .agg(sum(col("w")).as("w"))
+        val cum = g.withColumn("cw", sum(col("w")).over(
+          Window.partitionBy("l_returnflag").orderBy("price_c")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        val tot = g.groupBy("l_returnflag")
+          .agg(expr("(sum(w) + 1) div 2").as("half"),
+            sum(col("w")).as("total_w"))
+        cum.join(broadcast(tot), "l_returnflag")
+          .filter(col("cw") >= col("half"))
+          .groupBy("l_returnflag")
+          .agg(min(col("price_c")).as("wmedian_c"),
+            min(col("total_w")).as("total_w"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH g AS (SELECT l_returnflag,
+             |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+             |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+             |  FROM lineitem GROUP BY 1, 2),
+             |cum AS (SELECT l_returnflag, price_c, w,
+             |    CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price_c
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw
+             |  FROM g),
+             |tot AS (SELECT l_returnflag,
+             |    CAST((SUM(w) + 1) // 2 AS BIGINT) AS half,
+             |    CAST(SUM(w) AS BIGINT) AS total_w
+             |  FROM g GROUP BY 1)
+             |SELECT l_returnflag, CAST(MIN(price_c) AS BIGINT) AS wmedian_c,
+             |  CAST(MIN(total_w) AS BIGINT) AS total_w
+             |FROM cum JOIN tot USING (l_returnflag)
+             |WHERE cw >= half
+             |GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
     // exact multi-quantile profile (linear interpolation over exact
     // cents — both engines interpolate a + (b-a)*frac over sorted ints,
     // so the doubles agree bit-for-bit)

@@ -142,6 +142,63 @@ object LayoutOps {
              |WHERE e.user_id IS NOT NULL
              |GROUP BY 1 ORDER BY c_mktsegment NULLS FIRST""".stripMargin)),
 
+    // RF36 — IVM refresh differential fuzz: 3 seeded instances of 2000
+    // generated facts (key = i%50, value from md5 bits) split 4:1 into
+    // base/delta, joined to a 55-key dimension and refreshed through
+    // the mergeable-aggregate kernel; five extra delta rows carry keys
+    // 50..54 that NO base row has, so groups BORN in the delta exercise
+    // the outer-merge path (a naive inner merge would drop them). The
+    // oracle is the full recompute over the identical generated data.
+    Q("rf36_ivm_fuzz",
+      (s, dir) => {
+        import graft.operators.IncrementalAgg
+        import graft.operators.IncrementalAgg.AggSpec
+        val insts = Seq(0L, 100L, 200L).map { off =>
+          val facts = s.range(1, 2001).select(
+            pmod(col("id"), lit(50)).as("k"),
+            conv(substring(md5(concat(lit(s"V$off:"),
+              col("id").cast(StringType))), 1, 6), 16, 10)
+              .cast(LongType).as("v"),
+            col("id"))
+          val extra = s.range(0, 5).select((col("id") + 50L).as("k"),
+            (col("id") * 11L + off).as("v"), (col("id") + 10000L).as("id"))
+          val dim = s.range(0, 55).select(col("id").as("k"),
+            pmod(col("id"), lit(7)).as("grp"))
+          def joined(f: DataFrame) = f.join(dim, "k")
+          val keys = Seq("grp")
+          val aggs = Seq(AggSpec("v", "sum", "sum_v"),
+            AggSpec("v", "count", "n"), AggSpec("v", "max", "max_v"))
+          val stored = IncrementalAgg.aggregate(
+            joined(facts.filter(col("id") % 5 =!= 0)), keys, aggs)
+          val delta = joined(facts.filter(col("id") % 5 === 0)
+            .unionByName(extra))
+          IncrementalAgg.refresh(stored, delta, keys, aggs)
+            .withColumn("seedoff", lit(off))
+        }
+        insts.reduce(_.unionByName(_))
+          .select("seedoff", "grp", "sum_v", "n", "max_v")
+          .orderBy("seedoff", "grp")
+      },
+      Some {
+        val per = Seq(0L, 100L, 200L).map { off =>
+          s"""SELECT CAST($off AS BIGINT) AS seedoff, grp,
+             |  CAST(SUM(v) AS BIGINT) AS sum_v, COUNT(v) AS n,
+             |  CAST(MAX(v) AS BIGINT) AS max_v
+             |FROM (
+             |  SELECT i % 50 AS k,
+             |    CAST(('0x' || substr(md5('V$off:' || CAST(i AS VARCHAR)), 1, 6))
+             |      AS BIGINT) AS v
+             |  FROM generate_series(1, 2000) _g(i)
+             |  UNION ALL
+             |  SELECT j + 50, j * 11 + $off FROM generate_series(0, 4) _e(j)) f
+             |JOIN (SELECT k, k % 7 AS grp
+             |      FROM generate_series(0, 54) _d(k)) d USING (k)
+             |GROUP BY 1, 2""".stripMargin
+        }
+        per.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) ORDER BY seedoff, grp")
+      }),
+
     // SCD type-2 dimension history from a changelog: per-key validity
     // intervals, half-open [valid_from, valid_to), NULL while current —
     // the oracle recomputes the same LEAD window

@@ -130,7 +130,9 @@ BOUNDED_PREFIXES = (
     # unigram fuzz: generated sf-independent word sets
     "rf35",
     # quarantine apply: one scan + event_id window
-    "dq8")
+    "dq8",
+    # weighted median: price-grain windows; IVM fuzz: generated data
+    "a12", "rf36")
 
 
 def main():

@@ -96,8 +96,15 @@ object DsirSelection {
     */
   def resample(scored: DataFrame): DataFrame = {
     val mx = scored.agg(max(col("score_pm")).as("max_pm"))
+    // greatest(max_pm, 1) guards the degenerate all-zero-score corpus:
+    // without it the division is null in non-ANSI Spark (silently
+    // selecting nothing) while DuckDB's // diverges. With the guard the
+    // semantics are DEFINED and engine-identical: max_pm <= 0 means
+    // every accept_pm <= 0, so the resample selects nothing, loudly
+    // visible in the emitted accept_pm column rather than via nulls.
     scored.crossJoin(broadcast(mx))
-      .withColumn("accept_pm", expr("CAST(score_pm * 1000 div max_pm AS BIGINT)"))
+      .withColumn("accept_pm",
+        expr("CAST(score_pm * 1000 div greatest(max_pm, 1) AS BIGINT)"))
       .withColumn("draw_pm",
         expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)),1,4),16,10) AS BIGINT) % 1000"))
       .filter(col("draw_pm") < col("accept_pm"))

@@ -77,11 +77,17 @@ object RankMetrics {
     g.withColumn("tp", sum(col("np")).over(above))
       .withColumn("fp", sum(col("nn")).over(above))
       .crossJoin(tot)
+      // permille products in Decimal(38,0) like aucPermille: tp*1000
+      // wraps int64 silently past ~9.2e15 positives in non-ANSI Spark
+      // while the oracle's HUGEINT promotes — the fe4/tx11 class
       .select(col("threshold"), col("tp"), col("fp"),
         (col("pos") - col("tp")).as("fn"),
-        expr("tp * 1000 div (tp + fp)").as("precision_pm"),
-        expr("tp * 1000 div pos").as("recall_pm"),
-        expr("2 * tp * 1000 div (2 * tp + fp + (pos - tp))").as("f1_pm"))
+        expr("CAST(CAST(tp AS DECIMAL(38,0)) * 1000 div (tp + fp) AS BIGINT)")
+          .as("precision_pm"),
+        expr("CAST(CAST(tp AS DECIMAL(38,0)) * 1000 div pos AS BIGINT)")
+          .as("recall_pm"),
+        expr("""CAST(2 * CAST(tp AS DECIMAL(38,0)) * 1000
+                div (2 * tp + fp + (pos - tp)) AS BIGINT)""").as("f1_pm"))
       .orderBy("threshold")
   }
 }

@@ -648,9 +648,9 @@ object ScanOps {
              |  FROM g),
              |tot AS (SELECT CAST(sum(np) AS BIGINT) AS pos FROM g)
              |SELECT threshold, tp, fp, pos - tp AS fn,
-             |  CAST(tp * 1000 // (tp + fp) AS BIGINT) AS precision_pm,
-             |  CAST(tp * 1000 // pos AS BIGINT) AS recall_pm,
-             |  CAST(2 * tp * 1000 // (2 * tp + fp + (pos - tp)) AS BIGINT) AS f1_pm
+             |  CAST(CAST(tp AS HUGEINT) * 1000 // (tp + fp) AS BIGINT) AS precision_pm,
+             |  CAST(CAST(tp AS HUGEINT) * 1000 // pos AS BIGINT) AS recall_pm,
+             |  CAST(2 * CAST(tp AS HUGEINT) * 1000 // (2 * tp + fp + (pos - tp)) AS BIGINT) AS f1_pm
              |FROM cum, tot ORDER BY threshold""".stripMargin)),
 
     // CUR11 — domain reweighting in the DoReMi shape (Xie et al. 2023,
@@ -677,12 +677,16 @@ object ScanOps {
         val b = src.crossJoin(g)
           .withColumn("deficit_pm",
             greatest(lit(0L), col("gmean") - col("mean_lm_pm")))
-          .withColumn("wraw", col("tokens") * (lit(1000L) + col("deficit_pm")))
+          // wraw = tokens x (1000 + deficit) and its x1e6 ppm scaling
+          // wrap int64 at ~1e13-token corpora: Decimal(38,0) internals
+          // per the repo convention (HUGEINT in the oracle)
+          .withColumn("wraw", col("tokens").cast(DecimalType(38, 0)) *
+            (lit(1000L) + col("deficit_pm")))
         val tot = broadcast(b.agg(sum(col("wraw")).as("wtot")))
         b.crossJoin(tot)
           .select(col("source"), col("docs"), col("tokens"),
             col("mean_lm_pm"), col("deficit_pm"),
-            expr("wraw * 1000000 div wtot").as("weight_ppm"))
+            expr("CAST(wraw * 1000000 div wtot AS BIGINT)").as("weight_ppm"))
           .orderBy(asc_nulls_first("source"))
       },
       Some(s"""WITH $lmPrelude,
@@ -695,9 +699,9 @@ object ScanOps {
              |g AS (SELECT CAST(SUM(lm_pm) // count(*) AS BIGINT) AS gmean FROM per),
              |bw AS (SELECT source, docs, tokens, mean_lm_pm,
              |    greatest(0, gmean - mean_lm_pm) AS deficit_pm,
-             |    tokens * (1000 + greatest(0, gmean - mean_lm_pm)) AS wraw
+             |    CAST(tokens AS HUGEINT) * (1000 + greatest(0, gmean - mean_lm_pm)) AS wraw
              |  FROM src, g),
-             |tot AS (SELECT CAST(SUM(wraw) AS BIGINT) AS wtot FROM bw)
+             |tot AS (SELECT CAST(SUM(wraw) AS HUGEINT) AS wtot FROM bw)
              |SELECT source, docs, tokens, mean_lm_pm,
              |  CAST(deficit_pm AS BIGINT) AS deficit_pm,
              |  CAST(wraw * 1000000 // wtot AS BIGINT) AS weight_ppm
@@ -716,9 +720,15 @@ object ScanOps {
       (s, dir) => {
         val docs = t(s, dir, "documents").select("doc_id", "source", "text")
         val ch = Dedup.contentDefinedChunks(docs, "doc_id", "text")
+        // grank = global (doc_id, chunk_idx) occurrence rank, packed with
+        // a 2^32 stride in Decimal(38,0): chunk_idx is posexplode-derived
+        // (< 2^31 always), and the Decimal width keeps any int64 doc_id
+        // collision-free — a 1e6 stride in BIGINT collides once a doc
+        // exceeds 1e6 chunks (~16 MB of text) and wraps past doc_id 9.2e12
         val occ = ch.select(col("source"), md5(col("chunk")).as("fp"),
           length(col("chunk")).cast(LongType).as("len"),
-          (col("doc_id") * 1000000L + col("chunk_idx")).as("grank"))
+          (col("doc_id").cast(DecimalType(38, 0)) * 4294967296L +
+            col("chunk_idx")).as("grank"))
         // first occurrence via a window over fp, NOT a groupBy + self-
         // join: the join form re-chunks the whole corpus for the
         // aggregate side (two full scans in the plan); the window is
@@ -743,7 +753,7 @@ object ScanOps {
              |           + 29791*ascii(text[j-3])) % 16 = 0] || [n])) AS cut
              |  FROM d),
              |occ AS (SELECT source, md5(chunk) AS fp, length(chunk) AS len,
-             |    doc_id * 1000000 + i AS grank
+             |    CAST(doc_id AS HUGEINT) * 4294967296 + i AS grank
              |  FROM (SELECT doc_id, source, i,
              |          text[CASE WHEN i=1 THEN 1 ELSE cut[i-1]+1 END : cut[i]] AS chunk
              |        FROM cuts,
@@ -773,7 +783,9 @@ object ScanOps {
         val ch = Dedup.contentDefinedChunks(docs, "doc_id", "text")
           .select(col("doc_id"), col("chunk_idx"), col("chunk"),
             md5(col("chunk")).as("fp"),
-            (col("doc_id") * 1000000L + col("chunk_idx")).as("grank"))
+            // 2^32-stride Decimal rank — same collision-free packing as dd21
+            (col("doc_id").cast(DecimalType(38, 0)) * 4294967296L +
+              col("chunk_idx")).as("grank"))
         val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
         ch.withColumn("keep", col("grank") === min(col("grank")).over(w))
           .groupBy("doc_id")
@@ -794,7 +806,7 @@ object ScanOps {
              |           + 29791*ascii(text[j-3])) % 16 = 0] || [n])) AS cut
              |  FROM d),
              |occ AS (SELECT doc_id, i AS chunk_idx, chunk, md5(chunk) AS fp,
-             |    doc_id * 1000000 + i AS grank
+             |    CAST(doc_id AS HUGEINT) * 4294967296 + i AS grank
              |  FROM (SELECT doc_id, i,
              |          text[CASE WHEN i=1 THEN 1 ELSE cut[i-1]+1 END : cut[i]] AS chunk
              |        FROM cuts,

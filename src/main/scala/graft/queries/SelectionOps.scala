@@ -111,7 +111,8 @@ object SelectionOps {
   /** SQL replay of [[dsirSelected]]'s draw and acceptance threshold. */
   private val drawSql =
     "CAST(CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,4)) AS UBIGINT) % 1000 AS BIGINT)"
-  private val acceptSql = "CAST(score_pm * 1000 // max_pm AS BIGINT)"
+  private val acceptSql =
+    "CAST(score_pm * 1000 // greatest(max_pm, 1) AS BIGINT)"
 
   def all: Seq[Q] = Seq(
 

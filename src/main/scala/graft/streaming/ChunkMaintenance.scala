@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
 
 import graft.operators.Dedup
 
@@ -35,7 +35,7 @@ final class ChunkMaintenance(spark: SparkSession) {
     java.util.Collections.emptyList[Row](),
     StructType(Seq(
       StructField("fp", StringType, nullable = false),
-      StructField("first_rank", LongType, nullable = false),
+      StructField("first_rank", DecimalType(38, 0), nullable = false),
       StructField("copies", LongType, nullable = false),
       StructField("chunk_len", LongType, nullable = false))))
 
@@ -49,7 +49,11 @@ final class ChunkMaintenance(spark: SparkSession) {
     val delta = Dedup.contentDefinedChunks(
         docs.select(col("doc_id"), col("text")), "doc_id", "text")
       .select(md5(col("chunk")).as("fp"),
-        (col("doc_id") * 1000000L + col("chunk_idx")).as("grank"),
+        // 2^32-stride Decimal(38,0) rank: collision-free for any int64
+        // doc_id (chunk_idx is posexplode-derived, always < 2^31) — the
+        // same packing dd21/dd22 use, so stream == batch attribution
+        (col("doc_id").cast(DecimalType(38, 0)) * 4294967296L +
+          col("chunk_idx")).as("grank"),
         length(col("chunk")).cast(LongType).as("chunk_len"))
       .groupBy("fp")
       .agg(min(col("grank")).as("first_rank"),

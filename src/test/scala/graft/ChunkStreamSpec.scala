@@ -23,13 +23,15 @@ class ChunkStreamSpec extends SparkSpec {
         Tables.load(spark, sf, "documents").select("doc_id", "text"),
         "doc_id", "text")
       .select(md5(col("chunk")).as("fp"),
-        (col("doc_id") * 1000000L + col("chunk_idx")).as("grank"),
+        (col("doc_id").cast("decimal(38,0)") * 4294967296L +
+          col("chunk_idx")).as("grank"),
         length(col("chunk")).cast("long").as("chunk_len"))
       .groupBy("fp")
       .agg(min("grank").as("first_rank"), count(lit(1)).as("copies"),
         min("chunk_len").as("chunk_len"))
       .collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .map(r => r.getString(0) ->
+        ((r.getDecimal(1).toBigInteger, r.getLong(2), r.getLong(3))))
       .toMap
 
   test("streamed chunk index == batch index under different batchings") {
@@ -50,7 +52,7 @@ class ChunkStreamSpec extends SparkSpec {
         }
         val got = cm.index.collect()
           .map(r => r.getString(0) ->
-            ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+            ((r.getDecimal(1).toBigInteger, r.getLong(2), r.getLong(3)))).toMap
         assert(got === expected, s"index diverged at $nBatches batches")
       } finally q.stop()
     }

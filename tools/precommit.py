@@ -88,6 +88,15 @@ def main():
         m = re.search(r"== (\d+) pass, (\d+) fail ==", out)
         if not m or m.group(2) != "0":
             raise SystemExit("[precommit] RED — oracle check failed")
+        # a misspelled name (or a Verify run that wrote no dumps) makes
+        # --present-only skip everything and report "0 pass, 0 fail" —
+        # GREEN having verified nothing. Require one pass per requested
+        # name so absence is as loud as failure.
+        want = len(set(names))
+        if int(m.group(1)) != want:
+            raise SystemExit(f"[precommit] RED — {m.group(1)} rows passed "
+                             f"but {want} were requested; a name is "
+                             "misspelled or its dump was not written")
     staleness_report()
     print("[precommit] GREEN — safe to commit", flush=True)
 

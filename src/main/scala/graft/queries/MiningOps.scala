@@ -481,38 +481,14 @@ object MiningOps {
             .join(pe.select("user_id", "d").distinct(),
               Seq("user_id", "d"), "left_anti")
             .select(lit("START").as("src"), lit("CONV").as("dst")))
+        // channels are DERIVED from the transition data (bounded by the
+        // spark.graft.attribution.maxChannels seatbelt), not hardcoded:
+        // a new event type flows into the matrix instead of silently
+        // dropping out of attribution (AttributionSpec plants one)
         val cnt = trs.groupBy("src", "dst").agg(count(lit(1)).as("c"))
-          .collect()
-          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-        val chans = Seq("click", "error", "signup", "view")
-        val states = "START" +: chans
-        val rowsum = states.map(st =>
-          st -> cnt.collect { case ((a, _), c) if a == st => c }.sum).toMap
-        val p = cnt.collect { case ((a, b), c) if rowsum.getOrElse(a, 0L) > 0 =>
-          (a, b) -> c * 1000000L / rowsum(a)
-        }
-        def absorb(removed: Option[String]): Long = {
-          var v = (states.map(_ -> 0L) ++
-            Seq("CONV" -> 1000000L, "NULL" -> 0L)).toMap ++
-            removed.map(_ -> 0L)
-          for (_ <- 1 to 15) {
-            val nv = states.filterNot(removed.contains).map { st =>
-              st -> p.collect { case ((a, b), pp) if a == st => pp * v(b) }
-                .sum / 1000000L
-            }.toMap
-            v = v ++ nv ++ removed.map(_ -> 0L)
-          }
-          v("START")
-        }
-        val base = absorb(None)
-        val rem = chans.map(c => c -> absorb(Some(c)))
-        val sumRe = rem.map { case (_, r) => math.max(base - r, 0L) }.sum
-        val rows = ("BASE", base, 0L, 0L) +: rem.map { case (c, r) =>
-          val re = math.max(base - r, 0L)
-          (c, r, re, if (sumRe > 0) re * 1000000L / sumRe else 0L)
-        }
-        rows.toDF("variant", "conv_ppm", "re_ppm", "attr_ppm")
-          .orderBy("variant")
+        graft.operators.Attribution.removalEffects(cnt,
+          maxChannels =
+            s.conf.get("spark.graft.attribution.maxChannels", "64").toInt)
       },
       Some(pm3OracleSql)),
 

@@ -59,4 +59,109 @@ object IncrementalAgg {
       .unionByName(deltaAgg.select(storedAgg.columns.map(col).toIndexedSeq: _*))
       .groupBy(keys.map(col): _*).agg(combined.head, combined.tail: _*)
   }
+
+  /** Stored state of an incrementally maintained JOIN view
+    * `agg(F ⋈ D) GROUP BY dim attrs` — the classic IVM star-view:
+    *
+    *  - `keyAgg`: the fact sub-aggregate at JOIN-KEY grain (`aggregate
+    *    (F, joinKeys, aggs)`) — the reusable "partial view" of IVM
+    *    delta algebra. Bounded by distinct join keys, i.e. the same
+    *    size a shuffled join would have to materialize anyway;
+    *  - `dim`: the current dimension table;
+    *  - `view`: the published aggregate at dimension-attribute grain.
+    *
+    * All three are plain frames, so the state is re-storable: write
+    * them out, read them back, refresh again.
+    */
+  final case class JoinView(keyAgg: DataFrame, dim: DataFrame,
+      view: DataFrame)
+
+  /** Build the initial [[JoinView]] for `agg(facts ⋈ dim) GROUP BY
+    * groupCols` (inner join on `joinKeys`; `groupCols` must be DIMENSION
+    * attribute columns — the delta algebra below relies on groups being
+    * dim-derived).
+    */
+  def buildJoinView(facts: DataFrame, dim: DataFrame, joinKeys: Seq[String],
+      groupCols: Seq[String], aggs: Seq[AggSpec]): JoinView = {
+    val keyAgg = aggregate(facts, joinKeys, aggs)
+    JoinView(keyAgg, dim, viewOf(keyAgg, dim, joinKeys, groupCols, aggs))
+  }
+
+  private def viewOf(keyAgg: DataFrame, dim: DataFrame,
+      joinKeys: Seq[String], groupCols: Seq[String],
+      aggs: Seq[AggSpec]): DataFrame = {
+    val combined = aggs.map(a => combinePass(a.fn, col(a.out)).as(a.out))
+    keyAgg.join(dim, joinKeys)
+      .groupBy(groupCols.map(col): _*).agg(combined.head, combined.tail: _*)
+  }
+
+  /** null-safe equi-condition on shared column names between two aliased
+    * frames — group attributes can be NULL, and a plain equi-join would
+    * silently keep a NULL group's stale row forever.
+    */
+  private def nullSafeOn(l: String, r: String, cols: Seq[String]): Column =
+    cols.map(c => col(s"$l.$c") <=> col(s"$r.$c")).reduce(_ && _)
+
+  /** Changing-dimension refresh — the full IVM delta algebra for
+    * `agg(F ⋈ D)`: folds a fact delta (ΔF ⋈ D term) AND a dimension
+    * changelog (the F ⋈ ΔD and ΔF ⋈ ΔD terms inc2's static-dim refresh
+    * omits) into the stored view without rescanning stored facts.
+    *
+    * `dimChanges` carries the dim's columns plus `opCol` ('U' upsert /
+    * `deleteOp` delete), at most ONE row per join key (pre-collapse a
+    * multi-version changelog with [[Cdc.applyChangelog]]'s latest-first
+    * rule first). The refresh:
+    *
+    *  1. folds ΔF into `keyAgg` ([[refresh]] at join-key grain);
+    *  2. applies the changelog to `dim` (anti-join out changed keys,
+    *     union the non-delete rows);
+    *  3. derives the AFFECTED groups — every group an affected key
+    *     (touched by ΔF or ΔD) belonged to under the OLD dim or belongs
+    *     to under the NEW dim. Groups outside this set have identical
+    *     key membership and identical keyAgg rows, so their view rows
+    *     are untouched;
+    *  4. recomputes exactly the affected groups from `keyAgg' ⋈ dim'`
+    *     and splices them over the stored view (null-safe on group
+    *     attrs). Recomputing from the KEY-GRAIN sub-aggregate is what
+    *     makes min/max maintainable under retraction: a group that
+    *     loses its max key re-derives from the surviving keys' partials
+    *     — no fact rescan, which signed-delta algebras can't offer for
+    *     non-invertible aggregates.
+    *
+    * Cost at 100 TB: |ΔF| + one pass over keyAgg (key-grain, the join's
+    * own build side) + dim-grain and view-grain splices. The stored
+    * fact history is never read — IncrementalAggSpec proves the
+    * no-rescan property on real files.
+    */
+  def refreshJoinView(jv: JoinView, deltaFacts: DataFrame,
+      dimChanges: DataFrame, joinKeys: Seq[String], groupCols: Seq[String],
+      aggs: Seq[AggSpec], opCol: String = "op",
+      deleteOp: String = "D"): JoinView = {
+    val keyAgg2 = refresh(jv.keyAgg, deltaFacts, joinKeys, aggs)
+
+    val changedKeys = dimChanges.select(joinKeys.map(col): _*).distinct()
+    val dim2 = jv.dim.join(changedKeys, joinKeys, "left_anti")
+      .unionByName(dimChanges.filter(col(opCol) =!= lit(deleteOp))
+        .select(jv.dim.columns.map(col).toIndexedSeq: _*))
+
+    val affectedKeys = deltaFacts.select(joinKeys.map(col): _*)
+      .unionByName(changedKeys).distinct()
+    val affectedGroups = jv.dim.join(affectedKeys, joinKeys, "left_semi")
+      .select(groupCols.map(col): _*)
+      .unionByName(dim2.join(affectedKeys, joinKeys, "left_semi")
+        .select(groupCols.map(col): _*))
+      .distinct()
+
+    // recompute ONLY the affected groups: restrict the dim first so the
+    // key-grain join can broadcast the (usually tiny) affected slice
+    val dimAffected = dim2.alias("__dn")
+      .join(affectedGroups.alias("__ag"),
+        nullSafeOn("__dn", "__ag", groupCols), "left_semi")
+    val recomputed = viewOf(keyAgg2, dimAffected, joinKeys, groupCols, aggs)
+    val view2 = jv.view.alias("__vw")
+      .join(affectedGroups.alias("__ag"),
+        nullSafeOn("__vw", "__ag", groupCols), "left_anti")
+      .unionByName(recomputed)
+    JoinView(keyAgg2, dim2, view2)
+  }
 }

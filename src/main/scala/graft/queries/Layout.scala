@@ -110,8 +110,8 @@ object LayoutOps {
     // algebra): for a star-schema view agg(F ⋈ D) with a STATIC
     // dimension, the view delta is agg(dF ⋈ D) — only the fact DELTA is
     // joined and aggregated, never the stored base facts (the changing-
-    // dim case adds F ⋈ dD and dF ⋈ dD terms; the static-dim refresh is
-    // the overwhelmingly common warehouse shape). Composes inc1's
+    // dim F ⋈ dD and dF ⋈ dD terms are inc3's refreshJoinView; the
+    // static-dim refresh is the common warehouse fast path). Composes inc1's
     // mergeable-aggregate refresh with the delta join; the oracle is
     // the FULL recompute over all facts, so any error in the delta
     // algebra (double-counted rows, missed join partners) shows as a
@@ -193,6 +193,142 @@ object LayoutOps {
              |  SELECT j + 50, j * 11 + $off FROM generate_series(0, 4) _e(j)) f
              |JOIN (SELECT k, k % 7 AS grp
              |      FROM generate_series(0, 54) _d(k)) d USING (k)
+             |GROUP BY 1, 2""".stripMargin
+        }
+        per.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) ORDER BY seedoff, grp")
+      }),
+
+    // INC3 — CHANGING-dimension join-view maintenance, the full IVM
+    // delta algebra (F ⋈ dD and dF ⋈ dD terms inc2 omits): the stored
+    // view of events ⋈ customer by segment absorbs a fact delta AND a
+    // dimension changelog — every 13th customer moves to a synthetic
+    // segment, every (13k+5)th is deleted — via
+    // IncrementalAgg.refreshJoinView: key-grain sub-aggregate fold +
+    // affected-group recompute, never rescanning stored facts (the SCD
+    // churn cd2 models, now maintained instead of merely historized).
+    // min/max ride along to prove the non-invertible-aggregate path: a
+    // segment that loses its max customer re-derives from key-grain
+    // partials. Oracle = the FULL recompute over all facts against the
+    // post-churn dimension, so any error in the delta algebra (stale
+    // group rows, dropped retractions, missed moves) shows directly.
+    Q("inc3_dim_churn",
+      (s, dir) => {
+        import graft.operators.IncrementalAgg
+        import graft.operators.IncrementalAgg.AggSpec
+        val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+          .select(col("user_id"), col("event_id"),
+            cents(col("value")).as("v_c"))
+        val dimOld = t(s, dir, "customer")
+          .select(col("c_custkey").as("user_id"),
+            col("c_mktsegment").as("seg"))
+        val keys = Seq("user_id")
+        val groups = Seq("seg")
+        val aggs = Seq(AggSpec("v_c", "sum", "val_c"),
+          AggSpec("v_c", "count", "n_events"),
+          AggSpec("v_c", "min", "min_v"), AggSpec("v_c", "max", "max_v"))
+        val jv = IncrementalAgg.buildJoinView(
+          ev.filter(col("event_id") % 7 =!= 0).select("user_id", "v_c"),
+          dimOld, keys, groups, aggs)
+        val dimChanges = dimOld
+          .filter(col("user_id") % 13 === 0 || col("user_id") % 13 === 5)
+          .select(col("user_id"),
+            when(col("user_id") % 13 === 0,
+              concat(lit("MOVED-"), (col("user_id") % 3).cast(StringType)))
+              .otherwise(col("seg")).as("seg"),
+            when(col("user_id") % 13 === 5, lit("D")).otherwise(lit("U"))
+              .as("op"))
+        IncrementalAgg.refreshJoinView(jv,
+            ev.filter(col("event_id") % 7 === 0).select("user_id", "v_c"),
+            dimChanges, keys, groups, aggs)
+          .view.orderBy(asc_nulls_first("seg"))
+      },
+      Some("""WITH dimn AS (
+             |  SELECT c_custkey AS user_id,
+             |    CASE WHEN c_custkey % 13 = 0
+             |      THEN 'MOVED-' || CAST(c_custkey % 3 AS VARCHAR)
+             |      ELSE c_mktsegment END AS seg
+             |  FROM customer WHERE c_custkey % 13 <> 5)
+             |SELECT seg,
+             |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS val_c,
+             |  COUNT(value) AS n_events,
+             |  CAST(MIN(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS min_v,
+             |  CAST(MAX(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS max_v
+             |FROM events e JOIN dimn d ON e.user_id = d.user_id
+             |WHERE e.user_id IS NOT NULL
+             |GROUP BY 1 ORDER BY seg NULLS FIRST""".stripMargin)),
+
+    // RF37 — dimension-churn IVM fuzz (rf36's sibling for
+    // refreshJoinView): 3 seeded instances of 2000 generated facts over
+    // a 55-key dimension, refreshed through the changing-dim kernel
+    // with all three churn arms at once — keys MOVED to a group born in
+    // the delta (k%11=0 → grp+100), keys DELETED while still receiving
+    // delta facts (k%11=3 — their facts must vanish from the view), and
+    // dim keys BORN with the changelog (55..57) whose only facts arrive
+    // in the delta. min/max ride along so a group losing its max key
+    // exercises the key-grain re-derivation. Oracle = full recompute of
+    // the identical generated data against the post-churn dimension.
+    Q("rf37_ivm_dim_fuzz",
+      (s, dir) => {
+        import graft.operators.IncrementalAgg
+        import graft.operators.IncrementalAgg.AggSpec
+        val insts = Seq(0L, 100L, 200L).map { off =>
+          val facts = s.range(1, 2001).select(
+            pmod(col("id"), lit(50)).as("k"),
+            conv(substring(md5(concat(lit(s"W$off:"),
+              col("id").cast(StringType))), 1, 6), 16, 10)
+              .cast(LongType).as("v"),
+            col("id"))
+          val extra = s.range(0, 3).select((col("id") + 55L).as("k"),
+            (col("id") * 13L + off).as("v"), (col("id") + 10000L).as("id"))
+          val dimOld = s.range(0, 55).select(col("id").as("k"),
+            pmod(col("id"), lit(7)).as("grp"))
+          val moved = s.range(0, 55).filter(col("id") % 11 === 0)
+            .select(col("id").as("k"),
+              (pmod(col("id"), lit(7)) + 100L).as("grp"), lit("U").as("op"))
+          val deleted = s.range(0, 55).filter(col("id") % 11 === 3)
+            .select(col("id").as("k"), pmod(col("id"), lit(7)).as("grp"),
+              lit("D").as("op"))
+          val born = s.range(55, 58).select(col("id").as("k"),
+            when(col("id") % 11 === 0, pmod(col("id"), lit(7)) + 100L)
+              .otherwise(pmod(col("id"), lit(7))).as("grp"),
+            lit("U").as("op"))
+          val keys = Seq("k")
+          val groups = Seq("grp")
+          val aggs = Seq(AggSpec("v", "sum", "sum_v"),
+            AggSpec("v", "count", "n"), AggSpec("v", "min", "min_v"),
+            AggSpec("v", "max", "max_v"))
+          val jv = IncrementalAgg.buildJoinView(
+            facts.filter(col("id") % 5 =!= 0).select("k", "v"),
+            dimOld, keys, groups, aggs)
+          val delta = facts.filter(col("id") % 5 === 0).select("k", "v")
+            .unionByName(extra.select("k", "v"))
+          IncrementalAgg.refreshJoinView(jv, delta,
+              moved.unionByName(deleted).unionByName(born),
+              keys, groups, aggs)
+            .view.withColumn("seedoff", lit(off))
+        }
+        insts.reduce(_.unionByName(_))
+          .select("seedoff", "grp", "sum_v", "n", "min_v", "max_v")
+          .orderBy("seedoff", "grp")
+      },
+      Some {
+        val per = Seq(0L, 100L, 200L).map { off =>
+          s"""SELECT CAST($off AS BIGINT) AS seedoff, grp,
+             |  CAST(SUM(v) AS BIGINT) AS sum_v, COUNT(v) AS n,
+             |  CAST(MIN(v) AS BIGINT) AS min_v,
+             |  CAST(MAX(v) AS BIGINT) AS max_v
+             |FROM (
+             |  SELECT i % 50 AS k,
+             |    CAST(('0x' || substr(md5('W$off:' || CAST(i AS VARCHAR)), 1, 6))
+             |      AS BIGINT) AS v
+             |  FROM generate_series(1, 2000) _g(i)
+             |  UNION ALL
+             |  SELECT j + 55, j * 13 + $off FROM generate_series(0, 2) _e(j)) f
+             |JOIN (SELECT k,
+             |        CASE WHEN k % 11 = 0 THEN k % 7 + 100 ELSE k % 7 END AS grp
+             |      FROM generate_series(0, 57) _d(k)
+             |      WHERE k % 11 <> 3) d USING (k)
              |GROUP BY 1, 2""".stripMargin
         }
         per.mkString("SELECT * FROM (\n", "\nUNION ALL\n",

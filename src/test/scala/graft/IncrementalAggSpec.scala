@@ -69,6 +69,98 @@ class IncrementalAggSpec extends SparkSpec {
     assert(rows(day2) === rows(IncrementalAgg.aggregate(li, keys, aggs)))
   }
 
+  test("changing-dim refresh equals full recompute across all churn arms") {
+    val keysK = Seq("k")
+    val groups = Seq("g")
+    val baseFacts = Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L), (4L, 100L))
+      .toDF("k", "v")
+    // delta touches a surviving key, a deleted key, and a born key
+    val deltaFacts = Seq((2L, 50L), (3L, 1L), (9L, 33L)).toDF("k", "v")
+    val dimOld = Seq((1L, "g1"), (2L, "g1"), (3L, "g2"), (4L, "g2"),
+      (5L, "g3")).toDF("k", "g")
+    // churn: key 4 MOVES g2→g1 (g2 loses its max=100 — the
+    // non-invertible retraction), key 3 DELETED while still receiving
+    // delta facts, key 9 BORN into a brand-new group
+    val changes = Seq((4L, "g1", "U"), (3L, "g2", "D"), (9L, "g9", "U"))
+      .toDF("k", "g", "op")
+    val jv = IncrementalAgg.buildJoinView(baseFacts, dimOld, keysK, groups, aggs)
+    val out = IncrementalAgg.refreshJoinView(jv, deltaFacts, changes,
+      keysK, groups, aggs)
+    val dimNew = Seq((1L, "g1"), (2L, "g1"), (4L, "g1"), (5L, "g3"),
+      (9L, "g9")).toDF("k", "g")
+    val full = IncrementalAgg.buildJoinView(
+      baseFacts.unionByName(deltaFacts), dimNew, keysK, groups, aggs).view
+    assert(rows(out.view) === rows(full))
+    // g2 lost key 3 (deleted) and key 4 (moved): the group must VANISH,
+    // not linger as a stale row
+    assert(out.view.filter(col("g") === "g2").count() === 0)
+    // the returned state is re-storable: a fact-only second refresh
+    // folds onto the churned state and still equals the recompute
+    val more = Seq((9L, 1L)).toDF("k", "v")
+    val out2 = IncrementalAgg.refreshJoinView(out, more, changes.limit(0),
+      keysK, groups, aggs)
+    val full2 = IncrementalAgg.buildJoinView(
+      baseFacts.unionByName(deltaFacts).unionByName(more), dimNew,
+      keysK, groups, aggs).view
+    assert(rows(out2.view) === rows(full2))
+  }
+
+  test("NULL group attributes splice null-safely") {
+    val facts = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    val dimOld = Seq((1L, Option.empty[String]), (2L, Some("g")))
+      .toDF("k", "g")
+    val jv = IncrementalAgg.buildJoinView(facts, dimOld, Seq("k"),
+      Seq("g"), aggs)
+    // key 2 moves INTO the NULL group: a plain equi-splice would keep
+    // the old NULL row beside the recomputed one (NULL <> NULL)
+    val changes = Seq((2L, Option.empty[String], "U")).toDF("k", "g", "op")
+    val out = IncrementalAgg.refreshJoinView(jv, facts.limit(0), changes,
+      Seq("k"), Seq("g"), aggs)
+    val nullRows = out.view.filter(col("g").isNull).collect()
+    assert(nullRows.length === 1, "exactly one NULL-group row")
+    assert(nullRows.head.getLong(1) === 30L)
+    assert(out.view.count() === 1)
+  }
+
+  test("changing-dim refresh plan never reads the base fact files") {
+    val tmp = java.nio.file.Files.createTempDirectory("incrjv").toString
+    val ev = Tables.load(spark, sf, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id").as("k"),
+        round(col("value") * 100).cast("long").as("v"))
+    ev.filter(col("k") % 2 === 0).write.parquet(s"$tmp/basefacts")
+    ev.filter(col("k") % 2 === 1).write.parquet(s"$tmp/delta")
+    val dim = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey").as("k"), col("c_mktsegment").as("g"))
+    dim.write.parquet(s"$tmp/dim")
+    val jv0 = IncrementalAgg.buildJoinView(
+      spark.read.parquet(s"$tmp/basefacts"), spark.read.parquet(s"$tmp/dim"),
+      Seq("k"), Seq("g"), aggs)
+    jv0.keyAgg.write.parquet(s"$tmp/keyagg")
+    jv0.view.write.parquet(s"$tmp/view")
+    val changes = spark.read.parquet(s"$tmp/dim")
+      .filter(col("k") % 10 === 0)
+      .select(col("k"), lit("MOVED").as("g"), lit("U").as("op"))
+    val stored = IncrementalAgg.JoinView(
+      spark.read.parquet(s"$tmp/keyagg"), spark.read.parquet(s"$tmp/dim"),
+      spark.read.parquet(s"$tmp/view"))
+    val refreshed = IncrementalAgg.refreshJoinView(stored,
+      spark.read.parquet(s"$tmp/delta"), changes, Seq("k"), Seq("g"), aggs)
+    val scanned = refreshed.view.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }.flatMap(_.relation.location.inputFiles)
+    assert(scanned.nonEmpty)
+    assert(!scanned.exists(_.contains("basefacts")),
+      s"changing-dim refresh must not rescan base facts; scanned: " +
+        scanned.mkString(", "))
+    val dimNew = dim.filter(!(col("k") % 10 === 0))
+      .unionByName(dim.filter(col("k") % 10 === 0)
+        .select(col("k"), lit("MOVED").as("g")))
+    val full = IncrementalAgg.buildJoinView(ev, dimNew,
+      Seq("k"), Seq("g"), aggs).view
+    assert(rows(refreshed.view) === rows(full))
+  }
+
   test("refresh plan reads only the stored aggregate and the delta files") {
     val tmp = java.nio.file.Files.createTempDirectory("incragg").toString
     val li = Tables.load(spark, sf, "lineitem").select(col("l_partkey").as("k"),

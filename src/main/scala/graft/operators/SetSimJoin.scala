@@ -106,6 +106,112 @@ object SetSimJoin {
         (col("_inter") * 1000L / col("_union")).cast(LongType).as("jaccard_pm"))
   }
 
+  /** Shared helpers for the R-S (probe) form. */
+
+  /** Frequency-ascending dense token order for the R-S join: corpus
+    * tokens rank 1..V by (corpus freq asc, token asc); tokens seen ONLY
+    * in the probe rank V+1.. (token asc). Prefix-filter correctness
+    * holds under ANY shared total order, and ranking probe-only tokens
+    * LAST is the choice that makes the corpus side REUSABLE: a corpus
+    * document contains no probe-only token, so its index arrays and
+    * prefixes are identical whatever the probe batch — post them once,
+    * probe many times (the standing decontamination-index posture).
+    */
+  private[graft] def rsVocab(corpus: DataFrame, probe: DataFrame,
+      idCol: String, tokensCol: String): DataFrame = {
+    val ss = corpus.sparkSession
+    import ss.implicits._
+    def toks(df: DataFrame) = df
+      .select(explode(array_distinct(col(tokensCol))).as("_tok"))
+    val base = toks(corpus)
+      .groupBy("_tok").agg(count(lit(1)).as("_freq"))
+      .orderBy(col("_freq"), col("_tok"))
+      .select(col("_tok")).as[String]
+      .rdd.zipWithIndex()
+      .map { case (t, i) => (t, i + 1L) }
+      .toDF("_tok", "_tidx")
+    // one vocabulary-grain row to the driver: the corpus rank ceiling
+    val vBase = base.agg(coalesce(max(col("_tidx")), lit(0L)))
+      .head().getLong(0)
+    val extra = toks(probe).distinct()
+      .join(base.select("_tok"), Seq("_tok"), "left_anti")
+      .orderBy(col("_tok"))
+      .select(col("_tok")).as[String]
+      .rdd.zipWithIndex()
+      .map { case (t, i) => (t, vBase + i + 1L) }
+      .toDF("_tok", "_tidx")
+    base.unionByName(extra)
+  }
+
+  /** (_id, _idx sorted index array, _sz, _prefix) under `vocab`. */
+  private def indexDocs(df: DataFrame, idCol: String, tokensCol: String,
+      vocab: DataFrame, tNum: Int, tDen: Int): DataFrame =
+    df.select(col(idCol).as("_id"),
+        array_distinct(col(tokensCol)).as("_toks"))
+      .filter(size(col("_toks")) > 0)
+      .select(col("_id"), explode(col("_toks")).as("_tok"))
+      .join(vocab, "_tok")
+      .groupBy("_id").agg(sort_array(collect_list(col("_tidx"))).as("_idx"))
+      .withColumn("_sz", size(col("_idx")))
+      .withColumn("_plen",
+        expr(s"_sz - ((_sz * $tNum + ${tDen - 1}) div $tDen) + 1"))
+      .withColumn("_prefix", slice(col("_idx"), lit(1), col("_plen")))
+
+  /** The probe side's posting table: exactly its |S|−⌈t·|S|⌉+1 prefix
+    * tokens per record, NEVER the full token set (package-visible so the
+    * spec can pin the prefix-bounded posting count).
+    */
+  private[graft] def probePostings(probe: DataFrame, idCol: String,
+      tokensCol: String, vocab: DataFrame, tNum: Int, tDen: Int): DataFrame =
+    indexDocs(probe, idCol, tokensCol, vocab, tNum, tDen)
+      .select(col("_id").as("pid"), col("_idx").as("_ip"),
+        col("_prefix").as("_pp"), explode(col("_prefix")).as("_ptok"))
+
+  /** EXACT R-S set-similarity PROBE join: every (probe, corpus) pair
+    * with Jaccard ≥ tNum/tDen — the decontamination / near-dup LOOKUP
+    * where the probe is a benchmark or a fresh crawl batch, not the
+    * corpus itself. A dedicated asymmetric kernel, not the
+    * union-through-the-self-join trick: the corpus posts its prefixes
+    * ONCE under its own token order (reusable across probe batches —
+    * probe-only tokens rank past the corpus ceiling, see [[rsVocab]]),
+    * the probe posts only its own prefixes, and corpus-internal /
+    * probe-internal candidate pairs are never generated. Same pigeonhole
+    * exactness as [[jaccardSelfJoin]] (J ≥ t ⇒ the smallest shared token
+    * lies in BOTH prefixes under any shared total order), same
+    * min-shared-prefix-token single emission, same integer verify, same
+    * maxBucket seatbelt on degenerate corpus prefix tokens (with the
+    * same completeness caveat).
+    *
+    * Returns (probe_id, corpus_id, jaccard_pm).
+    */
+  def jaccardProbeJoin(corpus: DataFrame, probe: DataFrame, idCol: String,
+      tokensCol: String, tNum: Int, tDen: Int,
+      maxBucket: Int = 100000): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be in (0,1]")
+    val vocab = rsVocab(corpus, probe, idCol, tokensCol)
+
+    val cBlocked = indexDocs(corpus, idCol, tokensCol, vocab, tNum, tDen)
+      .select(col("_id").as("cid"), col("_idx").as("_ic"),
+        col("_prefix").as("_pc"), explode(col("_prefix")).as("_ptok"))
+    val hot = cBlocked.groupBy("_ptok").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") > maxBucket).select("_ptok")
+    val cSafe = cBlocked.join(hot, Seq("_ptok"), "left_anti")
+
+    val pPost = probePostings(probe, idCol, tokensCol, vocab, tNum, tDen)
+
+    pPost.join(cSafe, "_ptok")
+      // emit each pair once: on the minimal token the two PREFIXES share
+      // (exactly the join-key domain)
+      .filter(col("_ptok") === array_min(array_intersect(col("_pp"), col("_pc"))))
+      .withColumn("_inter",
+        size(array_intersect(col("_ip"), col("_ic"))).cast(LongType))
+      .withColumn("_union",
+        (size(col("_ip")) + size(col("_ic"))).cast(LongType) - col("_inter"))
+      .filter(col("_inter") * tDen >= col("_union") * tNum)
+      .select(col("pid").as("probe_id"), col("cid").as("corpus_id"),
+        (col("_inter") * 1000L / col("_union")).cast(LongType).as("jaccard_pm"))
+  }
+
   /** DIRECTED exact containment self-join: every ordered pair (a, b),
     * a ≠ b, with |A∩B| ≥ (tNum/tDen)·|A| — "A is (mostly) contained in
     * B", the subset/quote relation Jaccard under-scores when A is much

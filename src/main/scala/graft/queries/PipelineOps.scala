@@ -861,26 +861,27 @@ object PipelineOps {
     // SJ3 — set-similarity PROBE join (the R-S form of sj1): find every
     // corpus document within Jaccard >= 7/10 of a probe set — the
     // lossless decontamination/near-dup LOOKUP, where the probe is a
-    // benchmark or a fresh crawl batch, not the corpus itself.
-    // Implemented by tagging probe ids past a sentinel offset, running
-    // the prefix-filtered SELF-join on the union (one shared global
-    // token order, exactness preserved), and keeping only cross-side
-    // pairs; a dedicated R-S prefix join would additionally skip
-    // corpus-internal candidate pairs — the union form trades that
-    // constant for reusing the proven kernel. Probe = every 17th doc,
-    // so each finds at least its own original at J = 1.
+    // benchmark or a fresh crawl batch, not the corpus itself. Runs the
+    // DEDICATED asymmetric kernel (SetSimJoin.jaccardProbeJoin): the
+    // corpus posts its prefixes once under its own token order
+    // (reusable across probe batches — probe-only tokens rank past the
+    // corpus ceiling), the probe posts only its |S|-ceil(t*|S|)+1
+    // prefix tokens (spec-pinned, SetSimJoinSpec), and corpus-internal
+    // candidate pairs are never generated — unlike the previous
+    // sentinel-offset union through the self-join kernel, which paid
+    // the full corpus x corpus posting discipline per probe batch.
+    // Probe = every 17th doc, so each finds at least its own original
+    // at J = 1.
     Q("sj3_jaccard_probe",
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val toks = docs.select(col("doc_id"),
           graft.operators.Corpus.words(col("text")).as("toks"))
         val probe = toks.filter(col("doc_id") % 17 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("toks"))
-        val pairs = graft.operators.SetSimJoin.jaccardSelfJoin(
-          toks.unionByName(probe), "doc_id", "toks", tNum = 7, tDen = 10)
-        pairs.filter(col("idb") >= 1000000L && col("ida") < 1000000L)
-          .select((col("idb") - 1000000L).as("probe_id"),
-            col("ida").as("corpus_id"), col("jaccard_pm").as("j_pm"))
+        graft.operators.SetSimJoin.jaccardProbeJoin(
+            toks, probe, "doc_id", "toks", tNum = 7, tDen = 10)
+          .select(col("probe_id"), col("corpus_id"),
+            col("jaccard_pm").as("j_pm"))
           .orderBy("probe_id", "corpus_id")
       },
       Some("""WITH s AS (SELECT doc_id,

@@ -121,6 +121,76 @@ class SetSimJoinSpec extends SparkSpec {
     assert(bruteContain(docs, 2, 3).nonEmpty)
   }
 
+  private def bruteProbe(corpus: Seq[(Long, Seq[String])],
+      probe: Seq[(Long, Seq[String])], tNum: Int, tDen: Int) =
+    (for {
+      (ip, tp) <- probe; (ic, tc) <- corpus
+      sp = tp.toSet; sc = tc.toSet
+      inter = (sp & sc).size.toLong
+      uni = (sp | sc).size.toLong
+      if inter * tDen >= uni * tNum
+    } yield (ip, ic, inter * 1000L / uni)).toSet
+
+  test("probe join: exact vs brute force, incl. probe-only tokens") {
+    val rnd = new scala.util.Random(47)
+    val universe = (1 to 35).map(i => s"t$i")
+    val corpus = (1L to 120L).map { i =>
+      val sz = 2 + rnd.nextInt(9)
+      i -> rnd.shuffle(universe).take(sz)
+    }
+    // probe overlaps the corpus and also carries tokens the corpus has
+    // NEVER seen (they rank past the corpus ceiling in the shared order)
+    val probe = (1000L to 1030L).map { i =>
+      val sz = 2 + rnd.nextInt(9)
+      i -> (rnd.shuffle(universe).take(sz) ++
+        (if (i % 3 == 0) Seq(s"new$i") else Nil))
+    } ++ Seq(2000L -> corpus.head._2) // an exact copy of a corpus doc
+    for ((tn, td) <- Seq((1, 2), (7, 10), (1, 1))) {
+      val got = SetSimJoin.jaccardProbeJoin(corpus.toDF("id", "toks"),
+        probe.toDF("id", "toks"), "id", "toks", tn, td)
+        .as[(Long, Long, Long)].collect().toSet
+      val want = bruteProbe(corpus, probe, tn, td)
+      assert(got == want, s"t=$tn/$td: got ${got.size}, want ${want.size}")
+    }
+    assert(bruteProbe(corpus, probe, 1, 2).nonEmpty)
+    // the exact copy finds its original at J = 1000
+    assert(bruteProbe(corpus, probe, 1, 1)
+      .contains((2000L, corpus.head._1, 1000L)))
+  }
+
+  test("probe join posts only prefix tokens on the probe side") {
+    val corpus = (1L to 60L).map(i =>
+      i -> Seq(s"t${i % 7}", s"t${i % 11}", s"t${i % 13}", s"t${i % 17}"))
+    val probe = (100L to 110L).map(i =>
+      i -> (1 to 10).map(j => s"t${(i + j) % 19}").distinct.toSeq)
+    val (tn, td) = (7, 10)
+    val vocab = SetSimJoin.rsVocab(corpus.toDF("id", "toks"),
+      probe.toDF("id", "toks"), "id", "toks")
+    val posted = SetSimJoin.probePostings(probe.toDF("id", "toks"),
+      "id", "toks", vocab, tn, td).count()
+    // prefix length = sz - ceil(t*sz) + 1 per probe record — the
+    // asymmetric kernel's whole point: NOT the full token set
+    def plen(sz: Int) = sz - ((sz * tn + td - 1) / td) + 1
+    val want = probe.map { case (_, ts) => plen(ts.distinct.size) }.sum
+    val fullTokens = probe.map(_._2.distinct.size).sum
+    assert(posted === want.toLong, "posting count must equal sum of prefix lengths")
+    assert(posted < fullTokens.toLong, "prefix-bounded, not full-token")
+  }
+
+  test("probe join: corpus order is probe-independent (index reusability)") {
+    val corpus = (1L to 40L).map(i => i -> Seq(s"c${i % 5}", s"c${i % 9}"))
+    val pA = Seq(500L -> Seq("c1", "c2"))
+    val pB = Seq(600L -> Seq("zz1", "zz2", "c1", "c2"))
+    // the corpus-token ranks must be identical whatever probe arrives:
+    // probe-only tokens always rank past the corpus ceiling
+    def corpusRanks(p: Seq[(Long, Seq[String])]) =
+      SetSimJoin.rsVocab(corpus.toDF("id", "toks"), p.toDF("id", "toks"),
+        "id", "toks")
+        .filter(col("_tok").startsWith("c"))
+        .as[(String, Long)].collect().toMap
+    assert(corpusRanks(pA) === corpusRanks(pB))
+  }
+
   test("containment: no cartesian, asymmetric pairs both directions") {
     val docs = Seq(1L -> Seq("a", "b"), 2L -> Seq("a", "b"),
       3L -> Seq("a", "b", "c"))

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.IncrementalAgg
+import graft.operators.IncrementalAgg.{AggSpec, JoinView}
+
+/** Streaming materialized-view maintenance — the standing-pipeline form
+  * of the inc1/inc2/inc3 batch refreshes: a fact stream folds into a
+  * join-view aggregate `agg(F ⋈ D) GROUP BY dim attrs` one micro-batch
+  * at a time (foreachBatch), and dimension changelogs can be applied
+  * between triggers; the published view is readable after any trigger.
+  *
+  * State is the [[IncrementalAgg.JoinView]] triple — the key-grain fact
+  * sub-aggregate (bounded by distinct join keys, the same size a
+  * shuffled join's build side would be), the current dimension, and the
+  * view. Per-trigger work is the trigger's own key-grain aggregate plus
+  * the affected-group splice; stored facts are never rescanned (the
+  * IncrementalAggSpec file proof). Kept behind a localCheckpoint per
+  * merge so lineage stays flat across arbitrarily many triggers — the
+  * iterative-loop discipline.
+  *
+  * Invariant (spec-gated): after any stream prefix, `view` equals the
+  * batch `buildJoinView` over every fact seen so far against the
+  * dimension as of now — however the stream was micro-batched and
+  * WHENEVER the dim deltas were interleaved, because the key-grain fold
+  * is associative/commutative and the affected-group recompute
+  * re-derives from the folded partials, not from arrival order.
+  */
+final class ViewMaintenance(spark: SparkSession, dim0: DataFrame,
+    joinKeys: Seq[String], groupCols: Seq[String], aggs: Seq[AggSpec]) {
+
+  @volatile private var state: JoinView = null
+  // empty frame with the FACT schema, captured at the first trigger so
+  // dim-delta refreshes can pass a typed empty fact delta
+  @volatile private var noFacts: DataFrame = null
+
+  /** The published view as of the last merged trigger (None before). */
+  def view: Option[DataFrame] = Option(state).map(_.view)
+
+  /** The key-grain sub-aggregate (inspection / persistence). */
+  def keyAgg: Option[DataFrame] = Option(state).map(_.keyAgg)
+
+  /** foreachBatch body — fold one trigger's facts into the view. */
+  def merge(facts: DataFrame): Unit = synchronized {
+    if (state == null) {
+      noFacts = facts.limit(0).localCheckpoint(eager = true)
+      state = checkpointed(IncrementalAgg.buildJoinView(facts, dim0,
+        joinKeys, groupCols, aggs))
+    } else if (!facts.isEmpty) {
+      state = checkpointed(IncrementalAgg.refreshJoinView(state, facts,
+        state.dim.limit(0).withColumn("op", lit("U")),
+        joinKeys, groupCols, aggs))
+    }
+  }
+
+  /** Apply a dimension changelog (dim columns + `op`, at most one row
+    * per key, 'U' upsert / 'D' delete) between triggers: the affected
+    * groups recompute from the folded key-grain partials — no fact
+    * rescan, no stream replay.
+    */
+  def applyDimDelta(changes: DataFrame): Unit = synchronized {
+    require(state != null, "fold at least one trigger before dim deltas")
+    state = checkpointed(IncrementalAgg.refreshJoinView(state, noFacts,
+      changes, joinKeys, groupCols, aggs))
+  }
+
+  private def checkpointed(jv: JoinView): JoinView =
+    JoinView(jv.keyAgg.localCheckpoint(eager = true),
+      jv.dim.localCheckpoint(eager = true),
+      jv.view.localCheckpoint(eager = true))
+
+  /** Wire a streaming fact frame into this handle; `.start()` to run. */
+  def attach(facts: DataFrame)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    facts.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) => merge(b) }
+}

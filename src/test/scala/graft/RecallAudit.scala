@@ -4,17 +4,20 @@ import org.apache.spark.sql.functions._
 import graft.operators.Similarity
 import graft.sources.Tables
 
-/** At-scale recall evidence for the two pruned (no-SQL-oracle) ANN
-  * queries, run against a ScaleUp replica:
+/** At-scale recall evidence for every pruned ANN operating point, run
+  * against a ScaleUp replica:
   *
   *   Test/runMain graft.RecallAudit <replicaDir> <outJson>
   *
-  * ss2 (LSH) and ss3 (IVF) are the registry's only rows the DuckDB
-  * referee cannot hash-check (pruned search is hash/centroid-specific);
-  * their recall@10 gates run in-spec at sf0.001 only. This audit
-  * re-measures recall at the replica scale with the SAME parameters the
-  * registered queries use (LSH nbits=4/seed=42/probe=1; IVF k=8/iters=3/
-  * nprobe=6), against the exact brute-force twin on the same corpus.
+  * Audited paths: ss2's LSH (nbits=4/seed=42/probe=1), the
+  * Lloyd-TRAINED IVF behind ss3 (k=8/iters=3/nprobe=6), the trained
+  * IVF+PQ composition behind ss7 (same coarse quantizer; PQ 8×16
+  * blocks, ADC pool rerank=20), and ss8's filtered path (exact within
+  * one label — recall must be exactly 1.0, so a partition/filter bug at
+  * replica scale fails the gate loudly). Each is measured against the
+  * exact brute-force twin on the same corpus. The registry rows
+  * hash-gate deterministic twins at sf0.01; the trained operating
+  * points' at-scale evidence lives here.
   *
   * The replica is itself the planted-near-neighbor construction: ScaleUp
   * copies every vector K times under offset ids, so each query's true
@@ -66,6 +69,39 @@ object RecallAudit {
         "embedding", "vec_id", q, 10, centroids, nprobe = 6))
         .intersect(exact(id)).size / 10.0)
     }
+    // ss7's composition at the TRAINED operating point: coarse-prune to
+    // nprobe cells, ADC-order the survivors, exact-rerank the top 20
+    val codebooks = Similarity.trainPqCodebooks(emb, "embedding", "vec_id",
+      nBlocks = 8, k = 16, iters = 3)
+    val ivfpq = queries.map { case (id, q) =>
+      val base = emb.filter(col("vec_id") =!= id)
+      val cand = Similarity.ivfCandidates(base, "embedding", "vec_id",
+        q, centroids, nprobe = 6)
+      id -> (topIds(Similarity.pqTopK(cand, "embedding", "vec_id", q, 10,
+        codebooks, rerank = 20).select("vec_id"))
+        .intersect(exact(id)).size / 10.0)
+    }
+    // ss8's filtered path: exact within one label, so its gate is
+    // EXACTLY 1.0 — measured as filter-before-rank (the pushed-filter
+    // scan ss8 runs) vs rank-before-filter (score every row, then
+    // restrict) on the replica. The two plans must agree including tie
+    // order; a pushed-filter or replica-id bug diverges them at scale.
+    val filtered = queries.map { case (id, q) =>
+      val lbl = id % 10
+      val pushed = topIds(Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") =!= id && col("label") === lbl),
+        "embedding", "vec_id", q, 10))
+      val qLit = array(q.map(x => lit(x)): _*)
+      val rankedThenFiltered = topIds(
+        emb.filter(col("vec_id") =!= id)
+          .select(col("vec_id"), col("label"),
+            graft.functions.VectorOps.cosineNative(col("embedding"), qLit)
+              .as("_cos"))
+          .filter(col("label") === lbl)
+          .orderBy(desc_nulls_last("_cos"), asc_nulls_first("vec_id"))
+          .limit(10).select("vec_id"))
+      id -> (pushed.intersect(rankedThenFiltered).size / 10.0)
+    }
 
     def stats(xs: Seq[(Long, Double)]): (Double, Double, String) = {
       val vals = xs.map(_._2)
@@ -74,23 +110,32 @@ object RecallAudit {
     }
     val (lshMean, lshMin, lshPer) = stats(lsh)
     val (ivfMean, ivfMin, ivfPer) = stats(ivf)
+    val (pqMean, pqMin, pqPer) = stats(ivfpq)
+    val (flMean, flMin, flPer) = stats(filtered)
     val gate = 0.9
-    val pass = lshMean >= gate && ivfMean >= gate
+    val pass = lshMean >= gate && ivfMean >= gate && pqMean >= gate &&
+      flMean == 1.0
     val head = scala.sys.process.Process(
       Seq("git", "rev-parse", "--short", "HEAD")).!!.trim
     val json =
       s"""{"metric":"ann_recall_audit","replica":"$dir","corpus_rows":$n,
          |"head":"$head","query_ids":[${queryIds.mkString(",")}],
          |"params":{"lsh":{"nbits":4,"seed":42,"probeHamming":1},
-         |"ivf":{"k":8,"iters":3,"nprobe":6}},
+         |"ivf":{"k":8,"iters":3,"nprobe":6},
+         |"ivfpq":{"k":8,"iters":3,"nprobe":6,"pqBlocks":8,"pqK":16,"rerank":20},
+         |"filtered":{"label":"query_id % 10","exact":true}},
          |"recall_at_10":{
          |"lsh":{"mean":$lshMean,"min":$lshMin,"per_query":$lshPer},
-         |"ivf":{"mean":$ivfMean,"min":$ivfMin,"per_query":$ivfPer}},
-         |"gate_mean":$gate,"pass":$pass}""".stripMargin.replace("\n", "")
+         |"ivf":{"mean":$ivfMean,"min":$ivfMin,"per_query":$ivfPer},
+         |"ivfpq":{"mean":$pqMean,"min":$pqMin,"per_query":$pqPer},
+         |"filtered":{"mean":$flMean,"min":$flMin,"per_query":$flPer}},
+         |"gate_mean":$gate,"filtered_gate":1.0,"pass":$pass}"""
+        .stripMargin.replace("\n", "")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     println(s"[recall] LSH mean=$lshMean min=$lshMin | " +
-      s"IVF mean=$ivfMean min=$ivfMin | corpus=$n rows -> $outPath")
+      s"IVF mean=$ivfMean min=$ivfMin | IVF+PQ mean=$pqMean min=$pqMin | " +
+      s"filtered mean=$flMean | corpus=$n rows -> $outPath")
     spark.stop()
     if (!pass) sys.exit(1)
   }

@@ -138,10 +138,18 @@ def main():
         step("replica audit 100x (bounded)",
              [sys.executable, "tools/replica_audit.py", "/tmp/sfx100",
               "--bounded"])
+        # the 100x recall audit regenerates WITH the rest of the snapshot
+        # so its head can never trail the other artifacts (the round-10
+        # staleness finding: it was manual and stopped at 10x)
+        step("ANN recall audit 100x (lsh/ivf/ivfpq/filtered)",
+             ["sbt", "-batch",
+              "Test/runMain graft.RecallAudit /tmp/sfx100 "
+              "RECALL_AUDIT_100x.json"])
     if args.bench:
         step("benchscale", [sys.executable, "tools/benchscale.py"])
     print("\n[snapshot] all green — commit ORACLE_SQL.json, "
           "REPLICA_AUDIT_*.json, RECALL_AUDIT_10x.json"
+          + (", RECALL_AUDIT_100x.json" if args.audit_100x else "")
           + (", BENCHSCALE.json/md" if args.bench else "")
           + " at this HEAD", flush=True)
 

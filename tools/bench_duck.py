@@ -28,7 +28,7 @@ def main():
         elif p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.loads(Path(oracle_path).read_text())
-    out = {}
+    out, spread = {}, {}
     for name in names:
         sql = oracle[name]
         con.execute(sql).fetchall()  # warmup
@@ -38,9 +38,11 @@ def main():
             con.execute(sql).fetchall()
             times.append(time.perf_counter() - t0)
         out[name] = round(min(times), 4)
+        spread[name] = round(max(times) - min(times), 4)
     print(json.dumps({"metric": "duckdb_total",
                       "value": round(sum(out.values()), 4),
-                      "unit": "sec", "queries": out, "sf": sf_dir}))
+                      "unit": "sec", "queries": out,
+                      "query_spread": spread, "sf": sf_dir}))
 
 
 if __name__ == "__main__":

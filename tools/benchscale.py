@@ -98,7 +98,11 @@ def spark_bench(sf_dir, sessions=2):
     # "cold" = first run after Bench clears the decision/verdict caches
     # (gated sides and layout/key checks recomputed, warm JIT) — reported
     # alongside so warm minima can't pass off cache reuse as plan speed.
-    best, cold = {}, {}
+    # Per-session totals and per-query spreads are recorded so the
+    # round-over-round ratio noise is VISIBLE (round 10 produced 0.73x
+    # and 0.94x from the same tool with no spread on record).
+    best, cold, session_totals = {}, {}, []
+    per_session = {}
     for _ in range(sessions):
         out = run(["sbt", "-batch", "runMain graft.Bench"],
                   env={"SPARK_GRAFT_SF_DIR": sf_dir,
@@ -106,9 +110,13 @@ def spark_bench(sf_dir, sessions=2):
         for line in out.splitlines():
             if '"metric"' in line:
                 r = json.loads(line.split("[info] ", 1)[-1])
+                session_totals.append(round(sum(
+                    v for v in r["queries"].values() if v >= 0), 3))
                 for k, v in r["queries"].items():
-                    if v >= 0 and (k not in best or v < best[k]):
-                        best[k] = v
+                    if v >= 0:
+                        per_session.setdefault(k, []).append(v)
+                        if k not in best or v < best[k]:
+                            best[k] = v
                 for k, v in r.get("cold", {}).items():
                     if v >= 0 and (k not in cold or v < cold[k]):
                         cold[k] = v
@@ -116,6 +124,10 @@ def spark_bench(sf_dir, sessions=2):
         else:
             raise SystemExit(f"no bench output for {sf_dir}")
     return {"value": sum(best.values()), "queries": best,
+            "session_totals": session_totals,
+            "spread": round(max(session_totals) - min(session_totals), 3),
+            "query_spread": {k: round(max(v) - min(v), 3)
+                             for k, v in per_session.items()},
             "cold_value": round(sum(cold.values()), 3),
             "cold_queries": {k: round(v, 3) for k, v in cold.items()}}
 
@@ -158,12 +170,17 @@ def main():
             "spark_sec": round(sp["value"], 3),
             "duckdb_sec": round(du["value"], 3),
             "ratio": round(ratio, 2),
+            "spark_session_totals_sec": sp["session_totals"],
+            "spark_spread_sec": sp["spread"],
+            "spark_query_spread_sec": sp["query_spread"],
             "spark_queries": {k: round(v, 3) for k, v in sp["queries"].items()},
             "spark_cold_sec": sp["cold_value"],
             "spark_cold_queries": sp["cold_queries"],
             "duckdb_queries": du["queries"],
+            "duckdb_query_spread_sec": du.get("query_spread", {}),
         })
         print(f"[benchscale] {label}: spark {sp['value']:.2f}s "
+              f"(session spread {sp['spread']:.2f}s) "
               f"duckdb {du['value']:.2f}s ratio {ratio:.2f}x", flush=True)
 
     # ss1 amortization probe at the largest replica: the remaining >2x
@@ -212,12 +229,15 @@ def render_md(artifact, md_path=REPO / "BENCHSCALE.md"):
              f"generated_unix={artifact['generated_unix']} — edit the "
              f"script, not this block)",
              "",
-             "| scale | lineitem rows | Spark warm | Spark cold | DuckDB | warm ratio |",
-             "|---|---|---|---|---|---|"]
+             "| scale | lineitem rows | Spark warm | session spread | Spark cold | DuckDB | warm ratio |",
+             "|---|---|---|---|---|---|---|"]
     for s in artifact["scales"]:
+        spread = s.get("spark_spread_sec")
+        spread_txt = f"±{spread:.2f} s" if spread is not None else "—"
         lines.append(
             f"| {s['scale']} ({s['dir']}) | {s['lineitem_rows']:,} "
-            f"| {s['spark_sec']:.2f} s | {s.get('spark_cold_sec', float('nan')):.2f} s "
+            f"| {s['spark_sec']:.2f} s | {spread_txt} "
+            f"| {s.get('spark_cold_sec', float('nan')):.2f} s "
             f"| {s['duckdb_sec']:.2f} s | {s['ratio']:.2f}× |")
     big = artifact["scales"][-1]
     lines += ["",
@@ -254,6 +274,13 @@ def render_md(artifact, md_path=REPO / "BENCHSCALE.md"):
                   f"is the marginal in-session cost "
                   f"({am['ss1_marginal_sec']:.2f} s), not the solo ratio."]
     lines += ["",
+              "Session spread = |total(session 1) − total(session 2)| of the "
+              "per-session warm sums — the run-to-run noise floor for the "
+              "warm ratio (round 10 saw 0.73× vs 0.94× at 100× from this "
+              "variance alone; per-query spreads are in the JSON). Treat "
+              "round-over-round ratio deltas smaller than the spread as "
+              "noise.",
+              "",
               "Warm = min of 3 in-session runs × 2 JVM sessions, session "
               "caches (gated-broadcast sides, layout/key verdicts) intact — "
               "the standing-pipeline posture. Cold = first run after those "

@@ -132,7 +132,60 @@ BOUNDED_PREFIXES = (
     # quarantine apply: one scan + event_id window
     "dq8",
     # weighted median: price-grain windows; IVM fuzz: generated data
-    "a12", "rf36")
+    "a12", "rf36",
+    # --- round-11 widening: every exclusion must name its superlinear
+    # oracle construct, so everything below is audited at 100x too ---
+    # ALL rf fuzz rows: generated sf-independent data (replaces the
+    # one-by-one rf entries above; rf1-rf26 were excluded only by
+    # omission)
+    "rf",
+    # ddf1-ddf4 differential fuzz: generated sf-independent twin corpora
+    # (their brute-force oracles are quadratic in a CONSTANT generated
+    # size, not in the replica factor)
+    "ddf",
+    # exact-hash dedup: one md5 group-by, linear (unlike dd2-dd12's
+    # brute-force-Jaccard / recursive-CTE-closure oracles)
+    "dd1_",
+    # expression/cast/function projections: per-row outputs, linear in
+    # the replica (most scan generated frames or %-filtered lineitem);
+    # covers e1-e32, the b-variants, e12_cast_*, e16, and ep1
+    "e",
+    # set ops / projections / sampling over full tables: linear outputs
+    "r3", "r4", "r5", "r6", "r7b", "r8", "r9",
+    # join-semantics rows with LINEAR output (semi/anti return at most
+    # the left side; the inner/left/right/full/cross/salted r2 rows stay
+    # excluded — their %100-key construction makes output quadratic in
+    # the replica factor, 2e11 rows at 100x)
+    "r2_join_semi", "r2_join_anti",
+    # TPC-H q4: EXISTS decorrelates to a semi join in both engines
+    "q4",
+    # single-scan analytics: histogram, MAD outliers, pivot/unpivot,
+    # PSI drift, JSON extract/parse, LOO encode, frame pipeline,
+    # token-window chunking, BM25 / hybrid RRF (postings + one query's
+    # cosine pass), SQL frontdoor, epoch shuffle
+    "h1", "od1", "p1", "p2", "dq1", "j1", "j2", "fe1", "fr1", "ch1",
+    "bm1", "bm2", "sql1",
+    # resample/gap-fill: output = keys x days, linear
+    "ts1", "ts2",
+    # format round-trips: write+read the orders replica (linear, just
+    # IO-heavy)
+    "io",
+    # multimodal meta walks over planted payloads: per-doc byte
+    # arithmetic (mm5/mm6 were audited at 10x but missing from the
+    # bounded tuple by omission)
+    "mm1", "mm2", "mm3", "mm4", "mm5", "mm6",
+    # Every remaining exclusion names its superlinear construct:
+    # brute-force all-pairs Jaccard/edit/cosine oracles (cur6, dd2-dd6,
+    # dd9-dd12, dd19-dd20, fj1, fj2, s10, sj1-sj3, sql2), recursive-CTE
+    # transitive closure (dd7, dd8, dd17, dd18, s8), quadratic %100-key
+    # join output (r2 inner/left/right/full/cross/salted), query side
+    # growing with the corpus (ss6), and ss7's 3-way-cross window argmax
+    # past the 150 s bounded referee (audited unbounded at 10x).
+    # exhaustive ANN twins: 5 queries x corpus cosine passes, linear
+    # (ss6_knn_join stays excluded: its query side is every 10th vector,
+    # so the oracle is |corpus|^2/10 at any replica; ss7 stays excluded
+    # for its 3-way-cross window argmax past the 150s bounded referee)
+    "ss1_", "ss2x", "ss4", "ss5")
 
 
 def main():
@@ -150,7 +203,14 @@ def main():
         "mm6_mp4_meta", "dd21_cdc_chunks",
         "mm7_warc_meta", "ss7_ann_ivfpq",
         "mm8_tar_meta", "mm9_webdataset_members",
-        "dd22_cdc_cut", "ss8_filtered_ann"]  # linear oracles in excluded prefixes
+        "dd22_cdc_cut", "ss8_filtered_ann",
+        # round-11: linear-oracle rows inside excluded prefixes
+        "dd1_dedup_exact", "ddf1_minhash_fuzz", "ddf2_edit_fuzz",
+        "ddf3_simhash_fuzz", "ddf4_semdedup_fuzz",
+        "mm1_image_meta", "mm2_frame_sample", "mm3_resize_meta",
+        "mm4_audio_features",
+        "ss2x_lsh_exhaustive", "ss4_ivf_exhaustive",
+        "ss5_pq_exhaustive"]  # linear oracles in excluded prefixes
     if bounded:
         keep = [n for n in keep if n.startswith(BOUNDED_PREFIXES)]
     keep = sorted(set(keep))

@@ -60,6 +60,79 @@ object IncrementalAgg {
       .groupBy(keys.map(col): _*).agg(combined.head, combined.tail: _*)
   }
 
+  /** Counting-algebra aggregate for INVERTIBLE functions (sum/count;
+    * avg = sum+count derived at read time): the stored form that
+    * supports RETRACTIONS, i.e. fact deletes and updates, which
+    * [[refresh]]'s append-only fold cannot. The state carries two
+    * hidden witnesses per the classic bag-algebra IVM treatment:
+    *
+    *  - `_rows`: signed row multiplicity — a group retracted to zero
+    *    rows DISAPPEARS (full-recompute parity), instead of lingering
+    *    as a zero row;
+    *  - `__cnt_<out>` per sum column: the non-null measure count, so a
+    *    group whose last non-null measure is retracted restores SUM =
+    *    NULL (a plain signed fold would leave 0, silently diverging
+    *    from any engine's recompute).
+    *
+    * min/max are NOT invertible — a deletion can only be absorbed by
+    * re-deriving the group, which is exactly what [[refreshJoinView]]'s
+    * affected-group recompute does from key-grain partials; use that
+    * path (or a changelog recompute, [[Cdc]]) when non-invertible
+    * aggregates must survive deletes.
+    */
+  def aggregateCounting(facts: DataFrame, keys: Seq[String],
+      aggs: Seq[AggSpec]): DataFrame = {
+    require(aggs.forall(a => a.fn == "sum" || a.fn == "count"),
+      "counting-algebra IVM supports invertible aggregates only (sum/count)")
+    val exprs = aggs.map(a => firstPass(a.fn, col(a.input)).as(a.out)) ++
+      aggs.collect { case AggSpec(in, "sum", out) =>
+        count(col(in)).as(s"__cnt_$out") } :+
+      count(lit(1)).as("_rows")
+    facts.groupBy(keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** Publishable projection of an [[aggregateCounting]] state: hidden
+    * witnesses dropped, SUM columns nulled where their non-null count
+    * is zero.
+    */
+  def publishCounting(stored: DataFrame, keys: Seq[String],
+      aggs: Seq[AggSpec]): DataFrame =
+    stored.select(keys.map(col) ++ aggs.map {
+      case AggSpec(_, "sum", out) =>
+        when(col(s"__cnt_$out") === 0L, lit(null)).otherwise(col(out)).as(out)
+      case a => col(a.out)
+    }: _*)
+
+  /** Fold SIGNED fact deltas into an [[aggregateCounting]] state:
+    * `deltas` carries the fact columns plus `signCol` (+1 insert, −1
+    * retract; an update is the −old/+new pair). One delta-grain
+    * aggregate + one state-grain merge — stored facts never rescanned,
+    * groups retracted to zero rows vanish.
+    */
+  def refreshCounting(stored: DataFrame, deltas: DataFrame,
+      keys: Seq[String], aggs: Seq[AggSpec],
+      signCol: String = "_sign"): DataFrame = {
+    require(aggs.forall(a => a.fn == "sum" || a.fn == "count"),
+      "counting-algebra IVM supports invertible aggregates only (sum/count)")
+    val sgn = col(signCol).cast("long")
+    val deltaExprs = aggs.map {
+      case AggSpec(in, "sum", out) => sum(sgn * col(in)).as(out)
+      case AggSpec(in, "count", out) =>
+        sum(when(col(in).isNotNull, sgn).otherwise(0L)).as(out)
+      case a => throw new IllegalArgumentException(s"unsupported: ${a.fn}")
+    } ++ aggs.collect { case AggSpec(in, "sum", out) =>
+      sum(when(col(in).isNotNull, sgn).otherwise(0L)).as(s"__cnt_$out")
+    } :+ sum(sgn).as("_rows")
+    val deltaAgg = deltas.groupBy(keys.map(col): _*)
+      .agg(deltaExprs.head, deltaExprs.tail: _*)
+    val outs = stored.columns.filterNot(keys.contains)
+    val merged = outs.map(c => sum(col(c)).as(c))
+    stored.select(stored.columns.map(col).toIndexedSeq: _*)
+      .unionByName(deltaAgg.select(stored.columns.map(col).toIndexedSeq: _*))
+      .groupBy(keys.map(col): _*).agg(merged.head, merged.tail: _*)
+      .filter(col("_rows") > 0L)
+  }
+
   /** Stored state of an incrementally maintained JOIN view
     * `agg(F ⋈ D) GROUP BY dim attrs` — the classic IVM star-view:
     *

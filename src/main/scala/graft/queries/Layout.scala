@@ -335,6 +335,130 @@ object LayoutOps {
           "\n) ORDER BY seedoff, grp")
       }),
 
+    // INC4 — fact-RETRACTION view maintenance (counting-algebra / bag
+    // IVM): the piece neither inc1's append-only fold nor inc3's dim
+    // churn covers — fact rows being DELETED and UPDATED. Signed deltas
+    // (−old/+new) fold through IncrementalAgg.refreshCounting, whose
+    // hidden witnesses make the two classic divergences impossible: a
+    // _rows multiplicity drops groups retracted to zero rows, and a
+    // per-sum non-null count restores SUM = NULL when the last non-null
+    // measure is retracted (a plain signed fold would leave 0). Every
+    // 11th event is deleted, every 13th survivor's value is updated,
+    // every 17th re-inserted edited; oracle = full recompute over the
+    // edited fact set. Invertible aggregates only (sum/count) — min/max
+    // deletion is inc3's affected-group recompute path, by design.
+    Q("inc4_fact_retraction",
+      (s, dir) => {
+        import graft.operators.IncrementalAgg
+        import graft.operators.IncrementalAgg.AggSpec
+        val f = t(s, dir, "events").select(col("event_type"),
+          cents(col("value")).as("v_c"), col("event_id"))
+        val keys = Seq("event_type")
+        val aggs = Seq(AggSpec("v_c", "sum", "val_c"),
+          AggSpec("v_c", "count", "n"))
+        val stored = IncrementalAgg.aggregateCounting(
+          f.select("event_type", "v_c"), keys, aggs)
+        val dels = f.filter(col("event_id") % 11 === 0)
+          .select(col("event_type"), col("v_c"), lit(-1L).as("_sign"))
+        val updBase = f.filter(col("event_id") % 11 =!= 0 &&
+          col("event_id") % 13 === 0)
+        val upd = updBase
+          .select(col("event_type"), col("v_c"), lit(-1L).as("_sign"))
+          .unionByName(updBase.select(col("event_type"),
+            (col("v_c") + 1000L).as("v_c"), lit(1L).as("_sign")))
+        val ins = f.filter(col("event_id") % 17 === 0)
+          .select(col("event_type"), (col("v_c") + 7L).as("v_c"),
+            lit(1L).as("_sign"))
+        val refreshed = IncrementalAgg.refreshCounting(stored,
+          dels.unionByName(upd).unionByName(ins), keys, aggs)
+        IncrementalAgg.publishCounting(refreshed, keys, aggs)
+          .orderBy(asc_nulls_first("event_type"))
+      },
+      Some("""WITH f AS (SELECT event_type,
+             |    CAST(ROUND(value*100) AS BIGINT) AS v_c, event_id
+             |  FROM events),
+             |edited AS (
+             |  SELECT event_type,
+             |    CASE WHEN event_id % 13 = 0 THEN v_c + 1000 ELSE v_c END AS v_c
+             |  FROM f WHERE event_id % 11 <> 0
+             |  UNION ALL
+             |  SELECT event_type, v_c + 7 FROM f WHERE event_id % 17 = 0)
+             |SELECT event_type, CAST(SUM(v_c) AS BIGINT) AS val_c,
+             |  COUNT(v_c) AS n
+             |FROM edited GROUP BY 1
+             |ORDER BY event_type NULLS FIRST""".stripMargin)),
+
+    // RF38 — retraction fuzz for the counting algebra: 3 seeded
+    // instances of 2000 generated facts (nullable measures: every 7th
+    // is NULL) driven through TWO chained signed refreshes hitting the
+    // witness edge cases by construction — group 19 is retracted to
+    // ZERO rows (must vanish) then REBORN by null-measure inserts
+    // (must reappear with SUM NULL / n 0), group 16 loses every
+    // non-null measure (SUM must restore to NULL, not 0), other groups
+    // take deletes, −old/+new updates, and null inserts. Oracle = full
+    // recompute over the edited generated set.
+    Q("rf38_retraction_fuzz",
+      (s, dir) => {
+        import graft.operators.IncrementalAgg
+        import graft.operators.IncrementalAgg.AggSpec
+        val insts = Seq(0L, 100L, 200L).map { off =>
+          val f = s.range(1, 2001).select(
+            pmod(col("id"), lit(20)).as("k"),
+            when(col("id") % 7 === 0, lit(null).cast(LongType))
+              .otherwise(conv(substring(md5(concat(lit(s"R$off:"),
+                col("id").cast(StringType))), 1, 6), 16, 10)
+                .cast(LongType)).as("v"),
+            col("id"))
+          val keys = Seq("k")
+          val aggs = Seq(AggSpec("v", "sum", "sum_v"),
+            AggSpec("v", "count", "n"))
+          val stored = IncrementalAgg.aggregateCounting(
+            f.select("k", "v"), keys, aggs)
+          val del = f.filter(col("k") === 19 ||
+              (col("k") === 16 && col("v").isNotNull) ||
+              (col("id") % 3 === 0 && col("k") =!= 16 && col("k") =!= 19))
+            .select(col("k"), col("v"), lit(-1L).as("_sign"))
+          val st1 = IncrementalAgg.refreshCounting(stored, del, keys, aggs)
+          val updBase = f.filter(col("id") % 5 === 0 &&
+            col("id") % 3 =!= 0 && col("k") =!= 16 && col("k") =!= 19)
+          val upd = updBase.select(col("k"), col("v"), lit(-1L).as("_sign"))
+            .unionByName(updBase.select(col("k"), (col("v") + 55L).as("v"),
+              lit(1L).as("_sign")))
+          val ins = s.range(1, 41).select(pmod(col("id"), lit(20)).as("k"),
+            lit(null).cast(LongType).as("v"), lit(1L).as("_sign"))
+          val st2 = IncrementalAgg.refreshCounting(st1,
+            upd.unionByName(ins), keys, aggs)
+          IncrementalAgg.publishCounting(st2, keys, aggs)
+            .withColumn("seedoff", lit(off))
+        }
+        insts.reduce(_.unionByName(_))
+          .select("seedoff", "k", "sum_v", "n")
+          .orderBy("seedoff", "k")
+      },
+      Some {
+        val per = Seq(0L, 100L, 200L).map { off =>
+          s"""SELECT CAST($off AS BIGINT) AS seedoff, k,
+             |  CAST(SUM(v) AS BIGINT) AS sum_v, COUNT(v) AS n
+             |FROM (
+             |  SELECT k, CASE WHEN i % 5 = 0 THEN v + 55 ELSE v END AS v
+             |  FROM (
+             |    SELECT i % 20 AS k,
+             |      CASE WHEN i % 7 = 0 THEN NULL
+             |           ELSE CAST(('0x' || substr(md5('R$off:' || CAST(i AS VARCHAR)), 1, 6))
+             |                AS BIGINT) END AS v,
+             |      i
+             |    FROM generate_series(1, 2000) _g(i)) b
+             |  WHERE k <> 19 AND NOT (k = 16 AND v IS NOT NULL)
+             |    AND NOT (i % 3 = 0 AND k NOT IN (16, 19))
+             |  UNION ALL
+             |  SELECT i % 20, CAST(NULL AS BIGINT)
+             |  FROM generate_series(1, 40) _h(i)) e
+             |GROUP BY 1, 2""".stripMargin
+        }
+        per.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) ORDER BY seedoff, k")
+      }),
+
     // SCD type-2 dimension history from a changelog: per-key validity
     // intervals, half-open [valid_from, valid_to), NULL while current —
     // the oracle recomputes the same LEAD window

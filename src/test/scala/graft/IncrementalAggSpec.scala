@@ -69,6 +69,79 @@ class IncrementalAggSpec extends SparkSpec {
     assert(rows(day2) === rows(IncrementalAgg.aggregate(li, keys, aggs)))
   }
 
+  private val cAggs = Seq(AggSpec("v", "sum", "v_sum"),
+    AggSpec("v", "count", "v_cnt"))
+
+  private def publishedCounting(facts: DataFrame) =
+    rows(IncrementalAgg.publishCounting(
+      IncrementalAgg.aggregateCounting(facts, keys, cAggs), keys, cAggs))
+
+  test("counting algebra: deletes, updates and inserts == full recompute") {
+    val base = Seq(("a", Some(10L)), ("a", Some(20L)), ("b", Some(5L)),
+      ("b", None), ("c", Some(7L))).toDF("k", "v")
+    val stored = IncrementalAgg.aggregateCounting(base, keys, cAggs)
+    // delete (a,10), update (b,5)->(b,8), insert (c,3)
+    val deltas = Seq(("a", Some(10L), -1L), ("b", Some(5L), -1L),
+      ("b", Some(8L), 1L), ("c", Some(3L), 1L)).toDF("k", "v", "_sign")
+    val got = rows(IncrementalAgg.publishCounting(
+      IncrementalAgg.refreshCounting(stored, deltas, keys, cAggs),
+      keys, cAggs))
+    val edited = Seq(("a", Some(20L)), ("b", Some(8L)), ("b", None),
+      ("c", Some(7L)), ("c", Some(3L))).toDF("k", "v")
+    assert(got === publishedCounting(edited))
+  }
+
+  test("counting algebra: a group retracted to zero rows vanishes") {
+    val base = Seq(("a", Some(1L)), ("z", Some(9L)), ("z", None))
+      .toDF("k", "v")
+    val stored = IncrementalAgg.aggregateCounting(base, keys, cAggs)
+    val deltas = Seq(("z", Some(9L), -1L), ("z", Option.empty[Long], -1L))
+      .toDF("k", "v", "_sign")
+    val out = IncrementalAgg.publishCounting(
+      IncrementalAgg.refreshCounting(stored, deltas, keys, cAggs),
+      keys, cAggs)
+    assert(out.count() === 1L)
+    assert(out.filter(col("k") === "z").count() === 0L,
+      "zero-row group must disappear, not linger")
+  }
+
+  test("counting algebra: retracting the last non-null measure restores SUM = NULL") {
+    val base = Seq(("g", Some(5L)), ("g", None), ("g", None)).toDF("k", "v")
+    val stored = IncrementalAgg.aggregateCounting(base, keys, cAggs)
+    val deltas = Seq(("g", Some(5L), -1L)).toDF("k", "v", "_sign")
+    val out = IncrementalAgg.publishCounting(
+      IncrementalAgg.refreshCounting(stored, deltas, keys, cAggs),
+      keys, cAggs).head()
+    assert(out.isNullAt(1), "a plain signed fold would leave 0 here")
+    assert(out.getLong(2) === 0L)
+    assert(publishedCounting(Seq(("g", Option.empty[Long]),
+      ("g", Option.empty[Long])).toDF("k", "v"))
+      === Set(out.toSeq))
+  }
+
+  test("counting algebra: chained refreshes stay re-storable") {
+    val base = Seq(("a", Some(1L)), ("a", Some(2L)), ("b", Some(3L)))
+      .toDF("k", "v")
+    var st = IncrementalAgg.aggregateCounting(base, keys, cAggs)
+    st = IncrementalAgg.refreshCounting(st,
+      Seq(("a", Some(1L), -1L)).toDF("k", "v", "_sign"), keys, cAggs)
+    st = IncrementalAgg.refreshCounting(st,
+      Seq(("b", Some(4L), 1L), ("a", Some(2L), -1L))
+        .toDF("k", "v", "_sign"), keys, cAggs)
+    val got = rows(IncrementalAgg.publishCounting(st, keys, cAggs))
+    assert(got === publishedCounting(
+      Seq(("b", Some(3L)), ("b", Some(4L))).toDF("k", "v")))
+    assert(!got.exists(_.head == "a"))
+  }
+
+  test("counting algebra rejects non-invertible aggregates loudly") {
+    val base = Seq(("a", 1L)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.aggregateCounting(base, keys,
+        Seq(AggSpec("v", "min", "v_min")))
+    }
+  }
+
   test("changing-dim refresh equals full recompute across all churn arms") {
     val keysK = Seq("k")
     val groups = Seq("g")

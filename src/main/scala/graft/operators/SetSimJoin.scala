@@ -212,6 +212,48 @@ object SetSimJoin {
         (col("_inter") * 1000L / col("_union")).cast(LongType).as("jaccard_pm"))
   }
 
+  /** DIRECTED exact containment PROBE join: every (probe, corpus) pair
+    * with |P∩C| ≥ (tNum/tDen)·|P| — "this probe set is (mostly) quoted
+    * inside that corpus document", the decontamination LOOKUP shape
+    * (does a benchmark item's content appear in the training corpus?).
+    * Asymmetry follows [[containmentSelfJoin]]: only the CONTAINED
+    * (probe) side can be prefix-blocked — it posts its
+    * |P|−⌈t·|P|⌉+1 rarest tokens — while the corpus container side
+    * posts ALL its tokens (the witness may sit anywhere in C), i.e. the
+    * corpus side IS an inverted index, built once under the corpus's
+    * own token order ([[rsVocab]]) and reusable across probe batches.
+    * Seatbelt: tokens whose CORPUS posting exceeds `maxBucket` are
+    * dropped (a stopword-grade posting: the probe's rarest-first
+    * prefixes rarely contain one, but a degenerate corpus can force it)
+    * with the usual completeness caveat.
+    *
+    * Returns (probe_id, corpus_id, containment_pm = floor(1000·|P∩C|/|P|)).
+    */
+  def containmentProbeJoin(corpus: DataFrame, probe: DataFrame,
+      idCol: String, tokensCol: String, tNum: Int, tDen: Int,
+      maxBucket: Int = 100000): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be in (0,1]")
+    val vocab = rsVocab(corpus, probe, idCol, tokensCol)
+    val pPost = probePostings(probe, idCol, tokensCol, vocab, tNum, tDen)
+    val cFull = indexDocs(corpus, idCol, tokensCol, vocab, tNum, tDen)
+      .select(col("_id").as("cid"), col("_idx").as("_ic"),
+        explode(col("_idx")).as("_ptok"))
+    val hot = cFull.groupBy("_ptok").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") > maxBucket).select("_ptok")
+    val cSafe = cFull.join(hot, Seq("_ptok"), "left_anti")
+    pPost.join(cSafe, "_ptok")
+      // emit once: on the minimal token shared between the probe's
+      // prefix and the corpus doc's full set (the join-key domain)
+      .filter(col("_ptok") === array_min(array_intersect(col("_pp"), col("_ic"))))
+      .withColumn("_inter",
+        size(array_intersect(col("_ip"), col("_ic"))).cast(LongType))
+      .withColumn("_szp", size(col("_ip")).cast(LongType))
+      .filter(col("_inter") * tDen >= col("_szp") * tNum)
+      .select(col("pid").as("probe_id"), col("cid").as("corpus_id"),
+        (col("_inter") * 1000L / col("_szp")).cast(LongType)
+          .as("containment_pm"))
+  }
+
   /** DIRECTED exact containment self-join: every ordered pair (a, b),
     * a ≠ b, with |A∩B| ≥ (tNum/tDen)·|A| — "A is (mostly) contained in
     * B", the subset/quote relation Jaccard under-scores when A is much

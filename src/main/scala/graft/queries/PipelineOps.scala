@@ -897,6 +897,37 @@ object PipelineOps {
              |      >= (len(p.toks) + len(c.toks) - len(list_intersect(p.toks, c.toks))) * 7
              |ORDER BY probe_id, corpus_id""".stripMargin)),
 
+    // SJ4 — containment PROBE join (the R-S form of sj2, and the set-
+    // containment complement of sj3's Jaccard lookup): which corpus
+    // documents contain ≥95% of a probe document's vocabulary — the
+    // decontamination question proper ("is this benchmark item quoted
+    // in the training set"), asked through the asymmetric kernel: the
+    // probe posts only its rarest-token prefixes, the corpus side is a
+    // posted-once inverted index reusable across probe batches. Probe =
+    // every 23rd doc, so each contains itself at 1000 permille.
+    Q("sj4_containment_probe",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          graft.operators.Corpus.words(col("text")).as("toks"))
+        val probe = toks.filter(col("doc_id") % 23 === 0)
+        graft.operators.SetSimJoin.containmentProbeJoin(
+            toks, probe, "doc_id", "toks", tNum = 19, tDen = 20)
+          .select(col("probe_id"), col("corpus_id"),
+            col("containment_pm").as("c_pm"))
+          .orderBy("probe_id", "corpus_id")
+      },
+      Some("""WITH s AS (SELECT doc_id,
+             |  list_distinct(string_split(trim(regexp_replace(text,'\s+',' ','g')),' ')) AS toks
+             |  FROM documents),
+             |p AS (SELECT doc_id AS probe_id, toks FROM s WHERE doc_id % 23 = 0)
+             |SELECT p.probe_id, c.doc_id AS corpus_id,
+             |  CAST(len(list_intersect(p.toks, c.toks)) * 1000
+             |    // len(p.toks) AS BIGINT) AS c_pm
+             |FROM p JOIN s c ON TRUE
+             |WHERE len(list_intersect(p.toks, c.toks)) * 20 >= len(p.toks) * 19
+             |ORDER BY probe_id, corpus_id""".stripMargin)),
+
     // DQ8 — the quarantine APPLY of the quality audit (dq2 reports
     // metrics; this SPLITS the rows): every event gets a reason
     // bitmask — 1 null user, 2 unknown type, 4 value out of range, 8

@@ -191,6 +191,35 @@ class SetSimJoinSpec extends SparkSpec {
     assert(corpusRanks(pA) === corpusRanks(pB))
   }
 
+  test("containment probe join: exact vs brute force, incl. unseen tokens") {
+    val rnd = new scala.util.Random(61)
+    val universe = (1 to 30).map(i => s"t$i")
+    val corpus = (1L to 100L).map { i =>
+      val sz = 3 + rnd.nextInt(8)
+      i -> rnd.shuffle(universe).take(sz)
+    }
+    val probe = (900L to 920L).map { i =>
+      val sz = 2 + rnd.nextInt(5)
+      i -> (rnd.shuffle(universe).take(sz) ++
+        (if (i % 4 == 0) Seq(s"alien$i") else Nil))
+    } ++ Seq(2000L -> corpus.head._2.take(2)) // a strict subset of doc 1
+    def bruteP(tn: Int, td: Int) = (for {
+      (ip, tp) <- probe; (ic, tc) <- corpus
+      sp = tp.toSet; sc = tc.toSet
+      inter = (sp & sc).size.toLong
+      if inter * td >= sp.size.toLong * tn
+    } yield (ip, ic, inter * 1000L / sp.size)).toSet
+    for ((tn, td) <- Seq((1, 1), (4, 5), (1, 2))) {
+      val got = SetSimJoin.containmentProbeJoin(corpus.toDF("id", "toks"),
+        probe.toDF("id", "toks"), "id", "toks", tn, td)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == bruteP(tn, td),
+        s"t=$tn/$td: got ${got.size}, want ${bruteP(tn, td).size}")
+    }
+    // the planted subset is fully contained in its superset doc
+    assert(bruteP(1, 1).contains((2000L, corpus.head._1, 1000L)))
+  }
+
   test("containment: no cartesian, asymmetric pairs both directions") {
     val docs = Seq(1L -> Seq("a", "b"), 2L -> Seq("a", "b"),
       3L -> Seq("a", "b", "c"))

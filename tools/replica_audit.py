@@ -176,7 +176,7 @@ BOUNDED_PREFIXES = (
     "mm1", "mm2", "mm3", "mm4", "mm5", "mm6",
     # Every remaining exclusion names its superlinear construct:
     # brute-force all-pairs Jaccard/edit/cosine oracles (cur6, dd2-dd6,
-    # dd9-dd12, dd19-dd20, fj1, fj2, s10, sj1-sj3, sql2), recursive-CTE
+    # dd9-dd12, dd19-dd20, fj1, fj2, s10, sj1-sj4, sql2), recursive-CTE
     # transitive closure (dd7, dd8, dd17, dd18, s8), quadratic %100-key
     # join output (r2 inner/left/right/full/cross/salted), query side
     # growing with the corpus (ss6), and ss7's 3-way-cross window argmax

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.IncrementalAgg
+import graft.operators.IncrementalAgg.AggSpec
+
+/** Streaming RETRACTION-capable view maintenance — the standing form of
+  * inc4's counting algebra, i.e. a CDC changelog stream (not an
+  * append-only fact stream, which [[ViewMaintenance]] serves): each
+  * trigger carries SIGNED fact rows (+1 insert / −1 retract; an update
+  * is the −old/+new pair), and the published sum/count view is correct
+  * after any trigger.
+  *
+  * State is the counting-algebra aggregate with its hidden witnesses
+  * (_rows multiplicity, per-sum non-null counts) — group-grain, bounded
+  * by the group vocabulary, localCheckpointed per merge so lineage
+  * stays flat. Because the signed fold is associative and commutative,
+  * the view is micro-batching-invariant EVEN WHEN an update's −old and
+  * +new rows land in different triggers (the state is momentarily
+  * mid-update, but the fold converges to the same place — spec-gated),
+  * which is exactly the out-of-order tolerance a CDC consumer needs.
+  */
+final class RetractionMaintenance(spark: SparkSession, keys: Seq[String],
+    aggs: Seq[AggSpec], signCol: String = "_sign") {
+
+  @volatile private var state: DataFrame = null
+
+  /** foreachBatch body — fold one trigger's signed rows into the state. */
+  def merge(signed: DataFrame): Unit = synchronized {
+    if (state == null) {
+      // an empty unsigned aggregate of the batch's fact columns yields
+      // the counting-state schema to fold the first trigger into
+      state = IncrementalAgg.aggregateCounting(
+        signed.drop(signCol).limit(0), keys, aggs)
+    }
+    if (!signed.isEmpty) {
+      state = IncrementalAgg.refreshCounting(state, signed, keys, aggs,
+        signCol).localCheckpoint(eager = true)
+    }
+  }
+
+  /** The published view as of the last merged trigger (None before). */
+  def view: Option[DataFrame] =
+    Option(state).map(IncrementalAgg.publishCounting(_, keys, aggs))
+
+  /** The raw counting state incl. witnesses (persistence/inspection). */
+  def countingState: Option[DataFrame] = Option(state)
+
+  /** Wire a streaming signed-changelog frame into this handle. */
+  def attach(signed: DataFrame)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    signed.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) => merge(b) }
+}

@@ -139,10 +139,15 @@ BOUNDED_PREFIXES = (
     # one-by-one rf entries above; rf1-rf26 were excluded only by
     # omission)
     "rf",
-    # ddf1-ddf4 differential fuzz: generated sf-independent twin corpora
-    # (their brute-force oracles are quadratic in a CONSTANT generated
-    # size, not in the replica factor)
-    "ddf",
+    # NOT ddf1-ddf4: their twin corpora are documents-table SLICES (they
+    # scale with the replica) under brute-force all-pairs oracles —
+    # ddf2's edit oracle blew the 150 s referee at 100x, and ddf1's
+    # exact-equality gate is INVALID at replica scale for an approximate
+    # LSH pipeline (measured: 2 of 4,212,749 true pairs dropped at 100x
+    # — banding recall, not a bug; the construction is calibrated at
+    # gate scale where both found/rejected twin arms are deterministic).
+    # ddf5's splice oracle is linear and stays in.
+    "ddf5",
     # exact-hash dedup: one md5 group-by, linear (unlike dd2-dd12's
     # brute-force-Jaccard / recursive-CTE-closure oracles)
     "dd1_",
@@ -205,8 +210,7 @@ def main():
         "mm8_tar_meta", "mm9_webdataset_members",
         "dd22_cdc_cut", "ss8_filtered_ann",
         # round-11: linear-oracle rows inside excluded prefixes
-        "dd1_dedup_exact", "ddf1_minhash_fuzz", "ddf2_edit_fuzz",
-        "ddf3_simhash_fuzz", "ddf4_semdedup_fuzz",
+        "dd1_dedup_exact",
         "mm1_image_meta", "mm2_frame_sample", "mm3_resize_meta",
         "mm4_audio_features",
         "ss2x_lsh_exhaustive", "ss4_ivf_exhaustive",

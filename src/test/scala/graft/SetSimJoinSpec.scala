@@ -177,6 +177,29 @@ class SetSimJoinSpec extends SparkSpec {
     assert(posted < fullTokens.toLong, "prefix-bounded, not full-token")
   }
 
+  test("materialized index probed by multiple batches == per-call joins") {
+    val rnd = new scala.util.Random(71)
+    val universe = (1 to 30).map(i => s"t$i")
+    val corpus = (1L to 80L).map { i =>
+      i -> rnd.shuffle(universe).take(3 + rnd.nextInt(7))
+    }
+    val ix = SetSimJoin.buildJaccardIndex(corpus.toDF("id", "toks"),
+      "id", "toks", 1, 2).materialized
+    for (b <- 0 until 3) {
+      val probe = (1L to 15L).map { i =>
+        (1000L * b + i) -> (rnd.shuffle(universe).take(2 + rnd.nextInt(6)) ++
+          (if (i % 2 == 0) Seq(s"only$b-$i") else Nil))
+      }
+      val viaIndex = SetSimJoin.probeJaccardIndex(ix,
+        probe.toDF("id", "toks"), "id", "toks")
+        .as[(Long, Long, Long)].collect().toSet
+      val perCall = SetSimJoin.jaccardProbeJoin(corpus.toDF("id", "toks"),
+        probe.toDF("id", "toks"), "id", "toks", 1, 2)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(viaIndex == perCall, s"batch $b diverged through the index")
+    }
+  }
+
   test("probe join: corpus order is probe-independent (index reusability)") {
     val corpus = (1L to 40L).map(i => i -> Seq(s"c${i % 5}", s"c${i % 9}"))
     val pA = Seq(500L -> Seq("c1", "c2"))
@@ -218,6 +241,21 @@ class SetSimJoinSpec extends SparkSpec {
     }
     // the planted subset is fully contained in its superset doc
     assert(bruteP(1, 1).contains((2000L, corpus.head._1, 1000L)))
+  }
+
+  test("probe joins: no cartesian/nested-loop in either kernel's plan") {
+    val corpus = (1L to 50L).map(i =>
+      i -> Seq(s"t${i % 7}", s"t${i % 11}", s"t${i % 13}"))
+    val probe = (100L to 110L).map(i => i -> Seq(s"t${i % 7}", s"t${i % 11}"))
+    for (df <- Seq(
+        SetSimJoin.jaccardProbeJoin(corpus.toDF("id", "toks"),
+          probe.toDF("id", "toks"), "id", "toks", 1, 2),
+        SetSimJoin.containmentProbeJoin(corpus.toDF("id", "toks"),
+          probe.toDF("id", "toks"), "id", "toks", 1, 2))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), plan)
+    }
   }
 
   test("containment: no cartesian, asymmetric pairs both directions") {

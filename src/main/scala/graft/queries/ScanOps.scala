@@ -653,6 +653,108 @@ object ScanOps {
              |  CAST(2 * CAST(tp AS HUGEINT) * 1000 // (2 * tp + fp + (pos - tp)) AS BIGINT) AS f1_pm
              |FROM cum, tot ORDER BY threshold""".stripMargin)),
 
+    // AN9 — Cohen's kappa (inter-annotator agreement): the metric every
+    // labeling/rater pipeline reports before trusting its labels. Two
+    // binary raters derived deterministically from events (rater A =
+    // value ≥ 40; rater B = the same signal through a ±10 seeded
+    // perturbation, so agreement is high but imperfect), kappa =
+    // (po − pe) / (1 − pe) in exact ppm integer algebra. The pe term
+    // multiplies corpus-grain counts (n², a1·b1) — Decimal(38,0) /
+    // HUGEINT per the silent-overflow convention. One scan, one 1-row
+    // aggregate; negative kappa is well-defined (div truncates toward
+    // zero in both engines).
+    Q("an9_cohens_kappa",
+      (s, dir) => {
+        val r = t(s, dir, "events").filter(col("value").isNotNull)
+          .select(round(col("value") * 100).cast(LongType).as("v"),
+            col("event_id"))
+          .select((col("v") >= 4000L).cast(LongType).as("a"),
+            ((col("v") + (col("event_id") % 21) * 100L - 1000L) >= 4000L)
+              .cast(LongType).as("b"))
+        r.agg(count(lit(1)).as("n"), sum(col("a")).as("a1"),
+            sum(col("b")).as("b1"),
+            sum(col("a") * col("b")).as("n11"),
+            sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+          .select(col("n"),
+            expr("CAST(CAST(n11 + n00 AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)")
+              .as("po_ppm"),
+            expr("""CAST((CAST(a1 AS DECIMAL(38,0)) * b1
+                    + CAST(n - a1 AS DECIMAL(38,0)) * (n - b1)) * 1000000
+                    div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)""")
+              .as("pe_ppm"))
+          .select(col("n"), col("po_ppm"), col("pe_ppm"),
+            expr("""CAST(CAST(po_ppm - pe_ppm AS DECIMAL(38,0)) * 1000000
+                    div greatest(1000000 - pe_ppm, 1) AS BIGINT)""")
+              .as("kappa_ppm"))
+          .orderBy("n")
+      },
+      Some("""WITH r AS (SELECT
+             |    CAST(CAST(ROUND(value*100) AS BIGINT) >= 4000 AS INT) AS a,
+             |    CAST((CAST(ROUND(value*100) AS BIGINT)
+             |      + (event_id % 21) * 100 - 1000) >= 4000 AS INT) AS b
+             |  FROM events WHERE value IS NOT NULL),
+             |g AS (SELECT count(*) AS n, CAST(SUM(a) AS BIGINT) AS a1,
+             |    CAST(SUM(b) AS BIGINT) AS b1, CAST(SUM(a*b) AS BIGINT) AS n11,
+             |    CAST(SUM((1-a)*(1-b)) AS BIGINT) AS n00 FROM r),
+             |p AS (SELECT n,
+             |    CAST(CAST(n11 + n00 AS HUGEINT) * 1000000 // n AS BIGINT) AS po_ppm,
+             |    CAST((CAST(a1 AS HUGEINT) * b1 + CAST(n - a1 AS HUGEINT) * (n - b1))
+             |      * 1000000 // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm
+             |  FROM g)
+             |SELECT n, po_ppm, pe_ppm,
+             |  CAST(CAST(po_ppm - pe_ppm AS HUGEINT) * 1000000
+             |    // greatest(1000000 - pe_ppm, 1) AS BIGINT) AS kappa_ppm
+             |FROM p ORDER BY n""".stripMargin)),
+
+    // FE8 — per-group winsorization at exact discrete percentiles: clamp
+    // each value into [p05, p95] of its group, the standard outlier
+    // treatment before scaling/featurizing. Percentiles are derived by
+    // rank arithmetic (value at rank ⌈p·n⌉ under the group's value
+    // sort), NOT percentile_disc, so both engines replay the identical
+    // pick. Cost is one value sort per group — the price of EXACT order
+    // statistics; the approximate scale path is the bottom-k sketch
+    // (sk8) feeding the same clamp.
+    Q("fe8_winsorize",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = t(s, dir, "events")
+          .filter(col("value").isNotNull && col("event_type").isNotNull)
+          .select(col("event_type"),
+            round(col("value") * 100).cast(LongType).as("v"))
+        val wS = Window.partitionBy("event_type").orderBy("v")
+        val ranked = e
+          .withColumn("rn", row_number().over(wS))
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy("event_type")))
+        val cuts = ranked
+          .filter(col("rn") === expr("(n * 5 + 99) div 100") ||
+            col("rn") === expr("(n * 95 + 99) div 100"))
+          .groupBy("event_type")
+          .agg(min(col("v")).as("p05"), max(col("v")).as("p95"))
+        ranked.join(cuts, "event_type")
+          .withColumn("wv", least(greatest(col("v"), col("p05")), col("p95")))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), min(col("p05")).as("p05_c"),
+            min(col("p95")).as("p95_c"), sum(col("wv")).as("sum_w"),
+            min(col("wv")).as("min_w"), max(col("wv")).as("max_w"))
+          .orderBy(asc_nulls_first("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS v
+             |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+             |r AS (SELECT event_type, v,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+             |    COUNT(*) OVER (PARTITION BY event_type) AS n FROM e),
+             |c AS (SELECT event_type, MIN(v) AS p05, MAX(v) AS p95 FROM r
+             |  WHERE rn = (n * 5 + 99) // 100 OR rn = (n * 95 + 99) // 100
+             |  GROUP BY 1),
+             |w AS (SELECT r.event_type, LEAST(GREATEST(r.v, c.p05), c.p95) AS wv,
+             |    c.p05, c.p95
+             |  FROM r JOIN c USING (event_type))
+             |SELECT event_type, COUNT(*) AS n, CAST(MIN(p05) AS BIGINT) AS p05_c,
+             |  CAST(MIN(p95) AS BIGINT) AS p95_c, CAST(SUM(wv) AS BIGINT) AS sum_w,
+             |  CAST(MIN(wv) AS BIGINT) AS min_w, CAST(MAX(wv) AS BIGINT) AS max_w
+             |FROM w GROUP BY 1 ORDER BY event_type NULLS FIRST""".stripMargin)),
+
     // CUR11 — domain reweighting in the DoReMi shape (Xie et al. 2023,
     // arXiv:2305.10429): boost the mixture weight of domains the
     // reference model finds HARD. The published rule multiplies domain

@@ -79,7 +79,13 @@ object DumpPlans {
       "imp7_prototype_prune" ->
         "Prototype pruning: component-grain explode, (cluster x dim)-bounded centroid aggregate broadcast back into the component stream (BroadcastHashJoin BuildRight), one vec-grain distance aggregate, rank+count windows sharing ONE cluster-partitioned sort — no all-pairs stage anywhere; window partitions are cluster-sized (centroid-catalog cardinality in production).",
       "dd20_d4_pipeline" ->
-        "D4 funnel (SemDeDup then prototype-prune): the dedup stage is the cluster-key LEFT ANTI join (pairwise work bounded by cluster size, nothing materializes past the first match), survivors flow into the imp7 prune plan, and the rollup joins three CLUSTER-grain frames — after the anti-join nothing wider than the cluster catalog moves.")
+        "D4 funnel (SemDeDup then prototype-prune): the dedup stage is the cluster-key LEFT ANTI join (pairwise work bounded by cluster size, nothing materializes past the first match), survivors flow into the imp7 prune plan, and the rollup joins three CLUSTER-grain frames — after the anti-join nothing wider than the cluster catalog moves.",
+      "inc3_dim_churn" ->
+        "Changing-dimension IVM refresh: the stored fact history appears NOWHERE in this plan — only the key-grain sub-aggregate, the dim (anti-join + changelog union), the affected-group semi/anti splices (null-safe <=> conditions), and the delta's own aggregate. Every join against the group set is a BroadcastHashJoin (affected groups are group-cardinality); the one data-sized exchange is the delta's key-grain partial aggregate.",
+      "sj3_jaccard_probe" ->
+        "Dedicated R-S prefix join: corpus prefix postings and probe prefix postings meet in ONE equi-join on the prefix token (no cartesian/nested-loop anywhere); vocabulary rank is the two-pass range sort + zipWithIndex (no Window operator); min-shared-prefix-token predicate emits each pair once with no Distinct pass; exact integer verify on the sorted index arrays.",
+      "sj4_containment_probe" ->
+        "Containment probe: the probe side posts only its rarest-token prefixes, the corpus side is the full inverted index — one equi-join on the token id, emit-once on the minimal shared token, integer containment verify; no nested-loop node, no Distinct.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (auto-generated by graft.DumpPlans at sf0.1)\n\n")
     sb.append("Evidence for the plan-shape claims in README: pushed filters, pruned\n")
@@ -97,7 +103,9 @@ object DumpPlans {
       "ss1b_cosine_topk_indexed", "pk1_sequence_pack", "lm1_bigram_score",
       "sk6_hll_registers", "cc3_containment",
       "sk8_quantile_sketch", "imp3_select_pack_mix",
-      "imp7_prototype_prune", "dd20_d4_pipeline").foreach { name =>
+      "imp7_prototype_prune", "dd20_d4_pipeline",
+      "inc3_dim_churn", "sj3_jaccard_probe",
+      "sj4_containment_probe").foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       sb.append(s"\n## $name\n\n${notes(name)}\n\n```\n")
       sb.append(df.queryExecution.explainString(

@@ -118,6 +118,9 @@ BOUNDED_PREFIXES = (
     "rf34",
     # PR curve: an5's linear machinery to a score-grain frame
     "an8",
+    # Cohen's kappa: one scan + a 1-row aggregate; winsorize: one value
+    # sort per group + group-grain clamp join — both linear-cost oracles
+    "an9", "fe8",
     # Holt-Winters: ts3's day-grain recursion with a 7-slot state
     "ts6",
     # chunk-dedup apply (dd21's scan + doc-grain rebuild) and Markov

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** Markov removal-effect attribution (Anderl et al. 2014): from a
   * transition-count frame over journey states, compute each channel's
@@ -45,18 +46,41 @@ object Attribution {
     val spark = trans.sparkSession
     import spark.implicits._
 
+    // Seatbelt FIRST, and distributed: one aggregate derives the channel
+    // cardinality (and the pair-row count) before anything is collected,
+    // so a mis-grained input — an event-vocabulary src/dst instead of
+    // channel-grain — throws the loud reject instead of OOMing the
+    // driver on the very collect the guard exists to protect.
+    val Array(srcC, dstC, _) = trans.columns
+    val guard = trans.select(
+        explode(array(col(srcC), col(dstC))).as("_st"))
+      .filter(!col("_st").isin(StructuralStates.toSeq: _*))
+      .agg(count_distinct(col("_st")).as("_n"),
+        (count(lit(1)) / 2).as("_rows"))
+      .head()
+    val nChans = guard.getLong(0)
+    if (nChans > maxChannels)
+      throw new IllegalStateException(
+        s"attribution channel set has $nChans states " +
+          s"(max $maxChannels): the transition frame is not channel-grain" +
+          " — bucket the event vocabulary before attributing, or raise " +
+          "maxChannels if the cardinality is genuinely bounded")
+    // channels bounded but the frame un-aggregated (duplicate (src,dst)
+    // rows) would ALSO blow the collect — and silently lose counts in
+    // the map fold below; reject that contract violation loudly too
+    val maxPairs = (maxChannels.toLong + 3) * (maxChannels.toLong + 3)
+    if (guard.getDouble(1) > maxPairs)
+      throw new IllegalStateException(
+        s"attribution transition frame has ~${guard.getDouble(1).toLong} " +
+          s"rows for <=$nChans channels (max $maxPairs): the input is " +
+          "not a transition-COUNT frame — aggregate (src, dst) first")
+
     val cnt = trans.collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val chans = cnt.keysIterator
       .flatMap { case (a, b) => Iterator(a, b) }
       .filterNot(StructuralStates)
       .toSeq.distinct.sorted
-    if (chans.size > maxChannels)
-      throw new IllegalStateException(
-        s"attribution channel set has ${chans.size} states " +
-          s"(max $maxChannels): the transition frame is not channel-grain" +
-          " — bucket the event vocabulary before attributing, or raise " +
-          "maxChannels if the cardinality is genuinely bounded")
 
     val states = "START" +: chans
     val rowsum = states.map(st =>

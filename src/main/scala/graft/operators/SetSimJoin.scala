@@ -35,7 +35,10 @@ import org.apache.spark.sql.types._
   * filtering cannot block and any exact algorithm degrades toward
   * all-pairs; the seatbelt then drops that token's bucket instead of
   * letting the stage explode, trading completeness for survival the
-  * same way Dedup.minHashDedup's maxBucket does. Raise the bound (or
+  * same way Dedup.minHashDedup's maxBucket does. A qualifying pair is
+  * lost only when EVERY prefix token the pair shares is hot (the
+  * emit-once anchor takes its min over SURVIVING tokens, so one hot
+  * token among several shared ones costs nothing). Raise the bound (or
   * pre-dedup boilerplate with bp1) when completeness matters more.
   */
 object SetSimJoin {
@@ -85,9 +88,14 @@ object SetSimJoin {
     // block on prefix tokens, with the degenerate-token seatbelt
     val blocked = indexed.select(col("_id"), col("_idx"), col("_prefix"),
       explode(col("_prefix")).as("_ptok"))
-    val hot = blocked.groupBy("_ptok").agg(count(lit(1)).as("_c"))
-      .filter(col("_c") > maxBucket).select("_ptok")
-    val safe = blocked.join(hot, Seq("_ptok"), "left_anti")
+    val hotToks = collectHotTokens(blocked, maxBucket)
+    // drop hot tokens from the postings AND from the carried prefix
+    // arrays, so the emit-once anchor below sees only SURVIVING tokens
+    // (anchoring on the raw prefix intersection's min would lose any
+    // pair whose minimal shared token was maxBucket-dropped even when
+    // other shared postings survived)
+    val safe = blocked.filter(notHot(hotToks))
+      .withColumn("_prefix", dropHot(col("_prefix"), hotToks))
 
     val a = safe.select(col("_ptok"), col("_id").as("ida"),
       col("_idx").as("_ia"), col("_prefix").as("_pa"))
@@ -96,7 +104,8 @@ object SetSimJoin {
 
     a.join(b, "_ptok")
       .filter(col("ida") < col("idb"))
-      // emit each pair once: on its minimal shared prefix token
+      // emit each pair once: on its minimal (surviving) shared prefix
+      // token — exactly the join-key domain
       .filter(col("_ptok") === array_min(array_intersect(col("_pa"), col("_pb"))))
       .withColumn("_inter", size(array_intersect(col("_ia"), col("_ib"))).cast(LongType))
       .withColumn("_union",
@@ -105,6 +114,61 @@ object SetSimJoin {
       .select(col("ida"), col("idb"),
         (col("_inter") * 1000L / col("_union")).cast(LongType).as("jaccard_pm"))
   }
+
+  /** The maxBucket-dropped tokens as ONE 1-row array frame, so the
+    * emit-once anchor can take its min over tokens that actually
+    * survived into the posting join. Structurally bounded: a token goes
+    * hot only when >maxBucket records post it, so |hot| ≤ postings /
+    * maxBucket (and ≤ the vocabulary) — broadcast-safe by construction.
+    * Completeness caveat after this fix: a qualifying pair is lost only
+    * when EVERY shared prefix token is hot (previously: whenever the
+    * MINIMAL shared prefix token was hot, a strictly broader loss).
+    */
+  /** Hard ceiling on how many maxBucket-dropped tokens a kernel will
+    * carry as literals. |hot| ≤ total postings / maxBucket by
+    * construction (a token is hot only when >maxBucket records post
+    * it), so crossing this bound means ≥ maxHotTokens × maxBucket
+    * postings sit in degenerate buckets — a corpus where prefix
+    * filtering has collapsed entirely and the caller must raise
+    * maxBucket or pre-dedup boilerplate, loudly, not silently.
+    */
+  val MaxHotTokens: Int = 100000
+
+  /** The maxBucket-dropped (hot) tokens, collected to the driver — a
+    * bounded, seatbelted scalar fetch (the vocab-ceiling head() class):
+    * the set is token-grain, ≤ postings/maxBucket, and capped by
+    * [[MaxHotTokens]]. Driver-side literals keep BOTH uses of the hot
+    * set inside whole-stage codegen: the posting drop becomes an InSet
+    * filter (no anti-join shuffle) and the emit-once anchor can take
+    * its min over SURVIVING tokens (an attached 1-row frame would plan
+    * as a nested-loop cross; anchoring on the raw intersection min
+    * would lose any pair whose minimal shared token was dropped even
+    * when other shared postings survived).
+    */
+  private def collectHotTokens(postings: DataFrame, maxBucket: Int): Seq[Long] = {
+    val hot = postings.groupBy("_ptok").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") > maxBucket).select("_ptok")
+      .limit(MaxHotTokens + 1)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    if (hot.size > MaxHotTokens)
+      throw new IllegalStateException(
+        s"more than $MaxHotTokens prefix tokens exceed maxBucket=" +
+          s"$maxBucket — prefix filtering has degenerated on this " +
+          "corpus; raise maxBucket or pre-dedup boilerplate first")
+    hot
+  }
+
+  /** `!(_ptok IN hot)` as a codegen InSet filter (true when no hot). */
+  private def notHot(hotToks: Seq[Long]): Column =
+    if (hotToks.isEmpty) lit(true)
+    else !col("_ptok").isInCollection(hotToks)
+
+  /** Drop hot tokens from a prefix ARRAY column, so downstream
+    * emit-once anchors see only surviving tokens. Identity when empty.
+    */
+  private def dropHot(prefix: Column, hotToks: Seq[Long]): Column =
+    if (hotToks.isEmpty) prefix
+    else array_except(prefix, typedlit(hotToks))
 
   /** Shared helpers for the R-S (probe) form. */
 
@@ -214,10 +278,38 @@ object SetSimJoin {
     */
   final case class JaccardIndex(vocab: DataFrame, vocabCeiling: Long,
       postings: DataFrame, tNum: Int, tDen: Int) {
-    /** localCheckpoint both frames — the reuse-across-batches form. */
+    /** localCheckpoint the frames — the SESSION-lifetime reuse form. */
     def materialized: JaccardIndex =
       copy(vocab = vocab.localCheckpoint(eager = true),
         postings = postings.localCheckpoint(eager = true))
+
+    /** Persist the index to parquet — the CROSS-JOB standing-index
+      * posture: a decontamination index built once over the corpus
+      * survives the session, and later jobs [[loadJaccardIndex]] it and
+      * pay only their own probe batch's prefix explode. Layout:
+      * `vocab/`, `postings/`, `hot/` parquet directories plus a 1-row
+      * `meta/` parquet carrying (ceiling, t_num, t_den), so the loaded
+      * index probes byte-identically to the freshly built one
+      * (SetSimJoinSpec gates the identity).
+      */
+    def save(path: String): Unit = {
+      val spark = vocab.sparkSession
+      vocab.write.mode("overwrite").parquet(s"$path/vocab")
+      postings.write.mode("overwrite").parquet(s"$path/postings")
+      spark.range(1).select(lit(vocabCeiling).as("ceiling"),
+          lit(tNum).as("t_num"), lit(tDen).as("t_den"))
+        .write.mode("overwrite").parquet(s"$path/meta")
+    }
+  }
+
+  /** Read back a [[JaccardIndex.save]]d index. */
+  def loadJaccardIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): JaccardIndex = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    JaccardIndex(spark.read.parquet(s"$path/vocab"),
+      meta.getAs[Long]("ceiling"),
+      spark.read.parquet(s"$path/postings"),
+      meta.getAs[Int]("t_num"), meta.getAs[Int]("t_den"))
   }
 
   def buildJaccardIndex(corpus: DataFrame, idCol: String, tokensCol: String,
@@ -229,10 +321,14 @@ object SetSimJoin {
     val cBlocked = indexDocs(corpus, idCol, tokensCol, vocab, tNum, tDen)
       .select(col("_id").as("cid"), col("_idx").as("_ic"),
         col("_prefix").as("_pc"), explode(col("_prefix")).as("_ptok"))
-    val hot = cBlocked.groupBy("_ptok").agg(count(lit(1)).as("_c"))
-      .filter(col("_c") > maxBucket).select("_ptok")
+    // the stored postings carry SURVIVING prefixes only — hot tokens
+    // are gone from both the posting rows and the _pc arrays, so every
+    // future probe's emit-once anchor automatically mins over tokens
+    // that can actually appear as join keys (see collectHotTokens)
+    val hotToks = collectHotTokens(cBlocked, maxBucket)
     JaccardIndex(vocab, ceiling,
-      cBlocked.join(hot, Seq("_ptok"), "left_anti"), tNum, tDen)
+      cBlocked.filter(notHot(hotToks))
+        .withColumn("_pc", dropHot(col("_pc"), hotToks)), tNum, tDen)
   }
 
   def probeJaccardIndex(ix: JaccardIndex, probe: DataFrame, idCol: String,
@@ -244,8 +340,10 @@ object SetSimJoin {
     val pPost = probePostings(probe, idCol, tokensCol, fullVocab,
       ix.tNum, ix.tDen)
     pPost.join(ix.postings, "_ptok")
-      // emit each pair once: on the minimal token the two PREFIXES share
-      // (exactly the join-key domain)
+      // emit each pair once: on the minimal token the probe's prefix
+      // shares with the corpus's SURVIVING prefix (exactly the
+      // join-key domain — _pc was hot-dropped at build time, so a
+      // dropped minimal token cannot veto a pair other tokens carry)
       .filter(col("_ptok") === array_min(array_intersect(col("_pp"), col("_pc"))))
       .withColumn("_inter",
         size(array_intersect(col("_ip"), col("_ic"))).cast(LongType))
@@ -282,12 +380,17 @@ object SetSimJoin {
     val cFull = indexDocs(corpus, idCol, tokensCol, vocab, tNum, tDen)
       .select(col("_id").as("cid"), col("_idx").as("_ic"),
         explode(col("_idx")).as("_ptok"))
-    val hot = cFull.groupBy("_ptok").agg(count(lit(1)).as("_c"))
-      .filter(col("_c") > maxBucket).select("_ptok")
-    val cSafe = cFull.join(hot, Seq("_ptok"), "left_anti")
-    pPost.join(cSafe, "_ptok")
-      // emit once: on the minimal token shared between the probe's
-      // prefix and the corpus doc's full set (the join-key domain)
+    val hotToks = collectHotTokens(cFull, maxBucket)
+    val cSafe = cFull.filter(notHot(hotToks))
+    // the corpus's _ic is the VERIFY array and must stay full, so the
+    // hot drop lands on the probe's anchored prefix instead:
+    // (pp \ hot) ∩ ic == (pp ∩ ic) \ hot — the emit-once min skips
+    // dropped tokens without touching the intersection verify
+    pPost.withColumn("_pp", dropHot(col("_pp"), hotToks))
+      .join(cSafe, "_ptok")
+      // emit once: on the minimal surviving token shared between the
+      // probe's prefix and the corpus doc's full set (the join-key
+      // domain)
       .filter(col("_ptok") === array_min(array_intersect(col("_pp"), col("_ic"))))
       .withColumn("_inter",
         size(array_intersect(col("_ip"), col("_ic"))).cast(LongType))
@@ -345,9 +448,11 @@ object SetSimJoin {
     val aBlocked = indexed.select(col("_id").as("ida"),
       col("_idx").as("_ia"), col("_sz").as("_sza"),
       col("_prefix").as("_pa"), explode(col("_prefix")).as("_ptok"))
-    val hot = aBlocked.groupBy("_ptok").agg(count(lit(1)).as("_c"))
-      .filter(col("_c") > maxBucket).select("_ptok")
-    val aSafe = aBlocked.join(hot, Seq("_ptok"), "left_anti")
+    val hotToks = collectHotTokens(aBlocked, maxBucket)
+    // drop hot tokens from the postings and the carried prefix array,
+    // so the emit-once anchor below mins over surviving tokens only
+    val aSafe = aBlocked.filter(notHot(hotToks))
+      .withColumn("_pa", dropHot(col("_pa"), hotToks))
 
     // container side posts EVERY token
     val bSide = indexed.select(col("_id").as("idb"), col("_idx").as("_ib"),
@@ -355,8 +460,10 @@ object SetSimJoin {
 
     aSafe.join(bSide, "_ptok")
       .filter(col("ida") =!= col("idb"))
-      // emit each pair once: on the minimal token shared between A's
-      // prefix and B's full set (exactly the join-key domain)
+      // emit each pair once: on the minimal surviving token shared
+      // between A's prefix and B's full set (exactly the join-key
+      // domain — _pa was hot-dropped above, so a dropped minimal token
+      // cannot veto a pair other tokens carry)
       .filter(col("_ptok") === array_min(array_intersect(col("_pa"), col("_ib"))))
       .withColumn("_inter",
         size(array_intersect(col("_ia"), col("_ib"))).cast(LongType))

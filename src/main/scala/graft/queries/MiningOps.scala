@@ -29,7 +29,13 @@ object MiningOps {
     * iteration rounds per variant (base + one per removed channel) as
     * chained MATERIALIZED CTEs — DuckDB inlines plain CTEs, so without
     * MATERIALIZED the journey pipeline would re-expand into every one
-    * of the 5×15 iteration steps (the cur8 lesson).
+    * of the 5×15 iteration steps (the cur8 lesson). The `states` CTE is
+    * DERIVED from the transition data (distinct src/dst minus the
+    * structural START/CONV/NULL), replaying the engine's derived-channel
+    * semantics; only the removal-variant LIST stays enumerated (each
+    * variant is its own CTE chain — inherent to SQL codegen), so a
+    * vocabulary change diverges as a loud missing-variant row mismatch
+    * instead of silently iterating different state sets.
     */
   private lazy val pm3OracleSql: String = {
     val chans = Seq("click", "error", "signup", "view")
@@ -62,7 +68,12 @@ object MiningOps {
         |    EXCEPT SELECT DISTINCT user_id, d FROM pe) _z),
         |cnt AS MATERIALIZED (SELECT src, dst, count(*) AS c FROM tr GROUP BY 1, 2),
         |mat AS MATERIALIZED (SELECT src, dst, c * 1000000 // SUM(c) OVER (PARTITION BY src) AS p FROM cnt),
-        |states(state) AS MATERIALIZED (VALUES ('START'),('click'),('error'),('signup'),('view'))""".stripMargin
+        |states AS MATERIALIZED (
+        |  SELECT 'START' AS state
+        |  UNION
+        |  SELECT s AS state
+        |  FROM (SELECT src AS s FROM cnt UNION SELECT dst FROM cnt) _u
+        |  WHERE s NOT IN ('START', 'CONV', 'NULL'))""".stripMargin
     def variant(tag: String, removed: Option[String]): String = {
       val excl = removed.map(c => s" WHERE s.state <> '$c'").getOrElse("")
       val extra = removed.map(c =>

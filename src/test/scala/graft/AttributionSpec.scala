@@ -58,4 +58,32 @@ class AttributionSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("channel set has 3"))
   }
+
+  test("the seatbelt fires BEFORE the collect on an over-cardinal frame") {
+    // a mis-grained input: event-vocabulary src/dst, 500 distinct states
+    // — exactly the shape the guard exists for. The check must run
+    // distributed (one aggregate) so the reject fires without ever
+    // materializing the frame on the driver; a collect-first ordering
+    // would have to pull all 499 pair rows before noticing.
+    val wide = spark.range(1, 500)
+      .selectExpr("concat('ev', id) AS src", "concat('ev', id + 1) AS dst",
+        "CAST(1 AS LONG) AS c")
+    val ex = intercept[IllegalStateException] {
+      Attribution.removalEffects(wide, maxChannels = 64)
+    }
+    assert(ex.getMessage.contains("not channel-grain"))
+  }
+
+  test("an un-aggregated transition frame is rejected, not silently deduped") {
+    // bounded vocabulary but raw (duplicate (src,dst)) rows: the map
+    // fold after collect would silently keep ONE count per pair; the
+    // row-count arm of the guard rejects the contract violation loudly
+    val raw = spark.range(0, 20000)
+      .selectExpr("'START' AS src", "concat('ch', id % 3) AS dst",
+        "CAST(1 AS LONG) AS c")
+    val ex = intercept[IllegalStateException] {
+      Attribution.removalEffects(raw, maxChannels = 64)
+    }
+    assert(ex.getMessage.contains("not a transition-COUNT frame"))
+  }
 }

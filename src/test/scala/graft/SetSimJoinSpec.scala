@@ -80,6 +80,62 @@ class SetSimJoinSpec extends SparkSpec {
     assert(got.count() == 0L)
   }
 
+  test("a hot MIN shared token must not lose a pair other tokens carry") {
+    // Construction: pair (1,2) = {h, s}, J = 1. Token h is in 5 docs,
+    // ALL posting it in their prefix (posting 5 > maxBucket 3 -> hot);
+    // token s is in 10 docs (so freq-asc ranks h BEFORE s -> h is the
+    // pair's minimal shared token) but only docs 1,2 post s in a prefix
+    // (posting 2 -> survives). An emit-once anchor over the RAW prefix
+    // intersection min (= h) passes no surviving join row and silently
+    // loses the pair; the anchor must take its min over tokens that
+    // survived the hot drop.
+    val pair = Seq(1L -> Seq("h", "s"), 2L -> Seq("h", "s"))
+    val hotFill = (3L to 5L).map(i => i -> Seq("h", s"x$i"))
+    val sFill = (6L to 13L).map(i =>
+      i -> Seq(s"r${i}a", s"r${i}b", s"r${i}c", "s"))
+    val docs = pair ++ hotFill ++ sFill
+    val got = SetSimJoin.jaccardSelfJoin(docs.toDF("id", "toks"),
+        "id", "toks", 1, 2, maxBucket = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1000L)),
+      "the pair's surviving shared token 's' must carry the emission")
+    // same shape through the R-S probe kernel: index the corpus with the
+    // same seatbelt, probe with doc 1 — it must still find doc 2
+    val ix = SetSimJoin.buildJaccardIndex(docs.toDF("id", "toks"),
+      "id", "toks", 1, 2, maxBucket = 3)
+    val probed = SetSimJoin.probeJaccardIndex(ix,
+        pair.take(1).toDF("id", "toks"), "id", "toks")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(probed == Set((1L, 1L, 1000L), (1L, 2L, 1000L)))
+  }
+
+  test("a saved+loaded index probes byte-identically to the fresh one") {
+    val rnd = new scala.util.Random(73)
+    val universe = (1 to 30).map(i => s"t$i")
+    val corpus = (1L to 80L).map { i =>
+      i -> rnd.shuffle(universe).take(3 + rnd.nextInt(7))
+    }
+    val probe = (1L to 20L).map { i =>
+      (2000L + i) -> (rnd.shuffle(universe).take(2 + rnd.nextInt(6)) ++
+        (if (i % 3 == 0) Seq(s"unseen$i") else Nil))
+    }
+    val fresh = SetSimJoin.buildJaccardIndex(corpus.toDF("id", "toks"),
+      "id", "toks", 2, 5)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-jix").toString
+    fresh.save(dir)
+    val loaded = SetSimJoin.loadJaccardIndex(spark, dir)
+    assert(loaded.vocabCeiling === fresh.vocabCeiling)
+    assert((loaded.tNum, loaded.tDen) === ((fresh.tNum, fresh.tDen)))
+    def probeAll(ix: SetSimJoin.JaccardIndex) =
+      SetSimJoin.probeJaccardIndex(ix, probe.toDF("id", "toks"),
+        "id", "toks").as[(Long, Long, Long)].collect().sorted.toSeq
+    val fromFresh = probeAll(fresh)
+    assert(probeAll(loaded) === fromFresh,
+      "reloaded index must reproduce the fresh probe results exactly")
+    assert(fromFresh.nonEmpty, "vacuous identity — calibrate the corpus")
+  }
+
   private def bruteContain(docs: Seq[(Long, Seq[String])], tNum: Int, tDen: Int) =
     (for {
       (ia, ta) <- docs; (ib, tb) <- docs if ia != ib

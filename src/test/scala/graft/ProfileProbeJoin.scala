@@ -75,12 +75,27 @@ object ProfileProbeJoin {
         val (nDed, probeSec) = timeWarm(probeBatch(1))
         val (nSen, senSec) = timeWarm(sentinelBatch(1))
         require(nDed == nSen, s"kernel/sentinel pair-count mismatch at $label")
+
+        // the CROSS-JOB posture: persist the index to parquet, reload,
+        // probe — what a later decontamination job actually pays (no
+        // rebuild, no session state; JaccardIndex.save/loadJaccardIndex)
+        val ixDir = s"/tmp/graft-probejoin-ix-$label"
+        val tS = System.nanoTime()
+        ix.save(ixDir)
+        val saveSec = math.round((System.nanoTime() - tS) / 1e6) / 1000.0
+        val reloaded = SetSimJoin.loadJaccardIndex(spark, ixDir)
+        val (nRel, reloadProbeSec) = timeWarm(
+          SetSimJoin.probeJaccardIndex(reloaded, batches(1), "doc_id", "toks")
+            .count())
+        require(nRel == nDed, s"reloaded-index pair-count mismatch at $label")
         // amortized over 3 batches: (build + 3 probes) vs 3 sentinels
         val amort = math.round(
           (buildSec + 3 * probeSec) / (3 * senSec) * 100) / 100.0
         s"""{"scale":"$label","corpus":$n,"probes_per_batch":$nProbe,""" +
           s""""pairs":$nDed,"index_build_sec":$buildSec,""" +
           s""""probe_batch_sec":$probeSec,"sentinel_batch_sec":$senSec,""" +
+          s""""index_save_sec":$saveSec,""" +
+          s""""reload_probe_batch_sec":$reloadProbeSec,""" +
           s""""amortized_3batch_ratio":$amort}"""
     }
     val json =

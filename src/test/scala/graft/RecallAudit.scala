@@ -12,7 +12,10 @@ import graft.sources.Tables
   * Audited paths: ss2's LSH (nbits=4/seed=42/probe=1), the
   * Lloyd-TRAINED IVF behind ss3 (k=8/iters=3/nprobe=6), the trained
   * IVF+PQ composition behind ss7 (same coarse quantizer; PQ 8×16
-  * blocks, ADC pool rerank=20), and ss8's filtered path (exact within
+  * blocks; the ADC rerank depth is SWEPT 20..400 and the headline
+  * operating point is the cheapest rerank with mean ≥ 0.95 — the knee
+  * lives in the artifact's ivfpq_rerank_sweep), and ss8's filtered
+  * path (exact within
   * one label — recall must be exactly 1.0, so a partition/filter bug at
   * replica scale fails the gate loudly). Each is measured against the
   * exact brute-force twin on the same corpus. The registry rows
@@ -69,18 +72,31 @@ object RecallAudit {
         "embedding", "vec_id", q, 10, centroids, nprobe = 6))
         .intersect(exact(id)).size / 10.0)
     }
-    // ss7's composition at the TRAINED operating point: coarse-prune to
-    // nprobe cells, ADC-order the survivors, exact-rerank the top 20
+    // ss7's composition at TRAINED operating points: coarse-prune to
+    // nprobe cells, ADC-order the survivors, exact-rerank the top R.
+    // The rerank depth is SWEPT (20/50/100) so the recall knee is
+    // visible in the artifact, and the HEADLINE operating point is the
+    // cheapest rerank whose mean clears the 0.95 margin target — the
+    // round-11 audit sat exactly on the 0.90 gate at rerank=20, i.e.
+    // zero margin against parameter drift. Rerank cost is R exact
+    // cosines per query (independent of corpus size), so buying margin
+    // with a deeper rerank is the right trade at any scale.
     val codebooks = Similarity.trainPqCodebooks(emb, "embedding", "vec_id",
       nBlocks = 8, k = 16, iters = 3)
-    val ivfpq = queries.map { case (id, q) =>
-      val base = emb.filter(col("vec_id") =!= id)
-      val cand = Similarity.ivfCandidates(base, "embedding", "vec_id",
-        q, centroids, nprobe = 6)
-      id -> (topIds(Similarity.pqTopK(cand, "embedding", "vec_id", q, 10,
-        codebooks, rerank = 20).select("vec_id"))
-        .intersect(exact(id)).size / 10.0)
+    def ivfpqAt(rerank: Int): Seq[(Long, Double)] = queries.map {
+      case (id, q) =>
+        val base = emb.filter(col("vec_id") =!= id)
+        val cand = Similarity.ivfCandidates(base, "embedding", "vec_id",
+          q, centroids, nprobe = 6)
+        id -> (topIds(Similarity.pqTopK(cand, "embedding", "vec_id", q, 10,
+          codebooks, rerank = rerank).select("vec_id"))
+          .intersect(exact(id)).size / 10.0)
     }
+    val ivfpqTarget = 0.95
+    val rerankSweep = Seq(20, 50, 100, 200, 400).map(rr => rr -> ivfpqAt(rr))
+    val (opRerank, ivfpq) = rerankSweep
+      .find { case (_, xs) => xs.map(_._2).sum / xs.size >= ivfpqTarget }
+      .getOrElse(rerankSweep.last)
     // ss8's filtered path: exact within one label, so its gate is
     // EXACTLY 1.0 — measured as filter-before-rank (the pushed-filter
     // scan ss8 runs) vs rank-before-filter (score every row, then
@@ -112,8 +128,14 @@ object RecallAudit {
     val (ivfMean, ivfMin, ivfPer) = stats(ivf)
     val (pqMean, pqMin, pqPer) = stats(ivfpq)
     val (flMean, flMin, flPer) = stats(filtered)
+    val sweepJson = rerankSweep.map { case (rr, xs) =>
+      val (m, mn, per) = stats(xs)
+      s""""$rr":{"mean":$m,"min":$mn,"per_query":$per}"""
+    }.mkString("{", ",", "}")
     val gate = 0.9
-    val pass = lshMean >= gate && ivfMean >= gate && pqMean >= gate &&
+    // the headline ivfpq point must clear the MARGIN target, not just
+    // the gate — sitting exactly on 0.90 means any drift flips the audit
+    val pass = lshMean >= gate && ivfMean >= gate && pqMean >= ivfpqTarget &&
       flMean == 1.0
     val head = scala.sys.process.Process(
       Seq("git", "rev-parse", "--short", "HEAD")).!!.trim
@@ -122,13 +144,15 @@ object RecallAudit {
          |"head":"$head","query_ids":[${queryIds.mkString(",")}],
          |"params":{"lsh":{"nbits":4,"seed":42,"probeHamming":1},
          |"ivf":{"k":8,"iters":3,"nprobe":6},
-         |"ivfpq":{"k":8,"iters":3,"nprobe":6,"pqBlocks":8,"pqK":16,"rerank":20},
+         |"ivfpq":{"k":8,"iters":3,"nprobe":6,"pqBlocks":8,"pqK":16,"rerank":$opRerank},
          |"filtered":{"label":"query_id % 10","exact":true}},
          |"recall_at_10":{
          |"lsh":{"mean":$lshMean,"min":$lshMin,"per_query":$lshPer},
          |"ivf":{"mean":$ivfMean,"min":$ivfMin,"per_query":$ivfPer},
          |"ivfpq":{"mean":$pqMean,"min":$pqMin,"per_query":$pqPer},
          |"filtered":{"mean":$flMean,"min":$flMin,"per_query":$flPer}},
+         |"ivfpq_rerank_sweep":$sweepJson,
+         |"ivfpq_operating_rerank":$opRerank,"ivfpq_target":$ivfpqTarget,
          |"gate_mean":$gate,"filtered_gate":1.0,"pass":$pass}"""
         .stripMargin.replace("\n", "")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

@@ -209,16 +209,28 @@ object IncrementalAgg {
   def refreshJoinView(jv: JoinView, deltaFacts: DataFrame,
       dimChanges: DataFrame, joinKeys: Seq[String], groupCols: Seq[String],
       aggs: Seq[AggSpec], opCol: String = "op",
-      deleteOp: String = "D"): JoinView = {
-    val keyAgg2 = refresh(jv.keyAgg, deltaFacts, joinKeys, aggs)
+      deleteOp: String = "D"): JoinView =
+    spliceRefresh(jv, refresh(jv.keyAgg, deltaFacts, joinKeys, aggs),
+      deltaFacts.select(joinKeys.map(col): _*), dimChanges, joinKeys,
+      groupCols, opCol, deleteOp,
+      (ka, d) => viewOf(ka, d, joinKeys, groupCols, aggs))
 
+  /** The shared dim-changelog + affected-group splice of the join-view
+    * refreshes: apply the changelog, derive the groups any touched key
+    * belonged to (old dim) or belongs to (new dim), recompute exactly
+    * those groups from the already-folded key-grain state, and splice
+    * them over the stored view (null-safe on group attrs).
+    */
+  private def spliceRefresh(jv: JoinView, keyAgg2: DataFrame,
+      factKeys: DataFrame, dimChanges: DataFrame, joinKeys: Seq[String],
+      groupCols: Seq[String], opCol: String, deleteOp: String,
+      viewFn: (DataFrame, DataFrame) => DataFrame): JoinView = {
     val changedKeys = dimChanges.select(joinKeys.map(col): _*).distinct()
     val dim2 = jv.dim.join(changedKeys, joinKeys, "left_anti")
       .unionByName(dimChanges.filter(col(opCol) =!= lit(deleteOp))
         .select(jv.dim.columns.map(col).toIndexedSeq: _*))
 
-    val affectedKeys = deltaFacts.select(joinKeys.map(col): _*)
-      .unionByName(changedKeys).distinct()
+    val affectedKeys = factKeys.unionByName(changedKeys).distinct()
     val affectedGroups = jv.dim.join(affectedKeys, joinKeys, "left_semi")
       .select(groupCols.map(col): _*)
       .unionByName(dim2.join(affectedKeys, joinKeys, "left_semi")
@@ -230,11 +242,71 @@ object IncrementalAgg {
     val dimAffected = dim2.alias("__dn")
       .join(affectedGroups.alias("__ag"),
         nullSafeOn("__dn", "__ag", groupCols), "left_semi")
-    val recomputed = viewOf(keyAgg2, dimAffected, joinKeys, groupCols, aggs)
+    val recomputed = viewFn(keyAgg2, dimAffected)
     val view2 = jv.view.alias("__vw")
       .join(affectedGroups.alias("__ag"),
         nullSafeOn("__vw", "__ag", groupCols), "left_anti")
       .unionByName(recomputed)
     JoinView(keyAgg2, dim2, view2)
   }
+
+  /** Group-grain combine of a COUNTING key-grain state joined to a dim:
+    * sums and counts roll up by addition, each SUM's non-null witness
+    * rolls up alongside so a group whose every underlying measure is
+    * gone publishes SUM = NULL (full-recompute parity). Key rows
+    * retracted to zero rows never reach here — refreshCounting already
+    * drops them — so a group with no surviving facts produces no row.
+    */
+  private def viewOfCounting(keyAgg: DataFrame, dim: DataFrame,
+      joinKeys: Seq[String], groupCols: Seq[String],
+      aggs: Seq[AggSpec]): DataFrame = {
+    val rolled = aggs.flatMap {
+      case AggSpec(_, "sum", out) =>
+        Seq(sum(col(out)).as(out), sum(col(s"__cnt_$out")).as(s"__cnt_$out"))
+      case AggSpec(_, "count", out) => Seq(sum(col(out)).as(out))
+      case a => throw new IllegalArgumentException(s"unsupported: ${a.fn}")
+    }
+    keyAgg.join(dim, joinKeys)
+      .groupBy(groupCols.map(col): _*).agg(rolled.head, rolled.tail: _*)
+      .select(groupCols.map(col) ++ aggs.map {
+        case AggSpec(_, "sum", out) =>
+          when(col(s"__cnt_$out") === 0L, lit(null)).otherwise(col(out))
+            .as(out)
+        case a => col(a.out)
+      }: _*)
+  }
+
+  /** RETRACTION-capable join view — [[refreshJoinView]]'s dim-churn
+    * algebra composed with [[refreshCounting]]'s signed fact deltas:
+    * the key-grain sub-aggregate is a counting-algebra state (with its
+    * `_rows` and per-sum witnesses), so fact DELETES and UPDATES and
+    * dimension churn maintain the same view. Invertible aggregates only
+    * (sum/count) — a min/max that must survive deletes needs the
+    * key-grain-partial recompute path of [[refreshJoinView]] instead.
+    */
+  def buildRetractableJoinView(facts: DataFrame, dim: DataFrame,
+      joinKeys: Seq[String], groupCols: Seq[String],
+      aggs: Seq[AggSpec]): JoinView = {
+    val keyAgg = aggregateCounting(facts, joinKeys, aggs)
+    JoinView(keyAgg, dim,
+      viewOfCounting(keyAgg, dim, joinKeys, groupCols, aggs))
+  }
+
+  /** Fold SIGNED fact deltas (`signCol`: +1 insert / −1 retract) AND a
+    * dimension changelog into a [[buildRetractableJoinView]] state.
+    * Stored facts are never rescanned: the signed fold touches
+    * |Δ| + |keyAgg| rows, the splice touches dim-grain and view-grain
+    * slices of the affected groups only. A key retracted to zero rows
+    * vanishes from the state, so a group losing its last fact drops out
+    * of the view exactly as a full recompute would.
+    */
+  def refreshRetractableJoinView(jv: JoinView, signedDeltas: DataFrame,
+      dimChanges: DataFrame, joinKeys: Seq[String], groupCols: Seq[String],
+      aggs: Seq[AggSpec], signCol: String = "_sign", opCol: String = "op",
+      deleteOp: String = "D"): JoinView =
+    spliceRefresh(jv,
+      refreshCounting(jv.keyAgg, signedDeltas, joinKeys, aggs, signCol),
+      signedDeltas.select(joinKeys.map(col): _*), dimChanges, joinKeys,
+      groupCols, opCol, deleteOp,
+      (ka, d) => viewOfCounting(ka, d, joinKeys, groupCols, aggs))
 }

@@ -459,6 +459,180 @@ object LayoutOps {
           "\n) ORDER BY seedoff, k")
       }),
 
+    // INC5 — RETRACTION-capable join-view maintenance: inc3's dim-churn
+    // delta algebra composed with inc4's counting algebra. The key-grain
+    // sub-aggregate is a counting state (signed `_rows` multiplicity +
+    // per-sum non-null witnesses), so ONE stored view absorbs fact
+    // deletes (every 11th event), updates (−old/+new on every 13th
+    // survivor), re-inserts (every 17th, edited) AND a dimension
+    // changelog (every 13th customer moved to a synthetic segment,
+    // every (13k+5)th deleted) — the churn neither inc3 (append-only
+    // facts) nor inc4 (no dimension) handles alone. Stored facts are
+    // never rescanned: signed fold at key grain + affected-group
+    // recompute from the folded state. Oracle = full recompute of the
+    // edited fact set against the post-churn dimension.
+    Q("inc5_retractable_join_view",
+      (s, dir) => {
+        import graft.operators.IncrementalAgg
+        import graft.operators.IncrementalAgg.AggSpec
+        val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+          .select(col("user_id"), col("event_id"),
+            cents(col("value")).as("v_c"))
+        val dimOld = t(s, dir, "customer")
+          .select(col("c_custkey").as("user_id"),
+            col("c_mktsegment").as("seg"))
+        val keys = Seq("user_id")
+        val groups = Seq("seg")
+        val aggs = Seq(AggSpec("v_c", "sum", "val_c"),
+          AggSpec("v_c", "count", "n_events"))
+        val jv = IncrementalAgg.buildRetractableJoinView(
+          ev.select("user_id", "v_c"), dimOld, keys, groups, aggs)
+        val dels = ev.filter(col("event_id") % 11 === 0)
+          .select(col("user_id"), col("v_c"), lit(-1L).as("_sign"))
+        val updBase = ev.filter(col("event_id") % 11 =!= 0 &&
+          col("event_id") % 13 === 0)
+        val upd = updBase
+          .select(col("user_id"), col("v_c"), lit(-1L).as("_sign"))
+          .unionByName(updBase.select(col("user_id"),
+            (col("v_c") + 1000L).as("v_c"), lit(1L).as("_sign")))
+        val ins = ev.filter(col("event_id") % 17 === 0)
+          .select(col("user_id"), (col("v_c") + 7L).as("v_c"),
+            lit(1L).as("_sign"))
+        val dimChanges = dimOld
+          .filter(col("user_id") % 13 === 0 || col("user_id") % 13 === 5)
+          .select(col("user_id"),
+            when(col("user_id") % 13 === 0,
+              concat(lit("MOVED-"), (col("user_id") % 3).cast(StringType)))
+              .otherwise(col("seg")).as("seg"),
+            when(col("user_id") % 13 === 5, lit("D")).otherwise(lit("U"))
+              .as("op"))
+        IncrementalAgg.refreshRetractableJoinView(jv,
+            dels.unionByName(upd).unionByName(ins), dimChanges,
+            keys, groups, aggs)
+          .view.orderBy(asc_nulls_first("seg"))
+      },
+      Some("""WITH f AS (SELECT user_id,
+             |    CAST(ROUND(value*100) AS BIGINT) AS v_c, event_id
+             |  FROM events WHERE user_id IS NOT NULL),
+             |edited AS (
+             |  SELECT user_id,
+             |    CASE WHEN event_id % 13 = 0 THEN v_c + 1000 ELSE v_c END AS v_c
+             |  FROM f WHERE event_id % 11 <> 0
+             |  UNION ALL
+             |  SELECT user_id, v_c + 7 FROM f WHERE event_id % 17 = 0),
+             |dimn AS (
+             |  SELECT c_custkey AS user_id,
+             |    CASE WHEN c_custkey % 13 = 0
+             |      THEN 'MOVED-' || CAST(c_custkey % 3 AS VARCHAR)
+             |      ELSE c_mktsegment END AS seg
+             |  FROM customer WHERE c_custkey % 13 <> 5)
+             |SELECT seg, CAST(SUM(v_c) AS BIGINT) AS val_c,
+             |  COUNT(v_c) AS n_events
+             |FROM edited e JOIN dimn d USING (user_id)
+             |GROUP BY 1 ORDER BY seg NULLS FIRST""".stripMargin)),
+
+    // RF39 — retractable-join-view fuzz (rf37 × rf38): 3 seeded
+    // instances of 2000 generated facts (every 7th measure NULL) over a
+    // 55-key dimension, one refresh mixing EVERY churn arm at once —
+    // signed fact deletes (key 19 fully, key 16's non-null measures,
+    // every 3rd row elsewhere), −old/+new updates, null-measure
+    // inserts, dim keys MOVED to delta-born groups (k%11=0 → grp+100),
+    // dim keys DELETED while still receiving signed deltas (k%11=3 —
+    // their folded facts must vanish from the view), dim keys BORN with
+    // the changelog (55..57) whose only facts arrive as +1 deltas, and
+    // key 16 ISOLATED into its own group (999) with every non-null
+    // measure retracted, so the witness algebra must publish that group
+    // as SUM NULL / n 0 THROUGH the join view. Oracle = full recompute
+    // of the edited generated facts against the post-churn dimension.
+    Q("rf39_retractable_view_fuzz",
+      (s, dir) => {
+        import graft.operators.IncrementalAgg
+        import graft.operators.IncrementalAgg.AggSpec
+        val insts = Seq(0L, 100L, 200L).map { off =>
+          val f = s.range(1, 2001).select(
+            pmod(col("id"), lit(50)).as("k"),
+            when(col("id") % 7 === 0, lit(null).cast(LongType))
+              .otherwise(conv(substring(md5(concat(lit(s"V$off:"),
+                col("id").cast(StringType))), 1, 6), 16, 10)
+                .cast(LongType)).as("v"),
+            col("id"))
+          val dimOld = s.range(0, 55).select(col("id").as("k"),
+            pmod(col("id"), lit(7)).as("grp"))
+          val keys = Seq("k")
+          val groups = Seq("grp")
+          val aggs = Seq(AggSpec("v", "sum", "sum_v"),
+            AggSpec("v", "count", "n"))
+          val jv = IncrementalAgg.buildRetractableJoinView(
+            f.select("k", "v"), dimOld, keys, groups, aggs)
+          val del = f.filter(col("k") === 19 ||
+              (col("k") === 16 && col("v").isNotNull) ||
+              (col("id") % 3 === 0 && col("k") =!= 16 && col("k") =!= 19))
+            .select(col("k"), col("v"), lit(-1L).as("_sign"))
+          val updBase = f.filter(col("id") % 5 === 0 &&
+            col("id") % 3 =!= 0 && col("k") =!= 16 && col("k") =!= 19)
+          val upd = updBase.select(col("k"), col("v"), lit(-1L).as("_sign"))
+            .unionByName(updBase.select(col("k"), (col("v") + 55L).as("v"),
+              lit(1L).as("_sign")))
+          val nullIns = s.range(1, 41).select(pmod(col("id"), lit(20)).as("k"),
+            lit(null).cast(LongType).as("v"), lit(1L).as("_sign"))
+          val bornIns = s.range(0, 3).select((col("id") + 55L).as("k"),
+            (col("id") * 13L + off).as("v"), lit(1L).as("_sign"))
+          val moved = s.range(0, 55).filter(col("id") % 11 === 0)
+            .select(col("id").as("k"),
+              (pmod(col("id"), lit(7)) + 100L).as("grp"), lit("U").as("op"))
+          val deleted = s.range(0, 55).filter(col("id") % 11 === 3)
+            .select(col("id").as("k"), pmod(col("id"), lit(7)).as("grp"),
+              lit("D").as("op"))
+          val born = s.range(55, 58).select(col("id").as("k"),
+            when(col("id") % 11 === 0, pmod(col("id"), lit(7)) + 100L)
+              .otherwise(pmod(col("id"), lit(7))).as("grp"),
+            lit("U").as("op"))
+          val isolate = s.range(16, 17).select(col("id").as("k"),
+            lit(999L).as("grp"), lit("U").as("op"))
+          IncrementalAgg.refreshRetractableJoinView(jv,
+              del.unionByName(upd).unionByName(nullIns)
+                .unionByName(bornIns),
+              moved.unionByName(deleted).unionByName(born)
+                .unionByName(isolate),
+              keys, groups, aggs)
+            .view.withColumn("seedoff", lit(off))
+        }
+        insts.reduce(_.unionByName(_))
+          .select("seedoff", "grp", "sum_v", "n")
+          .orderBy("seedoff", "grp")
+      },
+      Some {
+        val per = Seq(0L, 100L, 200L).map { off =>
+          s"""SELECT CAST($off AS BIGINT) AS seedoff, grp,
+             |  CAST(SUM(v) AS BIGINT) AS sum_v, COUNT(v) AS n
+             |FROM (
+             |  SELECT k, CASE WHEN i % 5 = 0 THEN v + 55 ELSE v END AS v
+             |  FROM (
+             |    SELECT i % 50 AS k,
+             |      CASE WHEN i % 7 = 0 THEN NULL
+             |           ELSE CAST(('0x' || substr(md5('V$off:' || CAST(i AS VARCHAR)), 1, 6))
+             |                AS BIGINT) END AS v,
+             |      i
+             |    FROM generate_series(1, 2000) _g(i)) b
+             |  WHERE k <> 19 AND NOT (k = 16 AND v IS NOT NULL)
+             |    AND NOT (i % 3 = 0 AND k NOT IN (16, 19))
+             |  UNION ALL
+             |  SELECT i % 20, CAST(NULL AS BIGINT)
+             |  FROM generate_series(1, 40) _h(i)
+             |  UNION ALL
+             |  SELECT j + 55, j * 13 + $off FROM generate_series(0, 2) _e(j)) e
+             |JOIN (SELECT k,
+             |        CASE WHEN k = 16 THEN 999
+             |             WHEN k % 11 = 0 THEN k % 7 + 100
+             |             ELSE k % 7 END AS grp
+             |      FROM generate_series(0, 57) _d(k)
+             |      WHERE k % 11 <> 3) d USING (k)
+             |GROUP BY 1, 2""".stripMargin
+        }
+        per.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) ORDER BY seedoff, grp")
+      }),
+
     // SCD type-2 dimension history from a changelog: per-key validity
     // intervals, half-open [valid_from, valid_to), NULL while current —
     // the oracle recomputes the same LEAD window

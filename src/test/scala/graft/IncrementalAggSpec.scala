@@ -255,4 +255,100 @@ class IncrementalAggSpec extends SparkSpec {
       s"refresh must not rescan base facts; scanned: ${scanned.mkString(", ")}")
     assert(rows(refreshed) === rows(IncrementalAgg.aggregate(li, keys, aggs)))
   }
+
+  private val invAggs = Seq(AggSpec("v", "sum", "v_sum"),
+    AggSpec("v", "count", "v_cnt"))
+
+  test("retractable join view: signed deltas + dim churn == full recompute") {
+    val keysK = Seq("k")
+    val groups = Seq("g")
+    val base = Seq((1L, Some(10L)), (1L, Some(20L)), (2L, Some(5L)),
+      (3L, Some(7L)), (4L, Some(100L)), (6L, Some(9L)), (6L, None))
+      .toDF("k", "v")
+    val dimOld = Seq((1L, "g1"), (2L, "g1"), (3L, "g2"), (4L, "g2"),
+      (5L, "g3"), (6L, "g4")).toDF("k", "g")
+    val jv = IncrementalAgg.buildRetractableJoinView(base, dimOld,
+      keysK, groups, invAggs)
+    // every arm at once: DELETE key 4's only fact (group g2 must lose
+    // it), UPDATE one of key 1's facts (−old/+new), INSERT a fact for
+    // BORN key 9, retract key 6's only non-null measure (its group g4
+    // must publish SUM = NULL, n = 0, not vanish — a row remains),
+    // delete key 3's fact while its dim row is deleted
+    val signed = Seq(
+      (4L, Some(100L), -1L), (3L, Some(7L), -1L),
+      (1L, Some(20L), -1L), (1L, Some(21L), 1L),
+      (9L, Some(33L), 1L), (6L, Some(9L), -1L))
+      .toDF("k", "v", "_sign")
+    val changes = Seq((4L, "g1", "U"), (3L, "g2", "D"), (9L, "g9", "U"))
+      .toDF("k", "g", "op")
+    val out = IncrementalAgg.refreshRetractableJoinView(jv, signed,
+      changes, keysK, groups, invAggs)
+    val editedFacts = Seq((1L, Some(10L)), (1L, Some(21L)), (2L, Some(5L)),
+      (6L, None), (9L, Some(33L))).toDF("k", "v")
+    val dimNew = Seq((1L, "g1"), (2L, "g1"), (4L, "g1"), (5L, "g3"),
+      (6L, "g4"), (9L, "g9")).toDF("k", "g")
+    val full = IncrementalAgg.buildRetractableJoinView(editedFacts, dimNew,
+      keysK, groups, invAggs).view
+    assert(rows(out.view) === rows(full))
+    // g2 lost key 3 (dim-deleted) and key 4's fact (retracted): vanish
+    assert(out.view.filter(col("g") === "g2").count() === 0)
+    // g4 keeps a row but its SUM restored to NULL (witness algebra
+    // survives the group-grain rollup through the join)
+    val g4 = out.view.filter(col("g") === "g4").collect()
+    assert(g4.length === 1 && g4.head.isNullAt(1) && g4.head.getLong(2) === 0L)
+    // the churned state is re-storable: a second signed batch deleting
+    // key 9's only fact folds on and the born group vanishes again
+    val out2 = IncrementalAgg.refreshRetractableJoinView(out,
+      Seq((9L, Some(33L), -1L)).toDF("k", "v", "_sign"),
+      changes.limit(0), keysK, groups, invAggs)
+    assert(out2.view.filter(col("g") === "g9").count() === 0)
+    assert(rows(out2.view) === rows(IncrementalAgg.buildRetractableJoinView(
+      editedFacts.filter(col("k") =!= 9L), dimNew, keysK, groups,
+      invAggs).view))
+  }
+
+  test("retractable join view plan never reads the base fact files") {
+    val tmp = java.nio.file.Files.createTempDirectory("incrrjv").toString
+    val ev = Tables.load(spark, sf, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id").as("k"),
+        round(col("value") * 100).cast("long").as("v"))
+    ev.write.parquet(s"$tmp/basefacts")
+    val dim = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey").as("k"), col("c_mktsegment").as("g"))
+    dim.write.parquet(s"$tmp/dim")
+    val jv0 = IncrementalAgg.buildRetractableJoinView(
+      spark.read.parquet(s"$tmp/basefacts"), spark.read.parquet(s"$tmp/dim"),
+      Seq("k"), Seq("g"), invAggs)
+    jv0.keyAgg.write.parquet(s"$tmp/keyagg")
+    jv0.view.write.parquet(s"$tmp/view")
+    // signed deltas: retract half the facts of every 10th key, move
+    // every 10th key's dim row — both delta frames written to disk so
+    // the refresh plan's scans are honest file reads
+    spark.read.parquet(s"$tmp/basefacts").filter(col("k") % 10 === 0)
+      .withColumn("_sign", lit(-1L)).write.parquet(s"$tmp/signed")
+    val changes = spark.read.parquet(s"$tmp/dim")
+      .filter(col("k") % 10 === 5)
+      .select(col("k"), lit("MOVED").as("g"), lit("U").as("op"))
+    val stored = IncrementalAgg.JoinView(
+      spark.read.parquet(s"$tmp/keyagg"), spark.read.parquet(s"$tmp/dim"),
+      spark.read.parquet(s"$tmp/view"))
+    val refreshed = IncrementalAgg.refreshRetractableJoinView(stored,
+      spark.read.parquet(s"$tmp/signed"), changes, Seq("k"), Seq("g"),
+      invAggs)
+    val scanned = refreshed.view.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }.flatMap(_.relation.location.inputFiles)
+    assert(scanned.nonEmpty)
+    assert(!scanned.exists(_.contains("basefacts")),
+      s"retractable refresh must not rescan base facts; scanned: " +
+        scanned.mkString(", "))
+    val dimNew = dim.filter(!(col("k") % 10 === 5))
+      .unionByName(dim.filter(col("k") % 10 === 5)
+        .select(col("k"), lit("MOVED").as("g")))
+    val full = IncrementalAgg.buildRetractableJoinView(
+      ev.filter(!(col("k") % 10 === 0)), dimNew,
+      Seq("k"), Seq("g"), invAggs).view
+    assert(rows(refreshed.view) === rows(full))
+  }
 }

@@ -928,6 +928,75 @@ object PipelineOps {
              |WHERE len(list_intersect(p.toks, c.toks)) * 20 >= len(p.toks) * 19
              |ORDER BY probe_id, corpus_id""".stripMargin)),
 
+    // CUR12 — the composed crawl-intake DECONTAMINATION pipeline, the
+    // end-to-end shape sj3/sj4 (probe index), dq8 (quarantine apply)
+    // and inc4 (counting-algebra stats) exist for: build the Jaccard
+    // index + per-lang stats state ONCE over the corpus (docs with
+    // id%3<>0), probe a fresh batch (planted exact dups — every 17th
+    // corpus doc re-ID'd — mixed with docs the corpus never saw:
+    // id%3=0 ∧ id%5=0), quarantine every batch doc within J >= 9/10 of
+    // ANY corpus doc (calibrated: ~45/62 batch docs quarantined, ~17
+    // admitted at gate scales — both splits populated), and fold ONLY the admitted docs into the stats
+    // via +1 signed counting deltas. One frame out: per-lang corpus
+    // stats AFTER admission next to the batch census. The corpus is
+    // scanned once at build and never again during probe/refresh
+    // (DecontamSpec pins the plan property); the oracle replays the
+    // identical funnel with a brute-force all-pairs probe.
+    Q("cur12_decontam_intake",
+      (s, dir) => {
+        import graft.operators.{Decontam, IncrementalAgg}
+        import graft.operators.IncrementalAgg.AggSpec
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            graft.operators.Corpus.words(col("text")).as("toks"))
+        val corpus = toks.filter(col("doc_id") % 3 =!= 0)
+        val batch = toks.filter(col("doc_id") % 17 === 0 ||
+            (col("doc_id") % 3 === 0 && col("doc_id") % 5 === 0))
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+            col("n_chars"), col("toks"))
+        val statKeys = Seq("lang")
+        val statAggs = Seq(AggSpec("n_chars", "sum", "chars_sum"),
+          AggSpec("n_chars", "count", "n_docs"))
+        val st = Decontam.buildIntake(corpus, "doc_id", "toks",
+          statKeys, statAggs, tNum = 9, tDen = 10)
+        val res = Decontam.processBatch(st, batch, "doc_id", "toks",
+          statKeys, statAggs)
+        val census = res.quarantined.groupBy("lang")
+          .agg(count(lit(1)).as("n_quarantined"))
+          .join(res.admitted.groupBy("lang")
+            .agg(count(lit(1)).as("n_admitted")), Seq("lang"), "full")
+        IncrementalAgg.publishCounting(res.stats, statKeys, statAggs)
+          .join(census, Seq("lang"), "left")
+          .select(col("lang"), col("n_docs"), col("chars_sum"),
+            coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+            coalesce(col("n_quarantined"), lit(0L)).as("n_quarantined"))
+          .orderBy("lang")
+      },
+      Some("""WITH s AS (SELECT doc_id, lang, n_chars,
+             |  list_distinct(string_split(trim(regexp_replace(text,'\s+',' ','g')),' ')) AS toks
+             |  FROM documents),
+             |corpus AS (SELECT * FROM s WHERE doc_id % 3 <> 0),
+             |batch AS (SELECT doc_id + 1000000 AS bid, lang, n_chars, toks
+             |  FROM s WHERE doc_id % 17 = 0 OR (doc_id % 3 = 0 AND doc_id % 5 = 0)),
+             |hits AS (SELECT DISTINCT b.bid FROM batch b JOIN corpus c ON
+             |  len(list_intersect(b.toks, c.toks)) * 10
+             |    >= (len(b.toks) + len(c.toks) - len(list_intersect(b.toks, c.toks))) * 9),
+             |dec AS (SELECT b.*, b.bid IN (SELECT bid FROM hits) AS quar FROM batch b),
+             |stats AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+             |    COUNT(n_chars) AS n_docs
+             |  FROM (SELECT lang, n_chars FROM corpus
+             |        UNION ALL SELECT lang, n_chars FROM dec WHERE NOT quar)
+             |  GROUP BY 1),
+             |census AS (SELECT lang,
+             |    CAST(SUM(CASE WHEN quar THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+             |    CAST(SUM(CASE WHEN quar THEN 0 ELSE 1 END) AS BIGINT) AS n_admitted
+             |  FROM dec GROUP BY 1)
+             |SELECT s.lang, n_docs, chars_sum,
+             |  COALESCE(n_admitted, 0) AS n_admitted,
+             |  COALESCE(n_quarantined, 0) AS n_quarantined
+             |FROM stats s LEFT JOIN census USING (lang)
+             |ORDER BY lang""".stripMargin)),
+
     // DQ8 — the quarantine APPLY of the quality audit (dq2 reports
     // metrics; this SPLITS the rows): every event gets a reason
     // bitmask — 1 null user, 2 unknown type, 4 value out of range, 8

@@ -17,6 +17,7 @@ The replica must have been built by `graft.ScaleUp` (which includes the
 events table since round 6).
 """
 import json
+import re
 import subprocess
 import sys
 import time
@@ -37,7 +38,11 @@ BOUNDED_PREFIXES = (
     "w7", "g1", "g2", "g3",
     "a1_", "a2_", "a3_", "a4_", "a5_", "a6_", "a7_", "a8_", "a9_", "a10", "a11",
     "rj1", "rj2", "rj3", "st1", "st2", "st3", "st4", "st5", "st6", "st7",
-    "cur1", "cur2", "cur3", "cur4", "cur5", "hp1", "tx", "i1", "i2", "d1", "d2",
+    # cur1_/cur10/cur11 anchored individually: a bare "cur1" would also
+    # classify any future cur1x row (e.g. cur12's all-pairs intake
+    # oracle) as linear by accident
+    "cur1_", "cur10", "cur11", "cur2", "cur3", "cur4", "cur5",
+    "hp1", "tx", "i1", "i2", "d1", "d2",
     "r1_", "r7_", "bp1", "cc1", "tf1",
     "st8", "st9", "zo1", "cd1", "cd2", "sk1", "sk2",
     "fn1", "fe2", "fe3", "fe4", "tok", "dd13", "dq2", "an1", "cohort1",
@@ -156,8 +161,9 @@ BOUNDED_PREFIXES = (
     "dd1_",
     # expression/cast/function projections: per-row outputs, linear in
     # the replica (most scan generated frames or %-filtered lineitem);
-    # covers e1-e32, the b-variants, e12_cast_*, e16, and ep1
-    "e",
+    # covers e1-e32, the b-variants, e12_cast_*, e16, and ep1 — matched
+    # by ANCHORED regex below (a bare "e" prefix would silently classify
+    # any future e-named query as linear)
     # set ops / projections / sampling over full tables: linear outputs
     "r3", "r4", "r5", "r6", "r7b", "r8", "r9",
     # join-semantics rows with LINEAR output (semi/anti return at most
@@ -219,7 +225,12 @@ def main():
         "ss2x_lsh_exhaustive", "ss4_ivf_exhaustive",
         "ss5_pq_exhaustive"]  # linear oracles in excluded prefixes
     if bounded:
-        keep = [n for n in keep if n.startswith(BOUNDED_PREFIXES)]
+        # anchored ^e<digit> for the expression family (e1..e32, e12_*,
+        # ep1 is listed via its own prefix rule below) — see the comment
+        # at the "e" slot in BOUNDED_PREFIXES
+        keep = [n for n in keep
+                if n.startswith(BOUNDED_PREFIXES)
+                or re.match(r"^ep?\d", n)]
     keep = sorted(set(keep))
     print(f"[audit] {len(keep)} queries at {replica}", flush=True)
     subprocess.run(["rm", "-rf", out], check=True)

@@ -106,7 +106,10 @@ object Bench {
     // lowest-spread attempt if the machine never goes quiet.
     val SpreadRetry = 0.3
     val MaxAttempts = 3
-    val results = selected.map { name =>
+    val loadAvgStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    def runPass(): Seq[(String, Double, Double, Double, Int)] =
+      selected.map { name =>
       once(name) // warmup (JIT + codegen + page cache)
       // One measurement attempt. COLD: first execution of the plan with
       // warm JIT but no session caches — the gated-broadcast side and the
@@ -139,6 +142,21 @@ object Bench {
       }
       (name, best._1, best._2, best._3, attempt)
     }
+    // TWO full suite passes, merged per query by min warm time — the
+    // inter-SESSION drift the per-query min-of-3 cannot see (BENCH_r11
+    // rose 10–34% on untouched queries while same-HEAD benchscale
+    // sessions were flat: a uniform early-session tax — GC ramp,
+    // background load — inflates every intra-session sample equally,
+    // so only an independent later pass can undercut it). The recorded
+    // load averages bound the other explanation: if loadavg is high,
+    // the artifact says so instead of publishing noise as regression.
+    val pass1 = runPass()
+    val pass2 = runPass()
+    val results = pass1.zip(pass2).map { case (a, b) =>
+      if (b._2 >= 0 && (a._2 < 0 || b._2 < a._2)) b else a
+    }
+    val loadAvgEnd = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val spreads = results.map { case (k, _, s, _, _) => "\"" + k + "\":" + s }
@@ -150,8 +168,11 @@ object Bench {
     // failed queries report -1 individually but must not corrupt the total
     val total = results.map(_._2).filter(_ >= 0).sum
     val coldTotal = results.map(_._4).filter(_ >= 0).sum
+    val passTotals = Seq(pass1, pass2)
+      .map(_.map(_._2).filter(_ >= 0).sum)
+      .map(t => math.round(t * 1000) / 1000.0)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"cold":$colds,"cold_total":$coldTotal,"attempts":$tries,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"cold":$colds,"cold_total":$coldTotal,"attempts":$tries,"passes":2,"pass_totals":[${passTotals.mkString(",")}],"load_avg_start":$loadAvgStart,"load_avg_end":$loadAvgEnd,"sf":"$sfDir"}"""
     // Write the result line to the RAW stdout file descriptor, bypassing
     // sbt's swapped System.out: under `sbt runMain` the logger prefixes
     // every println with "[info] ", which breaks any consumer that

@@ -928,6 +928,45 @@ object PipelineOps {
              |WHERE len(list_intersect(p.toks, c.toks)) * 20 >= len(p.toks) * 19
              |ORDER BY probe_id, corpus_id""".stripMargin)),
 
+    // SJ5 — the PERSISTED index probed across jobs: sj3's lookup run
+    // through JaccardIndex.save → loadJaccardIndex — build the corpus
+    // index, write it to parquet (vocab + surviving postings + 1-row
+    // threshold/ceiling meta), read it back, probe. Same oracle as the
+    // fresh-index probe, so the row gates that persistence is lossless
+    // — the cross-job standing-index posture a real crawl pipeline
+    // consumes (the reload even skips the rebuild: PROBEJOIN_MEASURE's
+    // reload_probe_batch_sec). All-pairs oracle → audit-excluded like
+    // sj1-sj3.
+    Q("sj5_jaccard_index_reload",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          graft.operators.Corpus.words(col("text")).as("toks"))
+        val probe = toks.filter(col("doc_id") % 17 === 0)
+        val ixDir = java.nio.file.Files
+          .createTempDirectory("graft-sj5-ix").toString
+        graft.operators.SetSimJoin.buildJaccardIndex(
+          toks, "doc_id", "toks", tNum = 7, tDen = 10).save(ixDir)
+        val reloaded = graft.operators.SetSimJoin.loadJaccardIndex(s, ixDir)
+        graft.operators.SetSimJoin.probeJaccardIndex(
+            reloaded, probe, "doc_id", "toks")
+          .select(col("probe_id"), col("corpus_id"),
+            col("jaccard_pm").as("j_pm"))
+          .orderBy("probe_id", "corpus_id")
+      },
+      Some("""WITH s AS (SELECT doc_id,
+             |  list_distinct(string_split(trim(regexp_replace(text,'\s+',' ','g')),' ')) AS toks
+             |  FROM documents),
+             |p AS (SELECT doc_id AS probe_id, toks FROM s WHERE doc_id % 17 = 0)
+             |SELECT p.probe_id, c.doc_id AS corpus_id,
+             |  CAST(len(list_intersect(p.toks, c.toks)) * 1000
+             |    // (len(p.toks) + len(c.toks) - len(list_intersect(p.toks, c.toks)))
+             |    AS BIGINT) AS j_pm
+             |FROM p JOIN s c ON TRUE
+             |WHERE len(list_intersect(p.toks, c.toks)) * 10
+             |      >= (len(p.toks) + len(c.toks) - len(list_intersect(p.toks, c.toks))) * 7
+             |ORDER BY probe_id, corpus_id""".stripMargin)),
+
     // CUR12 — the composed crawl-intake DECONTAMINATION pipeline, the
     // end-to-end shape sj3/sj4 (probe index), dq8 (quarantine apply)
     // and inc4 (counting-algebra stats) exist for: build the Jaccard

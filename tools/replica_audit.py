@@ -210,6 +210,10 @@ def main():
     oracle = json.loads((REPO / "ORACLE_SQL.json").read_text())
     keep = sorted(n for n in oracle
                   if not n.startswith(("dd", "ss", "mm", "fj", "sj1", "sj2", "sj3",
+                                       # sj5 is oracle-identical to sj3
+                                       # (all-pairs, quadratic in the
+                                       # replica factor)
+                                       "sj5",
                                        "sql2", "cur6", "s8_", "s10"))) + [
         "ss1_cosine_topk", "dd13_span_dedup", "ss2_ann_lsh", "ss3_ann_ivf",
         "ss1b_cosine_topk_indexed", "dd15_substring_dedup", "dd16_substring_cut",

@@ -85,7 +85,13 @@ object DumpPlans {
       "sj3_jaccard_probe" ->
         "Dedicated R-S prefix join: corpus prefix postings and probe prefix postings meet in ONE equi-join on the prefix token (no cartesian/nested-loop anywhere); vocabulary rank is the two-pass range sort + zipWithIndex (no Window operator); min-shared-prefix-token predicate emits each pair once with no Distinct pass; exact integer verify on the sorted index arrays.",
       "sj4_containment_probe" ->
-        "Containment probe: the probe side posts only its rarest-token prefixes, the corpus side is the full inverted index — one equi-join on the token id, emit-once on the minimal shared token, integer containment verify; no nested-loop node, no Distinct.")
+        "Containment probe: the probe side posts only its rarest-token prefixes, the corpus side is the full inverted index — one equi-join on the token id, emit-once on the minimal shared token, integer containment verify; no nested-loop node, no Distinct.",
+      "inc5_retractable_join_view" ->
+        "Retraction-capable IVM refresh: stored facts appear NOWHERE — the signed delta aggregates at key grain (one data-sized exchange), merges with the stored counting state, and the dim-changelog splice recomputes only the affected groups (null-safe <=> semi/anti joins, BroadcastHashJoin on the group-cardinality sets); the published projection nulls SUMs from the rolled-up witnesses without extra stages.",
+      "cur12_decontam_intake" ->
+        "Composed decontamination intake: the corpus parquet is scanned only under the build-time localCheckpoint barrier — the probe join reads the materialized postings, the quarantine split is two broadcast semi/anti joins on the hit ids, and the stats refresh merges the admitted batch's group-grain delta with the materialized counting state. Per-batch cost = the batch itself plus group-grain merges.",
+      "sj5_jaccard_index_reload" ->
+        "Persisted-index probe: the corpus appears only as the reloaded index's OWN parquet (vocab + surviving postings) — the probe pays its prefix explode, one posting equi-join, emit-once, integer verify; no rebuild, no corpus scan, no nested-loop node.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (auto-generated by graft.DumpPlans at sf0.1)\n\n")
     sb.append("Evidence for the plan-shape claims in README: pushed filters, pruned\n")
@@ -105,7 +111,8 @@ object DumpPlans {
       "sk8_quantile_sketch", "imp3_select_pack_mix",
       "imp7_prototype_prune", "dd20_d4_pipeline",
       "inc3_dim_churn", "sj3_jaccard_probe",
-      "sj4_containment_probe").foreach { name =>
+      "sj4_containment_probe", "inc5_retractable_join_view",
+      "cur12_decontam_intake", "sj5_jaccard_index_reload").foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       sb.append(s"\n## $name\n\n${notes(name)}\n\n```\n")
       sb.append(df.queryExecution.explainString(

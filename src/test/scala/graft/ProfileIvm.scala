@@ -102,9 +102,38 @@ object ProfileIvm {
       val fullMb = factsMb(recomputed.view)
       val (fullRows, fullSec) = measured(recomputed.view.count())
       require(viewRows == fullRows, s"refresh/recompute row mismatch at $label")
+
+      // the RETRACTABLE path (inc5): counting state over ALL facts,
+      // the same 1% of facts arrives as −1 signed deletes + the same
+      // dim churn — same no-rescan claim, same flat-cost claim
+      val cAggs = Seq(AggSpec("price_c", "sum", "rev_c"),
+        AggSpec("price_c", "count", "n"))
+      val rjv0 = IncrementalAgg.buildRetractableJoinView(
+        spark.read.parquet(s"$tmp/facts").select("pk", "price_c"),
+        dim, keys, groups, cAggs)
+      rjv0.keyAgg.write.parquet(s"$tmp/rkeyagg")
+      rjv0.view.write.parquet(s"$tmp/rview")
+      val rstored = IncrementalAgg.JoinView(
+        spark.read.parquet(s"$tmp/rkeyagg"), spark.read.parquet(s"$tmp/dim"),
+        spark.read.parquet(s"$tmp/rview"))
+      val rrefreshed = IncrementalAgg.refreshRetractableJoinView(rstored,
+        spark.read.parquet(s"$tmp/delta").withColumn("_sign", lit(-1L)),
+        changes, keys, groups, cAggs)
+      val rMb = factsMb(rrefreshed.view)
+      val (rRows, rSec) = measured(rrefreshed.view.count())
+      val rRecomputed = IncrementalAgg.buildRetractableJoinView(
+        spark.read.parquet(s"$tmp/facts")
+          .filter(col("l_orderkey") % 100 =!= 0).select("pk", "price_c"),
+        dimNew, keys, groups, cAggs)
+      val (rFullRows, rFullSec) = measured(rRecomputed.view.count())
+      require(rRows == rFullRows,
+        s"retractable refresh/recompute row mismatch at $label")
+
       s"""{"scale":"$label","facts":$nFacts,"view_rows":$viewRows,""" +
         s""""refresh_sec":$refreshSec,"refresh_facts_mb":$refreshMb,""" +
-        s""""recompute_sec":$fullSec,"recompute_facts_mb":$fullMb}"""
+        s""""recompute_sec":$fullSec,"recompute_facts_mb":$fullMb,""" +
+        s""""retract_refresh_sec":$rSec,"retract_refresh_facts_mb":$rMb,""" +
+        s""""retract_recompute_sec":$rFullSec}"""
     }
     val json = s"""{"metric":"ivm_scaling",""" +
       s""""shape":"20k-key dim, 1% fact delta + 1% dim churn, state and delta from parquet",""" +

@@ -150,10 +150,15 @@ object Bench {
     // so only an independent later pass can undercut it). The recorded
     // load averages bound the other explanation: if loadavg is high,
     // the artifact says so instead of publishing noise as regression.
-    val pass1 = runPass()
-    val pass2 = runPass()
-    val results = pass1.zip(pass2).map { case (a, b) =>
-      if (b._2 >= 0 && (a._2 < 0 || b._2 < a._2)) b else a
+    // benchscale already min-merges across whole JVM SESSIONS, so it
+    // sets SPARK_GRAFT_BENCH_PASSES=1; the driver's single-session
+    // protocol gets the 2-pass default
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val passes = Seq.fill(math.max(1, nPasses))(runPass())
+    val results = passes.reduce { (p1, p2) =>
+      p1.zip(p2).map { case (a, b) =>
+        if (b._2 >= 0 && (a._2 < 0 || b._2 < a._2)) b else a
+      }
     }
     val loadAvgEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
@@ -168,11 +173,11 @@ object Bench {
     // failed queries report -1 individually but must not corrupt the total
     val total = results.map(_._2).filter(_ >= 0).sum
     val coldTotal = results.map(_._4).filter(_ >= 0).sum
-    val passTotals = Seq(pass1, pass2)
+    val passTotals = passes
       .map(_.map(_._2).filter(_ >= 0).sum)
       .map(t => math.round(t * 1000) / 1000.0)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"cold":$colds,"cold_total":$coldTotal,"attempts":$tries,"passes":2,"pass_totals":[${passTotals.mkString(",")}],"load_avg_start":$loadAvgStart,"load_avg_end":$loadAvgEnd,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"cold":$colds,"cold_total":$coldTotal,"attempts":$tries,"passes":${passes.size},"pass_totals":[${passTotals.mkString(",")}],"load_avg_start":$loadAvgStart,"load_avg_end":$loadAvgEnd,"sf":"$sfDir"}"""
     // Write the result line to the RAW stdout file descriptor, bypassing
     // sbt's swapped System.out: under `sbt runMain` the logger prefixes
     // every println with "[info] ", which breaks any consumer that

@@ -55,6 +55,22 @@ object Decontam {
         .localCheckpoint(eager = true))
   }
 
+  /** Persist the standing state — index parquet + stats parquet — so a
+    * LATER JOB picks up the intake where this one left it: load, probe
+    * the next batch, store the refreshed stats back. The corpus itself
+    * is never needed again.
+    */
+  def saveIntake(st: IntakeState, path: String): Unit = {
+    st.index.save(s"$path/index")
+    st.stats.write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Read back a [[saveIntake]]d state. */
+  def loadIntake(spark: org.apache.spark.sql.SparkSession,
+      path: String): IntakeState =
+    IntakeState(SetSimJoin.loadJaccardIndex(spark, s"$path/index"),
+      spark.read.parquet(s"$path/stats"))
+
   /** Decontaminate one fresh batch against the standing state: probe,
     * split, admit. `batch` must carry `idCol`, `tokensCol`, and the
     * stat key/input columns. A batch row is quarantined when ANY corpus

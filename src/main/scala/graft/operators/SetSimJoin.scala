@@ -373,21 +373,87 @@ object SetSimJoin {
     */
   def containmentProbeJoin(corpus: DataFrame, probe: DataFrame,
       idCol: String, tokensCol: String, tNum: Int, tDen: Int,
-      maxBucket: Int = 100000): DataFrame = {
+      maxBucket: Int = 100000): DataFrame =
+    probeContainmentIndex(
+      buildContainmentIndex(corpus, idCol, tokensCol, tNum, tDen,
+        maxBucket), probe, idCol, tokensCol)
+
+  /** The REIFIED corpus side of [[containmentProbeJoin]] —
+    * [[JaccardIndex]]'s sibling for the quote/subset relation: the
+    * corpus's FULL inverted index (the containment witness may sit
+    * anywhere in the container, so unlike the Jaccard index nothing is
+    * prefix-truncated), its token order, rank ceiling, and the
+    * maxBucket-dropped hot tokens. The hot set must ride along (as
+    * driver-bounded literals, see [[collectHotTokens]]): the corpus's
+    * `_ic` arrays double as the exact verify arrays and cannot be
+    * hot-dropped, so each probe batch subtracts the hot set from its
+    * own anchored prefix instead — (pp \ hot) ∩ ic == (pp ∩ ic) \ hot.
+    * Built once, probed by any batch (probe-only tokens rank past the
+    * ceiling), persisted via [[ContainmentIndex.save]].
+    */
+  final case class ContainmentIndex(vocab: DataFrame, vocabCeiling: Long,
+      postings: DataFrame, hotTokens: Seq[Long], tNum: Int, tDen: Int) {
+    /** localCheckpoint the frames — the SESSION-lifetime reuse form. */
+    def materialized: ContainmentIndex =
+      copy(vocab = vocab.localCheckpoint(eager = true),
+        postings = postings.localCheckpoint(eager = true))
+
+    /** Persist to parquet (vocab + postings + 1-row meta carrying
+      * ceiling, threshold, and the hot-token array) — the cross-job
+      * standing decontamination-lookup posture; SetSimJoinSpec gates
+      * that a reloaded index probes identically.
+      */
+    def save(path: String): Unit = {
+      val spark = vocab.sparkSession
+      vocab.write.mode("overwrite").parquet(s"$path/vocab")
+      postings.write.mode("overwrite").parquet(s"$path/postings")
+      spark.range(1).select(lit(vocabCeiling).as("ceiling"),
+          lit(tNum).as("t_num"), lit(tDen).as("t_den"),
+          typedlit(hotTokens).as("hot"))
+        .write.mode("overwrite").parquet(s"$path/meta")
+    }
+  }
+
+  /** Read back a [[ContainmentIndex.save]]d index. */
+  def loadContainmentIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): ContainmentIndex = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    ContainmentIndex(spark.read.parquet(s"$path/vocab"),
+      meta.getAs[Long]("ceiling"),
+      spark.read.parquet(s"$path/postings"),
+      meta.getAs[scala.collection.Seq[Long]]("hot").toSeq,
+      meta.getAs[Int]("t_num"), meta.getAs[Int]("t_den"))
+  }
+
+  def buildContainmentIndex(corpus: DataFrame, idCol: String,
+      tokensCol: String, tNum: Int, tDen: Int,
+      maxBucket: Int = 100000): ContainmentIndex = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be in (0,1]")
-    val vocab = rsVocab(corpus, probe, idCol, tokensCol)
-    val pPost = probePostings(probe, idCol, tokensCol, vocab, tNum, tDen)
+    val vocab = corpusVocab(corpus, tokensCol)
+    val ceiling = vocab.agg(coalesce(max(col("_tidx")), lit(0L)))
+      .head().getLong(0)
     val cFull = indexDocs(corpus, idCol, tokensCol, vocab, tNum, tDen)
       .select(col("_id").as("cid"), col("_idx").as("_ic"),
         explode(col("_idx")).as("_ptok"))
     val hotToks = collectHotTokens(cFull, maxBucket)
-    val cSafe = cFull.filter(notHot(hotToks))
+    ContainmentIndex(vocab, ceiling, cFull.filter(notHot(hotToks)),
+      hotToks, tNum, tDen)
+  }
+
+  def probeContainmentIndex(ix: ContainmentIndex, probe: DataFrame,
+      idCol: String, tokensCol: String): DataFrame = {
+    // probe-only tokens rank past the stored ceiling: the stored
+    // inverted index stays valid verbatim for ANY probe batch
+    val fullVocab = ix.vocab.unionByName(
+      probeExtension(probe, tokensCol, ix.vocab, ix.vocabCeiling))
+    val pPost = probePostings(probe, idCol, tokensCol, fullVocab,
+      ix.tNum, ix.tDen)
     // the corpus's _ic is the VERIFY array and must stay full, so the
     // hot drop lands on the probe's anchored prefix instead:
     // (pp \ hot) ∩ ic == (pp ∩ ic) \ hot — the emit-once min skips
     // dropped tokens without touching the intersection verify
-    pPost.withColumn("_pp", dropHot(col("_pp"), hotToks))
-      .join(cSafe, "_ptok")
+    pPost.withColumn("_pp", dropHot(col("_pp"), ix.hotTokens))
+      .join(ix.postings, "_ptok")
       // emit once: on the minimal surviving token shared between the
       // probe's prefix and the corpus doc's full set (the join-key
       // domain)
@@ -395,7 +461,7 @@ object SetSimJoin {
       .withColumn("_inter",
         size(array_intersect(col("_ip"), col("_ic"))).cast(LongType))
       .withColumn("_szp", size(col("_ip")).cast(LongType))
-      .filter(col("_inter") * tDen >= col("_szp") * tNum)
+      .filter(col("_inter") * ix.tDen >= col("_szp") * ix.tNum)
       .select(col("pid").as("probe_id"), col("cid").as("corpus_id"),
         (col("_inter") * 1000L / col("_szp")).cast(LongType)
           .as("containment_pm"))

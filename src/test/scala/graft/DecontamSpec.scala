@@ -53,6 +53,31 @@ class DecontamSpec extends SparkSpec {
     assert(scans(res.hits).exists(_.contains("batchfiles")))
   }
 
+  test("a saved+loaded intake state processes a batch identically") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        graft.operators.Corpus.words(col("text")).as("toks"))
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0).localCheckpoint()
+    val batch = docs.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+        col("n_chars"), col("toks")).localCheckpoint()
+    val st = Decontam.buildIntake(corpus, "doc_id", "toks",
+      statKeys, statAggs, 9, 10)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-intake").toString
+    Decontam.saveIntake(st, dir)
+    val st2 = Decontam.loadIntake(spark, dir)
+    def outcome(s: Decontam.IntakeState) = {
+      val r = Decontam.processBatch(s, batch, "doc_id", "toks",
+        statKeys, statAggs)
+      (r.quarantined.select("doc_id").collect().map(_.getLong(0)).toSet,
+        IncrementalAgg.publishCounting(r.stats, statKeys, statAggs)
+          .collect().map(_.toSeq).toSet)
+    }
+    assert(outcome(st2) === outcome(st),
+      "cross-job intake diverged from the in-session state")
+  }
+
   test("quarantine == brute-force contamination; stats == full recompute") {
     val docs = Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("lang"), col("n_chars"),

@@ -136,6 +136,39 @@ class SetSimJoinSpec extends SparkSpec {
     assert(fromFresh.nonEmpty, "vacuous identity — calibrate the corpus")
   }
 
+  test("containment index: multi-batch reuse and save/reload identity") {
+    val rnd = new scala.util.Random(79)
+    val universe = (1 to 30).map(i => s"t$i")
+    val corpus = (1L to 80L).map { i =>
+      i -> rnd.shuffle(universe).take(4 + rnd.nextInt(8))
+    }
+    val ix = SetSimJoin.buildContainmentIndex(corpus.toDF("id", "toks"),
+      "id", "toks", 4, 5).materialized
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cix").toString
+    ix.save(dir)
+    val loaded = SetSimJoin.loadContainmentIndex(spark, dir)
+    assert(loaded.vocabCeiling === ix.vocabCeiling)
+    assert(loaded.hotTokens === ix.hotTokens)
+    for (b <- 0 until 3) {
+      val probe = (1L to 12L).map { i =>
+        (1000L * b + i) -> (rnd.shuffle(universe).take(2 + rnd.nextInt(4)) ++
+          (if (i % 2 == 0) Seq(s"only$b-$i") else Nil))
+      }
+      def sorted(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, Long)].collect().sorted.toSeq
+      val viaIndex = sorted(SetSimJoin.probeContainmentIndex(ix,
+        probe.toDF("id", "toks"), "id", "toks"))
+      val perCall = sorted(SetSimJoin.containmentProbeJoin(
+        corpus.toDF("id", "toks"), probe.toDF("id", "toks"),
+        "id", "toks", 4, 5))
+      val viaReload = sorted(SetSimJoin.probeContainmentIndex(loaded,
+        probe.toDF("id", "toks"), "id", "toks"))
+      assert(viaIndex === perCall, s"batch $b diverged through the index")
+      assert(viaReload === viaIndex, s"batch $b diverged after reload")
+    }
+  }
+
   private def bruteContain(docs: Seq[(Long, Seq[String])], tNum: Int, tDen: Int) =
     (for {
       (ia, ta) <- docs; (ib, tb) <- docs if ia != ib

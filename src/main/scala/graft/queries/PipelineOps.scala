@@ -967,6 +967,89 @@ object PipelineOps {
              |      >= (len(p.toks) + len(c.toks) - len(list_intersect(p.toks, c.toks))) * 7
              |ORDER BY probe_id, corpus_id""".stripMargin)),
 
+    // RF40 — probe-join differential fuzz (rf28/rf30's sibling for the
+    // R-S kernels, which until now were gated only on the documents
+    // table): 3 seeded instances of a 200-doc generated corpus (31-token
+    // vocab, 4-11 tokens/doc from md5 draws) probed by a 3-arm batch —
+    // near-dups (every 10th doc, first token dropped), fresh docs the
+    // corpus never saw, and exact copies (every 17th) — through BOTH
+    // the Jaccard probe (t=3/5) and the containment probe (t=4/5),
+    // tagged and unioned. Oracle = brute-force all-pairs replay of the
+    // identical generated arrays (sf-independent, so the row also runs
+    // in the bounded 100x audit where the partition count differs).
+    Q("rf40_probe_join_fuzz",
+      (s, dir) => {
+        val insts = Seq(0L, 100L, 200L).map { off =>
+          val corpus = s.range(0, 200).select(col("id").as("did"),
+            expr(("transform(sequence(1, cast(pmod(id, 8) + 4 as int)), " +
+              "j -> concat('x', cast(conv(substr(md5(concat('P@:', id, " +
+              "':', j)), 1, 4), 16, 10) as bigint) % 31))")
+              .replace("@", off.toString)).as("rtoks"))
+          val p1 = corpus.filter(col("did") % 10 === 0)
+            .select((col("did") + 5000L).as("did"),
+              expr("slice(rtoks, 2, size(rtoks) - 1)").as("rtoks"))
+          val p2 = s.range(0, 10).select((col("id") + 6000L).as("did"),
+            expr(("transform(sequence(1, cast(pmod(id, 5) + 3 as int)), " +
+              "j -> concat('x', cast(conv(substr(md5(concat('Q@:', id, " +
+              "':', j)), 1, 4), 16, 10) as bigint) % 31))")
+              .replace("@", off.toString)).as("rtoks"))
+          val p3 = corpus.filter(col("did") % 17 === 0)
+            .select((col("did") + 7000L).as("did"), col("rtoks"))
+          val probe = p1.unionByName(p2).unionByName(p3)
+          val j = graft.operators.SetSimJoin.jaccardProbeJoin(
+              corpus, probe, "did", "rtoks", tNum = 3, tDen = 5)
+            .select(lit("J").as("kind"), col("probe_id"), col("corpus_id"),
+              col("jaccard_pm").as("score_pm"))
+          val c = graft.operators.SetSimJoin.containmentProbeJoin(
+              corpus, probe, "did", "rtoks", tNum = 4, tDen = 5)
+            .select(lit("C").as("kind"), col("probe_id"), col("corpus_id"),
+              col("containment_pm").as("score_pm"))
+          j.unionByName(c).withColumn("seedoff", lit(off))
+        }
+        insts.reduce(_.unionByName(_))
+          .select("seedoff", "kind", "probe_id", "corpus_id", "score_pm")
+          .orderBy("seedoff", "kind", "probe_id", "corpus_id")
+      },
+      Some {
+        val per = Seq(0L, 100L, 200L).map { off =>
+          s"""SELECT CAST($off AS BIGINT) AS seedoff, kind, probe_id,
+             |  corpus_id, score_pm
+             |FROM (
+             |WITH corpus AS (
+             |  SELECT i AS did,
+             |    ['x' || CAST(CAST(('0x'||substr(md5('P$off:'||i||':'||j),1,4)) AS BIGINT) % 31 AS VARCHAR)
+             |     FOR j IN range(1, i % 8 + 5)] AS rtoks
+             |  FROM range(0, 200) _t(i)),
+             |probe AS (
+             |  SELECT did + 5000 AS did, rtoks[2:] AS rtoks
+             |  FROM corpus WHERE did % 10 = 0
+             |  UNION ALL
+             |  SELECT i + 6000,
+             |    ['x' || CAST(CAST(('0x'||substr(md5('Q$off:'||i||':'||j),1,4)) AS BIGINT) % 31 AS VARCHAR)
+             |     FOR j IN range(1, i % 5 + 4)]
+             |  FROM range(0, 10) _f(i)
+             |  UNION ALL
+             |  SELECT did + 7000, rtoks FROM corpus WHERE did % 17 = 0),
+             |cd AS (SELECT did AS cid, list_distinct(rtoks) AS toks FROM corpus),
+             |pd AS (SELECT did AS pid, list_distinct(rtoks) AS toks FROM probe)
+             |SELECT 'J' AS kind, pid AS probe_id, cid AS corpus_id,
+             |  CAST(len(list_intersect(p.toks, c.toks)) * 1000
+             |    // (len(p.toks) + len(c.toks) - len(list_intersect(p.toks, c.toks)))
+             |    AS BIGINT) AS score_pm
+             |FROM pd p JOIN cd c ON
+             |  len(list_intersect(p.toks, c.toks)) * 5
+             |    >= (len(p.toks) + len(c.toks) - len(list_intersect(p.toks, c.toks))) * 3
+             |UNION ALL
+             |SELECT 'C', pid, cid,
+             |  CAST(len(list_intersect(p.toks, c.toks)) * 1000 // len(p.toks) AS BIGINT)
+             |FROM pd p JOIN cd c ON
+             |  len(list_intersect(p.toks, c.toks)) * 5 >= len(p.toks) * 4
+             |) _u""".stripMargin
+        }
+        per.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) ORDER BY seedoff, kind, probe_id, corpus_id")
+      }),
+
     // CUR12 — the composed crawl-intake DECONTAMINATION pipeline, the
     // end-to-end shape sj3/sj4 (probe index), dq8 (quarantine apply)
     // and inc4 (counting-algebra stats) exist for: build the Jaccard

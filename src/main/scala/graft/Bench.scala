@@ -153,7 +153,8 @@ object Bench {
     // benchscale already min-merges across whole JVM SESSIONS, so it
     // sets SPARK_GRAFT_BENCH_PASSES=1; the driver's single-session
     // protocol gets the 2-pass default
-    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val nPasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .flatMap(_.toIntOption).getOrElse(2)
     val passes = Seq.fill(math.max(1, nPasses))(runPass())
     val results = passes.reduce { (p1, p2) =>
       p1.zip(p2).map { case (a, b) =>
@@ -177,7 +178,7 @@ object Bench {
       .map(_.map(_._2).filter(_ >= 0).sum)
       .map(t => math.round(t * 1000) / 1000.0)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"cold":$colds,"cold_total":$coldTotal,"attempts":$tries,"passes":${passes.size},"pass_totals":[${passTotals.mkString(",")}],"load_avg_start":$loadAvgStart,"load_avg_end":$loadAvgEnd,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"cold":$colds,"cold_total":$coldTotal,"attempts":$tries,"passes":${passes.size},"pass_totals":[${passTotals.mkString(",")}],"merge":"per-query min warm across passes; spread/cold/attempts reported from each query's winning pass","load_avg_start":$loadAvgStart,"load_avg_end":$loadAvgEnd,"sf":"$sfDir"}"""
     // Write the result line to the RAW stdout file descriptor, bypassing
     // sbt's swapped System.out: under `sbt runMain` the logger prefixes
     // every println with "[info] ", which breaks any consumer that

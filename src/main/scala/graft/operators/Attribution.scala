@@ -47,16 +47,27 @@ object Attribution {
     import spark.implicits._
 
     // Seatbelt FIRST, and distributed: one aggregate derives the channel
-    // cardinality (and the pair-row count) before anything is collected,
-    // so a mis-grained input — an event-vocabulary src/dst instead of
-    // channel-grain — throws the loud reject instead of OOMing the
-    // driver on the very collect the guard exists to protect.
-    val Array(srcC, dstC, _) = trans.columns
-    val guard = trans.select(
-        explode(array(col(srcC), col(dstC))).as("_st"))
-      .filter(!col("_st").isin(StructuralStates.toSeq: _*))
-      .agg(count_distinct(col("_st")).as("_n"),
-        (count(lit(1)) / 2).as("_rows"))
+    // cardinality, the exact row count, and the distinct-(src,dst) count
+    // before anything is collected, so a mis-grained input — an
+    // event-vocabulary src/dst instead of channel-grain — throws the loud
+    // reject instead of OOMing the driver on the very collect the guard
+    // exists to protect. The frame may carry extra columns past
+    // (src, dst, count); only the first three positions are read.
+    require(trans.columns.length >= 3,
+      s"attribution expects (src, dst, count) columns, got " +
+        trans.columns.mkString("(", ", ", ")"))
+    val srcC = trans.columns(0)
+    val dstC = trans.columns(1)
+    val guard = trans
+      .select(struct(col(srcC).as("s"), col(dstC).as("d")).as("_pair"))
+      .select(col("_pair"),
+        explode(array(col("_pair.s"), col("_pair.d"))).as("_st"))
+      .agg(
+        count_distinct(when(
+          !col("_st").isin(StructuralStates.toSeq: _*), col("_st")))
+          .as("_n"),
+        (count(lit(1)) / 2).cast("long").as("_rows"),
+        count_distinct(col("_pair")).as("_pairs"))
       .head()
     val nChans = guard.getLong(0)
     if (nChans > maxChannels)
@@ -66,16 +77,24 @@ object Attribution {
           " — bucket the event vocabulary before attributing, or raise " +
           "maxChannels if the cardinality is genuinely bounded")
     // channels bounded but the frame un-aggregated (duplicate (src,dst)
-    // rows) would ALSO blow the collect — and silently lose counts in
-    // the map fold below; reject that contract violation loudly too
-    val maxPairs = (maxChannels.toLong + 3) * (maxChannels.toLong + 3)
-    if (guard.getDouble(1) > maxPairs)
+    // rows) would silently lose counts in the map fold below: detect
+    // duplicates EXACTLY — any row count above the distinct-pair count
+    // means some (src, dst) appears twice — and keep the absolute pair
+    // bound only as the driver-OOM seatbelt.
+    if (guard.getLong(1) != guard.getLong(2))
       throw new IllegalStateException(
-        s"attribution transition frame has ~${guard.getDouble(1).toLong} " +
-          s"rows for <=$nChans channels (max $maxPairs): the input is " +
-          "not a transition-COUNT frame — aggregate (src, dst) first")
+        s"attribution transition frame has ${guard.getLong(1)} rows but " +
+          s"only ${guard.getLong(2)} distinct (src, dst) pairs: the input " +
+          "is not a transition-COUNT frame — aggregate (src, dst) first")
+    val maxPairs = (maxChannels.toLong + 3) * (maxChannels.toLong + 3)
+    if (guard.getLong(2) > maxPairs)
+      throw new IllegalStateException(
+        s"attribution transition frame has ${guard.getLong(2)} distinct " +
+          s"(src, dst) pairs for <=$nChans channels (max $maxPairs): " +
+          "too large to collect — reduce the transition vocabulary")
 
-    val cnt = trans.collect()
+    val cnt = trans.select(col(srcC), col(dstC), col(trans.columns(2)))
+      .collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val chans = cnt.keysIterator
       .flatMap { case (a, b) => Iterator(a, b) }

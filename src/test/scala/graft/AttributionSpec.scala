@@ -77,7 +77,7 @@ class AttributionSpec extends SparkSpec {
   test("an un-aggregated transition frame is rejected, not silently deduped") {
     // bounded vocabulary but raw (duplicate (src,dst)) rows: the map
     // fold after collect would silently keep ONE count per pair; the
-    // row-count arm of the guard rejects the contract violation loudly
+    // duplicate arm of the guard rejects the contract violation loudly
     val raw = spark.range(0, 20000)
       .selectExpr("'START' AS src", "concat('ch', id % 3) AS dst",
         "CAST(1 AS LONG) AS c")
@@ -85,5 +85,27 @@ class AttributionSpec extends SparkSpec {
       Attribution.removalEffects(raw, maxChannels = 64)
     }
     assert(ex.getMessage.contains("not a transition-COUNT frame"))
+  }
+
+  test("even a SMALL duplicated frame is rejected — duplicates exactly") {
+    // 7 base rows + one duplicated pair = 8 rows, far under the
+    // (maxChannels+3)^2 OOM bound: the row-count-vs-distinct-pair check
+    // still fires, so no duplicated frame slips through to the .toMap
+    // (which would silently keep one count per pair)
+    val dup = transitions(Seq(("START", "view", 3L)))
+    val ex = intercept[IllegalStateException] {
+      Attribution.removalEffects(dup)
+    }
+    assert(ex.getMessage.contains("not a transition-COUNT frame"))
+    assert(ex.getMessage.contains("8 rows"))
+    assert(ex.getMessage.contains("7 distinct"))
+  }
+
+  test("extra columns past (src, dst, count) are tolerated") {
+    val extra = transitions().withColumn("note", org.apache.spark.sql
+      .functions.lit("x"))
+    val out = Attribution.removalEffects(extra)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out("promo") === 250000L)
   }
 }

@@ -26,6 +26,10 @@ object PipelineOps {
   private val sj5IndexDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** cur13's persisted mid-funnel intake state, same discipline. */
+  private val cur13StateDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def cents(c: org.apache.spark.sql.Column) =
     round(c * 100).cast(LongType)
 
@@ -1134,6 +1138,111 @@ object PipelineOps {
              |  COALESCE(n_admitted, 0) AS n_admitted,
              |  COALESCE(n_quarantined, 0) AS n_quarantined
              |FROM stats s LEFT JOIN census USING (lang)
+             |ORDER BY lang""".stripMargin)),
+
+    // CUR13 — the RESUMED intake funnel: cur12's pipeline killed and
+    // picked up by a LATER JOB. Batch 1 (planted exact dups, every 17th
+    // corpus doc re-ID'd) runs against the freshly built state, then the
+    // whole intake — index, folded stats, batch-1 census — is persisted
+    // (Decontam.saveIntake + census parquet) and the "job" ends; batch 2
+    // (doc_id%15=0, mostly unseen) is processed by a state LOADED from
+    // parquet, never from the corpus or the first job's memory. One
+    // frame out: per-lang stats after BOTH admissions next to both
+    // batch censuses. The oracle replays the identical two-batch funnel
+    // with brute-force probes and NO save/load — so the row gates that
+    // mid-funnel persistence is invisible to the result, the cross-job
+    // restart posture RestartRecoverySpec proves for the streaming
+    // handle. All-pairs oracle → audit posture follows cur12.
+    Q("cur13_resumed_intake",
+      (s, dir) => {
+        import graft.operators.{Decontam, IncrementalAgg}
+        import graft.operators.IncrementalAgg.AggSpec
+        val statKeys = Seq("lang")
+        val statAggs = Seq(AggSpec("n_chars", "sum", "chars_sum"),
+          AggSpec("n_chars", "count", "n_docs"))
+        def toks = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            graft.operators.Corpus.words(col("text")).as("toks"))
+        // job 1 — build, process batch 1, persist, die. Memoized per
+        // (JVM, sf dir) at a fixed overwrite-mode path like sj5: no
+        // temp-dir leak, and re-constructions resume, not rebuild.
+        val path = cur13StateDir.computeIfAbsent(dir, d => {
+          val p = sys.props("java.io.tmpdir") +
+            s"/graft-cur13-st-${math.abs(d.hashCode).toHexString}"
+          val corpus = toks.filter(col("doc_id") % 3 =!= 0)
+          val b1 = toks.filter(col("doc_id") % 17 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+              col("n_chars"), col("toks"))
+          val st = Decontam.buildIntake(corpus, "doc_id", "toks",
+            statKeys, statAggs, tNum = 9, tDen = 10)
+          val r1 = Decontam.processBatch(st, b1, "doc_id", "toks",
+            statKeys, statAggs)
+          Decontam.saveIntake(
+            Decontam.IntakeState(st.index, r1.stats), p)
+          r1.quarantined.groupBy("lang")
+            .agg(count(lit(1)).as("n_quar_b1"))
+            .join(r1.admitted.groupBy("lang")
+              .agg(count(lit(1)).as("n_adm_b1")), Seq("lang"), "full")
+            .write.mode("overwrite").parquet(s"$p/census")
+          p
+        })
+        // job 2 — everything it knows arrived through parquet
+        val loaded = Decontam.loadIntake(s, path)
+        val b2 = toks.filter(col("doc_id") % 15 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"),
+            col("n_chars"), col("toks"))
+        val r2 = Decontam.processBatch(loaded, b2, "doc_id", "toks",
+          statKeys, statAggs)
+        val c2 = r2.quarantined.groupBy("lang")
+          .agg(count(lit(1)).as("n_quar_b2"))
+          .join(r2.admitted.groupBy("lang")
+            .agg(count(lit(1)).as("n_adm_b2")), Seq("lang"), "full")
+        IncrementalAgg.publishCounting(r2.stats, statKeys, statAggs)
+          .join(s.read.parquet(s"$path/census"), Seq("lang"), "left")
+          .join(c2, Seq("lang"), "left")
+          .select(col("lang"), col("n_docs"), col("chars_sum"),
+            coalesce(col("n_adm_b1"), lit(0L)).as("n_adm_b1"),
+            coalesce(col("n_quar_b1"), lit(0L)).as("n_quar_b1"),
+            coalesce(col("n_adm_b2"), lit(0L)).as("n_adm_b2"),
+            coalesce(col("n_quar_b2"), lit(0L)).as("n_quar_b2"))
+          .orderBy("lang")
+      },
+      Some("""WITH s AS (SELECT doc_id, lang, n_chars,
+             |  list_distinct(string_split(trim(regexp_replace(text,'\s+',' ','g')),' ')) AS toks
+             |  FROM documents),
+             |corpus AS (SELECT * FROM s WHERE doc_id % 3 <> 0),
+             |b1 AS (SELECT doc_id + 1000000 AS bid, lang, n_chars, toks
+             |  FROM s WHERE doc_id % 17 = 0),
+             |b2 AS (SELECT doc_id + 2000000 AS bid, lang, n_chars, toks
+             |  FROM s WHERE doc_id % 15 = 0),
+             |h1 AS (SELECT DISTINCT b.bid FROM b1 b JOIN corpus c ON
+             |  len(list_intersect(b.toks, c.toks)) * 10
+             |    >= (len(b.toks) + len(c.toks) - len(list_intersect(b.toks, c.toks))) * 9),
+             |h2 AS (SELECT DISTINCT b.bid FROM b2 b JOIN corpus c ON
+             |  len(list_intersect(b.toks, c.toks)) * 10
+             |    >= (len(b.toks) + len(c.toks) - len(list_intersect(b.toks, c.toks))) * 9),
+             |d1 AS (SELECT b.*, b.bid IN (SELECT bid FROM h1) AS quar FROM b1 b),
+             |d2 AS (SELECT b.*, b.bid IN (SELECT bid FROM h2) AS quar FROM b2 b),
+             |stats AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+             |    COUNT(n_chars) AS n_docs
+             |  FROM (SELECT lang, n_chars FROM corpus
+             |        UNION ALL SELECT lang, n_chars FROM d1 WHERE NOT quar
+             |        UNION ALL SELECT lang, n_chars FROM d2 WHERE NOT quar)
+             |  GROUP BY 1),
+             |c1 AS (SELECT lang,
+             |    CAST(SUM(CASE WHEN quar THEN 0 ELSE 1 END) AS BIGINT) AS n_adm_b1,
+             |    CAST(SUM(CASE WHEN quar THEN 1 ELSE 0 END) AS BIGINT) AS n_quar_b1
+             |  FROM d1 GROUP BY 1),
+             |c2 AS (SELECT lang,
+             |    CAST(SUM(CASE WHEN quar THEN 0 ELSE 1 END) AS BIGINT) AS n_adm_b2,
+             |    CAST(SUM(CASE WHEN quar THEN 1 ELSE 0 END) AS BIGINT) AS n_quar_b2
+             |  FROM d2 GROUP BY 1)
+             |SELECT s.lang, n_docs, chars_sum,
+             |  COALESCE(n_adm_b1, 0) AS n_adm_b1,
+             |  COALESCE(n_quar_b1, 0) AS n_quar_b1,
+             |  COALESCE(n_adm_b2, 0) AS n_adm_b2,
+             |  COALESCE(n_quar_b2, 0) AS n_quar_b2
+             |FROM stats s LEFT JOIN c1 USING (lang) LEFT JOIN c2 USING (lang)
              |ORDER BY lang""".stripMargin)),
 
     // DQ8 — the quarantine APPLY of the quality audit (dq2 reports

@@ -26,16 +26,28 @@ import graft.operators.IncrementalAgg.AggSpec
   * concatenation of every batch seen so far, however the stream was
   * micro-batched — the probe decision per document depends only on the
   * fixed index, and both folds are associative and commutative.
+  *
+  * Restart recovery (spec-gated at multiple kill points): [[save]]
+  * persists the full handle state — index, stats, census — as parquet;
+  * [[IntakeMaintenance.resume]] reconstructs the handle in a LATER JOB
+  * without touching the corpus, and the resumed stream's final
+  * stats/census are identical to an uninterrupted run's. A real crawl
+  * pipeline restarts; this is the posture it restarts through.
   */
-final class IntakeMaintenance(spark: SparkSession, corpus: DataFrame,
+final class IntakeMaintenance private (spark: SparkSession,
+    standing: Decontam.IntakeState, census0: Option[DataFrame],
     idCol: String, tokensCol: String, statKeys: Seq[String],
-    statAggs: Seq[AggSpec], tNum: Int, tDen: Int) {
+    statAggs: Seq[AggSpec]) {
 
-  private val standing = Decontam.buildIntake(corpus, idCol, tokensCol,
-    statKeys, statAggs, tNum, tDen)
+  /** Build the standing state from the corpus (scanned once, here). */
+  def this(spark: SparkSession, corpus: DataFrame, idCol: String,
+      tokensCol: String, statKeys: Seq[String], statAggs: Seq[AggSpec],
+      tNum: Int, tDen: Int) =
+    this(spark, Decontam.buildIntake(corpus, idCol, tokensCol, statKeys,
+      statAggs, tNum, tDen), None, idCol, tokensCol, statKeys, statAggs)
 
   @volatile private var stats: DataFrame = standing.stats
-  @volatile private var census: Option[DataFrame] = None
+  @volatile private var census: Option[DataFrame] = census0
 
   /** foreachBatch body — decontaminate one trigger's documents. */
   def merge(batch: DataFrame): Unit = synchronized {
@@ -67,6 +79,16 @@ final class IntakeMaintenance(spark: SparkSession, corpus: DataFrame,
   /** Per-stat-key quarantine/admission census as of now. */
   def censusNow: Option[DataFrame] = census
 
+  /** Persist the handle's full state — index + stats parquet (via
+    * [[Decontam.saveIntake]]) plus the census — so a restarted job
+    * [[IntakeMaintenance.resume]]s from here with no corpus rescan.
+    * Call between triggers (foreachBatch serializes against merge).
+    */
+  def save(path: String): Unit = synchronized {
+    Decontam.saveIntake(Decontam.IntakeState(standing.index, stats), path)
+    census.foreach(_.write.mode("overwrite").parquet(s"$path/census"))
+  }
+
   /** Wire a streaming crawl frame (idCol, tokensCol + stat columns)
     * into this handle; `.start()` to run.
     */
@@ -74,4 +96,27 @@ final class IntakeMaintenance(spark: SparkSession, corpus: DataFrame,
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     batch.writeStream.outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) => merge(b) }
+}
+
+object IntakeMaintenance {
+
+  /** Reconstruct a [[IntakeMaintenance.save]]d handle in a fresh job:
+    * index, stats, and census all load from parquet — the corpus files
+    * are never read again. The resumed handle continues the stream
+    * exactly where the killed one stopped (restart parity is the
+    * spec-gated invariant).
+    */
+  def resume(spark: SparkSession, path: String, idCol: String,
+      tokensCol: String, statKeys: Seq[String],
+      statAggs: Seq[AggSpec]): IntakeMaintenance = {
+    val st = Decontam.loadIntake(spark, path)
+    val censusPath = new org.apache.hadoop.fs.Path(s"$path/census")
+    val fs = censusPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val census =
+      if (fs.exists(censusPath)) Some(spark.read.parquet(s"$path/census"))
+      else None
+    new IntakeMaintenance(spark, st, census, idCol, tokensCol, statKeys,
+      statAggs)
+  }
 }

@@ -77,9 +77,43 @@ final class RetractableViewMaintenance(spark: SparkSession,
       jv.dim.localCheckpoint(eager = true),
       jv.view.localCheckpoint(eager = true))
 
+  /** Persist the full maintenance state — the JoinView triple plus the
+    * (empty) delta schema — so a restarted job
+    * [[RetractableViewMaintenance.resume]]s mid-changelog with no
+    * stored-fact rescan. Call between triggers.
+    */
+  def save(path: String): Unit = synchronized {
+    require(state != null, "fold at least one trigger before saving")
+    state.keyAgg.write.mode("overwrite").parquet(s"$path/keyAgg")
+    state.dim.write.mode("overwrite").parquet(s"$path/dim")
+    state.view.write.mode("overwrite").parquet(s"$path/view")
+    noDeltas.write.mode("overwrite").parquet(s"$path/deltaSchema")
+  }
+
   /** Wire a streaming signed changelog into this handle. */
   def attach(signedDeltas: DataFrame)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     signedDeltas.writeStream.outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) => merge(b) }
+}
+
+object RetractableViewMaintenance {
+
+  /** Reconstruct a [[RetractableViewMaintenance.save]]d handle in a
+    * fresh job: the counting key-grain state, the dimension as of the
+    * kill, and the published view all load from parquet — the signed
+    * changelog consumed before the kill is never replayed. Restart
+    * parity at multiple kill points is the spec-gated invariant.
+    */
+  def resume(spark: SparkSession, path: String, joinKeys: Seq[String],
+      groupCols: Seq[String], aggs: Seq[AggSpec],
+      signCol: String = "_sign"): RetractableViewMaintenance = {
+    val dim = spark.read.parquet(s"$path/dim")
+    val h = new RetractableViewMaintenance(spark, dim, joinKeys,
+      groupCols, aggs, signCol)
+    h.state = JoinView(spark.read.parquet(s"$path/keyAgg"), dim,
+      spark.read.parquet(s"$path/view"))
+    h.noDeltas = spark.read.parquet(s"$path/deltaSchema")
+    h
+  }
 }

@@ -4,35 +4,47 @@ import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
 
 /** The ANN-headliner fixed-cost amortization measurement (ss1b since
-  * round 9; the JSON key stays ss1_amortization for artifact continuity) (BENCHSCALE.md's
-  * remaining >2x row):
+  * round 9; the JSON key stays ss1_amortization for artifact continuity)
+  * (BENCHSCALE.md's remaining >2x row):
   *
   *   Test/runMain graft.ProfileAmortize [sfDir]
   *
   * ss1's per-query seconds at every scale are dominated by Spark's
-  * per-job scheduling floor (~0.2 s), not by the cosine+top-k work —
-  * the claim this probe quantifies is that the floor AMORTIZES: in a
-  * session running the full headliner batch, the scheduler overlaps
-  * ss1's stages with the other queries' work, so the MARGINAL wall-clock
-  * of adding ss1 to the batch is far below its solo time. That is the
-  * posture the engine targets (a standing pipeline runs many queries per
-  * session; only a one-query-per-process harness pays the floor per
-  * query, which is exactly what the solo DuckDB ratio measures).
+  * per-job scheduling floor (~0.2 s), not by the cosine+top-k work. The
+  * claim this probe quantifies is about the STANDING-PIPELINE posture:
+  * a session runs many queries per process, so adding ss1b to a suite
+  * costs its own marginal seconds — a small absolute constant — while
+  * the solo DuckDB ratio prices that constant as if it were paid per
+  * process per query.
   *
-  * Protocol: warm everything (JIT + caches), then min-of-3 of
-  *   solo(ss1)            — ss1 alone, the published per-query number
-  *   batch(all 7)         — all headliners submitted concurrently (FAIR)
-  *   batch(6, no ss1)     — the same minus ss1
-  * marginal(ss1) = batch7 − batch6. Emits one JSON line (consumed by
-  * tools/benchscale.py into BENCHSCALE.json/md).
+  * Protocol (all min-of-3, warm):
+  *   solo(ss1)        — ss1 alone, the published per-query number
+  *   seq7 / seq6      — the 7-headliner suite run BACK-TO-BACK in one
+  *                      session, with vs without ss1b; their difference
+  *                      is the SEQUENTIAL in-session marginal — the
+  *                      posture the driver's bench and a standing
+  *                      pipeline actually use, and the headline
+  *                      `ss1_marginal_sec`
+  *   conc7 / conc6    — the same suites submitted CONCURRENTLY under a
+  *                      FAIR scheduler; their difference bundles
+  *                      scheduler/CPU contention among overlapping jobs
+  *                      and is reported separately as
+  *                      `concurrent_marginal_sec`, labeled contention —
+  *                      NOT amortization evidence (round 12 measured
+  *                      1.42 s here vs 0.29 s solo: the delta was
+  *                      contention, and citing it as the design signal
+  *                      made the artifact contradict itself)
+  * Emits one JSON line (consumed by tools/benchscale.py into
+  * BENCHSCALE.json/md).
   */
 object ProfileAmortize {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/sfx100")
     // FAIR lets concurrently submitted jobs share executor slots — the
-    // multi-tenant session posture (FIFO would serialize whole jobs and
-    // hide the overlap this probe exists to measure). Static conf, so it
-    // goes in at session build.
+    // multi-tenant session posture for the contention arm (FIFO would
+    // serialize whole jobs). Static conf, so it goes in at session
+    // build; the sequential arm is scheduler-mode-independent (one job
+    // in flight at a time).
     val spark = Bench.session(sfDir,
       extraConf = Map("spark.scheduler.mode" -> "FAIR"))
     spark.sparkContext.setLogLevel("ERROR")
@@ -40,13 +52,19 @@ object ProfileAmortize {
     val headliners = Seq("q1_pricing_summary", "q3_shipping_priority",
       "q5_local_supplier", "q6_revenue_delta", "q18_big_orders",
       "q19_disjunctive", "ss1b_cosine_topk_indexed")
+    val six = headliners.filterNot(_ == "ss1b_cosine_topk_indexed")
     def run(name: String): Unit = {
       SparkEntry.queries(name)(spark, sfDir).count(); ()
     }
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
       java.util.concurrent.Executors.newFixedThreadPool(headliners.size))
 
-    def wallClock(names: Seq[String]): Double = {
+    def sequential(names: Seq[String]): Double = {
+      val t0 = System.nanoTime()
+      names.foreach(run)
+      (System.nanoTime() - t0) / 1e9
+    }
+    def concurrent(names: Seq[String]): Double = {
       val t0 = System.nanoTime()
       Await.result(Future.sequence(
         names.map(n => Future(run(n)))), Duration.Inf)
@@ -55,14 +73,19 @@ object ProfileAmortize {
 
     headliners.foreach(run) // warmup: JIT, codegen, gated caches
     def minOf3(f: => Double): Double = Seq.fill(3)(f).min
-    val solo = minOf3 { val t0 = System.nanoTime(); run("ss1b_cosine_topk_indexed")
-      (System.nanoTime() - t0) / 1e9 }
-    val batch7 = minOf3(wallClock(headliners))
-    val batch6 = minOf3(wallClock(headliners.filterNot(_ == "ss1b_cosine_topk_indexed")))
-    val marginal = batch7 - batch6
+    val solo = minOf3(sequential(Seq("ss1b_cosine_topk_indexed")))
+    val seq7 = minOf3(sequential(headliners))
+    val seq6 = minOf3(sequential(six))
+    val conc7 = minOf3(concurrent(headliners))
+    val conc6 = minOf3(concurrent(six))
     val json = f"""{"metric":"ss1_amortization","query":"ss1b_cosine_topk_indexed","sf":"$sfDir",""" +
-      f""""ss1_solo_sec":$solo%.3f,"batch7_sec":$batch7%.3f,""" +
-      f""""batch6_sec":$batch6%.3f,"ss1_marginal_sec":$marginal%.3f}"""
+      f""""ss1_solo_sec":$solo%.3f,""" +
+      f""""seq7_sec":$seq7%.3f,"seq6_sec":$seq6%.3f,""" +
+      f""""ss1_marginal_sec":${seq7 - seq6}%.3f,""" +
+      f""""marginal_protocol":"sequential in-session: 7-headliner suite back-to-back, with vs without ss1b (min-of-3 each)",""" +
+      f""""concurrent_batch7_sec":$conc7%.3f,"concurrent_batch6_sec":$conc6%.3f,""" +
+      f""""concurrent_marginal_sec":${conc7 - conc6}%.3f,""" +
+      f""""concurrent_note":"FAIR-scheduler suites submitted concurrently; the delta includes scheduler/CPU contention among overlapping jobs — context, not amortization evidence"}"""
     val raw = new java.io.PrintStream(
       new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
     raw.println(json)

@@ -187,8 +187,10 @@ def main():
               f"duckdb {du['value']:.2f}s ratio {ratio:.2f}x", flush=True)
 
     # ss1 amortization probe at the largest replica: the remaining >2x
-    # row is a per-job scheduling floor; this measures its MARGINAL cost
-    # inside a concurrent headliner batch (the standing-pipeline posture)
+    # row is a per-job scheduling floor; this measures its SEQUENTIAL
+    # in-session marginal cost (suite back-to-back with vs without ss1b
+    # — the posture the bench and a standing pipeline use) and reports
+    # the concurrent-FAIR delta separately as contention context
     print("[benchscale] ss1 amortization probe (100x)", flush=True)
     amort_out = run(["sbt", "-batch",
                      f"Test/runMain graft.ProfileAmortize {SCALES[-1][1]}"],
@@ -260,22 +262,30 @@ def render_md(artifact, md_path=REPO / "BENCHSCALE.md"):
     am = artifact.get("ss1_amortization")
     if am:
         lines += ["",
-                  f"ss1b fixed-cost amortization at {big['scale']} "
-                  f"(min-of-3, FAIR scheduler): solo "
-                  f"{am['ss1_solo_sec']:.2f} s; concurrent 7-headliner "
-                  f"batch {am['batch7_sec']:.2f} s vs the same batch "
-                  f"without ss1b {am['batch6_sec']:.2f} s → marginal cost "
-                  f"of ss1b inside a busy session = "
+                  f"ss1b fixed-cost at {big['scale']} (min-of-3): solo "
+                  f"{am['ss1_solo_sec']:.2f} s; SEQUENTIAL in-session "
+                  f"marginal — the 7-headliner suite run back-to-back in "
+                  f"one session with vs without ss1b "
+                  f"({am['seq7_sec']:.2f} s vs {am['seq6_sec']:.2f} s, "
+                  f"the posture the driver's bench and a standing "
+                  f"pipeline actually use) = "
                   f"{am['ss1_marginal_sec']:.2f} s. ss1b's solo ratio is "
                   f"the one headline row above 2× and it is a KNOWN "
                   f"CONSTANT, not a plan defect: the plan is "
                   f"PartitionFilters to the probed LSH buckets + codegen "
                   f"cosine + TakeOrdered with zero shuffle (PLANS.md), so "
                   f"the ~0.2 s absolute cost is Spark's per-job "
-                  f"scheduling floor, paid once per PROCESS in the "
-                  f"standing-pipeline posture. The design signal at 100× "
-                  f"is the marginal in-session cost "
-                  f"({am['ss1_marginal_sec']:.2f} s), not the solo ratio."]
+                  f"scheduling floor — a small additive constant per "
+                  f"suite, which the solo DuckDB ratio prices as if paid "
+                  f"per process per query. Context, NOT amortization "
+                  f"evidence: the same suites submitted concurrently "
+                  f"under FAIR scheduling differ by "
+                  f"{am['concurrent_marginal_sec']:.2f} s "
+                  f"({am['concurrent_batch7_sec']:.2f} s vs "
+                  f"{am['concurrent_batch6_sec']:.2f} s) — that delta "
+                  f"bundles scheduler/CPU contention among overlapping "
+                  f"jobs and is reported only to bound the multi-tenant "
+                  f"cost."]
     lines += ["",
               "Session spread = |total(session 1) − total(session 2)| of the "
               "per-session warm sums — the run-to-run noise floor for the "

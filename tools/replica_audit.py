@@ -39,8 +39,9 @@ BOUNDED_PREFIXES = (
     "a1_", "a2_", "a3_", "a4_", "a5_", "a6_", "a7_", "a8_", "a9_", "a10", "a11",
     "rj1", "rj2", "rj3", "st1", "st2", "st3", "st4", "st5", "st6", "st7",
     # cur1_/cur10/cur11 anchored individually: a bare "cur1" would also
-    # classify any future cur1x row (e.g. cur12's all-pairs intake
-    # oracle) as linear by accident
+    # classify any future cur1x row (cur12/cur13's all-pairs intake
+    # oracles — audited unbounded at 10x, excluded here) as linear by
+    # accident
     "cur1_", "cur10", "cur11", "cur2", "cur3", "cur4", "cur5",
     "hp1", "tx", "i1", "i2", "d1", "d2",
     "r1_", "r7_", "bp1", "cc1", "tf1",

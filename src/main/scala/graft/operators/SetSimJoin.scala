@@ -38,7 +38,10 @@ import org.apache.spark.sql.types._
   * same way Dedup.minHashDedup's maxBucket does. A qualifying pair is
   * lost only when EVERY prefix token the pair shares is hot (the
   * emit-once anchor takes its min over SURVIVING tokens, so one hot
-  * token among several shared ones costs nothing). Raise the bound (or
+  * token among several shared ones costs nothing). The trade is
+  * AUDITABLE, not just documented: [[droppedTokens]] lists each
+  * refused token with its bucket size and [[lostPairBound]] upper-
+  * bounds the pairs a probe batch can have lost. Raise the bound (or
   * pre-dedup boilerplate with bp1) when completeness matters more.
   */
 object SetSimJoin {
@@ -88,7 +91,7 @@ object SetSimJoin {
     // block on prefix tokens, with the degenerate-token seatbelt
     val blocked = indexed.select(col("_id"), col("_idx"), col("_prefix"),
       explode(col("_prefix")).as("_ptok"))
-    val hotToks = collectHotTokens(blocked, maxBucket)
+    val hotToks = collectHotTokens(blocked, maxBucket).map(_._1)
     // drop hot tokens from the postings AND from the carried prefix
     // arrays, so the emit-once anchor below sees only SURVIVING tokens
     // (anchoring on the raw prefix intersection's min would lose any
@@ -145,11 +148,12 @@ object SetSimJoin {
     * would lose any pair whose minimal shared token was dropped even
     * when other shared postings survived).
     */
-  private def collectHotTokens(postings: DataFrame, maxBucket: Int): Seq[Long] = {
+  private def collectHotTokens(postings: DataFrame,
+      maxBucket: Int): Seq[(Long, Long)] = {
     val hot = postings.groupBy("_ptok").agg(count(lit(1)).as("_c"))
-      .filter(col("_c") > maxBucket).select("_ptok")
+      .filter(col("_c") > maxBucket).select("_ptok", "_c")
       .limit(MaxHotTokens + 1)
-      .collect().map(_.getLong(0)).toSeq.sorted
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
     if (hot.size > MaxHotTokens)
       throw new IllegalStateException(
         s"more than $MaxHotTokens prefix tokens exceed maxBucket=" +
@@ -277,7 +281,8 @@ object SetSimJoin {
     * rebuilds it each time.
     */
   final case class JaccardIndex(vocab: DataFrame, vocabCeiling: Long,
-      postings: DataFrame, tNum: Int, tDen: Int) {
+      postings: DataFrame, hotTokens: Seq[(Long, Long)],
+      tNum: Int, tDen: Int) {
     /** localCheckpoint the frames — the SESSION-lifetime reuse form. */
     def materialized: JaccardIndex =
       copy(vocab = vocab.localCheckpoint(eager = true),
@@ -287,17 +292,21 @@ object SetSimJoin {
       * posture: a decontamination index built once over the corpus
       * survives the session, and later jobs [[loadJaccardIndex]] it and
       * pay only their own probe batch's prefix explode. Layout:
-      * `vocab/`, `postings/`, `hot/` parquet directories plus a 1-row
-      * `meta/` parquet carrying (ceiling, t_num, t_den), so the loaded
-      * index probes byte-identically to the freshly built one
-      * (SetSimJoinSpec gates the identity).
+      * `vocab/` and `postings/` parquet directories plus a 1-row
+      * `meta/` parquet carrying (ceiling, t_num, t_den) and the
+      * hot-token audit arrays, so the loaded index probes
+      * byte-identically to the freshly built one (SetSimJoinSpec gates
+      * the identity) AND still answers what maxBucket cost it
+      * ([[droppedTokens]] / [[lostPairBound]]).
       */
     def save(path: String): Unit = {
       val spark = vocab.sparkSession
       vocab.write.mode("overwrite").parquet(s"$path/vocab")
       postings.write.mode("overwrite").parquet(s"$path/postings")
       spark.range(1).select(lit(vocabCeiling).as("ceiling"),
-          lit(tNum).as("t_num"), lit(tDen).as("t_den"))
+          lit(tNum).as("t_num"), lit(tDen).as("t_den"),
+          typedlit(hotTokens.map(_._1)).as("hot"),
+          typedlit(hotTokens.map(_._2)).as("hot_counts"))
         .write.mode("overwrite").parquet(s"$path/meta")
     }
   }
@@ -309,6 +318,8 @@ object SetSimJoin {
     JaccardIndex(spark.read.parquet(s"$path/vocab"),
       meta.getAs[Long]("ceiling"),
       spark.read.parquet(s"$path/postings"),
+      meta.getAs[scala.collection.Seq[Long]]("hot").toSeq
+        .zip(meta.getAs[scala.collection.Seq[Long]]("hot_counts")),
       meta.getAs[Int]("t_num"), meta.getAs[Int]("t_den"))
   }
 
@@ -326,9 +337,11 @@ object SetSimJoin {
     // future probe's emit-once anchor automatically mins over tokens
     // that can actually appear as join keys (see collectHotTokens)
     val hotToks = collectHotTokens(cBlocked, maxBucket)
+    val hotIdx = hotToks.map(_._1)
     JaccardIndex(vocab, ceiling,
-      cBlocked.filter(notHot(hotToks))
-        .withColumn("_pc", dropHot(col("_pc"), hotToks)), tNum, tDen)
+      cBlocked.filter(notHot(hotIdx))
+        .withColumn("_pc", dropHot(col("_pc"), hotIdx)), hotToks,
+      tNum, tDen)
   }
 
   def probeJaccardIndex(ix: JaccardIndex, probe: DataFrame, idCol: String,
@@ -392,16 +405,17 @@ object SetSimJoin {
     * ceiling), persisted via [[ContainmentIndex.save]].
     */
   final case class ContainmentIndex(vocab: DataFrame, vocabCeiling: Long,
-      postings: DataFrame, hotTokens: Seq[Long], tNum: Int, tDen: Int) {
+      postings: DataFrame, hotTokens: Seq[(Long, Long)],
+      tNum: Int, tDen: Int) {
     /** localCheckpoint the frames — the SESSION-lifetime reuse form. */
     def materialized: ContainmentIndex =
       copy(vocab = vocab.localCheckpoint(eager = true),
         postings = postings.localCheckpoint(eager = true))
 
     /** Persist to parquet (vocab + postings + 1-row meta carrying
-      * ceiling, threshold, and the hot-token array) — the cross-job
-      * standing decontamination-lookup posture; SetSimJoinSpec gates
-      * that a reloaded index probes identically.
+      * ceiling, threshold, and the hot-token audit arrays) — the
+      * cross-job standing decontamination-lookup posture; SetSimJoinSpec
+      * gates that a reloaded index probes identically.
       */
     def save(path: String): Unit = {
       val spark = vocab.sparkSession
@@ -409,7 +423,8 @@ object SetSimJoin {
       postings.write.mode("overwrite").parquet(s"$path/postings")
       spark.range(1).select(lit(vocabCeiling).as("ceiling"),
           lit(tNum).as("t_num"), lit(tDen).as("t_den"),
-          typedlit(hotTokens).as("hot"))
+          typedlit(hotTokens.map(_._1)).as("hot"),
+          typedlit(hotTokens.map(_._2)).as("hot_counts"))
         .write.mode("overwrite").parquet(s"$path/meta")
     }
   }
@@ -421,7 +436,8 @@ object SetSimJoin {
     ContainmentIndex(spark.read.parquet(s"$path/vocab"),
       meta.getAs[Long]("ceiling"),
       spark.read.parquet(s"$path/postings"),
-      meta.getAs[scala.collection.Seq[Long]]("hot").toSeq,
+      meta.getAs[scala.collection.Seq[Long]]("hot").toSeq
+        .zip(meta.getAs[scala.collection.Seq[Long]]("hot_counts")),
       meta.getAs[Int]("t_num"), meta.getAs[Int]("t_den"))
   }
 
@@ -436,8 +452,8 @@ object SetSimJoin {
       .select(col("_id").as("cid"), col("_idx").as("_ic"),
         explode(col("_idx")).as("_ptok"))
     val hotToks = collectHotTokens(cFull, maxBucket)
-    ContainmentIndex(vocab, ceiling, cFull.filter(notHot(hotToks)),
-      hotToks, tNum, tDen)
+    ContainmentIndex(vocab, ceiling,
+      cFull.filter(notHot(hotToks.map(_._1))), hotToks, tNum, tDen)
   }
 
   def probeContainmentIndex(ix: ContainmentIndex, probe: DataFrame,
@@ -452,7 +468,7 @@ object SetSimJoin {
     // hot drop lands on the probe's anchored prefix instead:
     // (pp \ hot) ∩ ic == (pp ∩ ic) \ hot — the emit-once min skips
     // dropped tokens without touching the intersection verify
-    pPost.withColumn("_pp", dropHot(col("_pp"), ix.hotTokens))
+    pPost.withColumn("_pp", dropHot(col("_pp"), ix.hotTokens.map(_._1)))
       .join(ix.postings, "_ptok")
       // emit once: on the minimal surviving token shared between the
       // probe's prefix and the corpus doc's full set (the join-key
@@ -514,7 +530,7 @@ object SetSimJoin {
     val aBlocked = indexed.select(col("_id").as("ida"),
       col("_idx").as("_ia"), col("_sz").as("_sza"),
       col("_prefix").as("_pa"), explode(col("_prefix")).as("_ptok"))
-    val hotToks = collectHotTokens(aBlocked, maxBucket)
+    val hotToks = collectHotTokens(aBlocked, maxBucket).map(_._1)
     // drop hot tokens from the postings and the carried prefix array,
     // so the emit-once anchor below mins over surviving tokens only
     val aSafe = aBlocked.filter(notHot(hotToks))
@@ -536,5 +552,86 @@ object SetSimJoin {
       .filter(col("_inter") * tDen >= col("_sza").cast(LongType) * tNum)
       .select(col("ida"), col("idb"),
         expr("CAST(_inter * 1000 div _sza AS BIGINT)").as("containment_pm"))
+  }
+
+  // ---- hot-token loss audit (FuzzyJoin.droppedKeys' sibling for the
+  // standing indexes): the maxBucket seatbelt trades completeness for
+  // survival, and these surfaces make the trade VISIBLE instead of a
+  // scaladoc caveat — what was dropped, how big each refused bucket
+  // was, and an upper bound on the pairs a probe batch can have lost.
+
+  /** The maxBucket-dropped tokens of a standing index, one row per hot
+    * token: (token, token_idx, corpus_postings) where corpus_postings
+    * is the refused bucket's size. Token-grain and ≤ postings/maxBucket
+    * rows by construction. A qualifying pair is lost iff EVERY prefix
+    * token it shares with the corpus appears here — run this when the
+    * seatbelt's completeness trade-off needs auditing (an empty frame
+    * means the join was exact).
+    */
+  def droppedTokens(ix: JaccardIndex): DataFrame =
+    droppedTokensOf(ix.vocab, ix.hotTokens)
+
+  /** [[droppedTokens]] for the containment index (hot = tokens whose
+    * FULL corpus posting exceeded maxBucket).
+    */
+  def droppedTokens(ix: ContainmentIndex): DataFrame =
+    droppedTokensOf(ix.vocab, ix.hotTokens)
+
+  private def droppedTokensOf(vocab: DataFrame,
+      hot: Seq[(Long, Long)]): DataFrame = {
+    val ss = vocab.sparkSession
+    import ss.implicits._
+    hot.toDF("token_idx", "corpus_postings")
+      .join(vocab.select(col("_tok"), col("_tidx").as("token_idx")),
+        Seq("token_idx"), "left")
+      .select(col("_tok").as("token"), col("token_idx"),
+        col("corpus_postings"))
+      .orderBy("token_idx")
+  }
+
+  /** Upper bound on the pairs THIS probe batch can have lost to the
+    * hot-token drop: per hot token, the probe prefix postings that
+    * would have anchored on it × the refused corpus bucket's size. A
+    * candidate pair is generated through at least one shared token, so
+    * a lost pair is counted by every hot token it shares — the
+    * per-token products, and a fortiori their sum, upper-bound the
+    * loss (usually loosely: a pair with ANY surviving shared token is
+    * not lost at all). Returns (token, token_idx, corpus_postings,
+    * probe_postings, lost_pair_bound), one row per hot token; an empty
+    * frame means the probe ran exact.
+    */
+  def lostPairBound(ix: JaccardIndex, probe: DataFrame, idCol: String,
+      tokensCol: String): DataFrame =
+    lostPairBoundOf(ix.vocab, ix.vocabCeiling, ix.hotTokens, ix.tNum,
+      ix.tDen, probe, idCol, tokensCol)
+
+  /** [[lostPairBound]] for the containment index. */
+  def lostPairBound(ix: ContainmentIndex, probe: DataFrame, idCol: String,
+      tokensCol: String): DataFrame =
+    lostPairBoundOf(ix.vocab, ix.vocabCeiling, ix.hotTokens, ix.tNum,
+      ix.tDen, probe, idCol, tokensCol)
+
+  private def lostPairBoundOf(vocab: DataFrame, ceiling: Long,
+      hot: Seq[(Long, Long)], tNum: Int, tDen: Int, probe: DataFrame,
+      idCol: String, tokensCol: String): DataFrame = {
+    val hotIdx = hot.map(_._1)
+    // the probe must be indexed under the EXTENDED vocabulary (exactly
+    // like the real probe run): dropping probe-only tokens would
+    // shorten |P| and so the prefix, undercounting the probe's hot
+    // postings — and an audit that can undercount is not a bound
+    val fullVocab = vocab.unionByName(
+      probeExtension(probe, tokensCol, vocab, ceiling))
+    val pCnt = probePostings(probe, idCol, tokensCol, fullVocab, tNum, tDen)
+      .filter(if (hotIdx.isEmpty) lit(false)
+        else col("_ptok").isInCollection(hotIdx))
+      .groupBy(col("_ptok").as("token_idx"))
+      .agg(count(lit(1)).as("probe_postings"))
+    droppedTokensOf(vocab, hot)
+      .join(pCnt, Seq("token_idx"), "left")
+      .select(col("token"), col("token_idx"), col("corpus_postings"),
+        coalesce(col("probe_postings"), lit(0L)).as("probe_postings"),
+        (col("corpus_postings") *
+          coalesce(col("probe_postings"), lit(0L))).as("lost_pair_bound"))
+      .orderBy("token_idx")
   }
 }

@@ -961,7 +961,7 @@ object PipelineOps {
         // reload+probe — the posture the row's name claims to measure
         val ixDir = sj5IndexDir.computeIfAbsent(dir, d => {
           val path = sys.props("java.io.tmpdir") +
-            s"/graft-sj5-ix-${math.abs(d.hashCode).toHexString}"
+            s"/graft-sj5-ix2-${math.abs(d.hashCode).toHexString}"
           graft.operators.SetSimJoin.buildJaccardIndex(
             t(s, d, "documents").select(col("doc_id"),
               graft.operators.Corpus.words(col("text")).as("toks")),
@@ -1168,7 +1168,7 @@ object PipelineOps {
         // temp-dir leak, and re-constructions resume, not rebuild.
         val path = cur13StateDir.computeIfAbsent(dir, d => {
           val p = sys.props("java.io.tmpdir") +
-            s"/graft-cur13-st-${math.abs(d.hashCode).toHexString}"
+            s"/graft-cur13-st2-${math.abs(d.hashCode).toHexString}"
           val corpus = toks.filter(col("doc_id") % 3 =!= 0)
           val b1 = toks.filter(col("doc_id") % 17 === 0)
             .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),

@@ -109,6 +109,57 @@ class SetSimJoinSpec extends SparkSpec {
     assert(probed == Set((1L, 1L, 1000L), (1L, 2L, 1000L)))
   }
 
+  test("hot-token loss audit: an all-hot-prefix pair is counted, not " +
+      "silently gone") {
+    // Construction: 10 corpus docs {h, u_i}. Prefix at t=1/2 is BOTH
+    // tokens, so h's prefix posting is 10 > maxBucket 5 -> dropped.
+    // Probe {h} qualifies against every corpus doc (J = 1/2) but its
+    // ONLY shared token is hot: all 10 pairs are lost — the documented
+    // residual. The audit must price exactly that: droppedTokens names
+    // h with its refused bucket size, and lostPairBound's product
+    // (10 corpus postings × 1 probe posting) covers the 10 lost pairs.
+    val corpus = (1L to 10L).map(i => i -> Seq("h", s"u$i"))
+    val probe = Seq(100L -> Seq("h"))
+    val ix = SetSimJoin.buildJaccardIndex(corpus.toDF("id", "toks"),
+      "id", "toks", 1, 2, maxBucket = 5)
+    val lost = SetSimJoin.probeJaccardIndex(ix, probe.toDF("id", "toks"),
+      "id", "toks").count()
+    assert(lost === 0L, "the planted all-hot-prefix pairs must be lost")
+    val dropped = SetSimJoin.droppedTokens(ix)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(dropped.map(d => (d._1, d._3)) === Seq(("h", 10L)))
+    val bound = SetSimJoin.lostPairBound(ix, probe.toDF("id", "toks"),
+        "id", "toks")
+      .select("token", "corpus_postings", "probe_postings",
+        "lost_pair_bound")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(bound === Seq(("h", 10L, 1L, 10L)),
+      "bound must cover the 10 genuinely lost pairs")
+
+    // same planted shape through the containment kernel (hot = FULL
+    // corpus posting > maxBucket): probe {h} is fully contained in
+    // every corpus doc, all 10 pairs lost, audit prices them
+    val cix = SetSimJoin.buildContainmentIndex(corpus.toDF("id", "toks"),
+      "id", "toks", 1, 1, maxBucket = 5)
+    assert(SetSimJoin.probeContainmentIndex(cix,
+      probe.toDF("id", "toks"), "id", "toks").count() === 0L)
+    assert(SetSimJoin.droppedTokens(cix)
+      .as[(String, Long, Long)].collect().toSeq
+      .map(d => (d._1, d._3)) === Seq(("h", 10L)))
+    assert(SetSimJoin.lostPairBound(cix, probe.toDF("id", "toks"),
+        "id", "toks")
+      .select("token", "lost_pair_bound")
+      .as[(String, Long)].collect().toSeq === Seq(("h", 10L)))
+
+    // and the exact case advertises itself: no hot tokens -> empty
+    // audit frames (the join ran lossless)
+    val exact = SetSimJoin.buildJaccardIndex(corpus.toDF("id", "toks"),
+      "id", "toks", 1, 2, maxBucket = 100)
+    assert(SetSimJoin.droppedTokens(exact).count() === 0L)
+    assert(SetSimJoin.lostPairBound(exact, probe.toDF("id", "toks"),
+      "id", "toks").count() === 0L)
+  }
+
   test("a saved+loaded index probes byte-identically to the fresh one") {
     val rnd = new scala.util.Random(73)
     val universe = (1 to 30).map(i => s"t$i")

@@ -14,8 +14,11 @@ import graft.sources.Tables
   * IVF+PQ composition behind ss7 (same coarse quantizer; PQ 8×16
   * blocks; the ADC rerank depth is SWEPT 20..400 and the headline
   * operating point is the cheapest rerank with mean ≥ 0.95 — the knee
-  * lives in the artifact's ivfpq_rerank_sweep), and ss8's filtered
-  * path (exact within
+  * lives in the artifact's ivfpq_rerank_sweep, and a SECOND axis
+  * sweeps pqBlocks 8→16 recording the cheapest cell whose per-query
+  * MIN clears 0.95 in ivfpq_min_path — the round-12 per-query-min
+  * finding's answer: finer subquantizers, not deeper rerank), and
+  * ss8's filtered path (exact within
   * one label — recall must be exactly 1.0, so a partition/filter bug at
   * replica scale fails the gate loudly). Each is measured against the
   * exact brute-force twin on the same corpus. The registry rows
@@ -83,20 +86,44 @@ object RecallAudit {
     // with a deeper rerank is the right trade at any scale.
     val codebooks = Similarity.trainPqCodebooks(emb, "embedding", "vec_id",
       nBlocks = 8, k = 16, iters = 3)
-    def ivfpqAt(rerank: Int): Seq[(Long, Double)] = queries.map {
+    def ivfpqAt(cb: Array[Array[Array[Float]]],
+        rerank: Int): Seq[(Long, Double)] = queries.map {
       case (id, q) =>
         val base = emb.filter(col("vec_id") =!= id)
         val cand = Similarity.ivfCandidates(base, "embedding", "vec_id",
           q, centroids, nprobe = 6)
         id -> (topIds(Similarity.pqTopK(cand, "embedding", "vec_id", q, 10,
-          codebooks, rerank = rerank).select("vec_id"))
+          cb, rerank = rerank).select("vec_id"))
           .intersect(exact(id)).size / 10.0)
     }
     val ivfpqTarget = 0.95
-    val rerankSweep = Seq(20, 50, 100, 200, 400).map(rr => rr -> ivfpqAt(rr))
+    val reranks = Seq(20, 50, 100, 200, 400)
+    val rerankSweep = reranks.map(rr => rr -> ivfpqAt(codebooks, rr))
     val (opRerank, ivfpq) = rerankSweep
       .find { case (_, xs) => xs.map(_._2).sum / xs.size >= ivfpqTarget }
       .getOrElse(rerankSweep.last)
+    // SECOND sweep axis (round-12 finding: two queries plateau at 0.90
+    // until rerank=400 under 8 blocks — ADC quantization error, not
+    // tie-breaks): finer subquantizers. 16 blocks = 4 dims/block halves
+    // the per-block quantization error, so the true neighbors should
+    // surface at a shallower — i.e. cheaper, rerank cost is R exact
+    // cosines — depth. The artifact records the full (blocks × rerank)
+    // grid plus the cheapest point whose per-query MIN clears the 0.95
+    // margin (rerank-major cost order: the ADC table delta between 8
+    // and 16 blocks is noise next to 4× the exact-cosine rerank); if no
+    // point below rerank=400 clears it, that IS the recorded plateau.
+    val blocksSweep = Seq(8, 16).map { nb =>
+      val cb = if (nb == 8) codebooks
+        else Similarity.trainPqCodebooks(emb, "embedding", "vec_id",
+          nBlocks = nb, k = 16, iters = 3)
+      nb -> reranks.map(rr => rr -> ivfpqAt(cb, rr))
+    }
+    val minPoint = (for {
+      rr <- reranks
+      (nb, sweep) <- blocksSweep
+      xs = sweep.find(_._1 == rr).get._2
+      if xs.map(_._2).min >= ivfpqTarget
+    } yield (rr, nb)).headOption
     // ss8's filtered path: exact within one label, so its gate is
     // EXACTLY 1.0 — measured as filter-before-rank (the pushed-filter
     // scan ss8 runs) vs rank-before-filter (score every row, then
@@ -132,6 +159,21 @@ object RecallAudit {
       val (m, mn, per) = stats(xs)
       s""""$rr":{"mean":$m,"min":$mn,"per_query":$per}"""
     }.mkString("{", ",", "}")
+    val blocksJson = blocksSweep.map { case (nb, sweep) =>
+      val cells = sweep.map { case (rr, xs) =>
+        val (m, mn, per) = stats(xs)
+        s""""$rr":{"mean":$m,"min":$mn,"per_query":$per}"""
+      }.mkString("{", ",", "}")
+      s""""$nb":$cells"""
+    }.mkString("{", ",", "}")
+    val minPathJson = minPoint match {
+      case Some((rr, nb)) =>
+        s"""{"rerank":$rr,"pq_blocks":$nb,"min_target":$ivfpqTarget}"""
+      case None =>
+        s"""{"plateau":"no (blocks, rerank<400) cell reaches per-query""" +
+          s""" min >= $ivfpqTarget — ADC quantization is the operating""" +
+          s""" limit at this corpus; see ivfpq_blocks_sweep"}"""
+    }
     val gate = 0.9
     // the headline ivfpq point must clear the MARGIN target, not just
     // the gate — sitting exactly on 0.90 means any drift flips the audit
@@ -152,6 +194,8 @@ object RecallAudit {
          |"ivfpq":{"mean":$pqMean,"min":$pqMin,"per_query":$pqPer},
          |"filtered":{"mean":$flMean,"min":$flMin,"per_query":$flPer}},
          |"ivfpq_rerank_sweep":$sweepJson,
+         |"ivfpq_blocks_sweep":$blocksJson,
+         |"ivfpq_min_path":$minPathJson,
          |"ivfpq_operating_rerank":$opRerank,"ivfpq_target":$ivfpqTarget,
          |"gate_mean":$gate,"filtered_gate":1.0,"pass":$pass}"""
         .stripMargin.replace("\n", "")

@@ -1245,6 +1245,119 @@ object PipelineOps {
              |FROM stats s LEFT JOIN c1 USING (lang) LEFT JOIN c2 USING (lang)
              |ORDER BY lang""".stripMargin)),
 
+    // CUR14 — the decontamination funnel over REALISTIC shingles: cur12
+    // runs on unigram token sets of the 31-word synthetic vocabulary,
+    // where Jaccard is so saturated the threshold had to be calibrated
+    // to 9/10 (at 7/10 that vocab quarantines ~90% of any batch). Real
+    // crawl dedup shingles documents into word 3-grams (vocab ~31^3
+    // here), so this row re-runs the identical funnel shape on
+    // Corpus.shingles(text, 3) with a three-arm batch — planted exact
+    // copies, perturbed copies (first three shingles cut), and fresh
+    // docs the corpus never saw — at the UN-calibrated t=7/10, and
+    // publishes per-arm selectivity (quar_ppm) next to the stats fold.
+    // Measured at gate scale: exact 20/20 and perturbed 25/26
+    // quarantined, fresh 4/34 — the threshold separates dup from fresh
+    // under realistic shingling; 9/10 was the toy-vocab artifact, not
+    // the operator. All-pairs oracle → audit posture follows cur12
+    // (unbounded 10x, excluded from the bounded 100x).
+    Q("cur14_decontam_shingles",
+      (s, dir) => {
+        import graft.operators.{Decontam, IncrementalAgg}
+        import graft.operators.IncrementalAgg.AggSpec
+        val statKeys = Seq("src")
+        val statAggs = Seq(AggSpec("n_chars", "sum", "chars_sum"),
+          AggSpec("n_chars", "count", "n_docs"))
+        val sh = t(s, dir, "documents").select(col("doc_id"),
+          col("n_chars"),
+          graft.operators.Corpus.shingles(col("text"), 3).as("g"))
+        val corpus = sh.filter(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id"), col("g").as("toks"),
+            lit("corpus").as("src"), col("n_chars"))
+        val exactA = sh.filter(col("doc_id") % 3 =!= 0 &&
+            col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            col("g").as("toks"), lit("exact").as("src"), col("n_chars"))
+        val pert = sh.filter(col("doc_id") % 3 =!= 0 &&
+            col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            expr("slice(g, 4, greatest(size(g) - 3, 0))").as("toks"),
+            lit("perturbed").as("src"), col("n_chars"))
+        val fresh = sh.filter(col("doc_id") % 3 === 0 &&
+            col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            col("g").as("toks"), lit("fresh").as("src"), col("n_chars"))
+        val batch = exactA.unionByName(pert).unionByName(fresh)
+        val st = Decontam.buildIntake(corpus, "doc_id", "toks",
+          statKeys, statAggs, tNum = 7, tDen = 10)
+        val res = Decontam.processBatch(st, batch, "doc_id", "toks",
+          statKeys, statAggs)
+        val census = res.quarantined.groupBy("src")
+          .agg(count(lit(1)).as("n_quarantined"))
+          .join(res.admitted.groupBy("src")
+            .agg(count(lit(1)).as("n_admitted")), Seq("src"), "full")
+          .select(col("src"),
+            coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+            coalesce(col("n_quarantined"), lit(0L)).as("n_quarantined"))
+        // FULL join: a fully-quarantined arm contributes nothing to the
+        // stats fold but its census row is the selectivity record — it
+        // must stay visible, zero-filled on the stats side
+        IncrementalAgg.publishCounting(res.stats, statKeys, statAggs)
+          .join(census, Seq("src"), "full")
+          .select(col("src"),
+            coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+            coalesce(col("chars_sum"), lit(0L)).as("chars_sum"),
+            coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+            coalesce(col("n_quarantined"), lit(0L)).as("n_quarantined"))
+          .withColumn("quar_ppm", expr(
+            "CASE WHEN n_admitted + n_quarantined > 0 THEN " +
+              "(n_quarantined * 1000000) div (n_admitted + n_quarantined)" +
+              " ELSE CAST(0 AS BIGINT) END"))
+          .orderBy("src")
+      },
+      Some("""WITH s AS (SELECT doc_id, n_chars,
+             |  string_split(trim(regexp_replace(text,'\s+',' ','g')),' ') AS ws
+             |  FROM documents),
+             |sh AS (SELECT doc_id, n_chars,
+             |  [array_to_string(ws[g:g+2], ' ') FOR g IN range(1, greatest(len(ws)-1, 1))] AS grams
+             |  FROM s),
+             |corpus AS (SELECT doc_id, list_distinct(grams) AS toks,
+             |    'corpus' AS src, n_chars FROM sh WHERE doc_id % 3 <> 0),
+             |b AS (
+             |  SELECT doc_id + 1000000 AS bid, list_distinct(grams) AS toks,
+             |    'exact' AS src, n_chars
+             |  FROM sh WHERE doc_id % 3 <> 0 AND doc_id % 17 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 2000000, list_distinct(grams[4:]), 'perturbed', n_chars
+             |  FROM sh WHERE doc_id % 3 <> 0 AND doc_id % 13 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 3000000, list_distinct(grams), 'fresh', n_chars
+             |  FROM sh WHERE doc_id % 3 = 0 AND doc_id % 5 = 0),
+             |hits AS (SELECT DISTINCT b.bid FROM b JOIN corpus c ON
+             |  len(b.toks) > 0 AND len(c.toks) > 0 AND
+             |  len(list_intersect(b.toks, c.toks)) * 10
+             |    >= (len(b.toks) + len(c.toks) - len(list_intersect(b.toks, c.toks))) * 7),
+             |dec AS (SELECT b.*, b.bid IN (SELECT bid FROM hits) AS quar FROM b),
+             |stats AS (SELECT src, CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+             |    COUNT(n_chars) AS n_docs
+             |  FROM (SELECT src, n_chars FROM corpus
+             |        UNION ALL SELECT src, n_chars FROM dec WHERE NOT quar)
+             |  GROUP BY 1),
+             |census AS (SELECT src,
+             |    CAST(SUM(CASE WHEN quar THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+             |    CAST(SUM(CASE WHEN quar THEN 0 ELSE 1 END) AS BIGINT) AS n_admitted
+             |  FROM dec GROUP BY 1)
+             |SELECT src,
+             |  COALESCE(n_docs, 0) AS n_docs,
+             |  COALESCE(chars_sum, 0) AS chars_sum,
+             |  COALESCE(n_admitted, 0) AS n_admitted,
+             |  COALESCE(n_quarantined, 0) AS n_quarantined,
+             |  CASE WHEN COALESCE(n_admitted, 0) + COALESCE(n_quarantined, 0) > 0
+             |    THEN CAST(COALESCE(n_quarantined, 0) * 1000000
+             |      // (COALESCE(n_admitted, 0) + COALESCE(n_quarantined, 0)) AS BIGINT)
+             |    ELSE CAST(0 AS BIGINT) END AS quar_ppm
+             |FROM stats FULL JOIN census USING (src)
+             |ORDER BY src""".stripMargin)),
+
     // DQ8 — the quarantine APPLY of the quality audit (dq2 reports
     // metrics; this SPLITS the rows): every event gets a reason
     // bitmask — 1 null user, 2 unknown type, 4 value out of range, 8

@@ -53,13 +53,23 @@ object Broadcasts {
     */
   private val CacheExpansion = 4L
 
-  /** Default gate on the estimated DESERIALIZED relation size. 256 MB of
-    * hash relation ≈ 64 MB of compressed cache (the pre-r7 gate measured
-    * in compressed bytes) — same operating point, honest units. Well
-    * under Spark's 8 GB broadcast cap and a sane per-executor pin on a
-    * real cluster.
+  /** Default gate on the estimated DESERIALIZED relation size: 1/16 of
+    * the executor heap, floored at 256 MB (the pre-r13 fixed gate, ≈
+    * 64 MB of compressed cache). A broadcast pins one relation copy per
+    * executor, so the budget that decides it is per-executor MEMORY,
+    * not an absolute constant — a 48 GB executor happily pins a 1.5 GB
+    * hash relation to avoid re-shuffling a fact table three orders of
+    * magnitude larger, while an 8 GB executor keeps the old 512 MB-ish
+    * operating point. (Measured at the 1000x bench replica: q5's
+    * reduced orders⋈customer side grows past the fixed 256 MB gate and
+    * the fallback shuffle join paid 48 s on a 600M-row fact — against
+    * ~1.4 GB pinned once in a 48 GB heap. At 100 TB the same arithmetic
+    * holds per executor: broadcasting gigabytes beats shuffling
+    * terabytes whenever the relation fits the executor's pin budget.)
+    * Stays well under Spark's 8 GB broadcast cap on any realistic heap.
     */
-  val DefaultMaxBytes: Long = 256L << 20
+  val DefaultMaxBytes: Long =
+    math.max(256L << 20, Runtime.getRuntime.maxMemory / 16)
 
   private final case class Entry(result: DataFrame, materialized: DataFrame)
 

@@ -97,9 +97,24 @@ object Headline {
         // default gate; at a scale where it outgrows the gate the plan
         // degrades to the shuffle join this query used before. Only
         // remaining exchange: the 5-row final aggregate's.
+        //
+        // The region predicate reaches customers only TRANSITIVELY
+        // (c_nationkey = s_nationkey = n_nationkey, r_name = 'ASIA') and
+        // the gated materialization is a barrier Catalyst cannot push a
+        // later filter through — so push it by hand: a 5-key broadcast
+        // semi-join keeps only ASIA-nation customers BEFORE oc is built,
+        // shrinking the pinned relation and the probe hit rate ~5x
+        // (measured at the 1000x replica: 26.0 -> 6.8 s warm).
         val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
         val n = t(s, dir, "nation")
+        val asiaKeys = t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region")
+            .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("_asia_nk"))
         val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+          .join(broadcast(asiaKeys),
+            col("c_nationkey") === col("_asia_nk"), "left_semi")
         val o = t(s, dir, "orders")
           .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
           .select("o_orderkey", "o_custkey")

@@ -91,7 +91,11 @@ object DumpPlans {
       "cur12_decontam_intake" ->
         "Composed decontamination intake: the corpus parquet is scanned only under the build-time localCheckpoint barrier — the probe join reads the materialized postings, the quarantine split is two broadcast semi/anti joins on the hit ids, and the stats refresh merges the admitted batch's group-grain delta with the materialized counting state. Per-batch cost = the batch itself plus group-grain merges.",
       "sj5_jaccard_index_reload" ->
-        "Persisted-index probe: the corpus appears only as the reloaded index's OWN parquet (vocab + surviving postings) — the probe pays its prefix explode, one posting equi-join, emit-once, integer verify; no rebuild, no corpus scan, no nested-loop node.")
+        "Persisted-index probe: the corpus appears only as the reloaded index's OWN parquet (vocab + surviving postings) — the probe pays its prefix explode, one posting equi-join, emit-once, integer verify; no rebuild, no corpus scan, no nested-loop node.",
+      "cur13_resumed_intake" ->
+        "Resumed intake funnel (job 2 of 2): every input is the persisted state's own parquet — index vocab/postings, folded counting stats, batch-1 census — plus batch 2 itself; the corpus and batch 1 appear NOWHERE. Probe equi-join, broadcast hit-id splits, group-grain counting merge, two small census joins.",
+      "cur14_decontam_shingles" ->
+        "Realistic-shingle decontamination: identical funnel shape to cur12 with the token set swapped to word 3-grams (one extra transform in the scan projection — shingling adds no stage); probe equi-join on posting tokens, broadcast quarantine splits, group-grain stats merge, full-join census so fully-quarantined arms stay visible.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (auto-generated by graft.DumpPlans at sf0.1)\n\n")
     sb.append("Evidence for the plan-shape claims in README: pushed filters, pruned\n")
@@ -112,7 +116,8 @@ object DumpPlans {
       "imp7_prototype_prune", "dd20_d4_pipeline",
       "inc3_dim_churn", "sj3_jaccard_probe",
       "sj4_containment_probe", "inc5_retractable_join_view",
-      "cur12_decontam_intake", "sj5_jaccard_index_reload").foreach { name =>
+      "cur12_decontam_intake", "sj5_jaccard_index_reload",
+      "cur13_resumed_intake", "cur14_decontam_shingles").foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       sb.append(s"\n## $name\n\n${notes(name)}\n\n```\n")
       sb.append(df.queryExecution.explainString(

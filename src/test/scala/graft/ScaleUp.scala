@@ -35,12 +35,38 @@ object ScaleUp {
       maxOf(part, "p_partkey"), maxOf(ord, "o_orderkey"),
       maxOf(docs, "doc_id"), maxOf(emb, "vec_id"))
 
-    def replicate(df: DataFrame, offsets: Map[String, Long]): DataFrame =
-      (0 until k).map { i =>
-        offsets.foldLeft(df) { case (d, (c, base)) =>
-          d.withColumn(c, col(c) + lit(i * base))
-        }
-      }.reduce(_.unionAll(_))
+    // one crossJoin against a broadcast 0..k-1 range beats a k-branch
+    // union: the plan stays O(1) nodes at any k (a 1000-copy union
+    // chokes the analyzer), and each input row fans out to its k offset
+    // copies inside a single codegen stage — required for the 1000x
+    // bench replica
+    //
+    // clusterKey: the driver's ingest writes lineitem/orders in key
+    // order, and the old per-copy union kept each copy's (offset-
+    // disjoint) key range inside its own partitions — a property
+    // ClusteredAgg's shuffle-free aggregate verifies and exploits. The
+    // fan-out interleaves copies, so keyed tables get a range
+    // repartition + in-partition sort to restore ingest-shaped files
+    // (key-disjoint partitions, sorted within).
+    def replicate(df: DataFrame, offsets: Map[String, Long],
+        clusterKey: Option[String] = None): DataFrame = {
+      val copies = spark.range(k).select(col("id").as("_copy"))
+      // repartition the SOURCE, not the fanned-out result: the source
+      // is a handful of MB (one scan partition — a single task would
+      // otherwise write the whole k-fold output serially), so a 32-way
+      // shuffle of it is free and every executor thread fans out and
+      // writes its own slice in parallel
+      val src32 = df.repartition(32)
+      val fanned = offsets.foldLeft(src32.crossJoin(broadcast(copies))) {
+        case (d, (c, base)) =>
+          d.withColumn(c, col(c) + col("_copy") * lit(base))
+      }.select(df.columns.map(col): _*)
+      clusterKey match {
+        case Some(ck) =>
+          fanned.repartitionByRange(32, col(ck)).sortWithinPartitions(ck)
+        case None => fanned
+      }
+    }
 
     def write(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
@@ -50,9 +76,10 @@ object ScaleUp {
     write(replicate(cust, Map("c_custkey" -> nC)), "customer")
     write(replicate(supp, Map("s_suppkey" -> nS)), "supplier")
     write(replicate(part, Map("p_partkey" -> nP)), "part")
-    write(replicate(ord, Map("o_orderkey" -> nO, "o_custkey" -> nC)), "orders")
+    write(replicate(ord, Map("o_orderkey" -> nO, "o_custkey" -> nC),
+      clusterKey = Some("o_orderkey")), "orders")
     write(replicate(li, Map("l_orderkey" -> nO, "l_partkey" -> nP,
-      "l_suppkey" -> nS)), "lineitem")
+      "l_suppkey" -> nS), clusterKey = Some("l_orderkey")), "lineitem")
     write(replicate(docs, Map("doc_id" -> nD)), "documents")
     write(replicate(emb, Map("vec_id" -> nE)), "embeddings")
     // events: ids and users offset (user_id tracks the customer offset so

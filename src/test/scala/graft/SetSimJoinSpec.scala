@@ -160,6 +160,43 @@ class SetSimJoinSpec extends SparkSpec {
       "id", "toks").count() === 0L)
   }
 
+  test("lost pairs never exceed the published bound (seeded, tight " +
+      "maxBucket)") {
+    // property: on ANY corpus, |brute-force pairs| − |kernel pairs| ≤
+    // Σ lost_pair_bound. A 12-token universe with a tight maxBucket
+    // forces real hot tokens and real losses across seeds.
+    for (seed <- Seq(3, 17, 29)) {
+      val rnd = new scala.util.Random(seed)
+      val universe = (1 to 12).map(i => s"t$i")
+      val corpus = (1L to 60L).map { i =>
+        i -> rnd.shuffle(universe).take(2 + rnd.nextInt(5))
+      }
+      val probe = (101L to 130L).map { i =>
+        i -> rnd.shuffle(universe).take(2 + rnd.nextInt(5))
+      }
+      val ix = SetSimJoin.buildJaccardIndex(corpus.toDF("id", "toks"),
+        "id", "toks", 1, 2, maxBucket = 8)
+      val got = SetSimJoin.probeJaccardIndex(ix,
+        probe.toDF("id", "toks"), "id", "toks").count()
+      val want = (for {
+        (pid, pt) <- probe; (cid, ct) <- corpus
+        a = pt.distinct.toSet; b = ct.distinct.toSet
+        if (a & b).size * 2 >= (a | b).size
+      } yield (pid, cid)).size.toLong
+      val bound = SetSimJoin.lostPairBound(ix, probe.toDF("id", "toks"),
+          "id", "toks")
+        .agg(org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.sum("lost_pair_bound"),
+          org.apache.spark.sql.functions.lit(0L)))
+        .head().getLong(0)
+      assert(got <= want, s"seed $seed: kernel can never exceed brute")
+      assert(want - got <= bound,
+        s"seed $seed: lost ${want - got} pairs but bound was $bound")
+      assert(want - got > 0,
+        s"seed $seed: fixture must force a real loss to exercise the bound")
+    }
+  }
+
   test("a saved+loaded index probes byte-identically to the fresh one") {
     val rnd = new scala.util.Random(73)
     val universe = (1 to 30).map(i => s"t$i")

@@ -43,11 +43,27 @@ SRC = "/root/testdata/sf0.1"
 # registry as the exact-twin correctness row.
 QS = ("q1_pricing_summary,q3_shipping_priority,q5_local_supplier,"
       "q6_revenue_delta,q18_big_orders,q19_disjunctive,ss1b_cosine_topk_indexed")
+# the 1000x arm (600M lineitem rows, ~15 GB parquet) runs a 4-headliner
+# subset: the first point where shuffle/spill actually engage — the
+# 1x..100x points all fit in page cache, so the "designed for 100 TB"
+# slope claim needs this arm; the full suite would double the build+bench
+# cost for queries whose scaling the 4 already demonstrate
+QS1000 = ("q1_pricing_summary,q5_local_supplier,q18_big_orders,"
+          "ss1b_cosine_topk_indexed")
 SCALES = [
-    ("1x", SRC, 1),
-    ("10x", "/tmp/bsx10", 10),
-    ("100x", "/tmp/bsx100", 100),
+    # (label, dir, copies, queries, spark heap — None = 8g default)
+    ("1x", SRC, 1, QS, None),
+    ("10x", "/tmp/bsx10", 10, QS, None),
+    ("100x", "/tmp/bsx100", 100, QS, None),
+    # one session, one attempt: a 1000x warm run is tens of seconds, so
+    # the small-scale spread-retry and 2-session protocol would turn the
+    # arm into hours; single-measurement costs are recorded with their
+    # own spreads in the JSON
+    ("1000x", "/tmp/bsx1000", 1000, QS1000, "48g"),
 ]
+# the DESIGN-SCALE ratio gate stays at 100x (full 7-query suite); the
+# 1000x arm is slope evidence, not the headline comparator
+DESIGN_SCALE = "100x"
 ORACLE_DIR = "/tmp/graft-oracle-dump"
 
 
@@ -91,7 +107,7 @@ def ensure_oracle(force):
     return str(p)
 
 
-def spark_bench(sf_dir, sessions=2):
+def spark_bench(sf_dir, qs=QS, sessions=2, mem=None):
     # min per query ACROSS JVM sessions on top of Bench's own min-of-3
     # warm runs: at 60M rows the between-session variance (GC sizing,
     # codegen state, AQE coalescing) is larger than within-session noise.
@@ -104,12 +120,25 @@ def spark_bench(sf_dir, sessions=2):
     best, cold, session_totals = {}, {}, []
     per_session = {}
     for _ in range(sessions):
+        env = {"SPARK_GRAFT_SF_DIR": sf_dir,
+               "SPARK_GRAFT_BENCH_QS": qs,
+               # cross-session min below already absorbs the
+               # early-session tax the 2-pass default targets
+               "SPARK_GRAFT_BENCH_PASSES": "1"}
+        if mem:
+            # the 1000x arm shuffles ~600M rows through one JVM: the 8g
+            # default heap (fine up to 100x) starves 32 executor threads
+            # to ~250 MB each — a cluster posture this arm exists to
+            # approximate would never run that tight. DuckDB's default
+            # budget on this host is ~100 GB, so a bigger heap is
+            # fairness, not a thumb on the scale; recorded per scale.
+            env["SPARK_DRIVER_MEM"] = mem
+            # intrinsic warm spread at this scale exceeds the
+            # idle-machine retry threshold; retries just multiply a
+            # minutes-long measurement
+            env["SPARK_GRAFT_BENCH_MAX_ATTEMPTS"] = "1"
         out = run(["sbt", "-batch", "runMain graft.Bench"],
-                  env={"SPARK_GRAFT_SF_DIR": sf_dir,
-                       "SPARK_GRAFT_BENCH_QS": QS,
-                       # cross-session min below already absorbs the
-                       # early-session tax the 2-pass default targets
-                       "SPARK_GRAFT_BENCH_PASSES": "1"}, capture=True)
+                  env=env, capture=True)
         for line in out.splitlines():
             if '"metric"' in line:
                 r = json.loads(line.split("[info] ", 1)[-1])
@@ -135,8 +164,8 @@ def spark_bench(sf_dir, sessions=2):
             "cold_queries": {k: round(v, 3) for k, v in cold.items()}}
 
 
-def duck_bench(sf_dir, oracle):
-    out = run([sys.executable, "tools/bench_duck.py", sf_dir, oracle, QS],
+def duck_bench(sf_dir, oracle, qs=QS):
+    out = run([sys.executable, "tools/bench_duck.py", sf_dir, oracle, qs],
               capture=True)
     return json.loads(out.splitlines()[-1])
 
@@ -156,19 +185,21 @@ def main():
     ap.add_argument("--out", default=str(REPO / "BENCHSCALE.json"))
     args = ap.parse_args()
 
-    for _, dst, copies in SCALES:
+    for _, dst, copies, _qs, _mem in SCALES:
         if copies > 1:
             ensure_replica(dst, copies, args.force)
     oracle = ensure_oracle(args.force)
 
     scales = []
-    for label, sf_dir, copies in SCALES:
+    for label, sf_dir, copies, qs, mem in SCALES:
         print(f"[benchscale] benching {label} ({sf_dir})", flush=True)
-        sp = spark_bench(sf_dir)
-        du = duck_bench(sf_dir, oracle)
+        sp = spark_bench(sf_dir, qs, sessions=1 if mem else 2, mem=mem)
+        du = duck_bench(sf_dir, oracle, qs)
         ratio = sp["value"] / du["value"] if du["value"] else None
         scales.append({
             "scale": label, "dir": sf_dir,
+            "queries_run": qs.split(","),
+            "spark_heap": mem or "8g",
             "lineitem_rows": lineitem_rows(sf_dir),
             "spark_sec": round(sp["value"], 3),
             "duckdb_sec": round(du["value"], 3),
@@ -186,14 +217,16 @@ def main():
               f"(session spread {sp['spread']:.2f}s) "
               f"duckdb {du['value']:.2f}s ratio {ratio:.2f}x", flush=True)
 
-    # ss1 amortization probe at the largest replica: the remaining >2x
+    # ss1 amortization probe at the design-scale replica: the remaining >2x
     # row is a per-job scheduling floor; this measures its SEQUENTIAL
     # in-session marginal cost (suite back-to-back with vs without ss1b
     # — the posture the bench and a standing pipeline use) and reports
     # the concurrent-FAIR delta separately as contention context
     print("[benchscale] ss1 amortization probe (100x)", flush=True)
     amort_out = run(["sbt", "-batch",
-                     f"Test/runMain graft.ProfileAmortize {SCALES[-1][1]}"],
+                     "Test/runMain graft.ProfileAmortize "
+                     + next(d for l, d, _, _, _ in SCALES
+                            if l == DESIGN_SCALE)],
                     capture=True)
     amort = None
     for line in amort_out.splitlines():
@@ -206,6 +239,7 @@ def main():
     artifact = {
         "metric": "benchscale",
         "generated_unix": int(time.time()),
+        "design_scale": DESIGN_SCALE,
         "ss1_amortization": amort,
         "protocol": "min of 3 warm runs per query per engine; local[32]; "
                     "identical SQL semantics (driver oracle text) on "
@@ -239,12 +273,32 @@ def render_md(artifact, md_path=REPO / "BENCHSCALE.md"):
     for s in artifact["scales"]:
         spread = s.get("spark_spread_sec")
         spread_txt = f"±{spread:.2f} s" if spread is not None else "—"
+        nq = len(s.get("queries_run", []))
+        scale_txt = s["scale"] + (f" ({nq}-query subset)"
+                                  if nq and nq != len(artifact["queries"])
+                                  else "")
         lines.append(
-            f"| {s['scale']} ({s['dir']}) | {s['lineitem_rows']:,} "
+            f"| {scale_txt} ({s['dir']}) | {s['lineitem_rows']:,} "
             f"| {s['spark_sec']:.2f} s | {spread_txt} "
             f"| {s.get('spark_cold_sec', float('nan')):.2f} s "
             f"| {s['duckdb_sec']:.2f} s | {s['ratio']:.2f}× |")
-    big = artifact["scales"][-1]
+    if any(s["scale"] == "1000x" for s in artifact["scales"]):
+        lines += ["",
+                  "The 1000× arm (600 M lineitem rows, ~15 GB parquet) "
+                  "runs the q1/q5/q18/ss1b subset — the first point where "
+                  "shuffle and spill actually engage (every smaller scale "
+                  "fits in page cache). It runs with a 48 g Spark heap "
+                  "(the 8 g default that is fine up to 100× starves 32 "
+                  "executor threads at this shuffle size; DuckDB's "
+                  "default budget on this host is ~100 GB — heaps are "
+                  "recorded per scale in the JSON). 100× remains the "
+                  "design-scale comparator on the full suite; the 1000× "
+                  "ratio is slope evidence for the 100 TB claim."]
+    # per-query table + amortization prose anchor on the DESIGN scale
+    # (100x, full suite); the 1000x arm appears in the scales table with
+    # its own subset note
+    big = next(s for s in artifact["scales"]
+               if s["scale"] == artifact.get("design_scale", "100x"))
     lines += ["",
               f"Per-query at {big['scale']} (warm s / cold s / DuckDB s):",
               "",

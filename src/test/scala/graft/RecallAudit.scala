@@ -112,12 +112,11 @@ object RecallAudit {
     // margin (rerank-major cost order: the ADC table delta between 8
     // and 16 blocks is noise next to 4× the exact-cosine rerank); if no
     // point below rerank=400 clears it, that IS the recorded plateau.
-    val blocksSweep = Seq(8, 16).map { nb =>
-      val cb = if (nb == 8) codebooks
-        else Similarity.trainPqCodebooks(emb, "embedding", "vec_id",
-          nBlocks = nb, k = 16, iters = 3)
-      nb -> reranks.map(rr => rr -> ivfpqAt(cb, rr))
-    }
+    val cb16 = Similarity.trainPqCodebooks(emb, "embedding", "vec_id",
+      nBlocks = 16, k = 16, iters = 3)
+    val blocksSweep = Seq(
+      8 -> rerankSweep, // identical codebooks — reuse, don't re-measure
+      16 -> reranks.map(rr => rr -> ivfpqAt(cb16, rr)))
     val minPoint = (for {
       rr <- reranks
       (nb, sweep) <- blocksSweep

@@ -82,6 +82,17 @@ final class ChunkMaintenance(spark: SparkSession) {
       coalesce(sum((col("copies") - 1L) * col("chunk_len")), lit(0L))
         .as("dup_bytes"))
 
+  /** Persist the chunk-fingerprint index so a restarted job
+    * [[ChunkMaintenance.resume]]s without replaying the consumed stream
+    * prefix. Call between triggers (foreachBatch serializes against
+    * merge). The merge algebra (min first_rank, sum copies) is
+    * associative/commutative, so a resumed fold lands byte-identical to
+    * the uninterrupted run — the spec-gated restart invariant.
+    */
+  def save(path: String): Unit = synchronized {
+    state.write.mode("overwrite").parquet(s"$path/index")
+  }
+
   /** Wire a streaming document frame into this handle; `.start()` to
     * run.
     */
@@ -89,4 +100,18 @@ final class ChunkMaintenance(spark: SparkSession) {
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     docs.writeStream.outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) => merge(b) }
+}
+
+object ChunkMaintenance {
+
+  /** Reconstruct a [[ChunkMaintenance.save]]d handle in a fresh job:
+    * the index loads from parquet and the stream continues where the
+    * killed one stopped (restart parity is spec-gated at multiple kill
+    * points in RestartRecoverySpec).
+    */
+  def resume(spark: SparkSession, path: String): ChunkMaintenance = {
+    val h = new ChunkMaintenance(spark)
+    h.state = spark.read.parquet(s"$path/index")
+    h
+  }
 }

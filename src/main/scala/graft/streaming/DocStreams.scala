@@ -296,9 +296,33 @@ final class ClusterMaintenance(spark: SparkSession) {
     }
   }
 
+  /** Persist the label table so a restarted job
+    * [[ClusterMaintenance.resume]]s without replaying the consumed pair
+    * stream — incremental contraction re-derives only from the labeling
+    * plus new pairs, so the resumed fold reaches the same components as
+    * uninterrupted (spec-gated; labels are min-member canonical, hence
+    * batching-invariant). Call between triggers.
+    */
+  def save(path: String): Unit = synchronized {
+    current.write.mode("overwrite").parquet(s"$path/labels")
+  }
+
   /** Wire a pair stream into this handle; `.start()` to run. */
   def attach(pairs: Dataset[NearDupPair])
       : org.apache.spark.sql.streaming.DataStreamWriter[NearDupPair] =
     pairs.writeStream.outputMode("append")
       .foreachBatch { (b: Dataset[NearDupPair], _: Long) => merge(b.toDF()) }
+}
+
+object ClusterMaintenance {
+
+  /** Reconstruct a [[ClusterMaintenance.save]]d handle in a fresh job —
+    * the label table loads from parquet; the pair prefix consumed
+    * before the kill is never replayed.
+    */
+  def resume(spark: SparkSession, path: String): ClusterMaintenance = {
+    val h = new ClusterMaintenance(spark)
+    h.current = spark.read.parquet(s"$path/labels")
+    h
+  }
 }

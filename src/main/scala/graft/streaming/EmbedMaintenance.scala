@@ -55,6 +55,16 @@ final class EmbedMaintenance(spark: SparkSession) {
     ProtoPrune.prune(ProtoPrune.distances(
       ProtoPrune.components(emb), ProtoPrune.centroids(state)))
 
+  /** Persist the sufficient statistics so a restarted job
+    * [[EmbedMaintenance.resume]]s without replaying the consumed stream
+    * prefix — component sums are associative/commutative, so the
+    * resumed fold is byte-identical to uninterrupted (spec-gated).
+    * Call between triggers.
+    */
+  def save(path: String): Unit = synchronized {
+    state.write.mode("overwrite").parquet(s"$path/componentState")
+  }
+
   /** Wire a streaming embedding frame into this handle; `.start()` to
     * run.
     */
@@ -62,4 +72,16 @@ final class EmbedMaintenance(spark: SparkSession) {
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     emb.writeStream.outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) => merge(b) }
+}
+
+object EmbedMaintenance {
+
+  /** Reconstruct an [[EmbedMaintenance.save]]d handle in a fresh job —
+    * the model state loads from parquet; no streamed vector is re-read.
+    */
+  def resume(spark: SparkSession, path: String): EmbedMaintenance = {
+    val h = new EmbedMaintenance(spark)
+    h.state = spark.read.parquet(s"$path/componentState")
+    h
+  }
 }

@@ -49,6 +49,16 @@ final class MixMaintenance(spark: SparkSession) {
   def unimaxAlloc(budgetNum: Int = 7, budgetDen: Int = 10): DataFrame =
     Mixing.unimaxAlloc(state, budgetNum, budgetDen)
 
+  /** Persist the per-source totals so a restarted job
+    * [[MixMaintenance.resume]]s without replaying the consumed stream
+    * prefix — token-count addition is associative/commutative, so the
+    * resumed fold is byte-identical to uninterrupted (spec-gated).
+    * Call between triggers.
+    */
+  def save(path: String): Unit = synchronized {
+    state.write.mode("overwrite").parquet(s"$path/tokenCounts")
+  }
+
   /** Wire a streaming document frame into this handle; `.start()` to
     * run.
     */
@@ -56,4 +66,16 @@ final class MixMaintenance(spark: SparkSession) {
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     docs.writeStream.outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) => merge(b) }
+}
+
+object MixMaintenance {
+
+  /** Reconstruct a [[MixMaintenance.save]]d handle in a fresh job — the
+    * totals load from parquet; no streamed document is re-read.
+    */
+  def resume(spark: SparkSession, path: String): MixMaintenance = {
+    val h = new MixMaintenance(spark)
+    h.state = spark.read.parquet(s"$path/tokenCounts")
+    h
+  }
 }

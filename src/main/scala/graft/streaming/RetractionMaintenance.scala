@@ -48,9 +48,36 @@ final class RetractionMaintenance(spark: SparkSession, keys: Seq[String],
   /** The raw counting state incl. witnesses (persistence/inspection). */
   def countingState: Option[DataFrame] = Option(state)
 
+  /** Persist the counting state (with witnesses) so a restarted job
+    * [[RetractionMaintenance.resume]]s mid-changelog without replaying
+    * the consumed prefix — the signed fold is associative/commutative,
+    * so the resumed view is byte-identical to uninterrupted
+    * (spec-gated), even when a −old/+new update pair is split across
+    * the restart. Call between triggers.
+    */
+  def save(path: String): Unit = synchronized {
+    require(state != null, "fold at least one trigger before saving")
+    state.write.mode("overwrite").parquet(s"$path/countingState")
+  }
+
   /** Wire a streaming signed-changelog frame into this handle. */
   def attach(signed: DataFrame)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     signed.writeStream.outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) => merge(b) }
+}
+
+object RetractionMaintenance {
+
+  /** Reconstruct a [[RetractionMaintenance.save]]d handle in a fresh
+    * job — the counting state loads from parquet; the changelog prefix
+    * consumed before the kill is never replayed.
+    */
+  def resume(spark: SparkSession, path: String, keys: Seq[String],
+      aggs: Seq[AggSpec], signCol: String = "_sign")
+      : RetractionMaintenance = {
+    val h = new RetractionMaintenance(spark, keys, aggs, signCol)
+    h.state = spark.read.parquet(s"$path/countingState")
+    h
+  }
 }

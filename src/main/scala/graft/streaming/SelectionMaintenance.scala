@@ -59,6 +59,16 @@ final class SelectionMaintenance(spark: SparkSession) {
     DsirSelection.resample(DsirSelection.scoreDocs(
       DsirSelection.hashedBigramCounts(docs), ratioTable))
 
+  /** Persist the 256-row bucket state so a restarted job
+    * [[SelectionMaintenance.resume]]s without replaying the consumed
+    * stream prefix — bucket-count addition is associative/commutative,
+    * so the resumed fold is byte-identical to uninterrupted
+    * (spec-gated). Call between triggers.
+    */
+  def save(path: String): Unit = synchronized {
+    state.write.mode("overwrite").parquet(s"$path/bucketCounts")
+  }
+
   /** Wire a streaming document frame into this handle; `.start()` to
     * run.
     */
@@ -66,4 +76,17 @@ final class SelectionMaintenance(spark: SparkSession) {
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     docs.writeStream.outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) => merge(b) }
+}
+
+object SelectionMaintenance {
+
+  /** Reconstruct a [[SelectionMaintenance.save]]d handle in a fresh
+    * job — the model state loads from parquet; no streamed document is
+    * re-read.
+    */
+  def resume(spark: SparkSession, path: String): SelectionMaintenance = {
+    val h = new SelectionMaintenance(spark)
+    h.state = spark.read.parquet(s"$path/bucketCounts")
+    h
+  }
 }

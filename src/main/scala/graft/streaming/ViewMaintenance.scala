@@ -71,9 +71,40 @@ final class ViewMaintenance(spark: SparkSession, dim0: DataFrame,
       jv.dim.localCheckpoint(eager = true),
       jv.view.localCheckpoint(eager = true))
 
+  /** Persist the full maintenance state — the JoinView triple plus the
+    * (empty) fact schema — so a restarted job
+    * [[ViewMaintenance.resume]]s mid-stream with no stored-fact rescan
+    * and no stream replay. Call between triggers.
+    */
+  def save(path: String): Unit = synchronized {
+    require(state != null, "fold at least one trigger before saving")
+    state.keyAgg.write.mode("overwrite").parquet(s"$path/keyAgg")
+    state.dim.write.mode("overwrite").parquet(s"$path/dim")
+    state.view.write.mode("overwrite").parquet(s"$path/view")
+    noFacts.write.mode("overwrite").parquet(s"$path/factSchema")
+  }
+
   /** Wire a streaming fact frame into this handle; `.start()` to run. */
   def attach(facts: DataFrame)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     facts.writeStream.outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) => merge(b) }
+}
+
+object ViewMaintenance {
+
+  /** Reconstruct a [[ViewMaintenance.save]]d handle in a fresh job: the
+    * key-grain sub-aggregate, the dimension as of the kill, and the
+    * published view all load from parquet — stored facts are never
+    * rescanned and the consumed stream prefix is never replayed.
+    */
+  def resume(spark: SparkSession, path: String, joinKeys: Seq[String],
+      groupCols: Seq[String], aggs: Seq[AggSpec]): ViewMaintenance = {
+    val dim = spark.read.parquet(s"$path/dim")
+    val h = new ViewMaintenance(spark, dim, joinKeys, groupCols, aggs)
+    h.state = JoinView(spark.read.parquet(s"$path/keyAgg"), dim,
+      spark.read.parquet(s"$path/view"))
+    h.noFacts = spark.read.parquet(s"$path/factSchema")
+    h
+  }
 }

@@ -81,20 +81,30 @@ def run(cmd, env=None, capture=False):
     return r.stdout if capture else None
 
 
-def ensure_replica(dst, copies, force):
+def ensure_replica(dst, copies, force, mem=None):
     # reuse only when the replica has exactly base_rows x copies lineitem
     # rows — a stale dir from an older run (or different naming scheme)
     # would silently bench the wrong scale
     if not force and Path(dst, "lineitem.parquet").exists():
         want = lineitem_rows(SRC) * copies
-        have = lineitem_rows(dst)
+        try:
+            have = lineitem_rows(dst)
+        except Exception:
+            # a dir with no readable part files = a build that died
+            # mid-write (the 1000x OOM left exactly this) — rebuild
+            have = -1
         if have == want:
             print(f"[benchscale] reusing {dst} ({have} rows)", flush=True)
             return
         print(f"[benchscale] {dst} has {have} rows, want {want} — rebuilding",
               flush=True)
     print(f"[benchscale] building {dst} = {SRC} x {copies}", flush=True)
-    run(["sbt", "-batch", f"Test/runMain graft.ScaleUp {SRC} {dst} {copies}"])
+    # the BUILD needs the big heap as much as the bench: the key-clustered
+    # write sorts ~copies x 600k lineitem rows across 32 in-flight tasks,
+    # and the 8g default OOMs at 1000x (each task sorts ~19M rows while
+    # 32 parquet writers hold their page buffers)
+    run(["sbt", "-batch", f"Test/runMain graft.ScaleUp {SRC} {dst} {copies}"],
+        env={"SPARK_DRIVER_MEM": mem} if mem else None)
 
 
 def ensure_oracle(force):
@@ -187,7 +197,7 @@ def main():
 
     for _, dst, copies, _qs, _mem in SCALES:
         if copies > 1:
-            ensure_replica(dst, copies, args.force)
+            ensure_replica(dst, copies, args.force, mem=_mem)
     oracle = ensure_oracle(args.force)
 
     scales = []

@@ -97,6 +97,43 @@ final class AnnIndexMaintenance(spark: SparkSession, path: String,
     (0 to h).flatMap(ball(0, _, qBits)).distinct
   }
 
+  /** Rewrite the layout clustered — one-ish file per bucket — and swap
+    * it in, keeping the commit log. Per-trigger appends leave up to one
+    * file per (trigger × bucket); a probe's task count is its bucket
+    * ball's FILE count, so a long-lived stream pays growing scheduling
+    * cost until compacted (the same maintenance any append-mode table
+    * needs; at cluster scale this is the table format's OPTIMIZE).
+    * Call between triggers; like any non-transactional directory
+    * rewrite, a probe racing the swap can see a partial layout —
+    * production puts the layout in a transactional table and gets the
+    * atomic swap from the format.
+    */
+  def compact(): Unit = synchronized {
+    val tmp = path + ".compact"
+    index.repartition(1 << nbits, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    val dst = new java.io.File(path)
+    dst.listFiles().filter(_.getName.startsWith("bucket="))
+      .foreach(deleteRecursively)
+    new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.startsWith("bucket=") || f.getName == "_SUCCESS")
+      .foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(dst, f.getName).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    deleteRecursively(new java.io.File(tmp))
+    // drop any cached file listing for the path — a probe planned after
+    // the swap must list the compacted files, not the deleted ones
+    spark.catalog.refreshByPath(path)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
   /** Wire a streaming embedding frame into this handle; `.start()` to
     * run. The trigger's batchId flows into the commit log, which is
     * what makes a crash-replayed trigger a no-op.

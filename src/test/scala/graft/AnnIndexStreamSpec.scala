@@ -115,4 +115,36 @@ class AnnIndexStreamSpec extends SparkSpec {
     assert(filesRead < totalFiles,
       s"probe read every file ($filesRead of $totalFiles) — no pruning")
   }
+
+  test("compaction re-clusters the splintered layout: probe parity, " +
+      "one-ish file per bucket, commit log intact") {
+    val all = vecs
+    val batches = all.grouped(math.max(1, all.size / 6)).toSeq
+    val path = tmp("compact")
+    val h = new AnnIndexMaintenance(spark, path)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      h.merge(b.toDF("vec_id", "embedding"), i.toLong)
+    }
+    def filesPerBucket: Seq[Int] = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).toSeq
+    // the stream splintered the layout (one file per trigger × bucket)
+    assert(filesPerBucket.exists(_ > 2),
+      s"fixture failure: appends did not splinter ($filesPerBucket)")
+    val want = h.probe(query).select("vec_id").collect().map(_.getLong(0)).toSeq
+
+    h.compact()
+
+    assert(filesPerBucket.forall(_ <= 2),
+      s"compaction left a splintered bucket: $filesPerBucket")
+    assert(h.index.count() === all.size.toLong,
+      "compaction lost or duplicated vectors")
+    assert(h.probe(query).select("vec_id").collect().map(_.getLong(0)).toSeq
+      === want, "probe diverged after compaction")
+    // the commit log survived: a replayed trigger is still a no-op
+    val before = h.index.count()
+    h.merge(batches(0).toDF("vec_id", "embedding"), 0L)
+    assert(h.index.count() === before,
+      "commit log lost in compaction — replayed trigger duplicated rows")
+  }
 }

@@ -8,7 +8,10 @@ package graft
   * fp exchange — and the container walks (mm8 tar, mm7 WARC) are one
   * mapPartitions pass whose per-row cost is the payload byte count, so
   * all three should scale ~linearly in corpus bytes. Measured warm
-  * (min of 2) at sf0.01 and its 10x/100x replicas.
+  * (min of 2) at sf0.01 and its 10x/100x replicas, plus — when the
+  * bench's 1000x replica of sf0.1 is on disk — a 10000x-of-base arm
+  * (~5M docs, ~1.5 GB of text): the point where the linear claim is
+  * carried by data that no longer hides in a few scan partitions.
   */
 object ProfileIngest {
   def main(args: Array[String]): Unit = {
@@ -27,7 +30,8 @@ object ProfileIngest {
       (rows, math.round(best * 1000) / 1000.0)
     }
 
-    val scales = Seq(("1x", base), ("10x", "/tmp/sfx10"), ("100x", "/tmp/sfx100"))
+    val scales = Seq(("1x", base), ("10x", "/tmp/sfx10"),
+      ("100x", "/tmp/sfx100"), ("10000x", "/tmp/bsx1000"))
       .filter { case (_, d) => new java.io.File(s"$d/documents.parquet").exists() }
     val out = scales.map { case (label, d) =>
       val docs = graft.sources.Tables.load(spark, d, "documents")

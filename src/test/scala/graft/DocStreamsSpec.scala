@@ -200,4 +200,52 @@ class DocStreamsSpec extends SparkSpec {
     }
     assert(run(1) === run(5))
   }
+
+  test("band-bucket keyed state survives a checkpointed restart: " +
+      "cross-phase pairs still emit") {
+    // the fleet handles recover driver state via save/resume; the keyed
+    // band buckets recover via Spark's CHECKPOINT — this is that half of
+    // the restart posture, on the flagship dedup stream. A hard stop
+    // kills the JVM-side state; phase-2 docs can only pair with phase-1
+    // docs if the bucket members were restored from the state store.
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("graft_dedup_restart").toString
+    val srcDir = s"$work/src"
+    val outDir = s"$work/out"
+    val ckpt = s"$work/ckpt"
+    new java.io.File(srcDir).mkdirs()
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+
+    def startQuery() = {
+      val stream = spark.readStream.schema(docs.schema).parquet(srcDir)
+      DocStreams.nearDupPairs(spark, stream)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+
+    docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(srcDir)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop() // hard stop — bucket state must live in the checkpoint
+
+    docs.filter(col("doc_id") % 2 =!= 0).write.mode("append").parquet(srcDir)
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      val streamed = spark.read.parquet(outDir)
+        .select("ida", "idb").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = Dedup.minHashDedup(docs, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === batch,
+        "restarted stream's pair set diverged from the batch pipeline")
+      // the assertion with teeth: pairs spanning the restart boundary
+      val crossPhase = batch.filter { case (a, b) => a % 2 != b % 2 }
+      assert(crossPhase.nonEmpty,
+        "fixture failure: no near-dup pair spans the even/odd split")
+      assert(crossPhase.subsetOf(streamed),
+        "cross-restart pairs missing — bucket state not recovered")
+    } finally q2.stop()
+  }
 }

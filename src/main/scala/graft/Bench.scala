@@ -80,6 +80,21 @@ object Bench {
     spark
   }
 
+  /** Every node of an executed plan, descending through AQE wrappers —
+    * AdaptiveSparkPlanExec and query stages hide their physical children
+    * from a plain `children` walk.
+    */
+  private def planNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val below = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case _ => p.children
+    }
+    p +: below.flatMap(planNodes)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -90,6 +105,29 @@ object Bench {
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
+    }
+
+    // The cold run also reports the plan's measured shuffle-write and
+    // spill bytes (SQLMetrics are accumulator-backed and final once the
+    // action returns): the "is there a shuffle here that becomes the
+    // bottleneck at scale" question as recorded data, per query, at
+    // whatever SF the bench ran. MB, rounded; 0 = no exchange/no spill.
+    def coldWithShuffle(name: String): (Double, Double, Double) = {
+      val t0 = System.nanoTime()
+      // Dataset.count() plans a NEW aggregate on top of the frame, so
+      // the metrics live on THAT query's executed plan, not the frame's
+      // own (which never executes) — build the same aggregate explicitly
+      // and keep its handle. The action must be collect(): head() would
+      // plan ANOTHER limit query and leave this one's metrics at zero.
+      val counted = try SparkEntry.queries(name)(spark, sfDir).groupBy().count()
+        catch { case _: Throwable => return (-1.0, 0.0, 0.0) }
+      try counted.collect() catch { case _: Throwable => return (-1.0, 0.0, 0.0) }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val nodes = planNodes(counted.queryExecution.executedPlan)
+      def mb(key: String): Double = math.round(nodes
+        .flatMap(_.metrics.get(key)).map(m => math.max(0L, m.value)).sum
+        / 1e5) / 10.0
+      (sec, mb("shuffleBytesWritten"), mb("spillSize"))
     }
 
     // optional subset (comma-separated) for scaling experiments — any
@@ -112,7 +150,9 @@ object Bench {
       .flatMap(_.toIntOption).getOrElse(3)
     val loadAvgStart = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    def runPass(): Seq[(String, Double, Double, Double, Int)] =
+    // per-query: (warm min, warm spread, cold sec, attempts,
+    // cold shuffle-write MB, cold spill MB)
+    def runPass(): Seq[(String, Double, Double, Double, Int, Double, Double)] =
       selected.map { name =>
       once(name) // warmup (JIT + codegen + page cache)
       // One measurement attempt. COLD: first execution of the plan with
@@ -125,15 +165,15 @@ object Bench {
       // query: the judge-observed round-over-round swings (q5 +39% in
       // r5, q18/q19 in r4) are inter-SESSION variance, and the spread
       // separates scheduler/load noise (visible here) from plan changes.
-      def measure(): (Double, Double, Double) = {
+      def measure(): (Double, Double, Double, Double, Double) = {
         graft.operators.Broadcasts.reset()
         graft.operators.ClusteredAgg.reset()
-        val cold = once(name)
+        val (cold, shufMb, spillMb) = coldWithShuffle(name)
         val times = Seq.fill(3)(once(name))
         val min = if (times.exists(_ < 0)) -1.0 else times.min
         val spread = if (min <= 0) -1.0
           else math.round((times.max - min) / min * 1000).toDouble / 1000
-        (min, spread, cold)
+        (min, spread, cold, shufMb, spillMb)
       }
       var attempt = 1
       var best = measure()
@@ -144,7 +184,7 @@ object Bench {
         val next = measure()
         if (next._1 >= 0 && (next._2 < best._2)) best = next
       }
-      (name, best._1, best._2, best._3, attempt)
+      (name, best._1, best._2, best._3, attempt, best._4, best._5)
     }
     // TWO full suite passes, merged per query by min warm time — the
     // inter-SESSION drift the per-query min-of-3 cannot see (BENCH_r11
@@ -167,13 +207,17 @@ object Bench {
     }
     val loadAvgEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, s, _, _) => "\"" + k + "\":" + s }
+    val spreads = results.map { case (k, _, s, _, _, _, _) => "\"" + k + "\":" + s }
       .mkString("{", ",", "}")
-    val colds = results.map { case (k, _, _, c, _) => "\"" + k + "\":" + c }
+    val colds = results.map { case (k, _, _, c, _, _, _) => "\"" + k + "\":" + c }
       .mkString("{", ",", "}")
-    val tries = results.map { case (k, _, _, _, a) => "\"" + k + "\":" + a }
+    val tries = results.map { case (k, _, _, _, a, _, _) => "\"" + k + "\":" + a }
+      .mkString("{", ",", "}")
+    val shufs = results.map { case (k, _, _, _, _, w, _) => "\"" + k + "\":" + w }
+      .mkString("{", ",", "}")
+    val spills = results.map { case (k, _, _, _, _, _, s) => "\"" + k + "\":" + s }
       .mkString("{", ",", "}")
     // failed queries report -1 individually but must not corrupt the total
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -182,7 +226,7 @@ object Bench {
       .map(_.map(_._2).filter(_ >= 0).sum)
       .map(t => math.round(t * 1000) / 1000.0)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"cold":$colds,"cold_total":$coldTotal,"attempts":$tries,"passes":${passes.size},"pass_totals":[${passTotals.mkString(",")}],"merge":"per-query min warm across passes; spread/cold/attempts reported from each query's winning pass","load_avg_start":$loadAvgStart,"load_avg_end":$loadAvgEnd,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"cold":$colds,"cold_total":$coldTotal,"attempts":$tries,"cold_shuffle_write_mb":$shufs,"cold_spill_mb":$spills,"passes":${passes.size},"pass_totals":[${passTotals.mkString(",")}],"merge":"per-query min warm across passes; spread/cold/attempts reported from each query's winning pass; shuffle/spill MB measured on the winning pass's cold plan (SQLMetrics)","load_avg_start":$loadAvgStart,"load_avg_end":$loadAvgEnd,"sf":"$sfDir"}"""
     // Write the result line to the RAW stdout file descriptor, bypassing
     // sbt's swapped System.out: under `sbt runMain` the logger prefixes
     // every println with "[info] ", which breaks any consumer that

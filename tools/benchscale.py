@@ -129,6 +129,7 @@ def spark_bench(sf_dir, qs=QS, sessions=2, mem=None):
     # and 0.94x from the same tool with no spread on record).
     best, cold, session_totals = {}, {}, []
     per_session = {}
+    shuffle_mb, spill_mb = {}, {}
     for _ in range(sessions):
         env = {"SPARK_GRAFT_SF_DIR": sf_dir,
                "SPARK_GRAFT_BENCH_QS": qs,
@@ -162,6 +163,12 @@ def spark_bench(sf_dir, qs=QS, sessions=2, mem=None):
                 for k, v in r.get("cold", {}).items():
                     if v >= 0 and (k not in cold or v < cold[k]):
                         cold[k] = v
+                # plan-measured bytes; max across sessions (conservative)
+                for key, acc in (("cold_shuffle_write_mb", shuffle_mb),
+                                 ("cold_spill_mb", spill_mb)):
+                    for k, v in r.get(key, {}).items():
+                        if k not in acc or v > acc[k]:
+                            acc[k] = v
                 break
         else:
             raise SystemExit(f"no bench output for {sf_dir}")
@@ -171,7 +178,9 @@ def spark_bench(sf_dir, qs=QS, sessions=2, mem=None):
             "query_spread": {k: round(max(v) - min(v), 3)
                              for k, v in per_session.items()},
             "cold_value": round(sum(cold.values()), 3),
-            "cold_queries": {k: round(v, 3) for k, v in cold.items()}}
+            "cold_queries": {k: round(v, 3) for k, v in cold.items()},
+            "cold_shuffle_write_mb": shuffle_mb,
+            "cold_spill_mb": spill_mb}
 
 
 def duck_bench(sf_dir, oracle, qs=QS):
@@ -220,6 +229,8 @@ def main():
             "spark_queries": {k: round(v, 3) for k, v in sp["queries"].items()},
             "spark_cold_sec": sp["cold_value"],
             "spark_cold_queries": sp["cold_queries"],
+            "spark_cold_shuffle_write_mb": sp["cold_shuffle_write_mb"],
+            "spark_cold_spill_mb": sp["cold_spill_mb"],
             "duckdb_queries": du["queries"],
             "duckdb_query_spread_sec": du.get("query_spread", {}),
         })

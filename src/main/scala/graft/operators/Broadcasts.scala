@@ -67,11 +67,45 @@ object Broadcasts {
     * holds per executor: broadcasting gigabytes beats shuffling
     * terabytes whenever the relation fits the executor's pin budget.)
     * Stays well under Spark's 8 GB broadcast cap on any realistic heap.
+    *
+    * On a cluster the relation pins on EXECUTORS, so the heap that
+    * matters is `spark.executor.memory`, not the driver JVM this object
+    * loaded in — [[defaultMaxBytes]] reads the conf when it's set and
+    * falls back to `Runtime.maxMemory` (exact in local mode, where
+    * driver == executor and the conf is typically unset).
     */
   val DefaultMaxBytes: Long =
-    math.max(256L << 20, Runtime.getRuntime.maxMemory / 16)
+    pinBudget(None, Runtime.getRuntime.maxMemory)
 
-  private final case class Entry(result: DataFrame, materialized: DataFrame)
+  /** Sentinel default for `maxBytes`: resolve the gate from the
+    * session's executor-memory conf at call time (0 keeps its meaning
+    * of "never broadcast, just materialize").
+    */
+  val UseSessionDefault: Long = Long.MinValue
+
+  /** The session's pin budget: `spark.executor.memory` when configured
+    * (cluster posture — one relation copy per executor heap), else this
+    * JVM's max heap (local posture — driver IS the executor).
+    */
+  def defaultMaxBytes(spark: SparkSession): Long =
+    pinBudget(
+      spark.sparkContext.getConf.getOption("spark.executor.memory"),
+      Runtime.getRuntime.maxMemory)
+
+  /** max(256 MB, heap/16) over the configured executor heap when given,
+    * else the fallback heap — split out pure so the conf-driven gate is
+    * directly spec-pinnable.
+    */
+  private[graft] def pinBudget(executorMemory: Option[String],
+      runtimeMax: Long): Long = {
+    val heap = executorMemory
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(runtimeMax)
+    math.max(256L << 20, heap / 16)
+  }
+
+  private final case class Entry(result: DataFrame, materialized: DataFrame,
+      rows: Long)
 
   /** Decision LRU keyed by (session, canonicalized plan, gate) —
     * structural plan equality (collision-proof, unlike a 32-bit hash),
@@ -102,18 +136,30 @@ object Broadcasts {
   /** Number of live cached decisions (spec hook). */
   def cachedCount: Int = decided.synchronized(decided.size)
 
-  def gated(df: DataFrame, maxBytes: Long = DefaultMaxBytes,
-      sampleRows: Int = 1024): DataFrame = {
-    val key = (df.sparkSession, PlanBridge.analyzed(df).canonicalized, maxBytes)
+  def gated(df: DataFrame, maxBytes: Long = UseSessionDefault,
+      sampleRows: Int = 1024): DataFrame =
+    gatedWithRows(df, maxBytes, sampleRows)._1
+
+  /** [[gated]] plus the side's measured row count — already paid for by
+    * the materializing count, and what a downstream runtime filter
+    * ([[RuntimeFilters.keyFilter]]) needs to size its sketch.
+    */
+  def gatedWithRows(df: DataFrame, maxBytes: Long = UseSessionDefault,
+      sampleRows: Int = 1024): (DataFrame, Long) = {
+    val gate = if (maxBytes == UseSessionDefault)
+      defaultMaxBytes(df.sparkSession) else maxBytes
+    val key = (df.sparkSession, PlanBridge.analyzed(df).canonicalized, gate)
     val hit = decided.synchronized(decided.get(key))
-    if (hit != null) return hit.result
+    if (hit != null) return (hit.result, hit.rows)
     // decide() runs Spark jobs — outside the lock. A concurrent racer may
     // decide the same plan; the loser's copy is unpersisted, first wins.
-    val fresh = decide(df, maxBytes, sampleRows)
+    val fresh = decide(df, gate, sampleRows)
     decided.synchronized {
       val race = decided.get(key)
-      if (race != null) { fresh.materialized.unpersist(false); race.result }
-      else { decided.put(key, fresh); fresh.result }
+      if (race != null) {
+        fresh.materialized.unpersist(false); (race.result, race.rows)
+      }
+      else { decided.put(key, fresh); (fresh.result, fresh.rows) }
     }
   }
 
@@ -121,7 +167,7 @@ object Broadcasts {
       sampleRows: Int): Entry = {
     val ck = df.persist(StorageLevel.MEMORY_AND_DISK)
     val n = ck.count() // materializes the cache; the side is consumed next
-    if (n == 0L) return Entry(broadcast(ck), ck)
+    if (n == 0L) return Entry(broadcast(ck), ck, 0L)
     // measured size, best first: the materialized InMemoryRelation reports
     // the EXACT byte size of the cached data (its stats accumulator) —
     // re-deriving the optimized plan after the count picks the cache up;
@@ -137,6 +183,6 @@ object Broadcasts {
       val sample = ck.head(math.min(n, sampleRows.toLong).toInt)
       BigInt(n) * math.max(SizeEstimator.estimate(sample) / sample.length, 1L)
     }
-    Entry(if (bytes <= maxBytes) broadcast(ck) else ck, ck)
+    Entry(if (bytes <= maxBytes) broadcast(ck) else ck, ck, n)
   }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.operators.{Broadcasts, Frame}
+import graft.operators.{Broadcasts, Frame, RuntimeFilters}
 import graft.sources.Tables
 
 /** Headline analytical queries (TPC-H-shaped) used for BENCH. Plans are
@@ -63,12 +63,14 @@ object Headline {
         val o = t(s, dir, "orders")
           .filter(col("o_orderdate") < lit("1996-03-15"))
           .select("o_orderkey", "o_custkey", "o_orderdate")
-        val oc = Broadcasts.gated(
+        val (oc, ocRows) = Broadcasts.gatedWithRows(
           o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
             .select("o_orderkey", "o_orderdate"))
-        val l = t(s, dir, "lineitem")
-          .filter(col("l_shipdate") > lit("1996-03-15"))
-          .select("l_orderkey", "l_extendedprice", "l_discount")
+        val l = RuntimeFilters.keyFilter(
+          t(s, dir, "lineitem")
+            .filter(col("l_shipdate") > lit("1996-03-15"))
+            .select("l_orderkey", "l_extendedprice", "l_discount"),
+          "l_orderkey", oc, "o_orderkey", ocRows)
         l.join(oc, l("l_orderkey") === oc("o_orderkey"))
           .groupBy(col("o_orderkey"), col("o_orderdate"))
           .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"))
@@ -118,12 +120,22 @@ object Headline {
         val o = t(s, dir, "orders")
           .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
           .select("o_orderkey", "o_custkey")
-        val oc = graft.operators.Broadcasts.gated(
+        val (oc, ocRows) = Broadcasts.gatedWithRows(
           o.join(broadcast(c), c("c_custkey") === o("o_custkey"))
             .select("o_orderkey", "c_nationkey"))
         val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
-        val l = t(s, dir, "lineitem")
-          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        // Runtime Bloom of the surviving orderkeys pushed into the fact
+        // side: every lineitem row otherwise probes the pinned oc hash
+        // relation (~1.4 GB at 1000×) and ~6/7 of the probes miss (the
+        // 1-year date window). The sketch rejects those rows in a few
+        // bit-probes of a cache-resident filter BEFORE the join — the
+        // runtime-filter push DuckDB wins this query with, hand-planted
+        // because Spark's InjectRuntimeFilter only fires on shuffle
+        // joins. False positives are dropped by the join (exact result).
+        val l = RuntimeFilters.keyFilter(
+          t(s, dir, "lineitem")
+            .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"),
+          "l_orderkey", oc, "o_orderkey", ocRows)
         l.join(oc, oc("o_orderkey") === l("l_orderkey"))
           .join(broadcast(su),
             su("s_suppkey") === l("l_suppkey") && su("s_nationkey") === col("c_nationkey"))

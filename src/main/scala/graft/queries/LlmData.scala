@@ -149,22 +149,24 @@ object LlmData {
     per.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY query_vec")
   }
 
-  /** ss7's oracle: the full IVF→PQ pipeline replayed in SQL. Coarse
-    * quantizer and PQ codebooks are the DETERMINISTIC iters=0 forms (8 /
-    * 16 lowest-id vectors), so cell assignment, per-block code
-    * assignment (first-max argmax over sub-vector cosines), the ADC
-    * table math, and both rankings are pure functions of the data. The
-    * per-block dot/norm partials and their 8-block sums are spelled as
-    * EXPLICIT left-associated additions in ascending index order —
-    * exactly the fold order of the Spark side's driver-computed lookup
-    * tables and its `aggregate` over blocks — so the doubles agree
-    * bit-for-bit.
+  /** ss7's oracle: the full IVF→PQ pipeline replayed in SQL, at the
+    * COMMITTED operating point (pqBlocks = 16 — 4 dims/block — and
+    * rerank = 100, the round-13 `ivfpq_min_path` finding promoted in
+    * round 14). Coarse quantizer and PQ codebooks are the DETERMINISTIC
+    * iters=0 forms (8 / 16 lowest-id vectors), so cell assignment,
+    * per-block code assignment (first-max argmax over sub-vector
+    * cosines), the ADC table math, and both rankings are pure functions
+    * of the data. The per-block dot/norm partials and their 16-block
+    * sums are spelled as EXPLICIT left-associated additions in
+    * ascending index order — exactly the fold order of the Spark side's
+    * driver-computed lookup tables and its `aggregate` over blocks — so
+    * the doubles agree bit-for-bit.
     */
   private lazy val ss7OracleSql: String = {
-    def terms(f: Int => String) = (1 to 8).map(f).mkString(" + ")
-    val pdot = terms(i => s"cv[bk*8+$i]*qv[bk*8+$i]")
-    val pn2 = terms(i => s"cv[bk*8+$i]*cv[bk*8+$i]")
-    def sum8(l: String) = (1 to 8).map(i => s"$l[$i]").mkString(" + ")
+    def terms(f: Int => String) = (1 to 4).map(f).mkString(" + ")
+    val pdot = terms(i => s"cv[bk*4+$i]*qv[bk*4+$i]")
+    val pn2 = terms(i => s"cv[bk*4+$i]*cv[bk*4+$i]")
+    def sum16(l: String) = (1 to 16).map(i => s"$l[$i]").mkString(" + ")
     val qn2 = (1 to 64).map(i => s"qv[$i]*qv[$i]").mkString(" + ")
     val per = (0 to 4).map { qid =>
       s"""(WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -186,13 +188,13 @@ object LlmData {
          |  cand AS (SELECT a.vec_id, a.v FROM assign a JOIN probes USING (cidx)),
          |  cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
          |    FROM (SELECT vec_id, v FROM b ORDER BY vec_id LIMIT 16)),
-         |  blks AS (SELECT unnest(generate_series(0, 7)) AS bk),
+         |  blks AS (SELECT unnest(generate_series(0, 15)) AS bk),
          |  codes AS (SELECT vec_id, bk, c FROM (
          |    SELECT cand.vec_id, blks.bk, cb.c,
          |      row_number() OVER (PARTITION BY cand.vec_id, blks.bk
          |        ORDER BY COALESCE(list_cosine_similarity(
-         |          cand.v[blks.bk*8+1 : blks.bk*8+8],
-         |          cb.cv[blks.bk*8+1 : blks.bk*8+8]), -2.0) DESC, cb.c) AS rn
+         |          cand.v[blks.bk*4+1 : blks.bk*4+4],
+         |          cb.cv[blks.bk*4+1 : blks.bk*4+4]), -2.0) DESC, cb.c) AS rn
          |    FROM cand, blks, cb) WHERE rn = 1),
          |  pb AS (SELECT cb.c, blks.bk, ($pdot) AS pdot, ($pn2) AS pn2
          |    FROM cb, blks, q),
@@ -202,11 +204,11 @@ object LlmData {
          |    FROM codes JOIN pb ON pb.c = codes.c AND pb.bk = codes.bk
          |    GROUP BY codes.vec_id),
          |  adc AS (SELECT pl.vec_id,
-         |      CASE WHEN qn.qnorm = 0.0 OR (${sum8("nl")}) = 0.0 THEN -2.0
-         |           ELSE (${sum8("dl")}) / (qn.qnorm * sqrt(${sum8("nl")})) END AS a
+         |      CASE WHEN qn.qnorm = 0.0 OR (${sum16("nl")}) = 0.0 THEN -2.0
+         |           ELSE (${sum16("dl")}) / (qn.qnorm * sqrt(${sum16("nl")})) END AS a
          |    FROM pl, qn),
          |  pool AS (SELECT cand.vec_id, cand.v FROM adc JOIN cand USING (vec_id)
-         |    ORDER BY adc.a DESC, cand.vec_id LIMIT 20),
+         |    ORDER BY adc.a DESC, cand.vec_id LIMIT 100),
          |  approx AS (SELECT vec_id FROM pool, q
          |    ORDER BY list_cosine_similarity(v, qv) DESC, vec_id LIMIT 10),
          |  exact AS (SELECT vec_id FROM b, q
@@ -1479,13 +1481,16 @@ object LlmData {
 
     // SS7 — IVF + PQ combined, the composition a 100 TB ANN index
     // actually runs: the coarse quantizer prunes to nprobe cells, ADC
-    // table lookups (8 adds per row over a 128-entry table — no vector
+    // table lookups (16 adds per row over a 256-entry table — no vector
     // math on the scan) order the survivors, and only the top `rerank`
-    // are exact-scored. Both quantizers are the deterministic iters=0
-    // forms, so — unlike the recall-gated Lloyd-trained operating point
-    // in LlmOpsSpec — the WHOLE pipeline here replays in SQL: ss3's
-    // cell replay composed with ss5's ADC math, emitting the same
-    // integer (n_probed, recall@10) bookkeeping as ss2/ss3.
+    // are exact-scored. Gated at the COMMITTED operating point —
+    // pqBlocks=16, rerank=100, the round-13 recall-audit min-path
+    // promoted in round 14 (RECALL_AUDIT params carry the same point).
+    // Both quantizers are the deterministic iters=0 forms, so — unlike
+    // the recall-gated Lloyd-trained operating point in LlmOpsSpec —
+    // the WHOLE pipeline here replays in SQL: ss3's cell replay
+    // composed with ss5's ADC math, emitting the same integer
+    // (n_probed, recall@10) bookkeeping as ss2/ss3.
     Q("ss7_ann_ivfpq",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
@@ -1496,11 +1501,11 @@ object LlmData {
           val cents = Similarity.trainIvfCentroids(
             base, "embedding", "vec_id", k = 8, iters = 0)
           val books = Similarity.trainPqCodebooks(
-            base, "embedding", "vec_id", nBlocks = 8, k = 16, iters = 0)
+            base, "embedding", "vec_id", nBlocks = 16, k = 16, iters = 0)
           val cand = Similarity.ivfCandidates(
             base, "embedding", "vec_id", query, cents, nprobe = 6)
           val approx = Similarity.pqTopK(
-            cand, "embedding", "vec_id", query, 10, books, rerank = 20)
+            cand, "embedding", "vec_id", query, 10, books, rerank = 100)
             .select("vec_id")
           val exact = Similarity.bruteForceTopK(
             base, "embedding", "vec_id", query, 10).select("vec_id")

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -23,13 +24,28 @@ import graft.operators.Similarity
   *
   * Restart recovery is BY CONSTRUCTION rather than by save/load: the
   * state is already durable, and [[merge]] is idempotent under
-  * foreachBatch's at-least-once replay — each trigger's append is
-  * recorded in a commit log inside the layout (`_graft_commits/<id>`),
-  * so a batch re-delivered after a crash-restart (same batchId, Spark's
-  * checkpoint contract) is skipped instead of doubling its rows. A fresh
-  * handle at the same path resumes the stream with no replay and no
-  * rescan (spec-gated in RestartFleetSpec, including a simulated
-  * replayed trigger).
+  * foreachBatch's at-least-once replay through a TWO-PHASE append —
+  *
+  *   1. the trigger's rows are STAGED under `_graft_staging/<batchId>`
+  *      (an underscore path, invisible to readers), overwriting any
+  *      partial staging a crashed prior attempt left;
+  *   2. the commit marker `_graft_commits/<batchId>` is created — the
+  *      single commit point;
+  *   3. the staged files MOVE into their bucket directories (file names
+  *      are task-UUID-unique, so a re-run cannot collide).
+  *
+  * A crash before (2) leaves nothing visible and the replay restages
+  * from scratch; a crash after (2) — mid-move included — makes the
+  * replay a FINALIZE: it sees the marker, publishes whatever is still
+  * staged (files already moved are simply absent), and skips the
+  * re-append. So the same batchId can never double its rows, even under
+  * a v2 file committer whose failed jobs leave partial output — partial
+  * output lands in staging, never in the readable layout. All paths go
+  * through the Hadoop [[FileSystem]] API, so the contract holds on
+  * HDFS/ABFS exactly as on the local FS. (S3 caveat: rename is
+  * copy+delete, not atomic — but per-FILE visibility is all the protocol
+  * needs, since readers only ever list complete closed files and the
+  * idempotence decision rides the marker, not the moves.)
   *
   * Invariant (spec-gated): after any stream prefix, [[probe]] equals the
   * batch probe over a layout built from the same documents — candidates
@@ -42,33 +58,81 @@ final class AnnIndexMaintenance(spark: SparkSession, path: String,
     nbits: Int = 4, dim: Int = 64, seed: Long = 42L) {
 
   private val planes = Similarity.hyperplanes(dim, nbits, seed)
-  private def commitDir = new java.io.File(path, "_graft_commits")
+  private val layout = new Path(path)
+  private def fs: FileSystem =
+    layout.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def commitDir = new Path(layout, "_graft_commits")
+  private def marker(batchId: Long) = new Path(commitDir, batchId.toString)
+  private def staging(batchId: Long) =
+    new Path(new Path(layout, "_graft_staging"), batchId.toString)
 
   /** Has this trigger already been appended? (at-least-once guard) */
-  def committed(batchId: Long): Boolean =
-    new java.io.File(commitDir, batchId.toString).exists()
+  def committed(batchId: Long): Boolean = fs.exists(marker(batchId))
 
   /** foreachBatch body — append one trigger's vectors, clustered by
     * bucket so each bucket stays a few contiguous files per trigger
     * rather than tasks×buckets splinters. `batchId < 0` appends
-    * unconditionally (ad-hoc/batch use); a non-negative id is recorded
-    * and replays of it are no-ops.
+    * unconditionally (ad-hoc/batch use); a non-negative id goes through
+    * the staged two-phase commit above, so a crash-replayed trigger
+    * either restages (not yet committed) or finalizes (committed) —
+    * never doubles.
     */
   def merge(emb: DataFrame, batchId: Long): Unit = synchronized {
-    if (batchId >= 0 && committed(batchId)) return
-    val batch = emb.select(col(idCol), col(vecCol))
+    if (batchId < 0) {
+      clustered(emb).write.mode("append").partitionBy("bucket").parquet(path)
+      return
+    }
+    if (committed(batchId)) { finalizeStaged(batchId); return }
+    stage(emb, batchId)
+    markCommitted(batchId)
+    finalizeStaged(batchId)
+  }
+
+  private def clustered(emb: DataFrame): DataFrame =
+    emb.select(col(idCol), col(vecCol))
       .withColumn("bucket", Similarity.lshBucket(col(vecCol), planes))
       .repartition(1 << nbits, col("bucket"))
-    batch.write.mode("append").partitionBy("bucket").parquet(path)
-    if (batchId >= 0) {
-      commitDir.mkdirs()
-      new java.io.File(commitDir, batchId.toString).createNewFile()
-    }
+
+  /** Phase 1: write the trigger under `_graft_staging/<batchId>` —
+    * mode(overwrite) clears any partial files a crashed attempt left.
+    * Spec hook: calling ONLY this simulates a crash before commit.
+    */
+  private[graft] def stage(emb: DataFrame, batchId: Long): Unit =
+    clustered(emb).write.mode("overwrite").partitionBy("bucket")
+      .parquet(staging(batchId).toString)
+
+  /** Phase 2: the commit point. Spec hook: stage+mark without finalize
+    * simulates a crash mid-publish.
+    */
+  private[graft] def markCommitted(batchId: Long): Unit = {
+    fs.mkdirs(commitDir)
+    fs.create(marker(batchId), /* overwrite = */ true).close()
+  }
+
+  /** Phase 3: publish whatever is still staged for a COMMITTED batch —
+    * idempotent, because moved files are absent from staging and the
+    * task-UUID file names cannot collide with a prior partial publish.
+    */
+  private[graft] def finalizeStaged(batchId: Long): Unit = {
+    val stg = staging(batchId)
+    if (!fs.exists(stg)) return
+    fs.listStatus(stg).filter(_.getPath.getName.startsWith("bucket="))
+      .foreach { bucketDir =>
+        val dst = new Path(layout, bucketDir.getPath.getName)
+        fs.mkdirs(dst)
+        fs.listStatus(bucketDir.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          .foreach(f => fs.rename(f.getPath, new Path(dst, f.getPath.getName)))
+      }
+    fs.delete(stg, /* recursive = */ true)
+    // drop any cached file listing — a probe planned after the publish
+    // must see the new files
+    spark.catalog.refreshByPath(path)
   }
 
   /** The layout as a frame (bucket is the partition column). */
   def index: DataFrame = {
-    require(new java.io.File(path).exists(),
+    require(fs.exists(layout),
       s"no layout at $path — merge at least one trigger first")
     spark.read.parquet(path)
   }
@@ -106,32 +170,21 @@ final class AnnIndexMaintenance(spark: SparkSession, path: String,
     * Call between triggers; like any non-transactional directory
     * rewrite, a probe racing the swap can see a partial layout —
     * production puts the layout in a transactional table and gets the
-    * atomic swap from the format.
+    * atomic swap from the format. FileSystem-API moves, same S3 caveat
+    * as the scaladoc above.
     */
   def compact(): Unit = synchronized {
-    val tmp = path + ".compact"
+    val tmp = new Path(path + ".compact")
     index.repartition(1 << nbits, col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-    val dst = new java.io.File(path)
-    dst.listFiles().filter(_.getName.startsWith("bucket="))
-      .foreach(deleteRecursively)
-    new java.io.File(tmp).listFiles()
-      .filter(f => f.getName.startsWith("bucket=") || f.getName == "_SUCCESS")
-      .foreach { f =>
-        java.nio.file.Files.move(f.toPath,
-          new java.io.File(dst, f.getName).toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
-    deleteRecursively(new java.io.File(tmp))
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+    fs.listStatus(layout).filter(_.getPath.getName.startsWith("bucket="))
+      .foreach(d => fs.delete(d.getPath, /* recursive = */ true))
+    fs.listStatus(tmp).filter(_.getPath.getName.startsWith("bucket="))
+      .foreach(d => fs.rename(d.getPath, new Path(layout, d.getPath.getName)))
+    fs.delete(tmp, /* recursive = */ true)
     // drop any cached file listing for the path — a probe planned after
     // the swap must list the compacted files, not the deleted ones
     spark.catalog.refreshByPath(path)
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(); ()
   }
 
   /** Wire a streaming embedding frame into this handle; `.start()` to

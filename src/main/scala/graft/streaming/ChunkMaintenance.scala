@@ -29,7 +29,7 @@ import graft.operators.Dedup
   * the same information however arrival was batched. (dd21's PER-SOURCE
   * split needs occurrence-grain retro-labeling and stays batch-only.)
   */
-final class ChunkMaintenance(spark: SparkSession) {
+final class ChunkMaintenance(spark: SparkSession) extends BatchLedger {
 
   @volatile private var state: DataFrame = spark.createDataFrame(
     java.util.Collections.emptyList[Row](),
@@ -43,9 +43,12 @@ final class ChunkMaintenance(spark: SparkSession) {
   def index: DataFrame = state
 
   /** foreachBatch body — fold one trigger's documents (doc_id, text)
-    * into the index.
+    * into the index. A non-negative `batchId` rides the [[BatchLedger]]:
+    * a replayed trigger (Spark's at-least-once checkpoint contract) is a
+    * no-op instead of a double-count; −1 folds unconditionally.
     */
-  def merge(docs: DataFrame): Unit = synchronized {
+  def merge(docs: DataFrame, batchId: Long = -1L): Unit = synchronized {
+    if (alreadyApplied(batchId)) return
     val delta = Dedup.contentDefinedChunks(
         docs.select(col("doc_id"), col("text")), "doc_id", "text")
       .select(md5(col("chunk")).as("fp"),
@@ -67,6 +70,7 @@ final class ChunkMaintenance(spark: SparkSession) {
           min(col("chunk_len")).as("chunk_len"))
         .localCheckpoint(eager = true)
     }
+    recordApplied(batchId)
   }
 
   /** Corpus-level dedup statistics from the index — one 1-row frame
@@ -91,15 +95,17 @@ final class ChunkMaintenance(spark: SparkSession) {
     */
   def save(path: String): Unit = synchronized {
     state.write.mode("overwrite").parquet(s"$path/index")
+    BatchLedger.save(spark, path, lastAppliedBatch)
   }
 
   /** Wire a streaming document frame into this handle; `.start()` to
-    * run.
+    * run. The trigger's batchId rides the ledger, so a checkpoint-driven
+    * replay after restart is a no-op.
     */
   def attach(docs: DataFrame)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     docs.writeStream.outputMode("append")
-      .foreachBatch { (b: DataFrame, _: Long) => merge(b) }
+      .foreachBatch { (b: DataFrame, id: Long) => merge(b, id) }
 }
 
 object ChunkMaintenance {
@@ -111,7 +117,11 @@ object ChunkMaintenance {
     */
   def resume(spark: SparkSession, path: String): ChunkMaintenance = {
     val h = new ChunkMaintenance(spark)
+    // eager localCheckpoint cuts lineage to the snapshot files, so a
+    // later save() to the SAME path is not an overwrite-what-you-read
     h.state = spark.read.parquet(s"$path/index")
+      .localCheckpoint(eager = true)
+    h.restoreLedger(BatchLedger.load(spark, path))
     h
   }
 }

@@ -275,7 +275,7 @@ object DocStreams {
   * deployment keeps the identical merge result in a transactional table
   * so concurrent readers see atomic label versions.
   */
-final class ClusterMaintenance(spark: SparkSession) {
+final class ClusterMaintenance(spark: SparkSession) extends BatchLedger {
   import org.apache.spark.sql.Row
   import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -287,13 +287,18 @@ final class ClusterMaintenance(spark: SparkSession) {
   /** The labeling after every merged trigger: (id, cluster = min member). */
   def labels: DataFrame = current
 
-  /** foreachBatch body — merge one trigger's pairs into the labeling. */
-  def merge(pairs: DataFrame): Unit = synchronized {
+  /** foreachBatch body — merge one trigger's pairs into the labeling.
+    * A non-negative `batchId` rides the [[BatchLedger]]: a checkpoint-
+    * replayed trigger is a no-op; −1 folds unconditionally.
+    */
+  def merge(pairs: DataFrame, batchId: Long = -1L): Unit = synchronized {
+    if (alreadyApplied(batchId)) return
     val p = pairs.select(col("ida"), col("idb")).distinct()
     if (!p.isEmpty) {
       current = Dedup.incrementalComponents(current, p)
         .localCheckpoint(eager = true)
     }
+    recordApplied(batchId)
   }
 
   /** Persist the label table so a restarted job
@@ -305,13 +310,17 @@ final class ClusterMaintenance(spark: SparkSession) {
     */
   def save(path: String): Unit = synchronized {
     current.write.mode("overwrite").parquet(s"$path/labels")
+    BatchLedger.save(spark, path, lastAppliedBatch)
   }
 
-  /** Wire a pair stream into this handle; `.start()` to run. */
+  /** Wire a pair stream into this handle; `.start()` to run. The
+    * trigger's batchId rides the ledger, so a checkpoint-driven replay
+    * after restart is a no-op.
+    */
   def attach(pairs: Dataset[NearDupPair])
       : org.apache.spark.sql.streaming.DataStreamWriter[NearDupPair] =
     pairs.writeStream.outputMode("append")
-      .foreachBatch { (b: Dataset[NearDupPair], _: Long) => merge(b.toDF()) }
+      .foreachBatch { (b: Dataset[NearDupPair], id: Long) => merge(b.toDF(), id) }
 }
 
 object ClusterMaintenance {
@@ -322,7 +331,11 @@ object ClusterMaintenance {
     */
   def resume(spark: SparkSession, path: String): ClusterMaintenance = {
     val h = new ClusterMaintenance(spark)
+    // eager localCheckpoint cuts lineage to the snapshot files, so a
+    // later save() to the SAME path is not an overwrite-what-you-read
     h.current = spark.read.parquet(s"$path/labels")
+      .localCheckpoint(eager = true)
+    h.restoreLedger(BatchLedger.load(spark, path))
     h
   }
 }

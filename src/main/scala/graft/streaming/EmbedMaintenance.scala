@@ -26,7 +26,7 @@ import graft.operators.ProtoPrune
   * vectors are exactly the streamed corpus reproduces the batch imp7
   * output bit-for-bit.
   */
-final class EmbedMaintenance(spark: SparkSession) {
+final class EmbedMaintenance(spark: SparkSession) extends BatchLedger {
 
   @volatile private var state: DataFrame = spark.createDataFrame(
     java.util.Collections.emptyList[Row](),
@@ -39,13 +39,18 @@ final class EmbedMaintenance(spark: SparkSession) {
   /** The model's sufficient statistics as of the last merged trigger. */
   def componentState: DataFrame = state
 
-  /** foreachBatch body — fold one trigger's vectors into the model. */
-  def merge(emb: DataFrame): Unit = synchronized {
+  /** foreachBatch body — fold one trigger's vectors into the model. A
+    * non-negative `batchId` rides the [[BatchLedger]]: a checkpoint-
+    * replayed trigger is a no-op; −1 folds unconditionally.
+    */
+  def merge(emb: DataFrame, batchId: Long = -1L): Unit = synchronized {
+    if (alreadyApplied(batchId)) return
     val delta = ProtoPrune.componentState(ProtoPrune.components(emb))
     if (!delta.isEmpty) {
       state = ProtoPrune.mergeState(state, delta)
         .localCheckpoint(eager = true)
     }
+    recordApplied(batchId)
   }
 
   /** Distance-score + rank-prune a static probe frame
@@ -63,15 +68,17 @@ final class EmbedMaintenance(spark: SparkSession) {
     */
   def save(path: String): Unit = synchronized {
     state.write.mode("overwrite").parquet(s"$path/componentState")
+    BatchLedger.save(spark, path, lastAppliedBatch)
   }
 
   /** Wire a streaming embedding frame into this handle; `.start()` to
-    * run.
+    * run. The trigger's batchId rides the ledger, so a checkpoint-driven
+    * replay after restart is a no-op.
     */
   def attach(emb: DataFrame)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     emb.writeStream.outputMode("append")
-      .foreachBatch { (b: DataFrame, _: Long) => merge(b) }
+      .foreachBatch { (b: DataFrame, id: Long) => merge(b, id) }
 }
 
 object EmbedMaintenance {
@@ -81,7 +88,11 @@ object EmbedMaintenance {
     */
   def resume(spark: SparkSession, path: String): EmbedMaintenance = {
     val h = new EmbedMaintenance(spark)
+    // eager localCheckpoint cuts lineage to the snapshot files, so a
+    // later save() to the SAME path is not an overwrite-what-you-read
     h.state = spark.read.parquet(s"$path/componentState")
+      .localCheckpoint(eager = true)
+    h.restoreLedger(BatchLedger.load(spark, path))
     h
   }
 }

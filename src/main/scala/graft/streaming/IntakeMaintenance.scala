@@ -37,7 +37,7 @@ import graft.operators.IncrementalAgg.AggSpec
 final class IntakeMaintenance private (spark: SparkSession,
     standing: Decontam.IntakeState, census0: Option[DataFrame],
     idCol: String, tokensCol: String, statKeys: Seq[String],
-    statAggs: Seq[AggSpec]) {
+    statAggs: Seq[AggSpec]) extends BatchLedger {
 
   /** Build the standing state from the corpus (scanned once, here). */
   def this(spark: SparkSession, corpus: DataFrame, idCol: String,
@@ -49,8 +49,12 @@ final class IntakeMaintenance private (spark: SparkSession,
   @volatile private var stats: DataFrame = standing.stats
   @volatile private var census: Option[DataFrame] = census0
 
-  /** foreachBatch body — decontaminate one trigger's documents. */
-  def merge(batch: DataFrame): Unit = synchronized {
+  /** foreachBatch body — decontaminate one trigger's documents. A
+    * non-negative `batchId` rides the [[BatchLedger]]: a checkpoint-
+    * replayed trigger is a no-op; −1 folds unconditionally.
+    */
+  def merge(batch: DataFrame, batchId: Long = -1L): Unit = synchronized {
+    if (alreadyApplied(batchId)) return
     if (!batch.isEmpty) {
       val res = Decontam.processBatch(
         Decontam.IntakeState(standing.index, stats), batch, idCol,
@@ -70,6 +74,7 @@ final class IntakeMaintenance private (spark: SparkSession,
         .getOrElse(delta)
       census = Some(merged.localCheckpoint(eager = true))
     }
+    recordApplied(batchId)
   }
 
   /** Published corpus stats (corpus + every admitted doc) as of now. */
@@ -87,15 +92,17 @@ final class IntakeMaintenance private (spark: SparkSession,
   def save(path: String): Unit = synchronized {
     Decontam.saveIntake(Decontam.IntakeState(standing.index, stats), path)
     census.foreach(_.write.mode("overwrite").parquet(s"$path/census"))
+    BatchLedger.save(spark, path, lastAppliedBatch)
   }
 
   /** Wire a streaming crawl frame (idCol, tokensCol + stat columns)
-    * into this handle; `.start()` to run.
+    * into this handle; `.start()` to run. The trigger's batchId rides
+    * the ledger, so a checkpoint-driven replay after restart is a no-op.
     */
   def attach(batch: DataFrame)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     batch.writeStream.outputMode("append")
-      .foreachBatch { (b: DataFrame, _: Long) => merge(b) }
+      .foreachBatch { (b: DataFrame, id: Long) => merge(b, id) }
 }
 
 object IntakeMaintenance {
@@ -109,14 +116,22 @@ object IntakeMaintenance {
   def resume(spark: SparkSession, path: String, idCol: String,
       tokensCol: String, statKeys: Seq[String],
       statAggs: Seq[AggSpec]): IntakeMaintenance = {
-    val st = Decontam.loadIntake(spark, path)
+    // eager localCheckpoints (index.materialized checkpoints vocab +
+    // postings) cut lineage to the snapshot files, so a later save() to
+    // the SAME path is not an overwrite-what-you-read
+    val st0 = Decontam.loadIntake(spark, path)
+    val st = Decontam.IntakeState(st0.index.materialized,
+      st0.stats.localCheckpoint(eager = true))
     val censusPath = new org.apache.hadoop.fs.Path(s"$path/census")
     val fs = censusPath
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val census =
-      if (fs.exists(censusPath)) Some(spark.read.parquet(s"$path/census"))
+      if (fs.exists(censusPath))
+        Some(spark.read.parquet(s"$path/census").localCheckpoint(eager = true))
       else None
-    new IntakeMaintenance(spark, st, census, idCol, tokensCol, statKeys,
-      statAggs)
+    val h = new IntakeMaintenance(spark, st, census, idCol, tokensCol,
+      statKeys, statAggs)
+    h.restoreLedger(BatchLedger.load(spark, path))
+    h
   }
 }

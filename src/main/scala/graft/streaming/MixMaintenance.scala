@@ -20,7 +20,7 @@ import graft.operators.{Mixing, TextAnalysis}
   * micro-batched (spec-gated, with allocation parity against the batch
   * cur9 query).
   */
-final class MixMaintenance(spark: SparkSession) {
+final class MixMaintenance(spark: SparkSession) extends BatchLedger {
 
   @volatile private var state: DataFrame = spark.createDataFrame(
     java.util.Collections.emptyList[Row](),
@@ -30,8 +30,12 @@ final class MixMaintenance(spark: SparkSession) {
   /** Per-source token totals as of the last merged trigger. */
   def tokenCounts: DataFrame = state
 
-  /** foreachBatch body — fold one trigger's documents into the totals. */
-  def merge(docs: DataFrame): Unit = synchronized {
+  /** foreachBatch body — fold one trigger's documents into the totals.
+    * A non-negative `batchId` rides the [[BatchLedger]]: a checkpoint-
+    * replayed trigger is a no-op; −1 folds unconditionally.
+    */
+  def merge(docs: DataFrame, batchId: Long = -1L): Unit = synchronized {
+    if (alreadyApplied(batchId)) return
     val delta = docs.groupBy("source")
       .agg(sum(TextAnalysis.tokenCount(col("text"))).as("tok"))
     if (!delta.isEmpty) {
@@ -43,6 +47,7 @@ final class MixMaintenance(spark: SparkSession) {
             .as("tok"))
         .localCheckpoint(eager = true)
     }
+    recordApplied(batchId)
   }
 
   /** UniMax allocation over the current totals (cur9 semantics). */
@@ -57,15 +62,17 @@ final class MixMaintenance(spark: SparkSession) {
     */
   def save(path: String): Unit = synchronized {
     state.write.mode("overwrite").parquet(s"$path/tokenCounts")
+    BatchLedger.save(spark, path, lastAppliedBatch)
   }
 
   /** Wire a streaming document frame into this handle; `.start()` to
-    * run.
+    * run. The trigger's batchId rides the ledger, so a checkpoint-driven
+    * replay after restart is a no-op.
     */
   def attach(docs: DataFrame)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     docs.writeStream.outputMode("append")
-      .foreachBatch { (b: DataFrame, _: Long) => merge(b) }
+      .foreachBatch { (b: DataFrame, id: Long) => merge(b, id) }
 }
 
 object MixMaintenance {
@@ -75,7 +82,11 @@ object MixMaintenance {
     */
   def resume(spark: SparkSession, path: String): MixMaintenance = {
     val h = new MixMaintenance(spark)
+    // eager localCheckpoint cuts lineage to the snapshot files, so a
+    // later save() to the SAME path is not an overwrite-what-you-read
     h.state = spark.read.parquet(s"$path/tokenCounts")
+      .localCheckpoint(eager = true)
+    h.restoreLedger(BatchLedger.load(spark, path))
     h
   }
 }

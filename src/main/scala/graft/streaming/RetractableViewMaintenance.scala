@@ -34,7 +34,7 @@ import graft.operators.IncrementalAgg.{AggSpec, JoinView}
   */
 final class RetractableViewMaintenance(spark: SparkSession,
     dim0: DataFrame, joinKeys: Seq[String], groupCols: Seq[String],
-    aggs: Seq[AggSpec], signCol: String = "_sign") {
+    aggs: Seq[AggSpec], signCol: String = "_sign") extends BatchLedger {
 
   @volatile private var state: JoinView = null
   @volatile private var noDeltas: DataFrame = null
@@ -45,8 +45,13 @@ final class RetractableViewMaintenance(spark: SparkSession,
   /** The counting key-grain state (inspection / persistence). */
   def keyAgg: Option[DataFrame] = Option(state).map(_.keyAgg)
 
-  /** foreachBatch body — fold one trigger's SIGNED fact deltas. */
-  def merge(signedDeltas: DataFrame): Unit = synchronized {
+  /** foreachBatch body — fold one trigger's SIGNED fact deltas. A
+    * non-negative `batchId` rides the [[BatchLedger]]: a checkpoint-
+    * replayed trigger is a no-op; −1 folds unconditionally.
+    */
+  def merge(signedDeltas: DataFrame, batchId: Long = -1L): Unit =
+      synchronized {
+    if (alreadyApplied(batchId)) return
     if (state == null) {
       noDeltas = signedDeltas.limit(0).localCheckpoint(eager = true)
       // an empty base: the first trigger IS the first delta batch
@@ -60,6 +65,7 @@ final class RetractableViewMaintenance(spark: SparkSession,
         state.dim.limit(0).withColumn("op", lit("U")),
         joinKeys, groupCols, aggs, signCol))
     }
+    recordApplied(batchId)
   }
 
   /** Apply a dimension changelog (dim columns + `op`, at most one row
@@ -88,13 +94,17 @@ final class RetractableViewMaintenance(spark: SparkSession,
     state.dim.write.mode("overwrite").parquet(s"$path/dim")
     state.view.write.mode("overwrite").parquet(s"$path/view")
     noDeltas.write.mode("overwrite").parquet(s"$path/deltaSchema")
+    BatchLedger.save(spark, path, lastAppliedBatch)
   }
 
-  /** Wire a streaming signed changelog into this handle. */
+  /** Wire a streaming signed changelog into this handle. The trigger's
+    * batchId rides the ledger, so a checkpoint-driven replay after
+    * restart is a no-op.
+    */
   def attach(signedDeltas: DataFrame)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     signedDeltas.writeStream.outputMode("append")
-      .foreachBatch { (b: DataFrame, _: Long) => merge(b) }
+      .foreachBatch { (b: DataFrame, id: Long) => merge(b, id) }
 }
 
 object RetractableViewMaintenance {
@@ -108,12 +118,18 @@ object RetractableViewMaintenance {
   def resume(spark: SparkSession, path: String, joinKeys: Seq[String],
       groupCols: Seq[String], aggs: Seq[AggSpec],
       signCol: String = "_sign"): RetractableViewMaintenance = {
-    val dim = spark.read.parquet(s"$path/dim")
+    // eager localCheckpoints cut lineage to the snapshot files, so a
+    // later save() to the SAME path is not an overwrite-what-you-read
+    val dim = spark.read.parquet(s"$path/dim").localCheckpoint(eager = true)
     val h = new RetractableViewMaintenance(spark, dim, joinKeys,
       groupCols, aggs, signCol)
-    h.state = JoinView(spark.read.parquet(s"$path/keyAgg"), dim,
-      spark.read.parquet(s"$path/view"))
+    h.state = JoinView(
+      spark.read.parquet(s"$path/keyAgg").localCheckpoint(eager = true),
+      dim,
+      spark.read.parquet(s"$path/view").localCheckpoint(eager = true))
     h.noDeltas = spark.read.parquet(s"$path/deltaSchema")
+      .localCheckpoint(eager = true)
+    h.restoreLedger(BatchLedger.load(spark, path))
     h
   }
 }

@@ -23,12 +23,16 @@ import graft.operators.IncrementalAgg.AggSpec
   * which is exactly the out-of-order tolerance a CDC consumer needs.
   */
 final class RetractionMaintenance(spark: SparkSession, keys: Seq[String],
-    aggs: Seq[AggSpec], signCol: String = "_sign") {
+    aggs: Seq[AggSpec], signCol: String = "_sign") extends BatchLedger {
 
   @volatile private var state: DataFrame = null
 
-  /** foreachBatch body — fold one trigger's signed rows into the state. */
-  def merge(signed: DataFrame): Unit = synchronized {
+  /** foreachBatch body — fold one trigger's signed rows into the state.
+    * A non-negative `batchId` rides the [[BatchLedger]]: a checkpoint-
+    * replayed trigger is a no-op; −1 folds unconditionally.
+    */
+  def merge(signed: DataFrame, batchId: Long = -1L): Unit = synchronized {
+    if (alreadyApplied(batchId)) return
     if (state == null) {
       // an empty unsigned aggregate of the batch's fact columns yields
       // the counting-state schema to fold the first trigger into
@@ -39,6 +43,7 @@ final class RetractionMaintenance(spark: SparkSession, keys: Seq[String],
       state = IncrementalAgg.refreshCounting(state, signed, keys, aggs,
         signCol).localCheckpoint(eager = true)
     }
+    recordApplied(batchId)
   }
 
   /** The published view as of the last merged trigger (None before). */
@@ -58,13 +63,17 @@ final class RetractionMaintenance(spark: SparkSession, keys: Seq[String],
   def save(path: String): Unit = synchronized {
     require(state != null, "fold at least one trigger before saving")
     state.write.mode("overwrite").parquet(s"$path/countingState")
+    BatchLedger.save(spark, path, lastAppliedBatch)
   }
 
-  /** Wire a streaming signed-changelog frame into this handle. */
+  /** Wire a streaming signed-changelog frame into this handle. The
+    * trigger's batchId rides the ledger, so a checkpoint-driven replay
+    * after restart is a no-op.
+    */
   def attach(signed: DataFrame)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     signed.writeStream.outputMode("append")
-      .foreachBatch { (b: DataFrame, _: Long) => merge(b) }
+      .foreachBatch { (b: DataFrame, id: Long) => merge(b, id) }
 }
 
 object RetractionMaintenance {
@@ -77,7 +86,11 @@ object RetractionMaintenance {
       aggs: Seq[AggSpec], signCol: String = "_sign")
       : RetractionMaintenance = {
     val h = new RetractionMaintenance(spark, keys, aggs, signCol)
+    // eager localCheckpoint cuts lineage to the snapshot files, so a
+    // later save() to the SAME path is not an overwrite-what-you-read
     h.state = spark.read.parquet(s"$path/countingState")
+      .localCheckpoint(eager = true)
+    h.restoreLedger(BatchLedger.load(spark, path))
     h
   }
 }

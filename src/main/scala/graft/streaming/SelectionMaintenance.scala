@@ -28,7 +28,7 @@ import graft.operators.DsirSelection
   * fixed probe frame through [[select]] therefore matches the batch
   * imp2 resample on the same corpus.
   */
-final class SelectionMaintenance(spark: SparkSession) {
+final class SelectionMaintenance(spark: SparkSession) extends BatchLedger {
 
   @volatile private var state: DataFrame = spark.createDataFrame(
     java.util.Collections.emptyList[Row](),
@@ -39,14 +39,19 @@ final class SelectionMaintenance(spark: SparkSession) {
   /** The model's sufficient statistics as of the last merged trigger. */
   def bucketCounts: DataFrame = state
 
-  /** foreachBatch body — fold one trigger's documents into the model. */
-  def merge(docs: DataFrame): Unit = synchronized {
+  /** foreachBatch body — fold one trigger's documents into the model. A
+    * non-negative `batchId` rides the [[BatchLedger]]: a checkpoint-
+    * replayed trigger is a no-op; −1 folds unconditionally.
+    */
+  def merge(docs: DataFrame, batchId: Long = -1L): Unit = synchronized {
+    if (alreadyApplied(batchId)) return
     val delta = DsirSelection.bucketState(
       DsirSelection.hashedBigramCounts(docs))
     if (!delta.isEmpty) {
       state = DsirSelection.mergeState(state, delta)
         .localCheckpoint(eager = true)
     }
+    recordApplied(batchId)
   }
 
   /** Per-bucket importance ratio table from the current state. */
@@ -67,15 +72,17 @@ final class SelectionMaintenance(spark: SparkSession) {
     */
   def save(path: String): Unit = synchronized {
     state.write.mode("overwrite").parquet(s"$path/bucketCounts")
+    BatchLedger.save(spark, path, lastAppliedBatch)
   }
 
   /** Wire a streaming document frame into this handle; `.start()` to
-    * run.
+    * run. The trigger's batchId rides the ledger, so a checkpoint-driven
+    * replay after restart is a no-op.
     */
   def attach(docs: DataFrame)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     docs.writeStream.outputMode("append")
-      .foreachBatch { (b: DataFrame, _: Long) => merge(b) }
+      .foreachBatch { (b: DataFrame, id: Long) => merge(b, id) }
 }
 
 object SelectionMaintenance {
@@ -86,7 +93,11 @@ object SelectionMaintenance {
     */
   def resume(spark: SparkSession, path: String): SelectionMaintenance = {
     val h = new SelectionMaintenance(spark)
+    // eager localCheckpoint cuts lineage to the snapshot files, so a
+    // later save() to the SAME path is not an overwrite-what-you-read
     h.state = spark.read.parquet(s"$path/bucketCounts")
+      .localCheckpoint(eager = true)
+    h.restoreLedger(BatchLedger.load(spark, path))
     h
   }
 }

@@ -29,7 +29,8 @@ import graft.operators.IncrementalAgg.{AggSpec, JoinView}
   * re-derives from the folded partials, not from arrival order.
   */
 final class ViewMaintenance(spark: SparkSession, dim0: DataFrame,
-    joinKeys: Seq[String], groupCols: Seq[String], aggs: Seq[AggSpec]) {
+    joinKeys: Seq[String], groupCols: Seq[String], aggs: Seq[AggSpec])
+    extends BatchLedger {
 
   @volatile private var state: JoinView = null
   // empty frame with the FACT schema, captured at the first trigger so
@@ -42,8 +43,12 @@ final class ViewMaintenance(spark: SparkSession, dim0: DataFrame,
   /** The key-grain sub-aggregate (inspection / persistence). */
   def keyAgg: Option[DataFrame] = Option(state).map(_.keyAgg)
 
-  /** foreachBatch body — fold one trigger's facts into the view. */
-  def merge(facts: DataFrame): Unit = synchronized {
+  /** foreachBatch body — fold one trigger's facts into the view. A
+    * non-negative `batchId` rides the [[BatchLedger]]: a checkpoint-
+    * replayed trigger is a no-op; −1 folds unconditionally.
+    */
+  def merge(facts: DataFrame, batchId: Long = -1L): Unit = synchronized {
+    if (alreadyApplied(batchId)) return
     if (state == null) {
       noFacts = facts.limit(0).localCheckpoint(eager = true)
       state = checkpointed(IncrementalAgg.buildJoinView(facts, dim0,
@@ -53,6 +58,7 @@ final class ViewMaintenance(spark: SparkSession, dim0: DataFrame,
         state.dim.limit(0).withColumn("op", lit("U")),
         joinKeys, groupCols, aggs))
     }
+    recordApplied(batchId)
   }
 
   /** Apply a dimension changelog (dim columns + `op`, at most one row
@@ -82,13 +88,17 @@ final class ViewMaintenance(spark: SparkSession, dim0: DataFrame,
     state.dim.write.mode("overwrite").parquet(s"$path/dim")
     state.view.write.mode("overwrite").parquet(s"$path/view")
     noFacts.write.mode("overwrite").parquet(s"$path/factSchema")
+    BatchLedger.save(spark, path, lastAppliedBatch)
   }
 
-  /** Wire a streaming fact frame into this handle; `.start()` to run. */
+  /** Wire a streaming fact frame into this handle; `.start()` to run.
+    * The trigger's batchId rides the ledger, so a checkpoint-driven
+    * replay after restart is a no-op.
+    */
   def attach(facts: DataFrame)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     facts.writeStream.outputMode("append")
-      .foreachBatch { (b: DataFrame, _: Long) => merge(b) }
+      .foreachBatch { (b: DataFrame, id: Long) => merge(b, id) }
 }
 
 object ViewMaintenance {
@@ -100,11 +110,20 @@ object ViewMaintenance {
     */
   def resume(spark: SparkSession, path: String, joinKeys: Seq[String],
       groupCols: Seq[String], aggs: Seq[AggSpec]): ViewMaintenance = {
-    val dim = spark.read.parquet(s"$path/dim")
+    // eager localCheckpoints cut lineage to the snapshot files, so a
+    // later save() to the SAME path is not an overwrite-what-you-read
+    // (merge re-checkpoints the triple but never noFacts — without this,
+    // a resumed handle that saves before a dim delta truncates the
+    // factSchema parquet its own plan reads)
+    val dim = spark.read.parquet(s"$path/dim").localCheckpoint(eager = true)
     val h = new ViewMaintenance(spark, dim, joinKeys, groupCols, aggs)
-    h.state = JoinView(spark.read.parquet(s"$path/keyAgg"), dim,
-      spark.read.parquet(s"$path/view"))
+    h.state = JoinView(
+      spark.read.parquet(s"$path/keyAgg").localCheckpoint(eager = true),
+      dim,
+      spark.read.parquet(s"$path/view").localCheckpoint(eager = true))
     h.noFacts = spark.read.parquet(s"$path/factSchema")
+      .localCheckpoint(eager = true)
+    h.restoreLedger(BatchLedger.load(spark, path))
     h
   }
 }

@@ -89,6 +89,43 @@ class AnnIndexStreamSpec extends SparkSpec {
       === batchProbe(all, h2), "resumed probe diverged from batch")
   }
 
+  test("two-phase append crash windows: a crash before the marker leaks " +
+      "nothing and restages; a crash after the marker finalizes — the " +
+      "replayed batchId never doubles") {
+    val all = vecs
+    val thirds = all.grouped(math.max(1, all.size / 3 + 1)).toSeq
+    val path = tmp("crash")
+    val h = new AnnIndexMaintenance(spark, path)
+    h.merge(thirds(0).toDF("vec_id", "embedding"), 0L)
+    val base = h.index.count()
+
+    // crash BETWEEN the staging write and the marker (the round-13
+    // window: data written, commit not recorded): nothing is readable,
+    // and the checkpoint-replayed trigger restages + publishes ONCE
+    h.stage(thirds(1).toDF("vec_id", "embedding"), 1L)
+    assert(h.index.count() === base, "staged rows leaked into the layout")
+    val h2 = new AnnIndexMaintenance(spark, path)
+    h2.merge(thirds(1).toDF("vec_id", "embedding"), 1L)
+    assert(h2.index.count() === base + thirds(1).size,
+      "replay after a pre-marker crash lost or duplicated rows")
+
+    // crash BETWEEN the marker and the publish moves: the replayed
+    // trigger sees the commit and FINALIZES the staged files instead of
+    // re-appending
+    h2.stage(thirds(2).toDF("vec_id", "embedding"), 2L)
+    h2.markCommitted(2L)
+    val h3 = new AnnIndexMaintenance(spark, path)
+    h3.merge(thirds(2).toDF("vec_id", "embedding"), 2L)
+    assert(h3.index.count() === all.size.toLong,
+      "replay after a post-marker crash lost or duplicated rows")
+    // and a SECOND replay of the now-fully-published batch is a no-op
+    h3.merge(thirds(2).toDF("vec_id", "embedding"), 2L)
+    assert(h3.index.count() === all.size.toLong,
+      "replay of a published batch duplicated rows")
+    assert(h3.probe(query).select("vec_id").collect().map(_.getLong(0)).toSeq
+      === batchProbe(all, h3), "probe diverged after crash-window recovery")
+  }
+
   test("a probe prunes to the hamming-ball buckets at the file index") {
     val all = vecs
     val path = tmp("prune")

@@ -44,4 +44,34 @@ class BroadcastsSpec extends SparkSpec {
       "a 600 KB side must pass the default gate")
     Broadcasts.reset()
   }
+
+  test("pin budget derives from spark.executor.memory when configured, " +
+      "falls back to the JVM heap in local mode") {
+    // cluster posture: the relation pins on EXECUTOR heaps — the r13
+    // verdict found the gate using the DRIVER's Runtime.maxMemory as a
+    // proxy, which over-gates when the driver is bigger than executors
+    // and under-gates the other way
+    assert(Broadcasts.pinBudget(Some("48g"), 8L << 30) === (48L << 30) / 16)
+    assert(Broadcasts.pinBudget(Some("4g"), 64L << 30) === 256L << 20,
+      "small executors must keep the 256 MB floor, not inherit the driver heap")
+    assert(Broadcasts.pinBudget(Some("512m"), 64L << 30) === 256L << 20)
+    // local mode (conf unset): driver IS the executor
+    assert(Broadcasts.pinBudget(None, 64L << 30) === (64L << 30) / 16)
+    assert(Broadcasts.pinBudget(None, 2L << 30) === 256L << 20)
+    // and the session wiring: this local session has no executor-memory
+    // conf, so the session gate equals the JVM-heap fallback
+    assert(Broadcasts.defaultMaxBytes(spark) ===
+      Broadcasts.pinBudget(None, Runtime.getRuntime.maxMemory))
+  }
+
+  test("gatedWithRows returns the measured side cardinality") {
+    Broadcasts.reset()
+    val side = spark.range(0, 12345).select(col("id").as("k"))
+    val (df, rows) = Broadcasts.gatedWithRows(side)
+    assert(rows === 12345L)
+    assert(df.count() === 12345L)
+    // cached decision returns the same count without re-measuring
+    assert(Broadcasts.gatedWithRows(side)._2 === 12345L)
+    Broadcasts.reset()
+  }
 }

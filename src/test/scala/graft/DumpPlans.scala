@@ -15,9 +15,9 @@ object DumpPlans {
       "q1_pricing_summary" ->
         "One scan; date filter and 7-column pruned schema pushed into parquet; partial+final HashAggregate.",
       "q3_shipping_priority" ->
-        "Filters pushed to all three scans; customer dim broadcast; TakeOrderedAndProject top-10 (no global sort).",
+        "Filters pushed to all three scans; customer dim broadcast; runtime Bloom of the (orders x customer) orderkeys on the lineitem side (might_contain) ahead of the gated-broadcast join; TakeOrderedAndProject top-10 (no global sort).",
       "q5_local_supplier" ->
-        "Fact table never shuffles: the reduced (orders x customer) side is measured and broadcast into the lineitem scan (Broadcasts.gated, default gate = 256 MB deserialized estimate, shuffle-join fallback); supplier/nation/region broadcast; the only exchange is the 5-row final aggregate's.",
+        "Fact table never shuffles: the reduced (orders x customer) side is measured and broadcast into the lineitem scan (Broadcasts.gated, heap-proportional gate, shuffle-join fallback); a runtime Bloom of the surviving orderkeys (might_contain in the fact Filter below) rejects ~6/7 of lineitem rows BEFORE they probe the pinned hash relation — the filter push Spark's InjectRuntimeFilter only does for shuffle joins; supplier/nation/region broadcast; the only exchange is the 5-row final aggregate's.",
       "dd2_minhash_lsh" ->
         "Signature stage is shuffle-free mapPartitions; one bucket-group exchange; verify joins only candidate ids (left-semi pushdown).",
       "ss1_cosine_topk" ->

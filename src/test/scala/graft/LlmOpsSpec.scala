@@ -315,7 +315,10 @@ class LlmOpsSpec extends SparkSpec {
     // operating point the oracle can't hash-gate (ULP-order-dependent
     // centroids); gate recall here like the IVF/LSH trained gates
     val centroids = Similarity.trainIvfCentroids(emb, "embedding", "vec_id", k = 8, iters = 3)
-    val books = Similarity.trainPqCodebooks(emb, "embedding", "vec_id", iters = 2)
+    // the committed operating point (round 14): 16 blocks of 4 dims —
+    // the recall-audit min-path — with rerank 100
+    val books = Similarity.trainPqCodebooks(emb, "embedding", "vec_id",
+      nBlocks = 16, iters = 2)
     val recalls = Seq(0L, 42L, 123L).map { id =>
       val q = emb.filter(col("vec_id") === id)
         .select("embedding").head().getSeq[Float](0).toArray
@@ -331,8 +334,8 @@ class LlmOpsSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSet
       got.intersect(exact).size / 10.0
     }
-    // ADC over 8x16 codebooks + rerank 100 recovers what IVF pruning kept
-    // (this corpus has NO tight neighbors — the hardest ADC regime)
+    // ADC over 16x16 codebooks + rerank 100 recovers what IVF pruning
+    // kept (this corpus has NO tight neighbors — the hardest ADC regime)
     assert(recalls.forall(_ >= 0.8), s"recalls: $recalls")
   }
 

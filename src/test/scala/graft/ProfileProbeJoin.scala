@@ -76,6 +76,15 @@ object ProfileProbeJoin {
         val (nSen, senSec) = timeWarm(sentinelBatch(1))
         require(nDed == nSen, s"kernel/sentinel pair-count mismatch at $label")
 
+        // the hot-token residual, MEASURED for this probe run: Σ over
+        // refused tokens of (corpus postings × probe prefix postings) —
+        // the recorded upper bound on pairs the maxBucket discipline
+        // could have cost this batch (0 = the probe ran exact)
+        val lostBound = SetSimJoin.lostPairBound(ix, batches(1),
+            "doc_id", "toks")
+          .agg(coalesce(sum(col("lost_pair_bound")), lit(0L)))
+          .head().getLong(0)
+
         // the CROSS-JOB posture: persist the index to parquet, reload,
         // probe — what a later decontamination job actually pays (no
         // rebuild, no session state; JaccardIndex.save/loadJaccardIndex)
@@ -92,7 +101,8 @@ object ProfileProbeJoin {
         val amort = math.round(
           (buildSec + 3 * probeSec) / (3 * senSec) * 100) / 100.0
         s"""{"scale":"$label","corpus":$n,"probes_per_batch":$nProbe,""" +
-          s""""pairs":$nDed,"index_build_sec":$buildSec,""" +
+          s""""pairs":$nDed,"lost_pair_bound":$lostBound,""" +
+          s""""index_build_sec":$buildSec,""" +
           s""""probe_batch_sec":$probeSec,"sentinel_batch_sec":$senSec,""" +
           s""""index_save_sec":$saveSec,""" +
           s""""reload_probe_batch_sec":$reloadProbeSec,""" +

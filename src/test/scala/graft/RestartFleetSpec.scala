@@ -44,11 +44,17 @@ class RestartFleetSpec extends SparkSpec {
 
   /** Generic harness: run `mk()` handles over batch prefixes/suffixes
     * split at every kill point and compare `out` against the
-    * uninterrupted run.
+    * uninterrupted run. The prefix streams through attach (real
+    * foreachBatch, ids 0..kill−1); the resumed handle is driven the way
+    * Spark's own checkpointLocation restart drives it — the in-flight
+    * trigger REPLAYED with its original id (the ledger must no-op it),
+    * then the unconsumed suffix under checkpoint-CONTINUED ids.
     */
-  private def proveRestart[H, B](tag: String, batches: Seq[B], mk: () => H,
+  private def proveRestart[H <: graft.streaming.BatchLedger, B](tag: String,
+      batches: Seq[B], mk: () => H,
       runBatches: (H, Seq[B]) => Unit, save: (H, String) => Unit,
-      resume: String => H, out: H => Set[Seq[Any]]): Unit = {
+      resume: String => H, out: H => Set[Seq[Any]],
+      mergeAt: (H, B, Long) => Unit): Unit = {
     val full = mk()
     runBatches(full, batches)
     val want = out(full)
@@ -59,7 +65,15 @@ class RestartFleetSpec extends SparkSpec {
       val dir = tmp(s"$tag-$kill")
       save(first, dir)
       val resumed = resume(dir)
-      runBatches(resumed, batches.drop(kill))
+      // the snapshot is self-describing about its covered prefix
+      assert(resumed.lastAppliedBatch === (kill - 1).toLong,
+        s"$tag: snapshot ledger ${resumed.lastAppliedBatch} != ${kill - 1}")
+      // at-least-once: the in-flight trigger replays with the SAME id —
+      // a double-count would diverge the final equality below
+      mergeAt(resumed, batches(kill - 1), (kill - 1).toLong)
+      batches.drop(kill).zipWithIndex.foreach { case (b, i) =>
+        mergeAt(resumed, b, (kill + i).toLong)
+      }
       assert(out(resumed) === want,
         s"$tag: resumed output diverged from uninterrupted at kill=$kill")
     }
@@ -89,7 +103,8 @@ class RestartFleetSpec extends SparkSpec {
       },
       (h, d) => h.save(d),
       d => ChunkMaintenance.resume(spark, d),
-      h => rows(h.index) ++ rows(h.dedupStats))
+      h => rows(h.index) ++ rows(h.dedupStats),
+      (h, b, id) => h.merge(b.toDF("doc_id", "text"), id))
   }
 
   test("embed-model maintenance killed + resumed == uninterrupted") {
@@ -112,7 +127,8 @@ class RestartFleetSpec extends SparkSpec {
       d => EmbedMaintenance.resume(spark, d),
       // the model state AND a pruned probe frame: the derived decision
       // surface must survive the restart, not just the raw sums
-      h => rows(h.componentState) ++ rows(h.prune(probe)))
+      h => rows(h.componentState) ++ rows(h.prune(probe)),
+      (h, b, id) => h.merge(b.toDF("vec_id", "embedding"), id))
   }
 
   test("DSIR-selection maintenance killed + resumed == uninterrupted") {
@@ -130,7 +146,8 @@ class RestartFleetSpec extends SparkSpec {
       (h, d) => h.save(d),
       d => SelectionMaintenance.resume(spark, d),
       h => rows(h.bucketCounts) ++
-        rows(h.select(probe).select("doc_id")))
+        rows(h.select(probe).select("doc_id")),
+      (h, b, id) => h.merge(b.toDF("doc_id", "source", "text"), id))
   }
 
   test("mix maintenance killed + resumed == uninterrupted") {
@@ -146,7 +163,8 @@ class RestartFleetSpec extends SparkSpec {
       },
       (h, d) => h.save(d),
       d => MixMaintenance.resume(spark, d),
-      h => rows(h.tokenCounts) ++ rows(h.unimaxAlloc()))
+      h => rows(h.tokenCounts) ++ rows(h.unimaxAlloc()),
+      (h, b, id) => h.merge(b.toDF("doc_id", "source", "text"), id))
   }
 
   test("cluster maintenance killed + resumed == uninterrupted") {
@@ -171,7 +189,8 @@ class RestartFleetSpec extends SparkSpec {
       },
       (h, d) => h.save(d),
       d => ClusterMaintenance.resume(spark, d),
-      h => rows(h.labels))
+      h => rows(h.labels),
+      (h, b, id) => h.merge(b.toDF(), id))
   }
 
   test("retraction maintenance killed + resumed == uninterrupted, " +
@@ -210,7 +229,8 @@ class RestartFleetSpec extends SparkSpec {
       },
       (h, d) => h.save(d),
       d => RetractionMaintenance.resume(spark, d, keys, aggs),
-      h => rows(h.view.get))
+      h => rows(h.view.get),
+      (h, b, id) => h.merge(b.toDF("k", "v", "_sign"), id))
   }
 
   test("join-view maintenance killed + resumed == uninterrupted, " +
@@ -256,9 +276,65 @@ class RestartFleetSpec extends SparkSpec {
       val dir = tmp(s"view-$kill")
       first.save(dir)
       val resumed = ViewMaintenance.resume(spark, dir, keys, groups, aggs)
-      runFacts(resumed, batches.drop(kill))
+      assert(resumed.lastAppliedBatch === (kill - 1).toLong)
+      // checkpoint-restart posture: the in-flight trigger replays with
+      // its original id (ledger no-op), then the suffix continues under
+      // the ids the checkpointed stream would deliver, dim churn at mid
+      resumed.merge(batches(kill - 1)._1.toDF("k", "v"), (kill - 1).toLong)
+      batches.drop(kill).foreach { case (b, i) =>
+        resumed.merge(b.toDF("k", "v"), i.toLong)
+        if (i == mid) resumed.applyDimDelta(dimChanges)
+      }
       assert(rows(resumed.view.get) === want,
         s"join view diverged from uninterrupted at kill=$kill")
     }
+  }
+
+  test("save after resume to the SAME path — with no intervening merge — " +
+      "round-trips (the periodic-checkpoint posture)") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // chunk: plain-state handle; the resumed state is read FROM the path
+    // it will be re-saved to, which without the eager localCheckpoint in
+    // resume() is an overwrite-what-you-read AnalysisException
+    val batches = docBatches(docRows.map { case (id, _, t) => (id, t) })
+    val h0 = new ChunkMaintenance(spark)
+    batches.take(2).zipWithIndex.foreach { case (b, i) =>
+      h0.merge(b.toDF("doc_id", "text"), i.toLong)
+    }
+    val dir = tmp("resave-chunk")
+    h0.save(dir)
+    val h1 = ChunkMaintenance.resume(spark, dir)
+    h1.save(dir) // periodic checkpoint, zero new triggers since resume
+    val h2 = ChunkMaintenance.resume(spark, dir)
+    assert(h2.lastAppliedBatch === 1L)
+    batches.drop(2).zipWithIndex.foreach { case (b, i) =>
+      h2.merge(b.toDF("doc_id", "text"), (2 + i).toLong)
+    }
+    val want = new ChunkMaintenance(spark)
+    batches.foreach(b => want.merge(b.toDF("doc_id", "text")))
+    assert(rows(h2.index) === rows(want.index),
+      "save-after-resume round-trip diverged")
+
+    // join view: the triple + factSchema all re-save to the path they
+    // were just loaded from (factSchema is the round-13-found hazard —
+    // merge never re-checkpoints it)
+    val keys = Seq("k"); val groups = Seq("g")
+    val aggs = Seq(AggSpec("v", "sum", "v_sum"))
+    val dim0 = (0L to 9L).map(k => (k, s"g${k % 3}")).toDF("k", "g")
+    val vm0 = new ViewMaintenance(spark, dim0, keys, groups, aggs)
+    vm0.merge((1L to 20L).map(i => (i % 10, i)).toDF("k", "v"), 0L)
+    val vdir = tmp("resave-view")
+    vm0.save(vdir)
+    val vm1 = ViewMaintenance.resume(spark, vdir, keys, groups, aggs)
+    vm1.save(vdir)
+    val vm2 = ViewMaintenance.resume(spark, vdir, keys, groups, aggs)
+    // and the factSchema survives to type an immediate dim delta
+    vm2.applyDimDelta(Seq((0L, "gX", "U")).toDF("k", "g", "op"))
+    assert(rows(vm2.view.get) === rows({
+      val w = new ViewMaintenance(spark, dim0, keys, groups, aggs)
+      w.merge((1L to 20L).map(i => (i % 10, i)).toDF("k", "v"))
+      w.applyDimDelta(Seq((0L, "gX", "U")).toDF("k", "g", "op"))
+      w
+    }.view.get), "view save-after-resume round-trip diverged")
   }
 }

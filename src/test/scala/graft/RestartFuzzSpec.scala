@@ -74,9 +74,15 @@ class RestartFuzzSpec extends SparkSpec {
         batches.take(kill))
       val dir = tmp(s"rv-$seed")
       first.save(dir)
-      val resumed = run(
-        RetractionMaintenance.resume(spark, dir, keys, aggs),
-        batches.drop(kill))
+      // checkpoint-restart posture: replayed in-flight trigger (ledger
+      // no-op), then the suffix under checkpoint-continued ids
+      val resumed = RetractionMaintenance.resume(spark, dir, keys, aggs)
+      assert(resumed.lastAppliedBatch === (kill - 1).toLong)
+      resumed.merge(batches(kill - 1).toDF("k", "v", "_sign"),
+        (kill - 1).toLong)
+      batches.drop(kill).zipWithIndex.foreach { case (b, i) =>
+        resumed.merge(b.toDF("k", "v", "_sign"), (kill + i).toLong)
+      }
       assert(rows(resumed.view.get) === want,
         s"seed=$seed batchSize=$batchSize kill=$kill/${batches.size}: " +
           "resumed view diverged from uninterrupted")
@@ -113,8 +119,15 @@ class RestartFuzzSpec extends SparkSpec {
       val first = run(new ChunkMaintenance(spark), batches.take(kill))
       val dir = tmp(s"ci-$seed")
       first.save(dir)
-      val resumed = run(ChunkMaintenance.resume(spark, dir),
-        batches.drop(kill))
+      // checkpoint-restart posture: replayed in-flight trigger (ledger
+      // no-op), then the suffix under checkpoint-continued ids
+      val resumed = ChunkMaintenance.resume(spark, dir)
+      assert(resumed.lastAppliedBatch === (kill - 1).toLong)
+      resumed.merge(batches(kill - 1).toDF("doc_id", "text"),
+        (kill - 1).toLong)
+      batches.drop(kill).zipWithIndex.foreach { case (b, i) =>
+        resumed.merge(b.toDF("doc_id", "text"), (kill + i).toLong)
+      }
       assert(rows(resumed.index) === want,
         s"seed=$seed kill=$kill/${batches.size}: resumed index diverged")
       assert(rows(resumed.dedupStats) ===

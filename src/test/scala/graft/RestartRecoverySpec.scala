@@ -56,6 +56,14 @@ class RestartRecoverySpec extends SparkSpec {
     im0
   }
 
+  /** One crawl batch as the frame attach() derives (for driving a
+    * resumed handle under checkpoint-continued batchIds).
+    */
+  private def crawlDf(rows: Seq[(Long, String, Long, String)]) =
+    rows.toDF("doc_id", "lang", "n_chars", "text")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        Corpus.words(col("text")).as("toks"))
+
   test("intake stream killed + resumed == uninterrupted, any kill point") {
     val corpus = docsToks.filter(col("doc_id") % 3 =!= 0).localCheckpoint()
     val docs = crawlRows
@@ -74,9 +82,18 @@ class RestartRecoverySpec extends SparkSpec {
       val dir = tmp(s"intake-$kill")
       first.save(dir)
       // the killed JVM's handle is gone: everything the resumed run
-      // knows came through the parquet state
-      val resumed = runIntake(IntakeMaintenance.resume(spark, dir,
-        "doc_id", "toks", statKeys, statAggs), batches.drop(kill))
+      // knows came through the parquet state. Driven the way Spark's
+      // checkpointLocation restart drives it: the in-flight trigger
+      // REPLAYS with its original id (the ledger must no-op it), then
+      // the unconsumed suffix arrives under checkpoint-continued ids.
+      val resumed = IntakeMaintenance.resume(spark, dir,
+        "doc_id", "toks", statKeys, statAggs)
+      assert(resumed.lastAppliedBatch === (kill - 1).toLong,
+        s"snapshot ledger missing at kill=$kill")
+      resumed.merge(crawlDf(batches(kill - 1)), (kill - 1).toLong)
+      batches.drop(kill).zipWithIndex.foreach { case (b, i) =>
+        resumed.merge(crawlDf(b), (kill + i).toLong)
+      }
       assert(rows(resumed.statsNow) === wantStats,
         s"resumed stats diverged from uninterrupted at kill=$kill")
       assert(rows(resumed.censusNow.get) === wantCensus,
@@ -165,8 +182,19 @@ class RestartRecoverySpec extends SparkSpec {
         keys, groups, aggs), batches.take(kill), mid)
       val dir = tmp(s"view-$kill")
       first.save(dir)
-      val resumed = runView(RetractableViewMaintenance.resume(spark, dir,
-        keys, groups, aggs), batches.drop(kill), mid)
+      // checkpoint-restart posture: replay of the in-flight trigger
+      // (ledger no-op), then the suffix under checkpoint-continued ids,
+      // dim churn applied at its global index
+      val resumed = RetractableViewMaintenance.resume(spark, dir,
+        keys, groups, aggs)
+      assert(resumed.lastAppliedBatch === (kill - 1).toLong,
+        s"snapshot ledger missing at kill=$kill")
+      resumed.merge(batches(kill - 1)._1.toDF("k", "v", "_sign"),
+        (kill - 1).toLong)
+      batches.drop(kill).foreach { case (b, i) =>
+        resumed.merge(b.toDF("k", "v", "_sign"), i.toLong)
+        if (i == mid) resumed.applyDimDelta(dimChanges)
+      }
       assert(rows(resumed.view.get) === want,
         s"resumed view diverged from uninterrupted at kill=$kill")
     }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Broadcasts, RuntimeFilters}
+
+/** The hand-pushed runtime Bloom filter (q3/q5's fact-side pre-probe)
+  * must be SEMANTICALLY INVISIBLE — it may only pass extra rows the
+  * join then drops — and operationally bounded: one build per
+  * (session, side plan), skip past the key budget, reset hook for the
+  * cold bench.
+  */
+class RuntimeFiltersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("no true key ever filtered; join through the filter is exact") {
+    RuntimeFilters.reset()
+    val side = spark.range(0, 5000).filter(col("id") % 7 === 0)
+      .select(col("id").as("k"))
+    val fact = spark.range(0, 5000)
+      .select(col("id").as("fk"), (col("id") * 2).as("v"))
+    val filtered = RuntimeFilters.keyFilter(fact, "fk", side, "k", 715L)
+    // zero false negatives: every fact row whose key IS in the side
+    // survives the sketch (Bloom guarantees this; the spec pins the
+    // build/probe hashing agreement — raw longs both ends)
+    assert(filtered.filter(col("fk") % 7 === 0).count() ===
+      fact.filter(col("fk") % 7 === 0).count())
+    // the joined result is EXACT — false positives drop in the join
+    val got = filtered.join(side, col("fk") === col("k"))
+      .select("fk", "v").collect().map(_.toSeq).toSet
+    val want = fact.join(side, col("fk") === col("k"))
+      .select("fk", "v").collect().map(_.toSeq).toSet
+    assert(got === want)
+    // and the sketch genuinely prunes: 1/7 of keys at 1% fpp leaves
+    // well under a third of the fact rows
+    assert(filtered.count() < fact.count() / 3,
+      s"sketch filtered nothing: ${filtered.count()} of ${fact.count()}")
+    RuntimeFilters.reset()
+  }
+
+  test("NULL fact keys drop (inner-join semantics preserved)") {
+    RuntimeFilters.reset()
+    val side = Seq(1L, 2L).toDF("k")
+    val fact = Seq(Some(1L), None, Some(9L)).toDF("fk")
+    val filtered = RuntimeFilters.keyFilter(fact, "fk", side, "k", 2L)
+    assert(filtered.collect().map(_.getLong(0)).toSet === Set(1L))
+    RuntimeFilters.reset()
+  }
+
+  test("one build per (session, side plan): warm re-runs reuse the " +
+      "sketch; reset drops it") {
+    RuntimeFilters.reset()
+    def side = spark.range(0, 100).select(col("id").as("k"))
+    def fact = spark.range(0, 1000).select(col("id").as("fk"))
+    RuntimeFilters.keyFilter(fact, "fk", side, "k", 100L).count()
+    assert(RuntimeFilters.cachedCount === 1)
+    RuntimeFilters.keyFilter(fact, "fk", side, "k", 100L).count()
+    assert(RuntimeFilters.cachedCount === 1, "same plan rebuilt the sketch")
+    RuntimeFilters.reset()
+    assert(RuntimeFilters.cachedCount === 0)
+  }
+
+  test("past the key budget the filter is SKIPPED, not saturated") {
+    RuntimeFilters.reset()
+    val side = spark.range(0, 10).select(col("id").as("k"))
+    val fact = spark.range(0, 100).select(col("id").as("fk"))
+    val out = RuntimeFilters.keyFilter(fact, "fk", side, "k",
+      RuntimeFilters.MaxKeys + 1)
+    assert(out eq fact, "over-budget side must return the fact unchanged")
+    assert(RuntimeFilters.cachedCount === 0)
+    // empty side: nothing to filter against — fact unchanged, join
+    // yields zero rows anyway
+    assert(RuntimeFilters.keyFilter(fact, "fk", side.limit(0), "k", 0L)
+      eq fact)
+    RuntimeFilters.reset()
+  }
+
+  test("the q5 plan carries the filter: might_contain sits on the fact " +
+      "side before the join") {
+    graft.operators.Broadcasts.reset()
+    RuntimeFilters.reset()
+    val q5 = SparkEntry.queries("q5_local_supplier")(spark, sf)
+    assert(q5.queryExecution.optimizedPlan.toString
+        .contains("might_contain"),
+      "q5's lineitem side lost its runtime Bloom filter")
+    Broadcasts.reset()
+    RuntimeFilters.reset()
+  }
+}

@@ -43,23 +43,21 @@ SRC = "/root/testdata/sf0.1"
 # registry as the exact-twin correctness row.
 QS = ("q1_pricing_summary,q3_shipping_priority,q5_local_supplier,"
       "q6_revenue_delta,q18_big_orders,q19_disjunctive,ss1b_cosine_topk_indexed")
-# the 1000x arm (600M lineitem rows, ~15 GB parquet) runs a 4-headliner
-# subset: the first point where shuffle/spill actually engage — the
-# 1x..100x points all fit in page cache, so the "designed for 100 TB"
-# slope claim needs this arm; the full suite would double the build+bench
-# cost for queries whose scaling the 4 already demonstrate
-QS1000 = ("q1_pricing_summary,q5_local_supplier,q18_big_orders,"
-          "ss1b_cosine_topk_indexed")
 SCALES = [
     # (label, dir, copies, queries, spark heap — None = 8g default)
     ("1x", SRC, 1, QS, None),
     ("10x", "/tmp/bsx10", 10, QS, None),
     ("100x", "/tmp/bsx100", 100, QS, None),
-    # one session, one attempt: a 1000x warm run is tens of seconds, so
-    # the small-scale spread-retry and 2-session protocol would turn the
-    # arm into hours; single-measurement costs are recorded with their
-    # own spreads in the JSON
-    ("1000x", "/tmp/bsx1000", 1000, QS1000, "48g"),
+    # the 1000x arm (600M lineitem rows, ~15 GB parquet): the first
+    # point where shuffle/spill actually engage — the 1x..100x points
+    # all fit in page cache, so the "designed for 100 TB" slope claim
+    # needs this arm. Round 14 extended it from the q1/q5/q18/ss1b
+    # subset to the FULL 7-query suite (q3 at 3.17x and q6/q19 had no
+    # at-scale adjudication). One session, one attempt: a 1000x warm
+    # run is tens of seconds, so the small-scale spread-retry and
+    # 2-session protocol would turn the arm into hours;
+    # single-measurement costs are recorded with their own spreads.
+    ("1000x", "/tmp/bsx1000", 1000, QS, "48g"),
 ]
 # the DESIGN-SCALE ratio gate stays at 100x (full 7-query suite); the
 # 1000x arm is slope evidence, not the headline comparator
@@ -306,7 +304,7 @@ def render_md(artifact, md_path=REPO / "BENCHSCALE.md"):
     if any(s["scale"] == "1000x" for s in artifact["scales"]):
         lines += ["",
                   "The 1000× arm (600 M lineitem rows, ~15 GB parquet) "
-                  "runs the q1/q5/q18/ss1b subset — the first point where "
+                  "runs the FULL 7-query suite — the first point where "
                   "shuffle and spill actually engage (every smaller scale "
                   "fits in page cache). It runs with a 48 g Spark heap "
                   "(the 8 g default that is fine up to 100× starves 32 "

@@ -105,7 +105,7 @@ object Broadcasts {
   }
 
   private final case class Entry(result: DataFrame, materialized: DataFrame,
-      rows: Long)
+      rows: Long, broadcasted: Boolean)
 
   /** Decision LRU keyed by (session, canonicalized plan, gate) —
     * structural plan equality (collision-proof, unlike a 32-bit hash),
@@ -136,30 +136,33 @@ object Broadcasts {
   /** Number of live cached decisions (spec hook). */
   def cachedCount: Int = decided.synchronized(decided.size)
 
+  /** A gated side with its measured stats: the frame to join against,
+    * the materializing count (already paid), and whether the gate chose
+    * broadcast — what a downstream runtime filter
+    * ([[RuntimeFilters.keyFilter]]) needs to decide AND size itself.
+    */
+  final case class Gated(df: DataFrame, rows: Long, broadcasted: Boolean)
+
   def gated(df: DataFrame, maxBytes: Long = UseSessionDefault,
       sampleRows: Int = 1024): DataFrame =
-    gatedWithRows(df, maxBytes, sampleRows)._1
+    gatedStats(df, maxBytes, sampleRows).df
 
-  /** [[gated]] plus the side's measured row count — already paid for by
-    * the materializing count, and what a downstream runtime filter
-    * ([[RuntimeFilters.keyFilter]]) needs to size its sketch.
-    */
-  def gatedWithRows(df: DataFrame, maxBytes: Long = UseSessionDefault,
-      sampleRows: Int = 1024): (DataFrame, Long) = {
+  /** [[gated]] plus the measured row count and the broadcast verdict. */
+  def gatedStats(df: DataFrame, maxBytes: Long = UseSessionDefault,
+      sampleRows: Int = 1024): Gated = {
     val gate = if (maxBytes == UseSessionDefault)
       defaultMaxBytes(df.sparkSession) else maxBytes
     val key = (df.sparkSession, PlanBridge.analyzed(df).canonicalized, gate)
+    def stats(e: Entry) = Gated(e.result, e.rows, e.broadcasted)
     val hit = decided.synchronized(decided.get(key))
-    if (hit != null) return (hit.result, hit.rows)
+    if (hit != null) return stats(hit)
     // decide() runs Spark jobs — outside the lock. A concurrent racer may
     // decide the same plan; the loser's copy is unpersisted, first wins.
     val fresh = decide(df, gate, sampleRows)
     decided.synchronized {
       val race = decided.get(key)
-      if (race != null) {
-        fresh.materialized.unpersist(false); (race.result, race.rows)
-      }
-      else { decided.put(key, fresh); (fresh.result, fresh.rows) }
+      if (race != null) { fresh.materialized.unpersist(false); stats(race) }
+      else { decided.put(key, fresh); stats(fresh) }
     }
   }
 
@@ -167,7 +170,7 @@ object Broadcasts {
       sampleRows: Int): Entry = {
     val ck = df.persist(StorageLevel.MEMORY_AND_DISK)
     val n = ck.count() // materializes the cache; the side is consumed next
-    if (n == 0L) return Entry(broadcast(ck), ck, 0L)
+    if (n == 0L) return Entry(broadcast(ck), ck, 0L, broadcasted = true)
     // measured size, best first: the materialized InMemoryRelation reports
     // the EXACT byte size of the cached data (its stats accumulator) —
     // re-deriving the optimized plan after the count picks the cache up;
@@ -183,6 +186,7 @@ object Broadcasts {
       val sample = ck.head(math.min(n, sampleRows.toLong).toInt)
       BigInt(n) * math.max(SizeEstimator.estimate(sample) / sample.length, 1L)
     }
-    Entry(if (bytes <= maxBytes) broadcast(ck) else ck, ck, n)
+    if (bytes <= maxBytes) Entry(broadcast(ck), ck, n, broadcasted = true)
+    else Entry(ck, ck, n, broadcasted = false)
   }
 }

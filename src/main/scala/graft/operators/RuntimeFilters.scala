@@ -7,21 +7,25 @@ import org.apache.spark.sql.graftbridge.PlanBridge
 import org.apache.spark.sql.types.LongType
 
 /** Hand-pushed runtime join filter: a Bloom filter of the SMALL side's
-  * join keys, applied to the FACT side before the join probes the hash
-  * relation.
+  * join keys, applied to the FACT side — for the SHUFFLE-JOIN path
+  * only, where it cuts the fact shuffle write by the filter's
+  * selectivity before a single byte moves.
   *
-  * Why this exists: Spark's own `InjectRuntimeFilter` only fires on
-  * SHUFFLE joins ("if one side of a shuffle join has a selective
-  * predicate…" — SQLConf doc), and the headline q3/q5 plans are
-  * broadcast joins on purpose (the fact table never shuffles). What a
-  * broadcast join still pays is one hash-relation probe PER FACT ROW —
-  * at the 1000× replica that is 600 M probes into a ~1.4 GB pinned
-  * relation, nearly all of which miss (the date window keeps ~1/7 of
-  * orders). DuckDB wins that query by pushing a filter from the reduced
-  * build side into the fact scan; this operator is the same move: a
-  * compact Bloom of the build side's keys (tens of MB instead of GBs,
-  * mostly cache-resident) rejects ~6/7 of the fact rows with two hashes
-  * and a few bit probes each, before they ever touch the big relation.
+  * Why shuffle-only is a MEASURED decision, not a guess: at the 1000×
+  * bench replica (600 M lineitem rows) we planted this filter ahead of
+  * q3/q5's BROADCAST joins and swept the sketch's fpp — every point
+  * LOST to the bare plan (q5 warm: bare 5.08 s vs 6.31/6.54/8.34 s at
+  * fpp 0.25/0.1/0.5; q3: bare 6.84 s vs 6.95–9.37 s). The reason is
+  * probe cost: `spark.util.sketch`'s Bloom pays two Murmur3 runs plus
+  * k = ⌈−log₂ fpp⌉ SCATTERED word reads per row, while the broadcast
+  * hash join's LongHashedRelation probe the filter tries to shield is
+  * ONE codegen'd lookup — the "guard" costs more than the guarded
+  * probe. (DuckDB wins the same move with a one-cache-line blocked
+  * SIMD filter; sketch offers no such layout.) Spark's own
+  * `InjectRuntimeFilter` fires only on shuffle joins for the same
+  * arithmetic: against a SHUFFLE the sketch saves serializing,
+  * writing, and re-reading the dropped rows — orders of magnitude more
+  * per row than any probe — so that is the path [[shuffleGuard]] arms.
   *
   * Semantics: the filter can only pass EXTRA rows (false positives), and
   * the join it guards drops them — results are identical for the inner
@@ -47,16 +51,35 @@ import org.apache.spark.sql.types.LongType
   */
 object RuntimeFilters {
 
+  /** Guard a fact side against a [[Broadcasts.gatedStats]] side: when
+    * the gate REFUSED the broadcast (the side outgrew the executor pin
+    * budget, so the join will shuffle both sides), pre-filter the fact
+    * with the side's key sketch — the rows the join would drop anyway
+    * never enter the fact shuffle. When the gate chose broadcast, the
+    * fact never shuffles and the bare relation probe is already cheaper
+    * than any sketch probe (measured — scaladoc above), so the fact
+    * passes through untouched.
+    */
+  def shuffleGuard(fact: DataFrame, factKey: String,
+      side: Broadcasts.Gated, sideKey: String): DataFrame =
+    if (side.broadcasted) fact
+    else keyFilter(fact, factKey, side.df, sideKey, side.rows)
+
   /** Past this many build-side keys the filter is skipped: at 1% fpp the
     * sketch would exceed ~75 MB — past the point where a per-row
     * pre-probe beats the hash relation it's trying to shield.
     */
   val MaxKeys: Long = 64L << 20
 
-  /** ~9.6 bits/key; two orders of magnitude fewer false probes than the
-    * relation the filter guards, at ~1/8 the bytes of the key set.
+  /** Default false-positive rate, balanced for the SHUFFLE path this
+    * filter guards: per fact row the sketch costs k = ⌈−log₂ fpp⌉
+    * scattered word reads (~k cache misses), and saves fpp-fraction ×
+    * the serialize-write-read cost of a shuffled row — hundreds of ns.
+    * 5% (k=4, ~6.2 bits/key) keeps the sketch small enough to sit in
+    * cache for tens of millions of keys while passing only 1-in-20 of
+    * the droppable rows into the shuffle.
     */
-  val Fpp: Double = 0.01
+  val Fpp: Double = 0.05
 
   /** Built blooms keyed by (session, canonicalized build plan, key col):
     * the gated side's plan is stable across warm re-runs, so the build
@@ -88,14 +111,14 @@ object RuntimeFilters {
     * materialization already has it — [[Broadcasts.gatedWithRows]]).
     */
   def keyFilter(fact: DataFrame, factKey: String, side: DataFrame,
-      sideKey: String, sideRows: Long): DataFrame = {
+      sideKey: String, sideRows: Long, fpp: Double = Fpp): DataFrame = {
     if (sideRows <= 0 || sideRows > MaxKeys) return fact
     val key = (side.sparkSession, PlanBridge.analyzed(side).canonicalized,
-      sideKey)
+      s"$sideKey@$fpp")
     val hit = built.synchronized(built.get(key))
     val sketch = if (hit != null) hit else {
       // one pass over the (already materialized) side — outside the lock
-      val fresh = Some(serialize(side, sideKey, sideRows))
+      val fresh = Some(serialize(side, sideKey, sideRows, fpp))
       built.synchronized {
         val race = built.get(key)
         if (race != null) race else { built.put(key, fresh); fresh }
@@ -112,9 +135,9 @@ object RuntimeFilters {
     call_function("graft_might_contain", lit(sketch), key.cast(LongType))
 
   private def serialize(side: DataFrame, sideKey: String,
-      rows: Long): Array[Byte] = {
+      rows: Long, fpp: Double): Array[Byte] = {
     val bf = side.select(col(sideKey).cast(LongType).as(sideKey))
-      .stat.bloomFilter(sideKey, math.max(rows, 1L), Fpp)
+      .stat.bloomFilter(sideKey, math.max(rows, 1L), fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     bos.toByteArray

@@ -63,14 +63,18 @@ object Headline {
         val o = t(s, dir, "orders")
           .filter(col("o_orderdate") < lit("1996-03-15"))
           .select("o_orderkey", "o_custkey", "o_orderdate")
-        val (oc, ocRows) = Broadcasts.gatedWithRows(
+        val ocG = Broadcasts.gatedStats(
           o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
             .select("o_orderkey", "o_orderdate"))
-        val l = RuntimeFilters.keyFilter(
+        val oc = ocG.df
+        // past the gate the join shuffles — a Bloom of the oc keys then
+        // keeps the droppable lineitem rows OUT of the fact shuffle; on
+        // the broadcast path the guard is a measured no (RuntimeFilters)
+        val l = RuntimeFilters.shuffleGuard(
           t(s, dir, "lineitem")
             .filter(col("l_shipdate") > lit("1996-03-15"))
             .select("l_orderkey", "l_extendedprice", "l_discount"),
-          "l_orderkey", oc, "o_orderkey", ocRows)
+          "l_orderkey", ocG, "o_orderkey")
         l.join(oc, l("l_orderkey") === oc("o_orderkey"))
           .groupBy(col("o_orderkey"), col("o_orderdate"))
           .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"))
@@ -120,22 +124,23 @@ object Headline {
         val o = t(s, dir, "orders")
           .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
           .select("o_orderkey", "o_custkey")
-        val (oc, ocRows) = Broadcasts.gatedWithRows(
+        val ocG = Broadcasts.gatedStats(
           o.join(broadcast(c), c("c_custkey") === o("o_custkey"))
             .select("o_orderkey", "c_nationkey"))
+        val oc = ocG.df
         val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
-        // Runtime Bloom of the surviving orderkeys pushed into the fact
-        // side: every lineitem row otherwise probes the pinned oc hash
-        // relation (~1.4 GB at 1000×) and ~6/7 of the probes miss (the
-        // 1-year date window). The sketch rejects those rows in a few
-        // bit-probes of a cache-resident filter BEFORE the join — the
-        // runtime-filter push DuckDB wins this query with, hand-planted
-        // because Spark's InjectRuntimeFilter only fires on shuffle
-        // joins. False positives are dropped by the join (exact result).
-        val l = RuntimeFilters.keyFilter(
+        // Past the gate (side outgrew the executor pin budget → shuffle
+        // join) a Bloom of the surviving orderkeys keeps ~6/7 of
+        // lineitem OUT of the fact shuffle. On the broadcast path the
+        // fact passes through BARE — planting the sketch there was
+        // measured at the 1000× replica and LOST at every fpp (5.08 s
+        // bare vs 6.31–8.34 s; the codegen'd hash-relation probe is one
+        // lookup, the sketch probe is k scattered reads — details in
+        // RuntimeFilters' scaladoc).
+        val l = RuntimeFilters.shuffleGuard(
           t(s, dir, "lineitem")
             .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"),
-          "l_orderkey", oc, "o_orderkey", ocRows)
+          "l_orderkey", ocG, "o_orderkey")
         l.join(oc, oc("o_orderkey") === l("l_orderkey"))
           .join(broadcast(su),
             su("s_suppkey") === l("l_suppkey") && su("s_nationkey") === col("c_nationkey"))

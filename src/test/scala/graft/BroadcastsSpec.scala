@@ -64,14 +64,16 @@ class BroadcastsSpec extends SparkSpec {
       Broadcasts.pinBudget(None, Runtime.getRuntime.maxMemory))
   }
 
-  test("gatedWithRows returns the measured side cardinality") {
+  test("gatedStats returns the measured cardinality and the verdict") {
     Broadcasts.reset()
     val side = spark.range(0, 12345).select(col("id").as("k"))
-    val (df, rows) = Broadcasts.gatedWithRows(side)
-    assert(rows === 12345L)
-    assert(df.count() === 12345L)
-    // cached decision returns the same count without re-measuring
-    assert(Broadcasts.gatedWithRows(side)._2 === 12345L)
+    val g = Broadcasts.gatedStats(side)
+    assert(g.rows === 12345L && g.broadcasted)
+    assert(g.df.count() === 12345L)
+    // cached decision returns the same stats without re-measuring
+    assert(Broadcasts.gatedStats(side).rows === 12345L)
+    // a refused gate reports broadcasted = false
+    assert(!Broadcasts.gatedStats(side, maxBytes = 0L).broadcasted)
     Broadcasts.reset()
   }
 }

@@ -15,9 +15,9 @@ object DumpPlans {
       "q1_pricing_summary" ->
         "One scan; date filter and 7-column pruned schema pushed into parquet; partial+final HashAggregate.",
       "q3_shipping_priority" ->
-        "Filters pushed to all three scans; customer dim broadcast; runtime Bloom of the (orders x customer) orderkeys on the lineitem side (might_contain) ahead of the gated-broadcast join; TakeOrderedAndProject top-10 (no global sort).",
+        "Filters pushed to all three scans; customer dim broadcast; TakeOrderedAndProject top-10 (no global sort). Past the broadcast gate a runtime Bloom of the (orders x customer) orderkeys would guard the fact SHUFFLE (RuntimeFilters.shuffleGuard); on this broadcast path it stays bare — planting it was measured at the 1000x replica and lost at every fpp (sketch probe k scattered reads vs one codegen'd relation lookup).",
       "q5_local_supplier" ->
-        "Fact table never shuffles: the reduced (orders x customer) side is measured and broadcast into the lineitem scan (Broadcasts.gated, heap-proportional gate, shuffle-join fallback); a runtime Bloom of the surviving orderkeys (might_contain in the fact Filter below) rejects ~6/7 of lineitem rows BEFORE they probe the pinned hash relation — the filter push Spark's InjectRuntimeFilter only does for shuffle joins; supplier/nation/region broadcast; the only exchange is the 5-row final aggregate's.",
+        "Fact table never shuffles: the reduced (orders x customer) side is measured and broadcast into the lineitem scan (Broadcasts.gated, heap-proportional gate, shuffle-join fallback); supplier/nation/region broadcast; the only exchange is the 5-row final aggregate's. Past the gate, RuntimeFilters.shuffleGuard arms a Bloom of the surviving orderkeys that keeps ~6/7 of lineitem OUT of the fact shuffle; on the broadcast path the guard is a measured no (1000x shootout: bare 5.08s vs 6.31-8.34s with the sketch - one codegen'd relation lookup beats k scattered sketch reads).",
       "dd2_minhash_lsh" ->
         "Signature stage is shuffle-free mapPartitions; one bucket-group exchange; verify joins only candidate ids (left-semi pushdown).",
       "ss1_cosine_topk" ->

@@ -74,14 +74,37 @@ class RuntimeFiltersSpec extends SparkSpec {
     RuntimeFilters.reset()
   }
 
-  test("the q5 plan carries the filter: might_contain sits on the fact " +
-      "side before the join") {
-    graft.operators.Broadcasts.reset()
+  test("shuffleGuard arms ONLY past the broadcast gate: bare pass-through " +
+      "when the side broadcasts, might_contain on the fact when it " +
+      "shuffles — same rows either way") {
+    Broadcasts.reset()
     RuntimeFilters.reset()
-    val q5 = SparkEntry.queries("q5_local_supplier")(spark, sf)
-    assert(q5.queryExecution.optimizedPlan.toString
-        .contains("might_contain"),
-      "q5's lineitem side lost its runtime Bloom filter")
+    val side = spark.range(0, 20000).filter(col("id") % 5 === 0)
+      .select(col("id").as("k"), (col("id") % 7).as("tag"))
+    val fact = spark.range(0, 20000)
+      .select(col("id").as("fk"), (col("id") * 3).as("v"))
+
+    // broadcast path (default gate): the guard must NOT plant a sketch —
+    // the bare hash-relation probe measured faster at the 1000× replica
+    val bcast = Broadcasts.gatedStats(side)
+    assert(bcast.broadcasted)
+    val bareFact = RuntimeFilters.shuffleGuard(fact, "fk", bcast, "k")
+    assert(bareFact eq fact, "guard planted a sketch on the broadcast path")
+
+    // shuffle path (gate = 0 refuses the broadcast): the sketch keeps
+    // droppable rows out of the fact shuffle
+    val shuffled = Broadcasts.gatedStats(side, maxBytes = 0L)
+    assert(!shuffled.broadcasted && shuffled.rows === 4000L)
+    val guarded = RuntimeFilters.shuffleGuard(fact, "fk", shuffled, "k")
+    assert(guarded.queryExecution.optimizedPlan.toString
+      .contains("might_contain"), "shuffle path lost its runtime filter")
+    assert(guarded.count() < fact.count(),
+      "sketch filtered nothing on the shuffle path")
+    val got = guarded.join(shuffled.df, col("fk") === col("k"))
+      .select("fk", "v", "tag").collect().map(_.toSeq).toSet
+    val want = fact.join(side, col("fk") === col("k"))
+      .select("fk", "v", "tag").collect().map(_.toSeq).toSet
+    assert(got === want, "guarded shuffle join diverged from bare")
     Broadcasts.reset()
     RuntimeFilters.reset()
   }

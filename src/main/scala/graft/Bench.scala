@@ -169,6 +169,7 @@ object Bench {
         graft.operators.Broadcasts.reset()
         graft.operators.ClusteredAgg.reset()
         graft.operators.RuntimeFilters.reset()
+        graft.operators.LookupJoin.reset()
         val (cold, shufMb, spillMb) = coldWithShuffle(name)
         val times = Seq.fill(3)(once(name))
         val min = if (times.exists(_ < 0)) -1.0 else times.min

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.PlanBridge
+import org.apache.spark.sql.types.LongType
+
+import graft.expressions.{LongLookupTable, LongMapLookup}
+
+/** Map-side LOOKUP JOIN for unique-long-key, single-long-payload
+  * dimension sides — the star-schema "attach one attribute from a dim"
+  * join, done as a broadcast VARIABLE plus a codegen'd probe expression
+  * instead of a BroadcastHashJoin.
+  *
+  * Why it exists (measured, 1000× replica, ProfileQ5Parts2): a
+  * broadcast hash join REBUILDS its relation on the driver for every
+  * execution — collect the side, build the UnsafeRow hash relation
+  * single-threaded, re-broadcast — which for q5's 4.5 M-row reduced
+  * (orders ⋈ customer) side is 2.12 s of q5's 5.08 s warm time, paid
+  * per run while DuckDB rebuilds its table in parallel in a fraction of
+  * that. This operator builds a compact open-addressing long→long table
+  * ONCE per (session, side plan), broadcasts it once, and probes it
+  * with [[LongMapLookup]] inside whole-stage codegen — warm executions
+  * pay only the probes. That is also the standing-pipeline posture the
+  * bench's warm/cold split already reports: the COLD pass resets this
+  * cache (Bench does) and honestly re-pays the build.
+  *
+  * Semantics: exactly the inner equi-join `fact ⋈ side ON factKey =
+  * sideKey` projecting `side.payload` — REQUIRING the side's keys
+  * unique (a dimension; duplicates throw loudly rather than silently
+  * picking one). NULL side keys cannot match and are skipped; NULL fact
+  * keys produce NULL lookups and are dropped by the inner filter; NULL
+  * payloads are rejected at build (a NULL-payload dimension row is
+  * indistinguishable from a miss in the lookup encoding).
+  *
+  * Scale posture: the table is ~2.3× key bytes (load factor 0.7) — a
+  * 4.5 M-key side is ~100 MB pinned once per executor, the same budget
+  * class [[Broadcasts]] gates on; callers gate with
+  * [[Broadcasts.gatedStats]] and fall back to the shuffle join (plus
+  * [[RuntimeFilters.shuffleGuard]]) past the pin budget, so nothing
+  * unboundedly-growing is ever collected to the driver.
+  */
+object LookupJoin {
+
+  /** Hard cap on collected side keys (~1.5 GB table) — above it the
+    * caller's gate should have refused long before.
+    */
+  val MaxKeys: Long = 64L << 20
+
+  private val MaxEntries = 8
+  private val built =
+    new java.util.LinkedHashMap[(SparkSession, LogicalPlan, String),
+        Broadcast[LongLookupTable]](16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, LogicalPlan, String),
+            Broadcast[LongLookupTable]]): Boolean =
+        if (size > MaxEntries) { e.getValue.destroy(); true } else false
+    }
+
+  /** Drop every cached table and free its executor copies (cold-bench
+    * hook, mirrors [[Broadcasts.reset]]).
+    */
+  def reset(): Unit = built.synchronized {
+    built.values.forEach(_.destroy())
+    built.clear()
+  }
+
+  /** Number of live cached tables (spec hook). */
+  def cachedCount: Int = built.synchronized(built.size)
+
+  /** `fact` inner-lookup-joined against `side`: the result is `fact`
+    * plus `as` = the side payload for the matching unique `sideKey`,
+    * rows without a match dropped — exactly
+    * `fact.join(side, factKey === sideKey)` with the payload projected.
+    * Key and payload must be integral (cast to long internally; the
+    * payload comes back as long — re-cast downstream if needed).
+    */
+  def inner(fact: DataFrame, factKey: Column, side: DataFrame,
+      sideKey: String, payload: String, as: String): DataFrame = {
+    val bc = tableFor(side, sideKey, payload)
+    fact
+      .withColumn(as, PlanBridge.column(LongMapLookup(
+        PlanBridge.expression(factKey.cast(LongType)), bc)))
+      .filter(col(as).isNotNull)
+  }
+
+  private def tableFor(side: DataFrame, sideKey: String,
+      payload: String): Broadcast[LongLookupTable] = {
+    val key = (side.sparkSession, PlanBridge.analyzed(side).canonicalized,
+      s"$sideKey->$payload")
+    val hit = built.synchronized(built.get(key))
+    if (hit != null) return hit
+    // build outside the lock — one collect over the (typically already
+    // materialized) side, once per session
+    val fresh = build(side, sideKey, payload)
+    built.synchronized {
+      val race = built.get(key)
+      if (race != null) { fresh.destroy(); race }
+      else { built.put(key, fresh); fresh }
+    }
+  }
+
+  private def build(side: DataFrame, sideKey: String,
+      payload: String): Broadcast[LongLookupTable] = {
+    val rows = side
+      .select(col(sideKey).cast(LongType), col(payload).cast(LongType))
+      .collect()
+    require(rows.length <= MaxKeys,
+      s"lookup side has ${rows.length} keys — past the $MaxKeys budget, " +
+        "gate the side and take the shuffle join instead")
+    val pairs = rows.iterator.filter(!_.isNullAt(0)).map { r =>
+      if (r.isNullAt(1)) throw new graft.GraftInvalidOperation(
+        s"lookup join payload '$payload' is NULL for key ${r.getLong(0)} — " +
+          "a NULL payload is indistinguishable from a miss; join instead")
+      (r.getLong(0), r.getLong(1))
+    }
+    val table = LongLookupTable.build(pairs, rows.length)
+    side.sparkSession.sparkContext.broadcast(table)
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.operators.{Broadcasts, Frame, RuntimeFilters}
+import graft.operators.{Broadcasts, Frame, LookupJoin, RuntimeFilters}
 import graft.sources.Tables
 
 /** Headline analytical queries (TPC-H-shaped) used for BENCH. Plans are
@@ -127,23 +127,29 @@ object Headline {
         val ocG = Broadcasts.gatedStats(
           o.join(broadcast(c), c("c_custkey") === o("o_custkey"))
             .select("o_orderkey", "c_nationkey"))
-        val oc = ocG.df
         val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
-        // Past the gate (side outgrew the executor pin budget → shuffle
-        // join) a Bloom of the surviving orderkeys keeps ~6/7 of
-        // lineitem OUT of the fact shuffle. On the broadcast path the
-        // fact passes through BARE — planting the sketch there was
-        // measured at the 1000× replica and LOST at every fpp (5.08 s
-        // bare vs 6.31–8.34 s; the codegen'd hash-relation probe is one
-        // lookup, the sketch probe is k scattered reads — details in
-        // RuntimeFilters' scaladoc).
-        val l = RuntimeFilters.shuffleGuard(
-          t(s, dir, "lineitem")
-            .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"),
-          "l_orderkey", ocG, "o_orderkey")
-        l.join(oc, oc("o_orderkey") === l("l_orderkey"))
-          .join(broadcast(su),
-            su("s_suppkey") === l("l_suppkey") && su("s_nationkey") === col("c_nationkey"))
+        val l0 = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        // Inside the pin budget the oc side is a unique-orderkey, one-
+        // attribute dimension — exactly LookupJoin's shape: the compact
+        // long→long table is built+broadcast ONCE per session and the
+        // fact probes it in codegen, where a BroadcastHashJoin would
+        // rebuild its relation on the driver EVERY execution (measured
+        // at the 1000× replica: 2.12 s of q5's 5.08 s warm was that
+        // rebuild — ProfileQ5Parts2 / BLOOMGUARD_MEASURE adjudicated
+        // the Bloom alternative as strictly worse). Past the gate the
+        // join shuffles, with a Bloom of the surviving orderkeys
+        // keeping ~6/7 of lineitem out of the fact shuffle.
+        val lj = if (ocG.broadcasted)
+          LookupJoin.inner(l0, col("l_orderkey"), ocG.df,
+            "o_orderkey", "c_nationkey", "c_nationkey")
+        else {
+          val lg = RuntimeFilters.shuffleGuard(l0, "l_orderkey", ocG,
+            "o_orderkey")
+          lg.join(ocG.df, ocG.df("o_orderkey") === lg("l_orderkey"))
+        }
+        lj.join(broadcast(su),
+            su("s_suppkey") === lj("l_suppkey") && su("s_nationkey") === col("c_nationkey"))
           .join(broadcast(n), n("n_nationkey") === su("s_nationkey"))
           .join(broadcast(r), r("r_regionkey") === n("n_regionkey"))
           .groupBy(col("n_name"))

@@ -69,4 +69,16 @@ object PlanBridge {
 
   def semanticHash(df: DataFrame): Int =
     analyzed(df).canonicalized.hashCode()
+
+  /** Wrap a hand-built Expression as a Column (used by operators that
+    * construct expressions holding runtime state — e.g. a Broadcast
+    * handle — which the FunctionRegistry builder path cannot carry).
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  def expression(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }

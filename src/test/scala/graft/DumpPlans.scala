@@ -17,7 +17,7 @@ object DumpPlans {
       "q3_shipping_priority" ->
         "Filters pushed to all three scans; customer dim broadcast; TakeOrderedAndProject top-10 (no global sort). Past the broadcast gate a runtime Bloom of the (orders x customer) orderkeys would guard the fact SHUFFLE (RuntimeFilters.shuffleGuard); on this broadcast path it stays bare — planting it was measured at the 1000x replica and lost at every fpp (sketch probe k scattered reads vs one codegen'd relation lookup).",
       "q5_local_supplier" ->
-        "Fact table never shuffles: the reduced (orders x customer) side is measured and broadcast into the lineitem scan (Broadcasts.gated, heap-proportional gate, shuffle-join fallback); supplier/nation/region broadcast; the only exchange is the 5-row final aggregate's. Past the gate, RuntimeFilters.shuffleGuard arms a Bloom of the surviving orderkeys that keeps ~6/7 of lineitem OUT of the fact shuffle; on the broadcast path the guard is a measured no (1000x shootout: bare 5.08s vs 6.31-8.34s with the sketch - one codegen'd relation lookup beats k scattered sketch reads).",
+        "Fact table never shuffles, and the reduced (orders x customer) side attaches via LookupJoin: a unique-orderkey long->long table built+broadcast ONCE per session, probed by the codegen'd graft_lookup expression in the Filter below - where a BroadcastHashJoin would rebuild its relation on the driver EVERY execution (measured at the 1000x replica: 2.12s of 5.08s warm was that rebuild; lookup cuts q5 to 3.11s, 1.38x DuckDB). supplier/nation/region broadcast; the only exchange is the 5-row final aggregate's. Past the pin budget the plan degrades to the shuffle join with RuntimeFilters.shuffleGuard keeping ~6/7 of lineitem out of the fact shuffle (the Bloom on the BROADCAST path was measured and rejected - BLOOMGUARD_MEASURE.json).",
       "dd2_minhash_lsh" ->
         "Signature stage is shuffle-free mapPartitions; one bucket-group exchange; verify joins only candidate ids (left-semi pushdown).",
       "ss1_cosine_topk" ->

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.expressions.LongLookupTable
+import graft.operators.LookupJoin
+
+/** The map-side lookup join must be EXACTLY the inner equi-join it
+  * replaces (unique-key dimension, one payload attribute), build its
+  * table once per session, and refuse the shapes where lookup and join
+  * semantics could diverge (duplicate keys, NULL payloads).
+  */
+class LookupJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lookup inner == join inner, incl. misses and NULL fact keys") {
+    LookupJoin.reset()
+    val side = Seq((10L, 1L), (20L, 2L), (30L, 3L),
+      (Long.MinValue, 9L)).toDF("k", "p") // sentinel-valued real key
+    val fact = Seq(Some(10L), Some(20L), Some(99L), None,
+      Some(Long.MinValue)).toDF("fk")
+    val got = LookupJoin.inner(fact, col("fk"), side, "k", "p", "p")
+      .collect().map(_.toSeq).toSet
+    val want = fact.join(side, col("fk") === col("k"))
+      .select("fk", "p").collect().map(_.toSeq).toSet
+    assert(got === want)
+    assert(got === Set(Seq(10L, 1L), Seq(20L, 2L), Seq(Long.MinValue, 9L)))
+    LookupJoin.reset()
+  }
+
+  test("one table per (session, side plan); reset frees it") {
+    LookupJoin.reset()
+    val side = spark.range(0, 1000).select(col("id").as("k"),
+      (col("id") % 7).as("p"))
+    val fact = spark.range(0, 5000).select(col("id").as("fk"))
+    LookupJoin.inner(fact, col("fk"), side, "k", "p", "p").count()
+    assert(LookupJoin.cachedCount === 1)
+    LookupJoin.inner(fact, col("fk"), side, "k", "p", "p").count()
+    assert(LookupJoin.cachedCount === 1, "same side plan rebuilt the table")
+    LookupJoin.reset()
+    assert(LookupJoin.cachedCount === 0)
+  }
+
+  test("duplicate side keys and NULL payloads are refused loudly") {
+    LookupJoin.reset()
+    val dup = Seq((1L, 1L), (1L, 2L)).toDF("k", "p")
+    val fact = Seq(1L).toDF("fk")
+    assertThrows[GraftInvalidOperation] {
+      LookupJoin.inner(fact, col("fk"), dup, "k", "p", "p").count()
+    }
+    val nullPay = Seq((1L, Some(1L)), (2L, Option.empty[Long]))
+      .toDF("k", "p")
+    assertThrows[GraftInvalidOperation] {
+      LookupJoin.inner(fact, col("fk"), nullPay, "k", "p", "p").count()
+    }
+    // NULL side KEYS are merely skipped — an inner join drops them too
+    LookupJoin.reset()
+    val nullKey = Seq((Some(1L), 5L), (Option.empty[Long], 6L))
+      .toDF("k", "p")
+    assert(LookupJoin.inner(fact, col("fk"), nullKey, "k", "p", "p")
+      .collect().map(_.toSeq).toSet === Set(Seq(1L, 5L)))
+    LookupJoin.reset()
+  }
+
+  test("table handles collisions, the empty-slot sentinel, and stays " +
+      "exact across a dense key range") {
+    val n = 100000
+    val t = LongLookupTable.build(
+      (0 until n).iterator.map(i => (i.toLong * 1000003L, i.toLong)), n)
+    assert(t.size === n)
+    (0 until n by 997).foreach { i =>
+      val slot = t.find(i.toLong * 1000003L)
+      assert(slot >= 0 && t.valueAt(slot) === i.toLong)
+    }
+    assert(t.find(12345L) === -1) // not a multiple of 1000003
+    val withSentinel = LongLookupTable.build(
+      Iterator((Long.MinValue, 7L), (1L, 8L)), 2)
+    assert(withSentinel.valueAt(withSentinel.find(Long.MinValue)) === 7L)
+    assert(withSentinel.find(2L) === -1)
+  }
+
+  test("q5's broadcast path carries the codegen'd lookup, not a " +
+      "per-run-rebuilt hash relation") {
+    graft.operators.Broadcasts.reset()
+    LookupJoin.reset()
+    val plan = SparkEntry.queries("q5_local_supplier")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_lookup"),
+      "q5 lost its lookup-join fast path")
+    graft.operators.Broadcasts.reset()
+    LookupJoin.reset()
+  }
+}

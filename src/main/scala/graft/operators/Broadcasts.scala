@@ -140,8 +140,13 @@ object Broadcasts {
     * the materializing count (already paid), and whether the gate chose
     * broadcast — what a downstream runtime filter
     * ([[RuntimeFilters.keyFilter]]) needs to decide AND size itself.
+    * `bare` is the same materialized side WITHOUT the broadcast hint —
+    * the frame for consumers that execute the side standalone (a
+    * [[LookupJoin]] collect, a sketch build): a hint with no join above
+    * it is dead weight Catalyst warns about on every run.
     */
-  final case class Gated(df: DataFrame, rows: Long, broadcasted: Boolean)
+  final case class Gated(df: DataFrame, rows: Long, broadcasted: Boolean,
+      bare: DataFrame)
 
   def gated(df: DataFrame, maxBytes: Long = UseSessionDefault,
       sampleRows: Int = 1024): DataFrame =
@@ -153,7 +158,8 @@ object Broadcasts {
     val gate = if (maxBytes == UseSessionDefault)
       defaultMaxBytes(df.sparkSession) else maxBytes
     val key = (df.sparkSession, PlanBridge.analyzed(df).canonicalized, gate)
-    def stats(e: Entry) = Gated(e.result, e.rows, e.broadcasted)
+    def stats(e: Entry) = Gated(e.result, e.rows, e.broadcasted,
+      e.materialized)
     val hit = decided.synchronized(decided.get(key))
     if (hit != null) return stats(hit)
     // decide() runs Spark jobs — outside the lock. A concurrent racer may

@@ -51,10 +51,16 @@ object Headline {
 
     // TPC-H Q3-shaped: shipping priority — 3-way join, filters pushed to
     // each scan, top-10 via TakeOrderedAndProject (no full sort). The
-    // (orders × customer) side goes through Broadcasts.gated: its
-    // measured size decides broadcast-into-the-lineitem-scan (no lineitem
-    // shuffle at all — 2.1× at the 60M-row replica) vs the scale-correct
-    // shuffle join when the side outgrows the threshold.
+    // reduced (orders × customer) side is a unique-o_orderkey dimension
+    // with ONE live attribute, so inside the pin budget it attaches via
+    // LookupJoin's codegen'd probe instead of a BroadcastHashJoin —
+    // same reasoning as q5 below: the hash join REBUILDS its relation
+    // on the driver every execution, and at the 600M-row replica that
+    // rebuild was most of q3's gap to DuckDB (measured 7.42 → 3.99 s
+    // warm). The TIMESTAMP_NTZ order date rides the long-payload table
+    // as unix micros — an exact round trip under the pinned UTC
+    // session — and is reconstructed at the group keys. Past the gate
+    // the join shuffles, Bloom-guarded.
     Q("q3_shipping_priority",
       (s, dir) => {
         val c = t(s, dir, "customer")
@@ -65,18 +71,25 @@ object Headline {
           .select("o_orderkey", "o_custkey", "o_orderdate")
         val ocG = Broadcasts.gatedStats(
           o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
-            .select("o_orderkey", "o_orderdate"))
-        val oc = ocG.df
-        // past the gate the join shuffles — a Bloom of the oc keys then
-        // keeps the droppable lineitem rows OUT of the fact shuffle; on
-        // the broadcast path the guard is a measured no (RuntimeFilters)
-        val l = RuntimeFilters.shuffleGuard(
-          t(s, dir, "lineitem")
-            .filter(col("l_shipdate") > lit("1996-03-15"))
-            .select("l_orderkey", "l_extendedprice", "l_discount"),
-          "l_orderkey", ocG, "o_orderkey")
-        l.join(oc, l("l_orderkey") === oc("o_orderkey"))
-          .groupBy(col("o_orderkey"), col("o_orderdate"))
+            .select(col("o_orderkey"),
+              unix_micros(col("o_orderdate").cast("timestamp")).as("_od")))
+        val l0 = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") > lit("1996-03-15"))
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        val lj = if (ocG.broadcasted)
+          LookupJoin.inner(l0, col("l_orderkey"), ocG.bare,
+              "o_orderkey", "_od", "_od")
+            .withColumn("o_orderkey", col("l_orderkey"))
+        else {
+          // past the gate the join shuffles — a Bloom of the oc keys
+          // keeps the droppable lineitem rows OUT of the fact shuffle;
+          // on the broadcast path the guard is a measured no
+          val lg = RuntimeFilters.shuffleGuard(l0, "l_orderkey", ocG,
+            "o_orderkey")
+          lg.join(ocG.df, ocG.df("o_orderkey") === lg("l_orderkey"))
+        }
+        lj.groupBy(col("o_orderkey"),
+            timestamp_micros(col("_od")).cast("timestamp_ntz").as("o_orderdate"))
           .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"))
           .orderBy(desc_nulls_last("revenue_c"), asc_nulls_first("o_orderkey"))
           .limit(10)
@@ -141,7 +154,7 @@ object Headline {
         // join shuffles, with a Bloom of the surviving orderkeys
         // keeping ~6/7 of lineitem out of the fact shuffle.
         val lj = if (ocG.broadcasted)
-          LookupJoin.inner(l0, col("l_orderkey"), ocG.df,
+          LookupJoin.inner(l0, col("l_orderkey"), ocG.bare,
             "o_orderkey", "c_nationkey", "c_nationkey")
         else {
           val lg = RuntimeFilters.shuffleGuard(l0, "l_orderkey", ocG,

@@ -89,4 +89,34 @@ class LookupJoinSpec extends SparkSpec {
     graft.operators.Broadcasts.reset()
     LookupJoin.reset()
   }
+
+  test("q3's broadcast path carries the codegen'd lookup and " +
+      "round-trips the TIMESTAMP_NTZ payload exactly") {
+    graft.operators.Broadcasts.reset()
+    LookupJoin.reset()
+    val df = SparkEntry.queries("q3_shipping_priority")(spark, sf)
+    assert(df.queryExecution.optimizedPlan.toString.contains("graft_lookup"),
+      "q3 lost its lookup-join fast path")
+    // the micros-packed order date must reconstruct to the exact
+    // TIMESTAMP_NTZ the plain join would produce
+    assert(df.schema("o_orderdate").dataType ===
+      org.apache.spark.sql.types.TimestampNTZType)
+    val want = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_shipdate") > lit("1996-03-15"))
+      .join(spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderdate") < lit("1996-03-15")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(spark.read.parquet(s"$sf/customer.parquet")
+        .filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")).as("revenue_c"))
+      .orderBy(desc_nulls_last("revenue_c"), asc_nulls_first("o_orderkey"))
+      .limit(10)
+    assert(df.collect().map(_.toSeq).toSeq ===
+      want.collect().map(_.toSeq).toSeq)
+    graft.operators.Broadcasts.reset()
+    LookupJoin.reset()
+  }
 }

@@ -49,13 +49,24 @@ object LongLookupTable {
     (h & 0x7fffffffL).toInt
   }
 
+  /** Hardest cap any caller may size for: past ~748M keys the
+    * power-of-2 capacity would exceed 2^30 and the Int slot arithmetic
+    * stops being safe — [[graft.operators.LookupJoin.MaxKeys]] gates two
+    * orders of magnitude earlier, but build() is callable directly.
+    */
+  val MaxN: Int = (1 << 30) / 10 * 7
+
   /** Build from unique (key, payload) pairs; throws on a duplicate key —
     * the lookup join is defined for UNIQUE-key dimensions only, and a
     * silent first/last-wins would diverge from the join it replaces.
     */
   def build(pairs: Iterator[(Long, Long)], n: Int): LongLookupTable = {
+    require(n <= MaxN,
+      s"lookup table sized for $n keys — past the $MaxN capacity ceiling")
     var cap = 16
-    while (cap * 7 < n.max(1) * 10) cap <<= 1 // load factor ≤ 0.7
+    // sizing in Long: n*10 overflows an Int past ~214M keys, which
+    // would exit this loop at cap=16 and spin the insert loop forever
+    while (cap.toLong * 7 < n.max(1).toLong * 10) cap <<= 1 // lf ≤ 0.7
     val keys = Array.fill(cap)(Empty)
     val vals = new Array[Long](cap)
     val mask = cap - 1

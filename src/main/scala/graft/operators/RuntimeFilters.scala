@@ -84,17 +84,17 @@ object RuntimeFilters {
   /** Built blooms keyed by (session, canonicalized build plan, key col):
     * the gated side's plan is stable across warm re-runs, so the build
     * pass is paid once per session, like the gated-broadcast decision it
-    * rides on. None records a skipped (over-budget) side so the size
-    * check isn't re-run either. Bounded: a full cache holds ≤ 8 sketches
-    * of ≤ ~75 MB.
+    * rides on. Over-budget sides are not cached — the guard there is a
+    * single long compare against the row count the caller already
+    * measured. Bounded: a full cache holds ≤ 8 sketches of ≤ ~75 MB.
     */
   private val MaxEntries = 8
   private val built =
     new java.util.LinkedHashMap[(SparkSession, LogicalPlan, String),
-        Option[Array[Byte]]](16, 0.75f, /* accessOrder = */ true) {
+        Array[Byte]](16, 0.75f, /* accessOrder = */ true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(SparkSession, LogicalPlan, String),
-            Option[Array[Byte]]]): Boolean = size > MaxEntries
+            Array[Byte]]): Boolean = size > MaxEntries
     }
 
   /** Drop every cached sketch (cold-bench hook, mirrors
@@ -108,7 +108,7 @@ object RuntimeFilters {
   /** `fact` filtered to rows whose `factKey` might be in `side`'s
     * `sideKey` set — or `fact` unchanged when the side is over budget.
     * `sideRows` is the side's measured row count (the gated
-    * materialization already has it — [[Broadcasts.gatedWithRows]]).
+    * materialization already has it — [[Broadcasts.gatedStats]]).
     */
   def keyFilter(fact: DataFrame, factKey: String, side: DataFrame,
       sideKey: String, sideRows: Long, fpp: Double = Fpp): DataFrame = {
@@ -118,16 +118,13 @@ object RuntimeFilters {
     val hit = built.synchronized(built.get(key))
     val sketch = if (hit != null) hit else {
       // one pass over the (already materialized) side — outside the lock
-      val fresh = Some(serialize(side, sideKey, sideRows, fpp))
+      val fresh = serialize(side, sideKey, sideRows, fpp)
       built.synchronized {
         val race = built.get(key)
         if (race != null) race else { built.put(key, fresh); fresh }
       }
     }
-    sketch match {
-      case Some(bytes) => fact.filter(mightContain(bytes, col(factKey)))
-      case None => fact
-    }
+    fact.filter(mightContain(sketch, col(factKey)))
   }
 
   /** The codegen'd membership predicate over a serialized sketch. */

@@ -109,9 +109,20 @@ final class AnnIndexMaintenance(spark: SparkSession, path: String,
     fs.create(marker(batchId), /* overwrite = */ true).close()
   }
 
+  /** Hadoop's FileSystem.rename reports most failures by RETURNING
+    * false, not throwing — an unchecked move would silently drop
+    * committed rows. Throwing keeps the staging dir (and the marker)
+    * in place, so a replayed trigger re-finalizes the leftovers.
+    */
+  private def mustRename(src: Path, dst: Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename $src -> $dst returned false")
+
   /** Phase 3: publish whatever is still staged for a COMMITTED batch —
     * idempotent, because moved files are absent from staging and the
     * task-UUID file names cannot collide with a prior partial publish.
+    * The staging dir is deleted only after EVERY move succeeded; a
+    * failed move throws with staging intact, replay finalizes the rest.
     */
   private[graft] def finalizeStaged(batchId: Long): Unit = {
     val stg = staging(batchId)
@@ -122,7 +133,7 @@ final class AnnIndexMaintenance(spark: SparkSession, path: String,
         fs.mkdirs(dst)
         fs.listStatus(bucketDir.getPath)
           .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
-          .foreach(f => fs.rename(f.getPath, new Path(dst, f.getPath.getName)))
+          .foreach(f => mustRename(f.getPath, new Path(dst, f.getPath.getName)))
       }
     fs.delete(stg, /* recursive = */ true)
     // drop any cached file listing — a probe planned after the publish
@@ -180,7 +191,7 @@ final class AnnIndexMaintenance(spark: SparkSession, path: String,
     fs.listStatus(layout).filter(_.getPath.getName.startsWith("bucket="))
       .foreach(d => fs.delete(d.getPath, /* recursive = */ true))
     fs.listStatus(tmp).filter(_.getPath.getName.startsWith("bucket="))
-      .foreach(d => fs.rename(d.getPath, new Path(layout, d.getPath.getName)))
+      .foreach(d => mustRename(d.getPath, new Path(layout, d.getPath.getName)))
     fs.delete(tmp, /* recursive = */ true)
     // drop any cached file listing for the path — a probe planned after
     // the swap must list the compacted files, not the deleted ones

@@ -38,9 +38,28 @@ trait BatchLedger {
   /** Highest stream batchId folded into the state (−1 = none). */
   def lastAppliedBatch: Long = last
 
-  /** Already folded? (a replayed trigger under at-least-once delivery) */
-  private[streaming] def alreadyApplied(batchId: Long): Boolean =
-    batchId >= 0 && batchId <= last
+  /** Already folded? (a replayed trigger under at-least-once delivery)
+    *
+    * Only the single in-flight trigger can legitimately re-deliver, and
+    * it re-delivers with `batchId == last` — Spark commits stream
+    * offsets per batch, so a checkpointed restart replays AT MOST one
+    * id. An id MORE than one step behind means the handle was
+    * re-attached to a query with a FRESH checkpoint (ids restart at 0):
+    * silently skipping the first `last+1` triggers would be invisible
+    * data loss, so that regression throws instead. Re-drive a fresh
+    * source with continued ids (the restart specs' posture) or through
+    * the `batchId = -1` ad-hoc overloads.
+    */
+  private[streaming] def alreadyApplied(batchId: Long): Boolean = {
+    if (batchId >= 0 && batchId < last)
+      throw new graft.GraftInvalidOperation(
+        s"batchId $batchId regressed behind the ledger ($last): this is " +
+          "a fresh-checkpoint restart, not a replay — skipping would " +
+          "silently drop the stream prefix up to the ledger. Point the " +
+          "restarted query at the original checkpointLocation, or feed " +
+          "the suffix with continued ids / batchId = -1.")
+    batchId >= 0 && batchId == last
+  }
 
   /** Record a successfully folded trigger. */
   private[streaming] def recordApplied(batchId: Long): Unit =

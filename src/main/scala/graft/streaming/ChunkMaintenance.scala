@@ -94,8 +94,10 @@ final class ChunkMaintenance(spark: SparkSession) extends BatchLedger {
     * the uninterrupted run — the spec-gated restart invariant.
     */
   def save(path: String): Unit = synchronized {
-    state.write.mode("overwrite").parquet(s"$path/index")
-    BatchLedger.save(spark, path, lastAppliedBatch)
+    Snapshots.publish(spark, path) { dir =>
+      state.write.mode("overwrite").parquet(s"$dir/index")
+      BatchLedger.save(spark, dir, lastAppliedBatch)
+    }
   }
 
   /** Wire a streaming document frame into this handle; `.start()` to
@@ -116,12 +118,13 @@ object ChunkMaintenance {
     * points in RestartRecoverySpec).
     */
   def resume(spark: SparkSession, path: String): ChunkMaintenance = {
+    val dir = Snapshots.resolve(spark, path)
     val h = new ChunkMaintenance(spark)
     // eager localCheckpoint cuts lineage to the snapshot files, so a
     // later save() to the SAME path is not an overwrite-what-you-read
-    h.state = spark.read.parquet(s"$path/index")
+    h.state = spark.read.parquet(s"$dir/index")
       .localCheckpoint(eager = true)
-    h.restoreLedger(BatchLedger.load(spark, path))
+    h.restoreLedger(BatchLedger.load(spark, dir))
     h
   }
 }

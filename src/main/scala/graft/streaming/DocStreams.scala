@@ -309,8 +309,10 @@ final class ClusterMaintenance(spark: SparkSession) extends BatchLedger {
     * batching-invariant). Call between triggers.
     */
   def save(path: String): Unit = synchronized {
-    current.write.mode("overwrite").parquet(s"$path/labels")
-    BatchLedger.save(spark, path, lastAppliedBatch)
+    Snapshots.publish(spark, path) { dir =>
+      current.write.mode("overwrite").parquet(s"$dir/labels")
+      BatchLedger.save(spark, dir, lastAppliedBatch)
+    }
   }
 
   /** Wire a pair stream into this handle; `.start()` to run. The
@@ -330,12 +332,13 @@ object ClusterMaintenance {
     * before the kill is never replayed.
     */
   def resume(spark: SparkSession, path: String): ClusterMaintenance = {
+    val dir = Snapshots.resolve(spark, path)
     val h = new ClusterMaintenance(spark)
     // eager localCheckpoint cuts lineage to the snapshot files, so a
     // later save() to the SAME path is not an overwrite-what-you-read
-    h.current = spark.read.parquet(s"$path/labels")
+    h.current = spark.read.parquet(s"$dir/labels")
       .localCheckpoint(eager = true)
-    h.restoreLedger(BatchLedger.load(spark, path))
+    h.restoreLedger(BatchLedger.load(spark, dir))
     h
   }
 }

@@ -67,8 +67,10 @@ final class EmbedMaintenance(spark: SparkSession) extends BatchLedger {
     * Call between triggers.
     */
   def save(path: String): Unit = synchronized {
-    state.write.mode("overwrite").parquet(s"$path/componentState")
-    BatchLedger.save(spark, path, lastAppliedBatch)
+    Snapshots.publish(spark, path) { dir =>
+      state.write.mode("overwrite").parquet(s"$dir/componentState")
+      BatchLedger.save(spark, dir, lastAppliedBatch)
+    }
   }
 
   /** Wire a streaming embedding frame into this handle; `.start()` to
@@ -87,12 +89,13 @@ object EmbedMaintenance {
     * the model state loads from parquet; no streamed vector is re-read.
     */
   def resume(spark: SparkSession, path: String): EmbedMaintenance = {
+    val dir = Snapshots.resolve(spark, path)
     val h = new EmbedMaintenance(spark)
     // eager localCheckpoint cuts lineage to the snapshot files, so a
     // later save() to the SAME path is not an overwrite-what-you-read
-    h.state = spark.read.parquet(s"$path/componentState")
+    h.state = spark.read.parquet(s"$dir/componentState")
       .localCheckpoint(eager = true)
-    h.restoreLedger(BatchLedger.load(spark, path))
+    h.restoreLedger(BatchLedger.load(spark, dir))
     h
   }
 }

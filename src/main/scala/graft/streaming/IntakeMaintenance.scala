@@ -90,9 +90,11 @@ final class IntakeMaintenance private (spark: SparkSession,
     * Call between triggers (foreachBatch serializes against merge).
     */
   def save(path: String): Unit = synchronized {
-    Decontam.saveIntake(Decontam.IntakeState(standing.index, stats), path)
-    census.foreach(_.write.mode("overwrite").parquet(s"$path/census"))
-    BatchLedger.save(spark, path, lastAppliedBatch)
+    Snapshots.publish(spark, path) { dir =>
+      Decontam.saveIntake(Decontam.IntakeState(standing.index, stats), dir)
+      census.foreach(_.write.mode("overwrite").parquet(s"$dir/census"))
+      BatchLedger.save(spark, dir, lastAppliedBatch)
+    }
   }
 
   /** Wire a streaming crawl frame (idCol, tokensCol + stat columns)
@@ -116,22 +118,23 @@ object IntakeMaintenance {
   def resume(spark: SparkSession, path: String, idCol: String,
       tokensCol: String, statKeys: Seq[String],
       statAggs: Seq[AggSpec]): IntakeMaintenance = {
+    val dir = Snapshots.resolve(spark, path)
     // eager localCheckpoints (index.materialized checkpoints vocab +
     // postings) cut lineage to the snapshot files, so a later save() to
     // the SAME path is not an overwrite-what-you-read
-    val st0 = Decontam.loadIntake(spark, path)
+    val st0 = Decontam.loadIntake(spark, dir)
     val st = Decontam.IntakeState(st0.index.materialized,
       st0.stats.localCheckpoint(eager = true))
-    val censusPath = new org.apache.hadoop.fs.Path(s"$path/census")
+    val censusPath = new org.apache.hadoop.fs.Path(s"$dir/census")
     val fs = censusPath
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val census =
       if (fs.exists(censusPath))
-        Some(spark.read.parquet(s"$path/census").localCheckpoint(eager = true))
+        Some(spark.read.parquet(s"$dir/census").localCheckpoint(eager = true))
       else None
     val h = new IntakeMaintenance(spark, st, census, idCol, tokensCol,
       statKeys, statAggs)
-    h.restoreLedger(BatchLedger.load(spark, path))
+    h.restoreLedger(BatchLedger.load(spark, dir))
     h
   }
 }

@@ -61,8 +61,10 @@ final class MixMaintenance(spark: SparkSession) extends BatchLedger {
     * Call between triggers.
     */
   def save(path: String): Unit = synchronized {
-    state.write.mode("overwrite").parquet(s"$path/tokenCounts")
-    BatchLedger.save(spark, path, lastAppliedBatch)
+    Snapshots.publish(spark, path) { dir =>
+      state.write.mode("overwrite").parquet(s"$dir/tokenCounts")
+      BatchLedger.save(spark, dir, lastAppliedBatch)
+    }
   }
 
   /** Wire a streaming document frame into this handle; `.start()` to
@@ -81,12 +83,13 @@ object MixMaintenance {
     * totals load from parquet; no streamed document is re-read.
     */
   def resume(spark: SparkSession, path: String): MixMaintenance = {
+    val dir = Snapshots.resolve(spark, path)
     val h = new MixMaintenance(spark)
     // eager localCheckpoint cuts lineage to the snapshot files, so a
     // later save() to the SAME path is not an overwrite-what-you-read
-    h.state = spark.read.parquet(s"$path/tokenCounts")
+    h.state = spark.read.parquet(s"$dir/tokenCounts")
       .localCheckpoint(eager = true)
-    h.restoreLedger(BatchLedger.load(spark, path))
+    h.restoreLedger(BatchLedger.load(spark, dir))
     h
   }
 }

@@ -90,11 +90,13 @@ final class RetractableViewMaintenance(spark: SparkSession,
     */
   def save(path: String): Unit = synchronized {
     require(state != null, "fold at least one trigger before saving")
-    state.keyAgg.write.mode("overwrite").parquet(s"$path/keyAgg")
-    state.dim.write.mode("overwrite").parquet(s"$path/dim")
-    state.view.write.mode("overwrite").parquet(s"$path/view")
-    noDeltas.write.mode("overwrite").parquet(s"$path/deltaSchema")
-    BatchLedger.save(spark, path, lastAppliedBatch)
+    Snapshots.publish(spark, path) { dir =>
+      state.keyAgg.write.mode("overwrite").parquet(s"$dir/keyAgg")
+      state.dim.write.mode("overwrite").parquet(s"$dir/dim")
+      state.view.write.mode("overwrite").parquet(s"$dir/view")
+      noDeltas.write.mode("overwrite").parquet(s"$dir/deltaSchema")
+      BatchLedger.save(spark, dir, lastAppliedBatch)
+    }
   }
 
   /** Wire a streaming signed changelog into this handle. The trigger's
@@ -118,18 +120,19 @@ object RetractableViewMaintenance {
   def resume(spark: SparkSession, path: String, joinKeys: Seq[String],
       groupCols: Seq[String], aggs: Seq[AggSpec],
       signCol: String = "_sign"): RetractableViewMaintenance = {
+    val dir = Snapshots.resolve(spark, path)
     // eager localCheckpoints cut lineage to the snapshot files, so a
     // later save() to the SAME path is not an overwrite-what-you-read
-    val dim = spark.read.parquet(s"$path/dim").localCheckpoint(eager = true)
+    val dim = spark.read.parquet(s"$dir/dim").localCheckpoint(eager = true)
     val h = new RetractableViewMaintenance(spark, dim, joinKeys,
       groupCols, aggs, signCol)
     h.state = JoinView(
-      spark.read.parquet(s"$path/keyAgg").localCheckpoint(eager = true),
+      spark.read.parquet(s"$dir/keyAgg").localCheckpoint(eager = true),
       dim,
-      spark.read.parquet(s"$path/view").localCheckpoint(eager = true))
-    h.noDeltas = spark.read.parquet(s"$path/deltaSchema")
+      spark.read.parquet(s"$dir/view").localCheckpoint(eager = true))
+    h.noDeltas = spark.read.parquet(s"$dir/deltaSchema")
       .localCheckpoint(eager = true)
-    h.restoreLedger(BatchLedger.load(spark, path))
+    h.restoreLedger(BatchLedger.load(spark, dir))
     h
   }
 }

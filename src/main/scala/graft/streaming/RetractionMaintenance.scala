@@ -62,8 +62,10 @@ final class RetractionMaintenance(spark: SparkSession, keys: Seq[String],
     */
   def save(path: String): Unit = synchronized {
     require(state != null, "fold at least one trigger before saving")
-    state.write.mode("overwrite").parquet(s"$path/countingState")
-    BatchLedger.save(spark, path, lastAppliedBatch)
+    Snapshots.publish(spark, path) { dir =>
+      state.write.mode("overwrite").parquet(s"$dir/countingState")
+      BatchLedger.save(spark, dir, lastAppliedBatch)
+    }
   }
 
   /** Wire a streaming signed-changelog frame into this handle. The
@@ -85,12 +87,13 @@ object RetractionMaintenance {
   def resume(spark: SparkSession, path: String, keys: Seq[String],
       aggs: Seq[AggSpec], signCol: String = "_sign")
       : RetractionMaintenance = {
+    val dir = Snapshots.resolve(spark, path)
     val h = new RetractionMaintenance(spark, keys, aggs, signCol)
     // eager localCheckpoint cuts lineage to the snapshot files, so a
     // later save() to the SAME path is not an overwrite-what-you-read
-    h.state = spark.read.parquet(s"$path/countingState")
+    h.state = spark.read.parquet(s"$dir/countingState")
       .localCheckpoint(eager = true)
-    h.restoreLedger(BatchLedger.load(spark, path))
+    h.restoreLedger(BatchLedger.load(spark, dir))
     h
   }
 }

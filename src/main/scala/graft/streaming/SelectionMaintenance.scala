@@ -71,8 +71,10 @@ final class SelectionMaintenance(spark: SparkSession) extends BatchLedger {
     * (spec-gated). Call between triggers.
     */
   def save(path: String): Unit = synchronized {
-    state.write.mode("overwrite").parquet(s"$path/bucketCounts")
-    BatchLedger.save(spark, path, lastAppliedBatch)
+    Snapshots.publish(spark, path) { dir =>
+      state.write.mode("overwrite").parquet(s"$dir/bucketCounts")
+      BatchLedger.save(spark, dir, lastAppliedBatch)
+    }
   }
 
   /** Wire a streaming document frame into this handle; `.start()` to
@@ -92,12 +94,13 @@ object SelectionMaintenance {
     * re-read.
     */
   def resume(spark: SparkSession, path: String): SelectionMaintenance = {
+    val dir = Snapshots.resolve(spark, path)
     val h = new SelectionMaintenance(spark)
     // eager localCheckpoint cuts lineage to the snapshot files, so a
     // later save() to the SAME path is not an overwrite-what-you-read
-    h.state = spark.read.parquet(s"$path/bucketCounts")
+    h.state = spark.read.parquet(s"$dir/bucketCounts")
       .localCheckpoint(eager = true)
-    h.restoreLedger(BatchLedger.load(spark, path))
+    h.restoreLedger(BatchLedger.load(spark, dir))
     h
   }
 }

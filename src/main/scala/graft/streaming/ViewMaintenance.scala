@@ -84,11 +84,13 @@ final class ViewMaintenance(spark: SparkSession, dim0: DataFrame,
     */
   def save(path: String): Unit = synchronized {
     require(state != null, "fold at least one trigger before saving")
-    state.keyAgg.write.mode("overwrite").parquet(s"$path/keyAgg")
-    state.dim.write.mode("overwrite").parquet(s"$path/dim")
-    state.view.write.mode("overwrite").parquet(s"$path/view")
-    noFacts.write.mode("overwrite").parquet(s"$path/factSchema")
-    BatchLedger.save(spark, path, lastAppliedBatch)
+    Snapshots.publish(spark, path) { dir =>
+      state.keyAgg.write.mode("overwrite").parquet(s"$dir/keyAgg")
+      state.dim.write.mode("overwrite").parquet(s"$dir/dim")
+      state.view.write.mode("overwrite").parquet(s"$dir/view")
+      noFacts.write.mode("overwrite").parquet(s"$dir/factSchema")
+      BatchLedger.save(spark, dir, lastAppliedBatch)
+    }
   }
 
   /** Wire a streaming fact frame into this handle; `.start()` to run.
@@ -110,20 +112,21 @@ object ViewMaintenance {
     */
   def resume(spark: SparkSession, path: String, joinKeys: Seq[String],
       groupCols: Seq[String], aggs: Seq[AggSpec]): ViewMaintenance = {
+    val dir = Snapshots.resolve(spark, path)
     // eager localCheckpoints cut lineage to the snapshot files, so a
     // later save() to the SAME path is not an overwrite-what-you-read
     // (merge re-checkpoints the triple but never noFacts — without this,
     // a resumed handle that saves before a dim delta truncates the
     // factSchema parquet its own plan reads)
-    val dim = spark.read.parquet(s"$path/dim").localCheckpoint(eager = true)
+    val dim = spark.read.parquet(s"$dir/dim").localCheckpoint(eager = true)
     val h = new ViewMaintenance(spark, dim, joinKeys, groupCols, aggs)
     h.state = JoinView(
-      spark.read.parquet(s"$path/keyAgg").localCheckpoint(eager = true),
+      spark.read.parquet(s"$dir/keyAgg").localCheckpoint(eager = true),
       dim,
-      spark.read.parquet(s"$path/view").localCheckpoint(eager = true))
-    h.noFacts = spark.read.parquet(s"$path/factSchema")
+      spark.read.parquet(s"$dir/view").localCheckpoint(eager = true))
+    h.noFacts = spark.read.parquet(s"$dir/factSchema")
       .localCheckpoint(eager = true)
-    h.restoreLedger(BatchLedger.load(spark, path))
+    h.restoreLedger(BatchLedger.load(spark, dir))
     h
   }
 }

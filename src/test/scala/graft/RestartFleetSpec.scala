@@ -337,4 +337,79 @@ class RestartFleetSpec extends SparkSpec {
       w
     }.view.get), "view save-after-resume round-trip diverged")
   }
+
+  test("a crash MID-SAVE (between state and ledger writes) leaves the " +
+      "prior consistent snapshot — resume never loads a torn mix") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val keys = Seq("k"); val groups = Seq("g")
+    val aggs = Seq(AggSpec("v", "sum", "v_sum"))
+    val dim0 = (0L to 9L).map(k => (k, s"g${k % 3}")).toDF("k", "g")
+    val b0 = (1L to 20L).map(i => (i % 10, i)).toDF("k", "v")
+    val b1 = (21L to 40L).map(i => (i % 10, i)).toDF("k", "v")
+    val h = new ViewMaintenance(spark, dim0, keys, groups, aggs)
+    h.merge(b0, 0L)
+    val dir = tmp("torn-view")
+    h.save(dir) // consistent snapshot covering batch 0
+    val wantV0 = rows(h.view.get)
+    h.merge(b1, 1L)
+    // crash between the state write and the ledger write: under the
+    // staged protocol that is an exception INSIDE the staging closure —
+    // new state parquet written, ledger (and marker) never land
+    intercept[RuntimeException] {
+      graft.streaming.Snapshots.publish(spark, dir) { staged =>
+        h.keyAgg.get.write.mode("overwrite").parquet(s"$staged/keyAgg")
+        h.view.get.write.mode("overwrite").parquet(s"$staged/view")
+        throw new RuntimeException("kill -9 mid-save")
+      }
+    }
+    val resumed = ViewMaintenance.resume(spark, dir, keys, groups, aggs)
+    assert(resumed.lastAppliedBatch === 0L,
+      "resume picked up a torn snapshot's coverage")
+    assert(rows(resumed.view.get) === wantV0,
+      "resume loaded torn state (new view with old ledger)")
+    // the stream re-drives from the ledger: replay 0 (no-op) then 1
+    resumed.merge(b0, 0L)
+    resumed.merge(b1, 1L)
+    assert(rows(resumed.view.get) === rows(h.view.get),
+      "post-crash re-drive diverged from the uninterrupted run")
+    // and a CLEAN save over the torn leftovers publishes + supersedes
+    resumed.save(dir)
+    val again = ViewMaintenance.resume(spark, dir, keys, groups, aggs)
+    assert(again.lastAppliedBatch === 1L)
+    assert(rows(again.view.get) === rows(h.view.get))
+  }
+
+  test("a ledger regression (fresh-checkpoint restart, ids back at 0) " +
+      "throws instead of silently dropping the prefix") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val h = new ChunkMaintenance(spark)
+    val batch = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    h.merge(batch, 0L)
+    h.merge(batch, 1L)
+    h.merge(batch, 1L) // in-flight replay: fine, no-op
+    assert(h.lastAppliedBatch === 1L)
+    intercept[GraftInvalidOperation] {
+      h.merge(batch, 0L) // two behind: cannot be a checkpoint replay
+    }
+    h.merge(batch, -1L) // ad-hoc bypass stays available
+  }
+
+  test("pre-versioning FLAT snapshots still resume (read-only compat)") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmp("flat-compat")
+    // hand-write the legacy flat layout a pre-r15 save() produced
+    Seq((1L, 0L), (2L, 0L)).toDF("pair_a", "pair_b")
+      .groupBy(col("pair_a").as("doc_id")).agg(min("pair_b").as("label"))
+      .write.mode("overwrite").parquet(s"$dir/labels")
+    spark.range(1).select(lit(3L).as("last_batch_id"))
+      .write.mode("overwrite").parquet(s"$dir/ledger")
+    val h = ClusterMaintenance.resume(spark, dir)
+    assert(h.lastAppliedBatch === 3L)
+    assert(rows(h.labels).nonEmpty)
+    // the next save publishes v0, which then wins over the flat pieces
+    h.save(dir)
+    val h2 = ClusterMaintenance.resume(spark, dir)
+    assert(h2.lastAppliedBatch === 3L)
+    assert(rows(h2.labels) === rows(h.labels))
+  }
 }

@@ -41,6 +41,24 @@ import graft.expressions.{LongLookupTable, LongMapLookup}
   * [[Broadcasts.gatedStats]] and fall back to the shuffle join (plus
   * [[RuntimeFilters.shuffleGuard]]) past the pin budget, so nothing
   * unboundedly-growing is ever collected to the driver.
+  *
+  * Cache-lifetime contract (spec-gated, LookupJoinSpec):
+  *
+  *   - IMMUTABLE SIDES. The cache keys on the side's canonicalized
+  *     PLAN, not its file contents — a dimension whose underlying files
+  *     are rewritten in-session serves the table built from the OLD
+  *     files until [[reset]] (the same posture [[Broadcasts]] documents
+  *     for its gated decisions). Rewriting a gated dim mid-session is a
+  *     CDC/RetractableView workload; batch-analytics dims are
+  *     snapshot-immutable, and pipelines that do regenerate files call
+  *     reset() after.
+  *   - EVICTION IS NON-DESTRUCTIVE. A full LRU unpersists the evicted
+  *     table's executor copies instead of destroying the broadcast: a
+  *     concurrently RUNNING query that still probes it re-fetches
+  *     lazily (slower, never wrong), and the final destroy happens via
+  *     Spark's ContextCleaner once no plan references the handle.
+  *     [[reset]] — the cold-bench / regenerated-files hook — DOES
+  *     destroy, and is documented for quiesced sessions only.
   */
 object LookupJoin {
 
@@ -56,11 +74,18 @@ object LookupJoin {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(SparkSession, LogicalPlan, String),
             Broadcast[LongLookupTable]]): Boolean =
-        if (size > MaxEntries) { e.getValue.destroy(); true } else false
+        if (size > MaxEntries) {
+          // unpersist, not destroy: a running query probing the evicted
+          // table re-fetches it; ContextCleaner destroys it after the
+          // last plan reference drops (cache-lifetime contract above)
+          e.getValue.unpersist(/* blocking = */ false); true
+        } else false
     }
 
-  /** Drop every cached table and free its executor copies (cold-bench
-    * hook, mirrors [[Broadcasts.reset]]).
+  /** Drop every cached table and DESTROY its broadcast (cold-bench
+    * hook, mirrors [[Broadcasts.reset]]; also the invalidation hook
+    * after regenerating a side's files). Call on a quiesced session —
+    * a query mid-flight on a destroyed table fails.
     */
   def reset(): Unit = built.synchronized {
     built.values.forEach(_.destroy())

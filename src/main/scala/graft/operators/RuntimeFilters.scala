@@ -86,7 +86,18 @@ object RuntimeFilters {
     * pass is paid once per session, like the gated-broadcast decision it
     * rides on. Over-budget sides are not cached — the guard there is a
     * single long compare against the row count the caller already
-    * measured. Bounded: a full cache holds ≤ 8 sketches of ≤ ~75 MB.
+    * measured. Bounded: a full cache holds ≤ 8 sketches of ≤ ~75 MB;
+    * eviction just drops bytes (the sketch is an embedded literal, no
+    * cluster-side state to free).
+    *
+    * IMMUTABLE-SIDE contract (spec-gated, RuntimeFiltersSpec): the key
+    * is the side's canonicalized plan, not its file contents. A side
+    * whose files are rewritten in-session keeps serving the OLD sketch
+    * until [[reset]] — and unlike a stale broadcast decision, a stale
+    * Bloom is a CORRECTNESS hazard here: keys ADDED to the side after
+    * the build would have their fact rows dropped before the shuffle.
+    * Same posture as [[Broadcasts]]/[[LookupJoin]]: sides are
+    * session-immutable snapshots; regenerate files → reset().
     */
   private val MaxEntries = 8
   private val built =

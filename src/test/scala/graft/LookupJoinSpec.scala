@@ -78,6 +78,50 @@ class LookupJoinSpec extends SparkSpec {
     assert(withSentinel.find(2L) === -1)
   }
 
+  test("LRU eviction unpersists, never destroys — a frame built before " +
+      "the eviction still answers exactly") {
+    LookupJoin.reset()
+    val fact = spark.range(0, 100).select(col("id").as("fk"))
+    def side(m: Int) = spark.range(0, 50).select(col("id").as("k"),
+      (col("id") * m).as("p"))
+    val early = LookupJoin.inner(fact, col("fk"), side(1), "k", "p", "p")
+    assert(early.filter(col("p") === col("fk")).count() === 50)
+    // nine more distinct side plans roll the first table out of the
+    // 8-entry LRU while `early`'s plan still references its broadcast
+    (2 to 10).foreach { m =>
+      LookupJoin.inner(fact, col("fk"), side(m), "k", "p", "p").count()
+    }
+    assert(LookupJoin.cachedCount === 8, "LRU exceeded its bound")
+    // evicted = unpersisted only: the probe re-fetches the table and the
+    // in-flight frame stays exact (destroy() here would fail its tasks)
+    assert(early.filter(col("p") === col("fk")).count() === 50)
+    LookupJoin.reset()
+  }
+
+  test("immutable-side contract: a side whose files are rewritten " +
+      "in-session serves the OLD table until reset()") {
+    LookupJoin.reset()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lookup-stale").toString
+    spark.range(0, 10).select(col("id").as("k"), lit(1L).as("p"))
+      .write.mode("overwrite").parquet(dir)
+    val fact = spark.range(0, 10).select(col("id").as("fk"))
+    def total(): Long = LookupJoin.inner(fact, col("fk"),
+        spark.read.parquet(dir), "k", "p", "p")
+      .agg(sum("p")).head().getLong(0)
+    assert(total() === 10L)
+    spark.range(0, 10).select(col("id").as("k"), lit(2L).as("p"))
+      .write.mode("overwrite").parquet(dir)
+    spark.catalog.refreshByPath(dir)
+    // the cache keys on the canonicalized plan (same root path ==
+    // same key), so the rewrite is INVISIBLE until the documented
+    // invalidation hook — the contract under test
+    assert(total() === 10L,
+      "rewritten side escaped the session cache without reset()")
+    LookupJoin.reset()
+    assert(total() === 20L, "reset() did not invalidate the stale table")
+  }
+
   test("q5's broadcast path carries the codegen'd lookup, not a " +
       "per-run-rebuilt hash relation") {
     graft.operators.Broadcasts.reset()

@@ -108,4 +108,28 @@ class RuntimeFiltersSpec extends SparkSpec {
     Broadcasts.reset()
     RuntimeFilters.reset()
   }
+
+  test("immutable-side contract: a side whose files are rewritten " +
+      "in-session serves the OLD sketch until reset()") {
+    RuntimeFilters.reset()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bloom-stale").toString
+    spark.range(0, 100).select(col("id").as("k"))
+      .write.mode("overwrite").parquet(dir)
+    val fact = spark.range(0, 200).select(col("id").as("fk"))
+    def kept(): Long = RuntimeFilters.keyFilter(fact, "fk",
+      spark.read.parquet(dir), "k", 100L).count()
+    val fresh = kept()
+    assert(fresh >= 100 && fresh < 200) // fp may pass a few extras
+    // the side GAINS keys 100..199 — the hazard case: a stale Bloom
+    // would drop their fact rows before the shuffle
+    spark.range(0, 200).select(col("id").as("k"))
+      .write.mode("overwrite").parquet(dir)
+    spark.catalog.refreshByPath(dir)
+    assert(kept() === fresh,
+      "rewritten side escaped the sketch cache without reset()")
+    RuntimeFilters.reset()
+    // rebuilt sketch: Bloom has no false negatives — all 200 pass
+    assert(kept() === 200L, "reset() did not invalidate the stale sketch")
+  }
 }

@@ -23,8 +23,12 @@ object ProfileQ5Bloom {
   private def cents(c: org.apache.spark.sql.Column) =
     round(c * 100).cast(LongType)
 
-  /** The q5 plan with the Bloom push toggled. */
-  def q5(s: SparkSession, dir: String, bloom: Option[Double]): DataFrame = {
+  /** The q5 plan with the Bloom push toggled; `gate` forces the
+    * broadcast decision (0 = refuse → the production shuffle-join
+    * fallback, measured bare vs guarded — the round-15 directive).
+    */
+  def q5(s: SparkSession, dir: String, bloom: Option[Double],
+      gate: Long = graft.operators.Broadcasts.UseSessionDefault): DataFrame = {
     val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
     val n = t(s, dir, "nation")
     val asiaKeys = t(s, dir, "nation")
@@ -40,7 +44,7 @@ object ProfileQ5Bloom {
       .select("o_orderkey", "o_custkey")
     val ocG = graft.operators.Broadcasts.gatedStats(
       o.join(broadcast(c), c("c_custkey") === o("o_custkey"))
-        .select("o_orderkey", "c_nationkey"))
+        .select("o_orderkey", "c_nationkey"), maxBytes = gate)
     val oc = ocG.df
     val ocRows = ocG.rows
     val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
@@ -58,8 +62,9 @@ object ProfileQ5Bloom {
       .orderBy(desc_nulls_last("revenue_c"), asc_nulls_first("n_name"))
   }
 
-  /** The q3 plan with the Bloom push toggled. */
-  def q3(s: SparkSession, dir: String, bloom: Option[Double]): DataFrame = {
+  /** The q3 plan with the Bloom push toggled (same gate knob). */
+  def q3(s: SparkSession, dir: String, bloom: Option[Double],
+      gate: Long = graft.operators.Broadcasts.UseSessionDefault): DataFrame = {
     val c = t(s, dir, "customer")
       .filter(col("c_mktsegment") === "BUILDING")
       .select("c_custkey")
@@ -68,7 +73,7 @@ object ProfileQ5Bloom {
       .select("o_orderkey", "o_custkey", "o_orderdate")
     val ocG = graft.operators.Broadcasts.gatedStats(
       o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .select("o_orderkey", "o_orderdate"))
+        .select("o_orderkey", "o_orderdate"), maxBytes = gate)
     val oc = ocG.df
     val ocRows = ocG.rows
     val l0 = t(s, dir, "lineitem")
@@ -92,7 +97,17 @@ object ProfileQ5Bloom {
       (fpps.map(f => s"q5_bloom@$f" -> (() => q5(spark, dir, Some(f)))) :+
         ("q5_bare" -> (() => q5(spark, dir, None)))) ++
       (fpps.map(f => s"q3_bloom@$f" -> (() => q3(spark, dir, Some(f)))) :+
-        ("q3_bare" -> (() => q3(spark, dir, None))))
+        ("q3_bare" -> (() => q3(spark, dir, None)))) ++
+      // the SHUFFLE path (gate forced shut = the past-pin-budget
+      // fallback): where the guard's arithmetic says it should pay —
+      // the sketch saves serialize+write+read per dropped fact row
+      Seq[(String, () => DataFrame)](
+        "q5_shuffle_bare" -> (() => q5(spark, dir, None, gate = 0L)),
+        "q5_shuffle_guard@0.05" ->
+          (() => q5(spark, dir, Some(0.05), gate = 0L)),
+        "q3_shuffle_bare" -> (() => q3(spark, dir, None, gate = 0L)),
+        "q3_shuffle_guard@0.05" ->
+          (() => q3(spark, dir, Some(0.05), gate = 0L)))
     // one warmup each (page cache + gated materialization + sketch)
     variants.foreach { case (name, fn) =>
       val n = fn().count(); println(s"[bloomprobe] $name warmup rows=$n")
@@ -110,7 +125,8 @@ object ProfileQ5Bloom {
     val json =
       s"""{"metric":"q5q3_bloom_shootout","replica":"$dir",""" +
       s""""verdict":"bare broadcast probe wins at every fpp - the sketch """ +
-      s"""guards only the shuffle path (RuntimeFilters.shuffleGuard)",""" +
+      s"""guards only the shuffle path (RuntimeFilters.shuffleGuard); """ +
+      s"""shuffle rows measure that path with the gate forced shut",""" +
       s""""variants":{${rows.mkString(",")}}}"""
     println(json)
     java.nio.file.Files.writeString(

@@ -52,11 +52,12 @@ SCALES = [
     # point where shuffle/spill actually engage — the 1x..100x points
     # all fit in page cache, so the "designed for 100 TB" slope claim
     # needs this arm. Round 14 extended it from the q1/q5/q18/ss1b
-    # subset to the FULL 7-query suite (q3 at 3.17x and q6/q19 had no
-    # at-scale adjudication). One session, one attempt: a 1000x warm
-    # run is tens of seconds, so the small-scale spread-retry and
-    # 2-session protocol would turn the arm into hours;
-    # single-measurement costs are recorded with their own spreads.
+    # subset to the FULL 7-query suite; round 15 runs it as THREE
+    # session chains (the r13 subset-arm protocol) so the per-query
+    # ratios are an envelope, not a point — r14's single chain left
+    # q3's 1.95x riding one measurement with every spread at 0.0.
+    # One attempt per query inside each session: intrinsic warm spread
+    # at this scale exceeds the idle-machine retry threshold.
     ("1000x", "/tmp/bsx1000", 1000, QS, "48g"),
 ]
 # the DESIGN-SCALE ratio gate stays at 100x (full 7-query suite); the
@@ -210,7 +211,7 @@ def main():
     scales = []
     for label, sf_dir, copies, qs, mem in SCALES:
         print(f"[benchscale] benching {label} ({sf_dir})", flush=True)
-        sp = spark_bench(sf_dir, qs, sessions=1 if mem else 2, mem=mem)
+        sp = spark_bench(sf_dir, qs, sessions=3 if mem else 2, mem=mem)
         du = duck_bench(sf_dir, oracle, qs)
         ratio = sp["value"] / du["value"] if du["value"] else None
         scales.append({

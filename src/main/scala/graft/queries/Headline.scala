@@ -76,23 +76,44 @@ object Headline {
         val l0 = t(s, dir, "lineitem")
           .filter(col("l_shipdate") > lit("1996-03-15"))
           .select("l_orderkey", "l_extendedprice", "l_discount")
-        val lj = if (ocG.broadcasted)
+        val revenue =
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        val reconstructed =
+          timestamp_micros(col("_od")).cast("timestamp_ntz")
+        if (ocG.broadcasted) {
+          // the order date is functionally dependent on the order key
+          // (the lookup side is unique-key), so the 600M-row aggregate
+          // groups on the BARE key — one probe per row in the filter,
+          // none in the group key, a key+sum-only exchange — and the
+          // date attaches AFTER the top-10, re-probing the same cached
+          // table on ten rows
           LookupJoin.inner(l0, col("l_orderkey"), ocG.bare,
-              "o_orderkey", "_od", "_od")
-            .withColumn("o_orderkey", col("l_orderkey"))
-        else {
+              "o_orderkey", "_od", "_od").drop("_od")
+            .groupBy(col("l_orderkey").as("o_orderkey"))
+            .agg(revenue.as("revenue_c"))
+            .orderBy(desc_nulls_last("revenue_c"),
+              asc_nulls_first("o_orderkey"))
+            .limit(10)
+            .transform(top => LookupJoin.inner(top, col("o_orderkey"),
+              ocG.bare, "o_orderkey", "_od", "_od"))
+            .select(col("o_orderkey"),
+              reconstructed.as("o_orderdate"), col("revenue_c"))
+            .orderBy(desc_nulls_last("revenue_c"),
+              asc_nulls_first("o_orderkey"))
+        } else {
           // past the gate the join shuffles — a Bloom of the oc keys
           // keeps the droppable lineitem rows OUT of the fact shuffle;
           // on the broadcast path the guard is a measured no
           val lg = RuntimeFilters.shuffleGuard(l0, "l_orderkey", ocG,
             "o_orderkey")
           lg.join(ocG.df, ocG.df("o_orderkey") === lg("l_orderkey"))
+            .groupBy(col("o_orderkey"),
+              reconstructed.as("o_orderdate"))
+            .agg(revenue.as("revenue_c"))
+            .orderBy(desc_nulls_last("revenue_c"),
+              asc_nulls_first("o_orderkey"))
+            .limit(10)
         }
-        lj.groupBy(col("o_orderkey"),
-            timestamp_micros(col("_od")).cast("timestamp_ntz").as("o_orderdate"))
-          .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"))
-          .orderBy(desc_nulls_last("revenue_c"), asc_nulls_first("o_orderkey"))
-          .limit(10)
       },
       Some("""SELECT o_orderkey, o_orderdate,
              | CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c

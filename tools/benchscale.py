@@ -361,15 +361,16 @@ def render_md(artifact, md_path=REPO / "BENCHSCALE.md"):
                   f"jobs and is reported only to bound the multi-tenant "
                   f"cost."]
     lines += ["",
-              "Session spread = |total(session 1) − total(session 2)| of the "
-              "per-session warm sums — the run-to-run noise floor for the "
-              "warm ratio (round 10 saw 0.73× vs 0.94× at 100× from this "
-              "variance alone; per-query spreads are in the JSON). Treat "
-              "round-over-round ratio deltas smaller than the spread as "
-              "noise.",
+              "Session spread = max−min of the per-session warm sums across "
+              "JVM sessions (2 at ≤100×, 3 at 1000×) — the run-to-run noise "
+              "floor for the warm ratio (round 10 saw 0.73× vs 0.94× at "
+              "100× from this variance alone; per-session totals and "
+              "per-query spreads are in the JSON). Treat round-over-round "
+              "ratio deltas smaller than the spread as noise.",
               "",
-              "Warm = min of 3 in-session runs × 2 JVM sessions, session "
-              "caches (gated-broadcast sides, layout/key verdicts) intact — "
+              "Warm = min of 3 in-session runs × the JVM sessions above, "
+              "session caches (gated-broadcast sides, lookup tables, "
+              "layout/key verdicts) intact — "
               "the standing-pipeline posture. Cold = first run after those "
               "caches are cleared (JIT warm): every verification pass and "
               "gated materialization recomputed, the fair comparison point "

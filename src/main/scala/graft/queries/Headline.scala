@@ -56,8 +56,10 @@ object Headline {
     // LookupJoin's codegen'd probe instead of a BroadcastHashJoin —
     // same reasoning as q5 below: the hash join REBUILDS its relation
     // on the driver every execution, and at the 600M-row replica that
-    // rebuild was most of q3's gap to DuckDB (measured 7.42 → 3.99 s
-    // warm). The TIMESTAMP_NTZ order date rides the long-payload table
+    // rebuild was most of q3's gap to DuckDB (8.00 → 3.39 s warm,
+    // r14 → r15 BENCHSCALE.json 1000× artifacts — the recorded
+    // round-over-round numbers for this change, 1.95× → 1.03× of
+    // DuckDB). The TIMESTAMP_NTZ order date rides the long-payload table
     // as unix micros — an exact round trip under the pinned UTC
     // session — and is reconstructed at the group keys. Past the gate
     // the join shuffles, Bloom-guarded.

@@ -15,7 +15,7 @@ object DumpPlans {
       "q1_pricing_summary" ->
         "One scan; date filter and 7-column pruned schema pushed into parquet; partial+final HashAggregate.",
       "q3_shipping_priority" ->
-        "Filters pushed to all three scans; TakeOrderedAndProject top-10 (no global sort). The reduced (orders x customer) side attaches via LookupJoin, the q5 shape: a unique-orderkey long->long table built+broadcast ONCE per session and probed by the codegen'd graft_lookup expression inside the lineitem scan's Filter — where a BroadcastHashJoin rebuilt its relation on the driver every execution (measured at the 1000x replica: 8.0s -> ~3.2s warm, DuckDB parity). The order date is functionally dependent on the order key, so the 600M-row aggregate groups on the BARE key (one probe per row, in the filter only; key+sum-only exchange — 190 -> 148 MB at 1000x) and the micros-packed date re-probes the same cached table on just the top-10 rows, reconstructed as timestamp_ntz. Only exchange: the aggregate's. Past the pin budget the plan degrades to the shuffle join with RuntimeFilters.shuffleGuard (measured AT the forced-shuffle 1000x arm: bare 39.6s vs guarded 8.5s — BLOOMGUARD_MEASURE.json; the Bloom on the BROADCAST path was measured and rejected).",
+        "Filters pushed to all three scans; TakeOrderedAndProject top-10 (no global sort). The reduced (orders x customer) side attaches via LookupJoin, the q5 shape: a unique-orderkey long->long table built+broadcast ONCE per session and probed by the codegen'd graft_lookup expression inside the lineitem scan's Filter — where a BroadcastHashJoin rebuilt its relation on the driver every execution (8.00 -> 3.39 s warm at the 1000x replica, r14 -> r15 BENCHSCALE.json artifacts — 1.95x -> 1.03x of DuckDB). The order date is functionally dependent on the order key, so the 600M-row aggregate groups on the BARE key (one probe per row, in the filter only; key+sum-only exchange — 190 -> 148 MB at 1000x) and the micros-packed date re-probes the same cached table on just the top-10 rows, reconstructed as timestamp_ntz. Only exchange: the aggregate's. Past the pin budget the plan degrades to the shuffle join with RuntimeFilters.shuffleGuard (measured AT the forced-shuffle 1000x arm: bare 39.6s vs guarded 8.5s — BLOOMGUARD_MEASURE.json; the Bloom on the BROADCAST path was measured and rejected).",
       "q5_local_supplier" ->
         "Fact table never shuffles, and the reduced (orders x customer) side attaches via LookupJoin: a unique-orderkey long->long table built+broadcast ONCE per session, probed by the codegen'd graft_lookup expression in the Filter below - where a BroadcastHashJoin would rebuild its relation on the driver EVERY execution (measured at the 1000x replica: 2.12s of 5.08s warm was that rebuild; lookup cuts q5 to 3.11s, 1.38x DuckDB). supplier/nation/region broadcast; the only exchange is the 5-row final aggregate's. Past the pin budget the plan degrades to the shuffle join with RuntimeFilters.shuffleGuard keeping ~6/7 of lineitem out of the fact shuffle (the Bloom on the BROADCAST path was measured and rejected - BLOOMGUARD_MEASURE.json).",
       "dd2_minhash_lsh" ->

@@ -406,10 +406,86 @@ class RestartFleetSpec extends SparkSpec {
     val h = ClusterMaintenance.resume(spark, dir)
     assert(h.lastAppliedBatch === 3L)
     assert(rows(h.labels).nonEmpty)
-    // the next save publishes v0, which then wins over the flat pieces
+    // the next save publishes v0, which then wins over the flat pieces —
+    // and GCs them: nothing reading the bare path directly can pick up
+    // the stale pre-versioning state afterwards
     h.save(dir)
     val h2 = ClusterMaintenance.resume(spark, dir)
     assert(h2.lastAppliedBatch === 3L)
     assert(rows(h2.labels) === rows(h.labels))
+    val leftovers = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(!leftovers.contains("labels") && !leftovers.contains("ledger"),
+      s"legacy flat pieces survived the first versioned publish: $leftovers")
+  }
+
+  test("a concurrent external reader's resolve() survives one publish " +
+      "(superseded version kept for a grace window)") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val h = new ChunkMaintenance(spark)
+    h.merge(Seq((1L, "alpha bravo"), (2L, "charlie")).toDF("doc_id", "text"), 0L)
+    val dir = tmp("concurrent-reader")
+    h.save(dir)
+    // a sibling process resolves the current version...
+    val resolved = graft.streaming.Snapshots.resolve(spark, dir)
+    // ...and a publish races it before it reads
+    h.merge(Seq((3L, "delta echo")).toDF("doc_id", "text"), 1L)
+    h.save(dir)
+    // the resolved dir must still exist and read cleanly (retention
+    // keeps the superseded version), while a fresh resolve sees the new
+    assert(new java.io.File(new java.net.URI(
+      "file:" + resolved.stripPrefix("file:")).getPath).exists(),
+      s"superseded version $resolved deleted under a concurrent reader")
+    assert(spark.read.parquet(s"$resolved/ledger").count() === 1L)
+    val newest = graft.streaming.Snapshots.resolve(spark, dir)
+    assert(newest !== resolved)
+    // TWO publishes later the grace window has passed and the old
+    // version is gone — the documented one-cycle bound
+    h.merge(Seq((4L, "foxtrot")).toDF("doc_id", "text"), 2L)
+    h.save(dir)
+    assert(!new java.io.File(new java.net.URI(
+      "file:" + resolved.stripPrefix("file:")).getPath).exists(),
+      "retention kept more than the grace window")
+  }
+
+  test("a torn version dir (renamed but never marked) is ignored by " +
+      "resolve and swept without a name collision") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val h = new ChunkMaintenance(spark)
+    h.merge(Seq((1L, "alpha")).toDF("doc_id", "text"), 0L)
+    val dir = tmp("torn-version")
+    h.save(dir) // v0 committed
+    // simulate a crash between the rename and the marker: a v1 dir with
+    // data files but no _COMMITTED
+    val torn = new java.io.File(dir, "v1")
+    assert(torn.mkdirs())
+    java.nio.file.Files.write(torn.toPath.resolve("part-00000"),
+      "torn".getBytes)
+    // resolve ignores it (a dir without the marker is never read)
+    val resolved = graft.streaming.Snapshots.resolve(spark, dir)
+    assert(resolved.endsWith("/v0"), s"resolve picked the torn dir: $resolved")
+    // the next publish must not collide with the torn name: it takes v2
+    h.merge(Seq((2L, "bravo")).toDF("doc_id", "text"), 1L)
+    h.save(dir)
+    val after = graft.streaming.Snapshots.resolve(spark, dir)
+    assert(after.endsWith("/v2"), s"publish after torn dir landed at $after")
+    assert(!torn.exists(), "torn uncommitted debris was not swept")
+    assert(ChunkMaintenance.resume(spark, dir).lastAppliedBatch === 1L)
+  }
+
+  test("a crash during the FIRST save (staging debris only) fails " +
+      "resume with the save-first message, not an opaque read error") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmp("first-save-crash")
+    intercept[RuntimeException] {
+      graft.streaming.Snapshots.publish(spark, dir) { staged =>
+        spark.range(1).write.parquet(s"$staged/piece")
+        throw new RuntimeException("kill -9 mid-first-save")
+      }
+    }
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.Snapshots.resolve(spark, dir)
+    }
+    assert(e.getMessage.contains("save() at least once"),
+      s"wrong failure for a torn first save: ${e.getMessage}")
   }
 }

@@ -84,7 +84,7 @@ object Bench {
     * AdaptiveSparkPlanExec and query stages hide their physical children
     * from a plain `children` walk.
     */
-  private def planNodes(p: org.apache.spark.sql.execution.SparkPlan)
+  private[graft] def planNodes(p: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.SparkPlan] = {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     val below = p match {
@@ -93,6 +93,33 @@ object Bench {
       case _ => p.children
     }
     p +: below.flatMap(planNodes)
+  }
+
+  /** Total stop-the-world collection time across all collectors, ms. */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(t => math.max(0L, t.getCollectionTime)).sum
+  }
+
+  /** (page-cache MB, available MB, /dev/shm used MB) — the host memory
+    * state the warm numbers depend on: a session whose page cache was
+    * evicted re-reads parquet from disk and its "warm" runs are not
+    * (the r15 1000× q19 outlier question — recorded so the artifact
+    * can NAME the cause instead of publishing an error bar).
+    */
+  private def memState(): (Long, Long, Long) = {
+    val kv = try scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .map(_.split("\\s+")).collect {
+          case Array(k, v, _*) => k.stripSuffix(":") -> v.toLong
+        }.toMap
+      catch { case _: Throwable => Map.empty[String, Long] }
+    val shm = new java.io.File("/dev/shm")
+    val shmUsed =
+      if (shm.isDirectory) (shm.getTotalSpace - shm.getUsableSpace) >> 20
+      else -1L
+    (kv.getOrElse("Cached", -1L) >> 10, kv.getOrElse("MemAvailable", -1L) >> 10,
+      shmUsed)
   }
 
   def main(args: Array[String]): Unit = {
@@ -150,10 +177,16 @@ object Bench {
       .flatMap(_.toIntOption).getOrElse(3)
     val loadAvgStart = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    // per-query: (warm min, warm spread, cold sec, attempts,
-    // cold shuffle-write MB, cold spill MB)
-    def runPass(): Seq[(String, Double, Double, Double, Int, Double, Double)] =
-      selected.map { name =>
+    val memStart = memState()
+    // one query's measurement, plus the diagnostics that let a session
+    // outlier be NAMED: the individual warm runs (persistent-slow vs
+    // one-slow), the GC time the warm block paid, and the page-cache
+    // state just before the block (an evicted cache makes "warm" runs
+    // disk reads)
+    case class QR(name: String, warm: Double, spread: Double,
+      cold: Double, attempts: Int, shufMb: Double, spillMb: Double,
+      gcMs: Long, warmRuns: Seq[Double], cachedMbBefore: Long)
+    def runPass(): Seq[QR] = selected.map { name =>
       once(name) // warmup (JIT + codegen + page cache)
       // One measurement attempt. COLD: first execution of the plan with
       // warm JIT but no session caches — the gated-broadcast side and the
@@ -165,28 +198,33 @@ object Bench {
       // query: the judge-observed round-over-round swings (q5 +39% in
       // r5, q18/q19 in r4) are inter-SESSION variance, and the spread
       // separates scheduler/load noise (visible here) from plan changes.
-      def measure(): (Double, Double, Double, Double, Double) = {
+      def measure(attempt: Int): QR = {
         graft.operators.Broadcasts.reset()
         graft.operators.ClusteredAgg.reset()
         graft.operators.RuntimeFilters.reset()
         graft.operators.LookupJoin.reset()
+        val cachedMb = memState()._1
         val (cold, shufMb, spillMb) = coldWithShuffle(name)
+        val gc0 = gcMillis()
         val times = Seq.fill(3)(once(name))
+        val gcMs = gcMillis() - gc0
         val min = if (times.exists(_ < 0)) -1.0 else times.min
         val spread = if (min <= 0) -1.0
           else math.round((times.max - min) / min * 1000).toDouble / 1000
-        (min, spread, cold, shufMb, spillMb)
+        QR(name, min, spread, cold, attempt, shufMb, spillMb, gcMs,
+          times.map(t => math.round(t * 1000) / 1000.0), cachedMb)
       }
-      var attempt = 1
-      var best = measure()
+      var best = measure(1)
       // retry only on load contamination — a crashed query (-1) is
       // deterministic and a clean in-threshold run needs no second look
-      while (best._1 >= 0 && best._2 > SpreadRetry && attempt < MaxAttempts) {
-        attempt += 1
-        val next = measure()
-        if (next._1 >= 0 && (next._2 < best._2)) best = next
+      while (best.warm >= 0 && best.spread > SpreadRetry &&
+          best.attempts < MaxAttempts) {
+        val next = measure(best.attempts + 1)
+        if (next.warm >= 0 && next.spread < best.spread)
+          best = next.copy(attempts = best.attempts + 1)
+        else best = best.copy(attempts = best.attempts + 1)
       }
-      (name, best._1, best._2, best._3, attempt, best._4, best._5)
+      best
     }
     // TWO full suite passes, merged per query by min warm time — the
     // inter-SESSION drift the per-query min-of-3 cannot see (BENCH_r11
@@ -204,31 +242,33 @@ object Bench {
     val passes = Seq.fill(math.max(1, nPasses))(runPass())
     val results = passes.reduce { (p1, p2) =>
       p1.zip(p2).map { case (a, b) =>
-        if (b._2 >= 0 && (a._2 < 0 || b._2 < a._2)) b else a
+        if (b.warm >= 0 && (a.warm < 0 || b.warm < a.warm)) b else a
       }
     }
     val loadAvgEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    val qs = results.map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, s, _, _, _, _) => "\"" + k + "\":" + s }
-      .mkString("{", ",", "}")
-    val colds = results.map { case (k, _, _, c, _, _, _) => "\"" + k + "\":" + c }
-      .mkString("{", ",", "}")
-    val tries = results.map { case (k, _, _, _, a, _, _) => "\"" + k + "\":" + a }
-      .mkString("{", ",", "}")
-    val shufs = results.map { case (k, _, _, _, _, w, _) => "\"" + k + "\":" + w }
-      .mkString("{", ",", "}")
-    val spills = results.map { case (k, _, _, _, _, _, s) => "\"" + k + "\":" + s }
-      .mkString("{", ",", "}")
+    val memEnd = memState()
+    def field[T](f: QR => T): String =
+      results.map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
+    val qs = field(_.warm)
+    val spreads = field(_.spread)
+    val colds = field(_.cold)
+    val tries = field(_.attempts)
+    val shufs = field(_.shufMb)
+    val spills = field(_.spillMb)
+    val gcs = field(_.gcMs)
+    val runsJson = field(_.warmRuns.mkString("[", ",", "]"))
+    val cachedBefore = field(_.cachedMbBefore)
     // failed queries report -1 individually but must not corrupt the total
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val coldTotal = results.map(_._4).filter(_ >= 0).sum
+    val total = results.map(_.warm).filter(_ >= 0).sum
+    val coldTotal = results.map(_.cold).filter(_ >= 0).sum
     val passTotals = passes
-      .map(_.map(_._2).filter(_ >= 0).sum)
+      .map(_.map(_.warm).filter(_ >= 0).sum)
       .map(t => math.round(t * 1000) / 1000.0)
+    def memJson(m: (Long, Long, Long)): String =
+      s"""{"cached_mb":${m._1},"available_mb":${m._2},"shm_used_mb":${m._3}}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"cold":$colds,"cold_total":$coldTotal,"attempts":$tries,"cold_shuffle_write_mb":$shufs,"cold_spill_mb":$spills,"passes":${passes.size},"pass_totals":[${passTotals.mkString(",")}],"merge":"per-query min warm across passes; spread/cold/attempts reported from each query's winning pass; shuffle/spill MB measured on the winning pass's cold plan (SQLMetrics)","load_avg_start":$loadAvgStart,"load_avg_end":$loadAvgEnd,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"warm_runs":$runsJson,"cold":$colds,"cold_total":$coldTotal,"attempts":$tries,"cold_shuffle_write_mb":$shufs,"cold_spill_mb":$spills,"gc_ms":$gcs,"cached_mb_before":$cachedBefore,"mem_start":${memJson(memStart)},"mem_end":${memJson(memEnd)},"passes":${passes.size},"pass_totals":[${passTotals.mkString(",")}],"merge":"per-query min warm across passes; spread/cold/attempts/gc/warm_runs reported from each query's winning pass; shuffle/spill MB measured on the winning pass's cold plan (SQLMetrics)","load_avg_start":$loadAvgStart,"load_avg_end":$loadAvgEnd,"sf":"$sfDir"}"""
     // Write the result line to the RAW stdout file descriptor, bypassing
     // sbt's swapped System.out: under `sbt runMain` the logger prefixes
     // every println with "[info] ", which breaks any consumer that

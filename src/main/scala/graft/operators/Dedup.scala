@@ -245,7 +245,19 @@ object Dedup {
     * drops degenerate buckets (m members → m² pairs).
     */
   def lshCandidates(bandsDf: DataFrame, maxBucket: Int = 1000): DataFrame = {
-    bandsDf.groupBy("band", "bhash")
+    // the bucket shuffle carries a SINGLE compacted long key: (band,
+    // bhash) folds to one xxhash64 before the exchange, so each shuffle
+    // row is (bkey, id) — two longs — instead of three columns. A
+    // 64-bit fold can merge two distinct buckets (~n²/2⁶⁵ for n
+    // buckets: ~1e-4 even at 60M), which only ADDS candidates the
+    // exact verify then rejects — the verified pair set is unchanged
+    // (the superset property is measured in DD2_MEASURE.json, bytes
+    // and pairs, 10×/100×). The theoretical loss path — a merge
+    // pushing a bucket past maxBucket — needs two already-degenerate
+    // buckets to collide in 2⁻⁶⁴, far below the recall knob maxBucket
+    // itself already is.
+    bandsDf.select(xxhash64(col("band"), col("bhash")).as("bkey"), col("id"))
+      .groupBy("bkey")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(col("ids")).as("ida"), col("ids"))

@@ -9,10 +9,13 @@ import org.apache.spark.sql.types.LongType
 
 import graft.expressions.{LongLookupTable, LongMapLookup}
 
-/** Map-side LOOKUP JOIN for unique-long-key, single-long-payload
-  * dimension sides — the star-schema "attach one attribute from a dim"
-  * join, done as a broadcast VARIABLE plus a codegen'd probe expression
-  * instead of a BroadcastHashJoin.
+/** Map-side LOOKUP JOIN for unique-long-key dimension sides carrying
+  * one or more long payload attributes — the star-schema "attach k
+  * attributes from a dim" join, done as a broadcast VARIABLE plus
+  * codegen'd probe expressions instead of a BroadcastHashJoin. The
+  * payloads live slot-major in ONE table (one broadcast, one build),
+  * so a multi-attribute dimension no longer needs per-query packing
+  * tricks to qualify.
   *
   * Why it exists (measured, 1000× replica, ProfileQ5Parts2): a
   * broadcast hash join REBUILDS its relation on the driver for every
@@ -103,23 +106,50 @@ object LookupJoin {
     * payload comes back as long — re-cast downstream if needed).
     */
   def inner(fact: DataFrame, factKey: Column, side: DataFrame,
-      sideKey: String, payload: String, as: String): DataFrame = {
-    val bc = tableFor(side, sideKey, payload)
-    fact
-      .withColumn(as, PlanBridge.column(LongMapLookup(
-        PlanBridge.expression(factKey.cast(LongType)), bc)))
-      .filter(col(as).isNotNull)
+      sideKey: String, payload: String, as: String): DataFrame =
+    inner(fact, factKey, side, sideKey, Seq(payload -> as))
+
+  /** Multi-attribute form: attach every `(payload → as)` column from
+    * the matching unique `sideKey` row — ONE table (payloads slot-major
+    * per key), one broadcast, k codegen'd probes per row. All payloads
+    * must be integral and non-NULL; the inner filter keys on the first
+    * attached column (the probes agree — one find() result per key).
+    */
+  def inner(fact: DataFrame, factKey: Column, side: DataFrame,
+      sideKey: String, payloads: Seq[(String, String)]): DataFrame = {
+    require(payloads.nonEmpty, "lookup join needs at least one payload")
+    val bc = tableFor(side, sideKey, payloads.map(_._1))
+    val keyExpr = PlanBridge.expression(factKey.cast(LongType))
+    val attached = payloads.zipWithIndex.foldLeft(fact) {
+      case (df, ((_, as), j)) =>
+        df.withColumn(as, PlanBridge.column(LongMapLookup(keyExpr, bc, j)))
+    }
+    attached.filter(col(payloads.head._2).isNotNull)
+  }
+
+  /** Existence-only probe over the SAME cached multi-payload table:
+    * keep the fact rows whose key is present (one field-0 probe per
+    * row, no columns attached) — the left-semi twin a caller uses on
+    * the hot path when the payloads are functionally dependent on the
+    * key and attach AFTER a reducing aggregate/top-k, so the one table
+    * serves both the 600M-row filter and the 10-row attachment.
+    */
+  def semi(fact: DataFrame, factKey: Column, side: DataFrame,
+      sideKey: String, payloads: Seq[String]): DataFrame = {
+    val bc = tableFor(side, sideKey, payloads)
+    fact.filter(PlanBridge.column(LongMapLookup(
+      PlanBridge.expression(factKey.cast(LongType)), bc, 0)).isNotNull)
   }
 
   private def tableFor(side: DataFrame, sideKey: String,
-      payload: String): Broadcast[LongLookupTable] = {
+      payloads: Seq[String]): Broadcast[LongLookupTable] = {
     val key = (side.sparkSession, PlanBridge.analyzed(side).canonicalized,
-      s"$sideKey->$payload")
+      s"$sideKey->${payloads.mkString(",")}")
     val hit = built.synchronized(built.get(key))
     if (hit != null) return hit
     // build outside the lock — one collect over the (typically already
     // materialized) side, once per session
-    val fresh = build(side, sideKey, payload)
+    val fresh = build(side, sideKey, payloads)
     built.synchronized {
       val race = built.get(key)
       if (race != null) { fresh.destroy(); race }
@@ -128,20 +158,28 @@ object LookupJoin {
   }
 
   private def build(side: DataFrame, sideKey: String,
-      payload: String): Broadcast[LongLookupTable] = {
+      payloads: Seq[String]): Broadcast[LongLookupTable] = {
+    val arity = payloads.size
     val rows = side
-      .select(col(sideKey).cast(LongType), col(payload).cast(LongType))
+      .select((sideKey +: payloads).map(c => col(c).cast(LongType)): _*)
       .collect()
     require(rows.length <= MaxKeys,
       s"lookup side has ${rows.length} keys — past the $MaxKeys budget, " +
         "gate the side and take the shuffle join instead")
     val pairs = rows.iterator.filter(!_.isNullAt(0)).map { r =>
-      if (r.isNullAt(1)) throw new graft.GraftInvalidOperation(
-        s"lookup join payload '$payload' is NULL for key ${r.getLong(0)} — " +
-          "a NULL payload is indistinguishable from a miss; join instead")
-      (r.getLong(0), r.getLong(1))
+      val vs = new Array[Long](arity)
+      var j = 0
+      while (j < arity) {
+        if (r.isNullAt(j + 1)) throw new graft.GraftInvalidOperation(
+          s"lookup join payload '${payloads(j)}' is NULL for key " +
+            s"${r.getLong(0)} — a NULL payload is indistinguishable " +
+            "from a miss; join instead")
+        vs(j) = r.getLong(j + 1)
+        j += 1
+      }
+      (r.getLong(0), vs)
     }
-    val table = LongLookupTable.build(pairs, rows.length)
+    val table = LongLookupTable.buildMulti(pairs, rows.length, arity)
     side.sparkSession.sparkContext.broadcast(table)
   }
 }

@@ -128,6 +128,79 @@ object Headline {
              |LIMIT 10""".stripMargin),
       bench = true),
 
+    // q3 with the FULL detail projection — order date AND customer key
+    // attach to the top-10 (TPC-H Q3 proper projects two order
+    // attributes; the q3 headliner above carries one). This is the
+    // multi-attribute LookupJoin adoption: the reduced (orders ×
+    // customer) side is still a unique-orderkey dimension, but its TWO
+    // live attributes ride ONE slot-major table (one build, one
+    // broadcast) instead of the per-query packing trick a single-payload
+    // table would force — or the per-execution BroadcastHashJoin rebuild
+    // the fallback pays. The 600M-row aggregate still groups on the
+    // BARE key (both attributes are functionally dependent on it) and
+    // re-probes the cached table on just the top-10 rows.
+    Q("q3b_priority_detail",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") < lit("1996-03-15"))
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+        val ocG = Broadcasts.gatedStats(
+          o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+            .select(col("o_orderkey"),
+              unix_micros(col("o_orderdate").cast("timestamp")).as("_od"),
+              col("o_custkey")))
+        val l0 = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") > lit("1996-03-15"))
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        val revenue =
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        val reconstructed =
+          timestamp_micros(col("_od")).cast("timestamp_ntz")
+        if (ocG.broadcasted) {
+          // ONE arity-2 table serves both sides of the reduction: the
+          // 600M-row hot path probes it existence-only (semi — field-0
+          // probe, no columns attached), the 10-row top-k re-probes it
+          // to attach both attributes
+          val pay = Seq("_od", "o_custkey")
+          LookupJoin.semi(l0, col("l_orderkey"), ocG.bare,
+              "o_orderkey", pay)
+            .groupBy(col("l_orderkey").as("o_orderkey"))
+            .agg(revenue.as("revenue_c"))
+            .orderBy(desc_nulls_last("revenue_c"),
+              asc_nulls_first("o_orderkey"))
+            .limit(10)
+            .transform(top => LookupJoin.inner(top, col("o_orderkey"),
+              ocG.bare, "o_orderkey", pay.map(p => p -> p)))
+            .select(col("o_orderkey"),
+              reconstructed.as("o_orderdate"), col("o_custkey"),
+              col("revenue_c"))
+            .orderBy(desc_nulls_last("revenue_c"),
+              asc_nulls_first("o_orderkey"))
+        } else {
+          val lg = RuntimeFilters.shuffleGuard(l0, "l_orderkey", ocG,
+            "o_orderkey")
+          lg.join(ocG.df, ocG.df("o_orderkey") === lg("l_orderkey"))
+            .groupBy(col("o_orderkey"),
+              reconstructed.as("o_orderdate"), col("o_custkey"))
+            .agg(revenue.as("revenue_c"))
+            .orderBy(desc_nulls_last("revenue_c"),
+              asc_nulls_first("o_orderkey"))
+            .limit(10)
+        }
+      },
+      Some("""SELECT o_orderkey, o_orderdate, o_custkey,
+             | CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c
+             |FROM customer, orders, lineitem
+             |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+             |  AND l_orderkey = o_orderkey
+             |  AND o_orderdate < '1996-03-15' AND l_shipdate > '1996-03-15'
+             |GROUP BY o_orderkey, o_orderdate, o_custkey
+             |ORDER BY revenue_c DESC NULLS LAST, o_orderkey NULLS FIRST
+             |LIMIT 10""".stripMargin)),
+
     // TPC-H Q5-shaped: local supplier volume — 6-way join; dims broadcast
     Q("q5_local_supplier",
       (s, dir) => {

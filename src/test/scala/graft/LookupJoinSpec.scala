@@ -122,6 +122,104 @@ class LookupJoinSpec extends SparkSpec {
     assert(total() === 20L, "reset() did not invalidate the stale table")
   }
 
+  test("arity-2 lookup inner == join inner: both attributes attach " +
+      "from one table, misses and NULL fact keys drop") {
+    LookupJoin.reset()
+    val side = Seq((10L, 1L, 100L), (20L, 2L, 200L),
+      (Long.MinValue, 9L, 900L)).toDF("k", "p", "q")
+    val fact = Seq(Some(10L), Some(20L), Some(99L), None,
+      Some(Long.MinValue)).toDF("fk")
+    val got = LookupJoin.inner(fact, col("fk"), side, "k",
+        Seq("p" -> "p", "q" -> "q"))
+      .collect().map(_.toSeq).toSet
+    val want = fact.join(side, col("fk") === col("k"))
+      .select("fk", "p", "q").collect().map(_.toSeq).toSet
+    assert(got === want)
+    assert(got === Set(Seq(10L, 1L, 100L), Seq(20L, 2L, 200L),
+      Seq(Long.MinValue, 9L, 900L)))
+    // ONE cached table serves the pair — and the semi (existence-only)
+    // form reuses it rather than building an arity-1 sibling
+    assert(LookupJoin.cachedCount === 1)
+    assert(LookupJoin.semi(fact, col("fk"), side, "k", Seq("p", "q"))
+      .collect().map(_.getLong(0)).toSet ===
+      Set(10L, 20L, Long.MinValue))
+    assert(LookupJoin.cachedCount === 1,
+      "semi built a second table for the same (side, payloads)")
+    LookupJoin.reset()
+  }
+
+  test("arity-2 refusal semantics match arity-1: duplicate keys and a " +
+      "NULL in EITHER payload field throw") {
+    LookupJoin.reset()
+    val fact = Seq(1L).toDF("fk")
+    val dup = Seq((1L, 1L, 1L), (1L, 2L, 2L)).toDF("k", "p", "q")
+    assertThrows[GraftInvalidOperation] {
+      LookupJoin.inner(fact, col("fk"), dup, "k",
+        Seq("p" -> "p", "q" -> "q")).count()
+    }
+    val nullSecond = Seq((1L, Some(1L), Some(1L)),
+      (2L, Some(2L), Option.empty[Long])).toDF("k", "p", "q")
+    assertThrows[GraftInvalidOperation] {
+      LookupJoin.inner(fact, col("fk"), nullSecond, "k",
+        Seq("p" -> "p", "q" -> "q")).count()
+    }
+    LookupJoin.reset()
+  }
+
+  test("multi-payload table stays exact across a dense key range " +
+      "(slot-major layout, per-field reads)") {
+    val n = 50000
+    val t = LongLookupTable.buildMulti(
+      (0 until n).iterator.map(i =>
+        (i.toLong * 1000003L, Array(i.toLong, i.toLong * 2, -i.toLong))),
+      n, 3)
+    assert(t.size === n && t.arity === 3)
+    (0 until n by 991).foreach { i =>
+      val slot = t.find(i.toLong * 1000003L)
+      assert(slot >= 0)
+      assert(t.valueAt(slot, 0) === i.toLong)
+      assert(t.valueAt(slot, 1) === i.toLong * 2)
+      assert(t.valueAt(slot, 2) === -i.toLong)
+    }
+    assert(t.find(12345L) === -1)
+    val withSentinel = LongLookupTable.buildMulti(
+      Iterator((Long.MinValue, Array(7L, 70L)), (1L, Array(8L, 80L))), 2, 2)
+    val s = withSentinel.find(Long.MinValue)
+    assert(withSentinel.valueAt(s, 0) === 7L &&
+      withSentinel.valueAt(s, 1) === 70L)
+  }
+
+  test("q3b's broadcast path: one arity-2 table, graft_lookup in the " +
+      "plan, result equals the plain three-way join") {
+    graft.operators.Broadcasts.reset()
+    LookupJoin.reset()
+    val df = SparkEntry.queries("q3b_priority_detail")(spark, sf)
+    assert(df.queryExecution.optimizedPlan.toString.contains("graft_lookup"),
+      "q3b lost its lookup-join fast path")
+    assert(df.schema("o_orderdate").dataType ===
+      org.apache.spark.sql.types.TimestampNTZType)
+    val want = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_shipdate") > lit("1996-03-15"))
+      .join(spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderdate") < lit("1996-03-15")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(spark.read.parquet(s"$sf/customer.parquet")
+        .filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_custkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")).as("revenue_c"))
+      .orderBy(desc_nulls_last("revenue_c"), asc_nulls_first("o_orderkey"))
+      .limit(10)
+    assert(df.collect().map(_.toSeq).toSeq ===
+      want.collect().map(_.toSeq).toSeq)
+    // the semi probe and the top-10 attachment share one cached table
+    assert(LookupJoin.cachedCount === 1,
+      "q3b built more than one table for the oc side")
+    graft.operators.Broadcasts.reset()
+    LookupJoin.reset()
+  }
+
   test("q5's broadcast path carries the codegen'd lookup, not a " +
       "per-run-rebuilt hash relation") {
     graft.operators.Broadcasts.reset()

@@ -40,6 +40,12 @@ import scala.concurrent.duration.Duration
 object ProfileAmortize {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/sfx100")
+    // "seqOnly": skip the concurrent-FAIR contention arms — the 1000×
+    // replica protocol (the round-15 directive asks for the
+    // SEQUENTIAL-marginal pricing there; seven 600M-row suites
+    // overlapping in one 48g heap would measure memory contention, not
+    // amortization, and triple a minutes-long measurement)
+    val seqOnly = args.contains("seqOnly")
     // FAIR lets concurrently submitted jobs share executor slots — the
     // multi-tenant session posture for the contention arm (FIFO would
     // serialize whole jobs). Static conf, so it goes in at session
@@ -76,16 +82,20 @@ object ProfileAmortize {
     val solo = minOf3(sequential(Seq("ss1b_cosine_topk_indexed")))
     val seq7 = minOf3(sequential(headliners))
     val seq6 = minOf3(sequential(six))
-    val conc7 = minOf3(concurrent(headliners))
-    val conc6 = minOf3(concurrent(six))
+    val concPart = if (seqOnly) "" else {
+      val conc7 = minOf3(concurrent(headliners))
+      val conc6 = minOf3(concurrent(six))
+      f""""concurrent_batch7_sec":$conc7%.3f,"concurrent_batch6_sec":$conc6%.3f,""" +
+        f""""concurrent_marginal_sec":${conc7 - conc6}%.3f,""" +
+        f""""concurrent_note":"FAIR-scheduler suites submitted concurrently; the delta includes scheduler/CPU contention among overlapping jobs — context, not amortization evidence","""
+    }
     val json = f"""{"metric":"ss1_amortization","query":"ss1b_cosine_topk_indexed","sf":"$sfDir",""" +
       f""""ss1_solo_sec":$solo%.3f,""" +
       f""""seq7_sec":$seq7%.3f,"seq6_sec":$seq6%.3f,""" +
       f""""ss1_marginal_sec":${seq7 - seq6}%.3f,""" +
       f""""marginal_protocol":"sequential in-session: 7-headliner suite back-to-back, with vs without ss1b (min-of-3 each)",""" +
-      f""""concurrent_batch7_sec":$conc7%.3f,"concurrent_batch6_sec":$conc6%.3f,""" +
-      f""""concurrent_marginal_sec":${conc7 - conc6}%.3f,""" +
-      f""""concurrent_note":"FAIR-scheduler suites submitted concurrently; the delta includes scheduler/CPU contention among overlapping jobs — context, not amortization evidence"}"""
+      concPart +
+      f""""seq_only":$seqOnly}"""
     val raw = new java.io.PrintStream(
       new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
     raw.println(json)

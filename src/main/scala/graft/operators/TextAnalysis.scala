@@ -156,6 +156,43 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
 
+  /** Hashed 1-2-gram buckets for the linear quality classifier — the
+    * fastText-style scorer CCNet/Dolma-class pipelines run over every
+    * crawled document (public knowledge; the reference has no
+    * counterpart — this is the LLM-pipeline breadth surface):
+    * lowercase whitespace words, unigrams plus space-joined bigrams,
+    * each hashed to `[0, buckets)` by the first 8 hex chars of a
+    * salted md5. md5 because both engines compute it bit-identically —
+    * the DuckDB oracle replays the EXACT hashes, so the score compare
+    * is integer-exact, not statistical. One array expression per doc:
+    * codegen'd, no explode until the caller asks for it.
+    */
+  def hashedGramBuckets(text: Column, buckets: Int): Column = {
+    val ws = filter(
+      split(lower(trim(regexp_replace(text, "\\s+", " "))), " "),
+      w => w =!= "")
+    val n1 = greatest(size(ws) - 1, lit(0))
+    val bis = zip_with(slice(ws, lit(1), n1), slice(ws, lit(2), n1),
+      (a, b) => concat(a, lit(" "), b))
+    transform(concat(ws, bis), g =>
+      pmod(conv(substring(md5(concat(lit("q:"), g)), 1, 8), 16, 10)
+        .cast(LongType), lit(buckets.toLong)))
+  }
+
+  /** The classifier's weight table as a DataFrame — `buckets` rows of
+    * (bucket, w_milli), fixed-point integer milli-weights in
+    * [−1000, 1000] derived deterministically from the bucket id (the
+    * stand-in for a trained fastText weight vector; a real pipeline
+    * loads its own table — the ENGINE mechanics under test are
+    * hash → broadcast-join → integer dot product). Deterministic in
+    * both engines: w = ((b·2654435761) mod 2³¹) mod 2001 − 1000.
+    */
+  def qualityWeightTable(s: org.apache.spark.sql.SparkSession,
+      buckets: Int): org.apache.spark.sql.DataFrame =
+    s.range(buckets).select(col("id").as("bucket"),
+      (pmod(col("id") * 2654435761L, lit(2147483648L)) % 2001L - 1000L)
+        .as("w_milli"))
+
   /** 64-bit rolling (polynomial) content hash — the streaming-friendly
     * fingerprint variant; not oracle-portable (custom hash), checked by
     * spec instead. h = Σ c_i·31^(n-i) mod 2^64 via aggregate.

@@ -859,6 +859,53 @@ object LlmData {
              |FROM toks2 JOIN counts USING (tok)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // TX14 — hashed n-gram linear quality classifier (fastText-style,
+    // the CCNet/Dolma quality gate): salted-md5 1-2-gram buckets →
+    // broadcast weight-table join → integer fixed-point dot product
+    // per doc. The oracle replays the SAME md5 hashes, so the compare
+    // is bit-exact. Scale shape: the per-doc gram array is one codegen
+    // scan expression; explode feeds a broadcast join whose partial
+    // aggregate collapses back to doc grain before the only exchange —
+    // shuffle rows ≈ docs, never grams. The 4096-bucket table is the
+    // trained-model stand-in; a real model swaps the table, not the
+    // plan.
+    Q("tx14_quality_classifier",
+      (s, dir) => {
+        val b = 4096
+        val g = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(TextAnalysis.hashedGramBuckets(col("text"), b))
+              .as("bucket"))
+        g.join(broadcast(TextAnalysis.qualityWeightTable(s, b)), "bucket")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum("w_milli").as("score_milli"))
+          .select(col("doc_id"), col("n_grams"), col("score_milli"),
+            (col("score_milli") >= 0L).cast(LongType).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT i AS bucket,
+             |  ((i * 2654435761) % 2147483648) % 2001 - 1000 AS w_milli
+             | FROM (SELECT unnest(generate_series(0, 4095)) AS i)),
+             |d AS (SELECT doc_id,
+             |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+             | FROM documents),
+             |grams AS (
+             | SELECT doc_id, g FROM
+             |  (SELECT doc_id, unnest(ws) AS g FROM d) WHERE g <> ''
+             | UNION ALL
+             | SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+             | FROM d, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) _i
+             | WHERE ws[i] <> '' AND ws[i+1] <> ''),
+             |b AS (SELECT doc_id,
+             |  CAST(CAST(('0x' || substr(md5('q:' || g), 1, 8)) AS UBIGINT) % 4096 AS BIGINT) AS bucket
+             | FROM grams)
+             |SELECT doc_id, COUNT(*) AS n_grams,
+             | CAST(SUM(w_milli) AS BIGINT) AS score_milli,
+             | CAST(SUM(w_milli) >= 0 AS BIGINT) AS keep
+             |FROM b JOIN w USING (bucket)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // CUR2 — the full training-data pipeline composed from the scale
     // operators: MinHash near-dup dedup (keep cluster representative) →
     // token-budget gate → deterministic per-language cap. One plan:

@@ -18,8 +18,12 @@ object DumpPlans {
         "Filters pushed to all three scans; TakeOrderedAndProject top-10 (no global sort). The reduced (orders x customer) side attaches via LookupJoin, the q5 shape: a unique-orderkey long->long table built+broadcast ONCE per session and probed by the codegen'd graft_lookup expression inside the lineitem scan's Filter — where a BroadcastHashJoin rebuilt its relation on the driver every execution (8.00 -> 3.39 s warm at the 1000x replica, r14 -> r15 BENCHSCALE.json artifacts — 1.95x -> 1.03x of DuckDB). The order date is functionally dependent on the order key, so the 600M-row aggregate groups on the BARE key (one probe per row, in the filter only; key+sum-only exchange — 190 -> 148 MB at 1000x) and the micros-packed date re-probes the same cached table on just the top-10 rows, reconstructed as timestamp_ntz. Only exchange: the aggregate's. Past the pin budget the plan degrades to the shuffle join with RuntimeFilters.shuffleGuard (measured AT the forced-shuffle 1000x arm: bare 39.6s vs guarded 8.5s — BLOOMGUARD_MEASURE.json; the Bloom on the BROADCAST path was measured and rejected).",
       "q5_local_supplier" ->
         "Fact table never shuffles, and the reduced (orders x customer) side attaches via LookupJoin: a unique-orderkey long->long table built+broadcast ONCE per session, probed by the codegen'd graft_lookup expression in the Filter below - where a BroadcastHashJoin would rebuild its relation on the driver EVERY execution (measured at the 1000x replica: 2.12s of 5.08s warm was that rebuild; lookup cuts q5 to 3.11s, 1.38x DuckDB). supplier/nation/region broadcast; the only exchange is the 5-row final aggregate's. Past the pin budget the plan degrades to the shuffle join with RuntimeFilters.shuffleGuard keeping ~6/7 of lineitem out of the fact shuffle (the Bloom on the BROADCAST path was measured and rejected - BLOOMGUARD_MEASURE.json).",
+      "q3b_priority_detail" ->
+        "q3 with the full detail projection (order date AND customer key) — the multi-attribute LookupJoin adoption: ONE arity-2 slot-major table serves both the 600M-row existence probe (graft_lookup field 0 in the scan Filter, no columns attached) and the post-top-10 re-probe that attaches both attributes. Same single-exchange shape as q3; measured at the 1000x replica: 3.30s warm vs 8.12s for the BroadcastHashJoin shape and 3.42s for two packed arity-1 tables (LOOKUP_ARITY_MEASURE.json).",
+      "tx14_quality_classifier" ->
+        "Hashed 1-2-gram linear quality classifier (fastText/CCNet-style): the per-doc gram-bucket array is one codegen'd scan expression (salted md5, oracle replays exact hashes); explode feeds a BROADCAST join against the 4096-row weight table; partial aggregation collapses to doc grain before the only exchange — shuffle rows ~= docs, never grams.",
       "dd2_minhash_lsh" ->
-        "Signature stage is shuffle-free mapPartitions; one bucket-group exchange; verify joins only candidate ids (left-semi pushdown).",
+        "Signature stage is shuffle-free mapPartitions; one bucket-group exchange (compacted single-long bucket key since r16 — (band,bhash) folds to xxhash64 pre-exchange, DD2_MEASURE.json); verify joins only candidate ids (left-semi pushdown).",
       "ss1_cosine_topk" ->
         "Whole-stage-codegen'd CosineSim kernel over the scan; TakeOrderedAndProject top-k.",
       "dd5_embed_cosine" ->
@@ -103,6 +107,7 @@ object DumpPlans {
     sb.append("global sorts, and shuffle-free kernel stages.\n")
     Seq("q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
       "q6_revenue_delta", "q18_big_orders", "q19_disjunctive",
+      "q3b_priority_detail", "tx14_quality_classifier",
       "dd2_minhash_lsh", "dd3_simhash", "ss1_cosine_topk", "dd5_embed_cosine",
       "ss2x_lsh_exhaustive", "ss4_ivf_exhaustive",
       "rj1_range_join", "rj3_interval_overlap",

@@ -580,6 +580,49 @@ class LlmOpsSpec extends SparkSpec {
     assert(probed.as[Long].collect().toSeq == expected)
   }
 
+  test("quality classifier: hashed-gram score matches an independent " +
+      "JVM recomputation (md5 buckets, fixed-point weights)") {
+    val fixture = Seq(
+      (1L, "The quick   brown fox"),
+      (2L, "single"),
+      (3L, ""),
+      (4L, "  padded   both   ends  ")
+    ).toDF("doc_id", "text")
+    val b = 4096
+    val got = fixture
+      .select(col("doc_id"),
+        explode(TextAnalysis.hashedGramBuckets(col("text"), b)).as("bucket"))
+      .join(TextAnalysis.qualityWeightTable(spark, b), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum("w_milli").as("score_milli"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // independent recomputation: java MessageDigest md5, same salt,
+    // same bucket fold, same weight derivation
+    def bucketOf(g: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(("q:" + g).getBytes("UTF-8"))
+      val hex = d.take(4).map(x => f"$x%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % b
+    }
+    def weight(bk: Long): Long =
+      ((bk * 2654435761L) % 2147483648L) % 2001L - 1000L
+    def score(text: String): Option[(Long, Long)] = {
+      val ws = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      val grams = ws.toSeq ++ ws.toSeq.sliding(2).filter(_.size == 2)
+        .map(_.mkString(" "))
+      if (grams.isEmpty) None
+      else Some((grams.size.toLong, grams.map(g => weight(bucketOf(g))).sum))
+    }
+    val want = Seq(1L -> "The quick   brown fox", 2L -> "single",
+      3L -> "", 4L -> "  padded   both   ends  ")
+      .flatMap { case (id, t) => score(t).map(id -> _) }.toMap
+    assert(got === want)
+    assert(!got.contains(3L), "empty doc must drop, not score 0")
+    assert(got(1L)._1 === 7L, "4 unigrams + 3 bigrams")
+    assert(got(2L)._1 === 1L, "single word: no bigram")
+  }
+
   test("exact dedup representative selection") {
     val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "text")
     val r = Dedup.exact(df, Seq("text"), "doc_id")

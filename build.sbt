@@ -33,3 +33,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// extra JVM flags for measurement protocols (e.g. the 1000x bench arm
+// passes "-Xms48g -XX:+AlwaysPreTouch" so heap commit happens at JVM
+// start, not as allocation stalls inside timed query runs)
+javaOptions ++= sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq
+  .flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -169,6 +169,16 @@ def spark_bench(sf_dir, qs=QS, sessions=2, mem=None):
             # idle-machine retry threshold; retries just multiply a
             # minutes-long measurement
             env["SPARK_GRAFT_BENCH_MAX_ATTEMPTS"] = "1"
+            # pre-commit the whole heap at JVM start: the r15 q19
+            # envelope outlier (warm runs of 8-11s vs a 2.5s min) was
+            # adjudicated as kernel allocation stalls while the 48g
+            # heap commits against a replica-scale page cache, and the
+            # round-16 interleaved A/B confirmed it by intervention —
+            # control sessions reproduced 9-10s q19 runs, pre-touched
+            # sessions never exceeded 4.1s and showed no q1 scan cost
+            # (PRETOUCH_MEASURE.json). Heap commit now happens before
+            # the first timed run instead of inside one.
+            env["SPARK_GRAFT_JVM_EXTRA"] = f"-Xms{mem} -XX:+AlwaysPreTouch"
         before = host_mem()
         out = run(["sbt", "-batch", "runMain graft.Bench"],
                   env=env, capture=True)
@@ -297,6 +307,8 @@ def main():
             "scale": label, "dir": sf_dir,
             "queries_run": qs.split(","),
             "spark_heap": mem or "8g",
+            "spark_jvm_extra": (f"-Xms{mem} -XX:+AlwaysPreTouch"
+                                if mem else None),
             "lineitem_rows": lineitem_rows(sf_dir),
             "spark_sec": round(sp["value"], 3),
             "duckdb_sec": round(du["value"], 3),
@@ -348,10 +360,16 @@ def main():
     if big1000:
         print("[benchscale] ss1 amortization probe (1000x, seq-only)",
               flush=True)
+        # same session posture as the 1000x bench arm: big heap,
+        # pre-touched (see spark_bench) — the marginal number must be
+        # measured under the protocol whose envelope it prices
+        env1000 = ({"SPARK_DRIVER_MEM": big1000[1],
+                    "SPARK_GRAFT_JVM_EXTRA":
+                        f"-Xms{big1000[1]} -XX:+AlwaysPreTouch"}
+                   if big1000[1] else None)
         out1000 = run(["sbt", "-batch",
                        f"Test/runMain graft.ProfileAmortize {big1000[0]} seqOnly"],
-                      env={"SPARK_DRIVER_MEM": big1000[1]} if big1000[1]
-                      else None, capture=True)
+                      env=env1000, capture=True)
         for line in out1000.splitlines():
             if '"ss1_amortization"' in line:
                 amort1000 = json.loads(line.split("[info] ", 1)[-1])

@@ -209,6 +209,11 @@ def spark_bench(sf_dir, qs=QS, sessions=2, mem=None):
                     "host_before": before,
                     "queries": r["queries"],
                     "warm_runs": r.get("warm_runs", {}),
+                    # per-SESSION cold plan bytes: a session whose gated
+                    # broadcast fell to the shuffle path is visible here
+                    # even when another session wins the merged min (the
+                    # merged cold_shuffle_write_mb shows only the winner)
+                    "cold_shuffle_write_mb": r.get("cold_shuffle_write_mb", {}),
                     "gc_ms": r.get("gc_ms", {}),
                     "cached_mb_before": r.get("cached_mb_before", {}),
                     "mem_start": r.get("mem_start", {}),
@@ -253,18 +258,34 @@ def diagnose_outlier(per_session, sessions_detail):
     runs = [d["warm_runs"].get(q) for d in sessions_detail]
     gcs = [d["gc_ms"].get(q) for d in sessions_detail]
     cached = [d["cached_mb_before"].get(q) for d in sessions_detail]
+    shuf = [d.get("cold_shuffle_write_mb", {}).get(q)
+            for d in sessions_detail]
     slow_runs = runs[slow] or []
     uniform = (len(slow_runs) == 3 and
                min(slow_runs) > 1.5 * min(vals))
+    # ss1b is a per-session CPU canary: constant work, zero IO beyond
+    # the pruned buckets, zero shuffle — its per-session warm min moves
+    # ONLY with host CPU contention. A slow session whose canary factor
+    # explains the outlier is exogenous host load; a residual above the
+    # canary is query-specific session state (plan decision, cache).
+    canary = per_session.get("ss1b_cosine_topk_indexed")
+    canary_factor = residual_factor = None
+    if canary and len(canary) == len(vals) and min(canary) > 0:
+        canary_factor = round(canary[slow] / min(canary), 2)
+        residual_factor = round((vals[slow] / min(vals)) / canary_factor, 2)
     return {
         "query": q, "spread_sec": spread, "slow_session": slow,
         "per_session_warm_min": vals,
         "per_session_warm_runs": runs,
         "per_session_gc_ms": gcs,
         "per_session_cached_mb_before": cached,
-        "pattern": ("uniform: all three warm runs slow — persistent "
-                    "session state (page-cache eviction or heap "
-                    "pressure), not a transient pause" if uniform else
+        "per_session_cold_shuffle_write_mb": shuf,
+        "slow_session_cpu_canary_factor": canary_factor,
+        "slow_session_residual_factor": residual_factor,
+        "pattern": ("uniform: all three warm runs slow — a condition "
+                    "persisting across the whole block, not a transient "
+                    "pause; the CPU canary below attributes it" if uniform
+                    else
                     "transient: the min run matches the other sessions "
                     "— a one-off pause (GC / scheduler), the min-of-3 "
                     "absorbs it"),
@@ -484,10 +505,16 @@ def render_md(artifact, md_path=REPO / "BENCHSCALE.md"):
                   f"cost."]
     am1k = artifact.get("ss1_amortization_1000x")
     if am1k:
+        m = am1k["ss1_marginal_sec"]
+        # a marginal at or below ~0 means the with/without difference
+        # drowned in the session noise floor at this replica — say that
+        # instead of printing a negative price
+        price = (f"prices ss1b at {m:.2f} s marginal" if m > 0.05 else
+                 f"measures ss1b's marginal as indistinguishable from "
+                 f"zero ({m:+.2f} s — inside the session noise floor)")
         lines += ["",
                   f"At 1000× the same sequential-marginal protocol "
-                  f"(seq-only) prices ss1b at "
-                  f"{am1k['ss1_marginal_sec']:.2f} s marginal "
+                  f"(seq-only) {price} "
                   f"({am1k['seq7_sec']:.2f} s with vs "
                   f"{am1k['seq6_sec']:.2f} s without; solo "
                   f"{am1k['ss1_solo_sec']:.2f} s) — the solo ratio's "
@@ -497,14 +524,23 @@ def render_md(artifact, md_path=REPO / "BENCHSCALE.md"):
                  for s in artifact["scales"] if s["scale"] == "1000x"),
                 None)
     if diag and diag.get("slow_session") is not None:
+        canary = ""
+        if diag.get("slow_session_cpu_canary_factor") is not None:
+            canary = (f" The slow session's ss1b CPU canary ran "
+                      f"{diag['slow_session_cpu_canary_factor']:.2f}× its "
+                      f"cross-session min (exogenous host contention "
+                      f"during that session); the outlier's residual "
+                      f"above that factor is "
+                      f"{diag['slow_session_residual_factor']:.2f}×.")
         lines += ["",
                   f"Widest 1000× per-query session spread: "
                   f"{diag['query']} ±{diag['spread_sec']:.2f} s "
                   f"(session {diag['slow_session']} — "
                   f"{diag['pattern']}; per-session warm minima, "
-                  f"individual runs, GC ms, and pre-block page-cache MB "
-                  f"are recorded in the JSON under "
-                  f"spark_outlier_diagnosis / spark_sessions_detail)."]
+                  f"individual runs, GC ms, pre-block page-cache MB, and "
+                  f"per-session cold-plan shuffle bytes are recorded in "
+                  f"the JSON under spark_outlier_diagnosis / "
+                  f"spark_sessions_detail).{canary}"]
     lines += ["",
               "Session spread = max−min of the per-session warm sums across "
               "JVM sessions (2 at ≤100×, 3 at 1000×) — the run-to-run noise "

@@ -109,11 +109,14 @@ object Bench {
     * can NAME the cause instead of publishing an error bar).
     */
   private def memState(): (Long, Long, Long) = {
-    val kv = try scala.io.Source.fromFile("/proc/meminfo").getLines()
+    val kv = try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/meminfo")).asScala
         .map(_.split("\\s+")).collect {
           case Array(k, v, _*) => k.stripSuffix(":") -> v.toLong
         }.toMap
-      catch { case _: Throwable => Map.empty[String, Long] }
+    } catch { case _: Throwable => Map.empty[String, Long] }
     val shm = new java.io.File("/dev/shm")
     val shmUsed =
       if (shm.isDirectory) (shm.getTotalSpace - shm.getUsableSpace) >> 20
@@ -250,9 +253,7 @@ object Bench {
     val memEnd = memState()
     def field[T](f: QR => T): String =
       results.map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
-    val qs = field(_.warm)
     val spreads = field(_.spread)
-    val colds = field(_.cold)
     val tries = field(_.attempts)
     val shufs = field(_.shufMb)
     val spills = field(_.spillMb)
@@ -267,8 +268,28 @@ object Bench {
       .map(t => math.round(t * 1000) / 1000.0)
     def memJson(m: (Long, Long, Long)): String =
       s"""{"cached_mb":${m._1},"available_mb":${m._2},"shm_used_mb":${m._3}}"""
+    def r3(d: Double): Double = math.round(d * 1000) / 1000.0
+    // The driver tail-captures only the LAST ~2000 stdout chars and
+    // json-parses the final line. Round 16 put the per-query diagnostics
+    // (warm-run vectors, GC ms, page-cache MB) on that one line and blew
+    // past the window — BENCH_r16.json recorded parsed:null. The contract
+    // fix: diagnostics go on their OWN earlier stdout line (and a side
+    // file for humans), and the final line stays the compact r15-shaped
+    // headline, values rounded to 3 decimals so the 7-query set sits
+    // comfortably under the window.
+    val diagJson =
+      s"""{"metric":"diagnostics","warm_runs":$runsJson,"gc_ms":$gcs,"cached_mb_before":$cachedBefore,"mem_start":${memJson(memStart)},"mem_end":${memJson(memEnd)},"sf":"$sfDir"}"""
+    val qsR = results.map(r => "\"" + r.name + "\":" + r3(r.warm))
+      .mkString("{", ",", "}")
+    val coldsR = results.map(r => "\"" + r.name + "\":" + r3(r.cold))
+      .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"warm_runs":$runsJson,"cold":$colds,"cold_total":$coldTotal,"attempts":$tries,"cold_shuffle_write_mb":$shufs,"cold_spill_mb":$spills,"gc_ms":$gcs,"cached_mb_before":$cachedBefore,"mem_start":${memJson(memStart)},"mem_end":${memJson(memEnd)},"passes":${passes.size},"pass_totals":[${passTotals.mkString(",")}],"merge":"per-query min warm across passes; spread/cold/attempts/gc/warm_runs reported from each query's winning pass; shuffle/spill MB measured on the winning pass's cold plan (SQLMetrics)","load_avg_start":$loadAvgStart,"load_avg_end":$loadAvgEnd,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsR,"spread":$spreads,"cold":$coldsR,"cold_total":${r3(coldTotal)},"attempts":$tries,"cold_shuffle_write_mb":$shufs,"cold_spill_mb":$spills,"passes":${passes.size},"pass_totals":[${passTotals.mkString(",")}],"merge":"min warm across passes; diagnostics on earlier stdout line + BENCH_DIAG.json","load_avg_start":$loadAvgStart,"load_avg_end":$loadAvgEnd,"sf":"$sfDir"}"""
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_DIAG_OUT", "BENCH_DIAG.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (diagJson + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // diagnostics are best-effort
     // Write the result line to the RAW stdout file descriptor, bypassing
     // sbt's swapped System.out: under `sbt runMain` the logger prefixes
     // every println with "[info] ", which breaks any consumer that
@@ -277,6 +298,7 @@ object Bench {
     // console appender, and is still fd 1 under plain `java -cp` runs.
     val raw = new java.io.PrintStream(
       new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
+    raw.println(diagJson)
     raw.println(json)
     spark.stop()
   }

@@ -168,8 +168,12 @@ object TextAnalysis {
     * codegen'd, no explode until the caller asks for it.
     */
   def hashedGramBuckets(text: Column, buckets: Int): Column = {
+    // explicit whitespace class, NOT \s: Java \s includes vertical tab
+    // \x0B while DuckDB's RE2 \s does not — the tx14 oracle replays
+    // these exact hashes, so both engines spell the same five-char+VT
+    // class out (the oracle SQL mirrors this literally)
     val ws = filter(
-      split(lower(trim(regexp_replace(text, "\\s+", " "))), " "),
+      split(lower(trim(regexp_replace(text, "[ \\t\\n\\x0B\\f\\r]+", " "))), " "),
       w => w =!= "")
     val n1 = greatest(size(ws) - 1, lit(0))
     val bis = zip_with(slice(ws, lit(1), n1), slice(ws, lit(2), n1),

@@ -888,7 +888,7 @@ object LlmData {
              |  ((i * 2654435761) % 2147483648) % 2001 - 1000 AS w_milli
              | FROM (SELECT unnest(generate_series(0, 4095)) AS i)),
              |d AS (SELECT doc_id,
-             |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+             |  string_split(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))), ' ') AS ws
              | FROM documents),
              |grams AS (
              | SELECT doc_id, g FROM

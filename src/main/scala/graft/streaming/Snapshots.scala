@@ -122,10 +122,13 @@ private[graft] object Snapshots {
     versions.foreach { case (v, dir, _) =>
       if (!keep.contains(v)) fs.delete(dir, true)
     }
-    // first versioned publish: the flat pieces a pre-versioning save()
-    // left at the bare path are superseded by v<next> — GC them so a
-    // direct read of the bare path can't pick up stale state forever
-    if (committed.isEmpty)
+    // legacy flat pieces a pre-versioning save() left at the bare path
+    // are superseded once a version commits — but GC them only from the
+    // SECOND versioned publish on: a sibling process that resolve()d the
+    // bare path just before the first versioned save gets the same one-
+    // publish-cycle grace window the Keep=2 version retention gives a
+    // concurrent reader of a superseded version dir
+    if (committed.nonEmpty)
       flatPieces(fs, root).foreach(p => fs.delete(p, true))
   }
 

@@ -407,15 +407,23 @@ class RestartFleetSpec extends SparkSpec {
     assert(h.lastAppliedBatch === 3L)
     assert(rows(h.labels).nonEmpty)
     // the next save publishes v0, which then wins over the flat pieces —
-    // and GCs them: nothing reading the bare path directly can pick up
-    // the stale pre-versioning state afterwards
+    // but leaves them for ONE publish cycle: a sibling that resolve()d
+    // the bare path just before v0 gets the same grace window Keep=2
+    // gives a reader of a superseded version dir
     h.save(dir)
     val h2 = ClusterMaintenance.resume(spark, dir)
     assert(h2.lastAppliedBatch === 3L)
     assert(rows(h2.labels) === rows(h.labels))
+    val afterFirst = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(afterFirst.contains("labels") && afterFirst.contains("ledger"),
+      s"flat pieces must survive the FIRST versioned publish (grace " +
+        s"window for a concurrent bare-path reader): $afterFirst")
+    // the second publish GCs them: nothing reading the bare path
+    // directly can pick up the stale pre-versioning state afterwards
+    h2.save(dir)
     val leftovers = new java.io.File(dir).listFiles().map(_.getName).toSet
     assert(!leftovers.contains("labels") && !leftovers.contains("ledger"),
-      s"legacy flat pieces survived the first versioned publish: $leftovers")
+      s"legacy flat pieces survived the second versioned publish: $leftovers")
   }
 
   test("a concurrent external reader's resolve() survives one publish " +

@@ -206,6 +206,7 @@ object Bench {
         graft.operators.ClusteredAgg.reset()
         graft.operators.RuntimeFilters.reset()
         graft.operators.LookupJoin.reset()
+        graft.operators.Similarity.resetRelationCache()
         val cachedMb = memState()._1
         val (cold, shufMb, spillMb) = coldWithShuffle(name)
         val gc0 = gcMillis()

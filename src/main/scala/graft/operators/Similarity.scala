@@ -78,8 +78,14 @@ object Similarity {
     * table by bucket". The layout is keyed by a fingerprint of the source
     * files (length ^ mtime), so a changed corpus rebuilds and an
     * unchanged one is reused across sessions. Returns the layout path.
+    *
+    * `emb` is BY-NAME: the hit path (layout already on disk — every
+    * warm execution) never resolves the source relation at all, so the
+    * per-execution cost is one directory fingerprint walk instead of a
+    * full partition-discovery + footer-schema pass over the corpus
+    * (measured 55 ms/exec at sf0.1, pure constant — ss1b_parts, r17).
     */
-  def ensureLshBucketLayout(emb: DataFrame, vecCol: String,
+  def ensureLshBucketLayout(emb: => DataFrame, vecCol: String,
       srcDir: String, nbits: Int = 4, dim: Int = 64,
       seed: Long = 42L): String = {
     def fp(f: java.io.File): Long =
@@ -103,6 +109,29 @@ object Similarity {
     }
     path
   }
+
+  /** The layout at `path` as a DataFrame whose RESOLVED relation (file
+    * listing, partition discovery, parquet footer schema) is built once
+    * per (session, path) and reused across executions — the LookupJoin
+    * cache posture applied to the scan side. Per-execution
+    * `spark.read.parquet(path)` re-derives the partition spec and
+    * re-reads a footer on the driver every run, a fixed driver-side cost
+    * that at the 1000× replica is pure scheduling-floor tax on a probe
+    * that reads 5 buckets (measured: PROFILE ss1b_parts, r17). Safe
+    * because layout paths are CONTENT-KEYED ([[ensureLshBucketLayout]]'s
+    * fingerprint): a changed corpus gets a new path, so a cached entry
+    * can never serve stale files. [[resetRelationCache]] is the
+    * cold-bench hook, mirroring [[graft.operators.LookupJoin.reset]].
+    */
+  def layoutRelation(s: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    relationCache.computeIfAbsent((s, path), _ => s.read.parquet(path))
+
+  private val relationCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), DataFrame]()
+
+  /** Drop every cached layout relation (cold-bench / relayout hook). */
+  def resetRelationCache(): Unit = relationCache.clear()
 
   /** The pruned candidate set [[lshTopK]] scores: rows of `df` whose
     * LSH bucket is within `probeHamming` bit flips of the query's.

@@ -207,6 +207,7 @@ object Bench {
         graft.operators.RuntimeFilters.reset()
         graft.operators.LookupJoin.reset()
         graft.operators.Similarity.resetRelationCache()
+        graft.sources.Tables.resetRelationCache()
         val cachedMb = memState()._1
         val (cold, shufMb, spillMb) = coldWithShuffle(name)
         val gc0 = gcMillis()

@@ -5,9 +5,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.PlanBridge
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
-import graft.expressions.{LongLookupTable, LongMapLookup}
+import graft.expressions.{LongLookupTable, LongMapLookup, StringPoolLookup}
 
 /** Map-side LOOKUP JOIN for unique-long-key dimension sides carrying
   * one or more long payload attributes — the star-schema "attach k
@@ -70,18 +71,37 @@ object LookupJoin {
     */
   val MaxKeys: Long = 64L << 20
 
+  /** A built lookup side: the key→payload table plus, per payload
+    * field, the broadcast string pool that decodes it — null for
+    * integral fields, which ride the table raw. String attributes are
+    * dictionary-encoded at build (long code in the table, one shared
+    * pool per field), so the hot probe stays scalar-long codegen and
+    * the strings move once per executor, not per row.
+    */
+  final case class LookupSide(table: Broadcast[LongLookupTable],
+      pools: Array[Broadcast[Array[UTF8String]]]) {
+    private[LookupJoin] def destroy(): Unit = {
+      table.destroy()
+      pools.foreach(p => if (p != null) p.destroy())
+    }
+    private[LookupJoin] def unpersist(): Unit = {
+      table.unpersist(/* blocking = */ false)
+      pools.foreach(p => if (p != null) p.unpersist(/* blocking = */ false))
+    }
+  }
+
   private val MaxEntries = 8
   private val built =
     new java.util.LinkedHashMap[(SparkSession, LogicalPlan, String),
-        Broadcast[LongLookupTable]](16, 0.75f, /* accessOrder = */ true) {
+        LookupSide](16, 0.75f, /* accessOrder = */ true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(SparkSession, LogicalPlan, String),
-            Broadcast[LongLookupTable]]): Boolean =
+            LookupSide]): Boolean =
         if (size > MaxEntries) {
           // unpersist, not destroy: a running query probing the evicted
           // table re-fetches it; ContextCleaner destroys it after the
           // last plan reference drops (cache-lifetime contract above)
-          e.getValue.unpersist(/* blocking = */ false); true
+          e.getValue.unpersist(); true
         } else false
     }
 
@@ -102,8 +122,10 @@ object LookupJoin {
     * plus `as` = the side payload for the matching unique `sideKey`,
     * rows without a match dropped — exactly
     * `fact.join(side, factKey === sideKey)` with the payload projected.
-    * Key and payload must be integral (cast to long internally; the
-    * payload comes back as long — re-cast downstream if needed).
+    * The key must be integral. Integral payloads come back as long
+    * (re-cast downstream if needed); STRING payloads are
+    * dictionary-encoded at build and come back as string (the table
+    * carries the long code, a broadcast pool decodes on attach).
     */
   def inner(fact: DataFrame, factKey: Column, side: DataFrame,
       sideKey: String, payload: String, as: String): DataFrame =
@@ -111,9 +133,10 @@ object LookupJoin {
 
   /** Multi-attribute form: attach every `(payload → as)` column from
     * the matching unique `sideKey` row — ONE table (payloads slot-major
-    * per key), one broadcast, k codegen'd probes per row. All payloads
-    * must be integral and non-NULL; the inner filter keys on the first
-    * attached column (the probes agree — one find() result per key).
+    * per key), one broadcast, k codegen'd probes per row. Payloads must
+    * be integral or string, and non-NULL; the inner filter keys on the
+    * first attached column (the probes agree — one find() result per
+    * key).
     */
   def inner(fact: DataFrame, factKey: Column, side: DataFrame,
       sideKey: String, payloads: Seq[(String, String)]): DataFrame = {
@@ -122,7 +145,10 @@ object LookupJoin {
     val keyExpr = PlanBridge.expression(factKey.cast(LongType))
     val attached = payloads.zipWithIndex.foldLeft(fact) {
       case (df, ((_, as), j)) =>
-        df.withColumn(as, PlanBridge.column(LongMapLookup(keyExpr, bc, j)))
+        val probe = LongMapLookup(keyExpr, bc.table, j)
+        val e = if (bc.pools(j) != null) StringPoolLookup(probe, bc.pools(j))
+          else probe
+        df.withColumn(as, PlanBridge.column(e))
     }
     attached.filter(col(payloads.head._2).isNotNull)
   }
@@ -132,17 +158,20 @@ object LookupJoin {
     * row, no columns attached) — the left-semi twin a caller uses on
     * the hot path when the payloads are functionally dependent on the
     * key and attach AFTER a reducing aggregate/top-k, so the one table
-    * serves both the 600M-row filter and the 10-row attachment.
+    * serves both the 600M-row filter and the 10-row attachment. A
+    * string field 0 probes by its dictionary code — no decode on the
+    * hot path.
     */
   def semi(fact: DataFrame, factKey: Column, side: DataFrame,
       sideKey: String, payloads: Seq[String]): DataFrame = {
+    require(payloads.nonEmpty, "lookup join needs at least one payload")
     val bc = tableFor(side, sideKey, payloads)
     fact.filter(PlanBridge.column(LongMapLookup(
-      PlanBridge.expression(factKey.cast(LongType)), bc, 0)).isNotNull)
+      PlanBridge.expression(factKey.cast(LongType)), bc.table, 0)).isNotNull)
   }
 
   private def tableFor(side: DataFrame, sideKey: String,
-      payloads: Seq[String]): Broadcast[LongLookupTable] = {
+      payloads: Seq[String]): LookupSide = {
     val key = (side.sparkSession, PlanBridge.analyzed(side).canonicalized,
       s"$sideKey->${payloads.mkString(",")}")
     val hit = built.synchronized(built.get(key))
@@ -158,14 +187,23 @@ object LookupJoin {
   }
 
   private def build(side: DataFrame, sideKey: String,
-      payloads: Seq[String]): Broadcast[LongLookupTable] = {
+      payloads: Seq[String]): LookupSide = {
     val arity = payloads.size
-    val rows = side
-      .select((sideKey +: payloads).map(c => col(c).cast(LongType)): _*)
-      .collect()
+    // string payloads collect raw and dictionary-encode driver-side;
+    // everything else keeps the cast-to-long contract
+    val isStr = side.select(payloads.map(col): _*).schema.fields
+      .map(_.dataType == StringType)
+    val sel = col(sideKey).cast(LongType) +: payloads.zipWithIndex.map {
+      case (p, j) => if (isStr(j)) col(p) else col(p).cast(LongType)
+    }
+    val rows = side.select(sel: _*).collect()
     require(rows.length <= MaxKeys,
       s"lookup side has ${rows.length} keys — past the $MaxKeys budget, " +
         "gate the side and take the shuffle join instead")
+    val dicts = Array.tabulate(arity)(j =>
+      if (isStr(j)) new java.util.HashMap[String, Long]() else null)
+    val poolBufs = Array.tabulate(arity)(j =>
+      if (isStr(j)) new scala.collection.mutable.ArrayBuffer[String]() else null)
     val pairs = rows.iterator.filter(!_.isNullAt(0)).map { r =>
       val vs = new Array[Long](arity)
       var j = 0
@@ -174,12 +212,26 @@ object LookupJoin {
           s"lookup join payload '${payloads(j)}' is NULL for key " +
             s"${r.getLong(0)} — a NULL payload is indistinguishable " +
             "from a miss; join instead")
-        vs(j) = r.getLong(j + 1)
+        vs(j) = if (isStr(j)) {
+          val s = r.getString(j + 1)
+          var code = dicts(j).getOrDefault(s, -1L)
+          if (code < 0) {
+            code = poolBufs(j).length.toLong
+            dicts(j).put(s, code)
+            poolBufs(j) += s
+          }
+          code
+        } else r.getLong(j + 1)
         j += 1
       }
       (r.getLong(0), vs)
     }
     val table = LongLookupTable.buildMulti(pairs, rows.length, arity)
-    side.sparkSession.sparkContext.broadcast(table)
+    val sc = side.sparkSession.sparkContext
+    val pools = Array.tabulate[Broadcast[Array[UTF8String]]](arity) { j =>
+      if (isStr(j)) sc.broadcast(poolBufs(j).map(UTF8String.fromString).toArray)
+      else null
+    }
+    LookupSide(sc.broadcast(table), pools)
   }
 }

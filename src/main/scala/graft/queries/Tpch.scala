@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.operators.{Broadcasts, LookupJoin, RuntimeFilters}
 import graft.sources.Tables
 
 /** TPC-H-shaped subquery/predicate workloads (adapted to the driver
@@ -160,22 +161,63 @@ object Tpch {
              |GROUP BY 1, 2
              |ORDER BY nation NULLS FIRST, o_year DESC NULLS LAST""".stripMargin)),
 
-    // Q10-shaped: top customers by returned-item revenue
+    // Q10-shaped: top customers by returned-item revenue. The string-
+    // payload LookupJoin adoption (r17): both reduced sides are
+    // unique-key dimensions — date-filtered orders (o_orderkey →
+    // o_custkey) and customer⋈nation (c_custkey → c_name, n_name) — so
+    // inside the pin budget the fact probes BOTH as cached lookup
+    // tables instead of per-execution BroadcastHashJoin rebuilds. The
+    // customer dim's two STRING attributes ride dictionary-encoded
+    // (long code in the table + one broadcast pool per field): the
+    // 600M-row hot path groups on the BARE custkey (names are
+    // functionally dependent on it) behind an existence-only code
+    // probe, and the strings decode on just the top-20 rows. Past
+    // either gate the plan degrades to the shuffle join, Bloom-guarded.
     Q("q10_returned_items",
       (s, dir) => {
-        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        val custDimG = Broadcasts.gatedStats(
+          t(s, dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+            .join(broadcast(n), col("c_nationkey") === n("n_nationkey"))
+            .select("c_custkey", "c_name", "n_name"))
         val o = t(s, dir, "orders")
           .filter(col("o_orderdate") >= lit("1996-10-01") &&
             col("o_orderdate") < lit("1997-01-01"))
+          .select("o_orderkey", "o_custkey")
+        val oG = Broadcasts.gatedStats(o)
         val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
-        val n = t(s, dir, "nation")
-        val j = l.join(o, l("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-        j.groupBy("c_custkey", "c_name", "n_name")
-          .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"))
-          .orderBy(desc_nulls_last("revenue_c"), asc_nulls_first("c_custkey"))
-          .limit(20)
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        val revenue =
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("revenue_c")
+        if (oG.broadcasted && custDimG.broadcasted) {
+          val pay = Seq("c_name", "n_name")
+          LookupJoin.inner(l, col("l_orderkey"), oG.bare,
+              "o_orderkey", "o_custkey", "_ck")
+            .transform(lo => LookupJoin.semi(lo, col("_ck"),
+              custDimG.bare, "c_custkey", pay))
+            .groupBy(col("_ck").as("c_custkey"))
+            .agg(revenue)
+            .orderBy(desc_nulls_last("revenue_c"),
+              asc_nulls_first("c_custkey"))
+            .limit(20)
+            .transform(top => LookupJoin.inner(top, col("c_custkey"),
+              custDimG.bare, "c_custkey", pay.map(p => p -> p)))
+            .select(col("c_custkey"), col("c_name"), col("n_name"),
+              col("revenue_c"))
+            .orderBy(desc_nulls_last("revenue_c"),
+              asc_nulls_first("c_custkey"))
+        } else {
+          val lg = RuntimeFilters.shuffleGuard(l, "l_orderkey", oG,
+            "o_orderkey")
+          lg.join(oG.df, oG.df("o_orderkey") === lg("l_orderkey"))
+            .join(custDimG.df, col("o_custkey") === col("c_custkey"))
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(revenue)
+            .orderBy(desc_nulls_last("revenue_c"),
+              asc_nulls_first("c_custkey"))
+            .limit(20)
+        }
       },
       Some("""SELECT c_custkey, c_name, n_name,
              | CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c

@@ -220,6 +220,82 @@ class LookupJoinSpec extends SparkSpec {
     LookupJoin.reset()
   }
 
+  test("string payloads: dictionary-encoded lookup == join inner, " +
+      "shared strings share one pool code, misses drop") {
+    LookupJoin.reset()
+    val side = Seq((10L, "alice", 1L), (20L, "bob", 2L),
+      (30L, "alice", 3L), (Long.MinValue, "carol", 9L))
+      .toDF("k", "name", "p")
+    val fact = Seq(Some(10L), Some(20L), Some(30L), Some(99L), None,
+      Some(Long.MinValue)).toDF("fk")
+    val got = LookupJoin.inner(fact, col("fk"), side, "k",
+        Seq("name" -> "name", "p" -> "p"))
+      .collect().map(_.toSeq).toSet
+    val want = fact.join(side, col("fk") === col("k"))
+      .select("fk", "name", "p").collect().map(_.toSeq).toSet
+    assert(got === want)
+    assert(got === Set(Seq(10L, "alice", 1L), Seq(20L, "bob", 2L),
+      Seq(30L, "alice", 3L), Seq(Long.MinValue, "carol", 9L)))
+    // the attached column is a real string, and the existence-only semi
+    // reuses the same cached table (field-0 probes the code, no decode)
+    assert(LookupJoin.cachedCount === 1)
+    assert(LookupJoin.semi(fact, col("fk"), side, "k", Seq("name", "p"))
+      .collect().map(_.getLong(0)).toSet ===
+      Set(10L, 20L, 30L, Long.MinValue))
+    assert(LookupJoin.cachedCount === 1,
+      "semi built a second table for the string-payload side")
+    LookupJoin.reset()
+  }
+
+  test("string payloads: NULL strings are refused like NULL longs") {
+    LookupJoin.reset()
+    val fact = Seq(1L).toDF("fk")
+    val nullStr = Seq((1L, Some("x")), (2L, Option.empty[String]))
+      .toDF("k", "name")
+    assertThrows[GraftInvalidOperation] {
+      LookupJoin.inner(fact, col("fk"), nullStr, "k", "name", "name")
+        .count()
+    }
+    LookupJoin.reset()
+  }
+
+  test("q10's broadcast path: both sides probe cached lookup tables, " +
+      "strings decode post-top-20, result equals the plain join") {
+    graft.operators.Broadcasts.reset()
+    LookupJoin.reset()
+    val df = SparkEntry.queries("q10_returned_items")(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_lookup"),
+      "q10 lost its lookup-join fast path")
+    assert(plan.contains("graft_pool_decode"),
+      "q10's string attributes are not pool-decoded")
+    assert(df.schema("c_name").dataType ===
+      org.apache.spark.sql.types.StringType)
+    val want = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_returnflag") === "R")
+      .join(spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderdate") >= lit("1996-10-01") &&
+          col("o_orderdate") < lit("1997-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(spark.read.parquet(s"$sf/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .join(spark.read.parquet(s"$sf/nation.parquet"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")).as("revenue_c"))
+      .orderBy(desc_nulls_last("revenue_c"), asc_nulls_first("c_custkey"))
+      .limit(20)
+    assert(df.collect().map(_.toSeq).toSeq ===
+      want.collect().map(_.toSeq).toSeq)
+    // orders table + customer-dim table, each built once: the custkey
+    // semi probe and the top-20 string attachment share the dim table
+    assert(LookupJoin.cachedCount === 2,
+      "q10 built more than its two side tables")
+    graft.operators.Broadcasts.reset()
+    LookupJoin.reset()
+  }
+
   test("q5's broadcast path carries the codegen'd lookup, not a " +
       "per-run-rebuilt hash relation") {
     graft.operators.Broadcasts.reset()

@@ -274,9 +274,13 @@ object Dedup {
       textCol: String, n: Int = 3, threshNum: Int = 4, threshDen: Int = 5,
       shingler: (Column, Int) => Column = wordShingles): DataFrame = {
     // shingle only documents that appear in a candidate pair — at scale
-    // candidates are a vanishing fraction of the corpus
+    // candidates are a vanishing fraction of the corpus. NO distinct on
+    // the ids: a left-semi build side tolerates duplicate keys (the
+    // hashed relation dedups on build), and the distinct was a whole
+    // extra exchange+stage per execution (guide §2.4; measured r17:
+    // dd2 warm 0.85 → 0.75 s at sf0.1, identical pair set)
     val candIds = candidates.select(col("ida").as("id"))
-      .union(candidates.select(col("idb").as("id"))).distinct()
+      .union(candidates.select(col("idb").as("id")))
     // the shingle sets join in twice (ida side, idb side); materialize
     // them once — they cover candidate docs only, so this is tiny
     val sets = df.select(col(idCol).as("id"), col(textCol))

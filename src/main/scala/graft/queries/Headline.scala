@@ -257,13 +257,39 @@ object Headline {
             "o_orderkey")
           lg.join(ocG.df, ocG.df("o_orderkey") === lg("l_orderkey"))
         }
-        lj.join(broadcast(su),
-            su("s_suppkey") === lj("l_suppkey") && su("s_nationkey") === col("c_nationkey"))
-          .join(broadcast(n), n("n_nationkey") === su("s_nationkey"))
-          .join(broadcast(r), r("r_regionkey") === n("n_regionkey"))
-          .groupBy(col("n_name"))
-          .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"))
-          .orderBy(desc_nulls_last("revenue_c"), asc_nulls_first("n_name"))
+        val revenue =
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        val suG = Broadcasts.gatedStats(su)
+        if (ocG.broadcasted && suG.broadcasted) {
+          // r17: the supplier side is ALSO a unique-long-key dimension
+          // (s_suppkey → s_nationkey), so the hot path probes it as a
+          // second cached lookup table instead of a BroadcastHashJoin
+          // that rebuilds its relation every execution; the nation⋈
+          // region joins and the n_name group key leave the fact grain
+          // entirely — the 600M-row aggregate groups on the BARE
+          // nationkey (a long, narrower exchange) and n_name attaches
+          // to the ≤25-row partial result, re-aggregated BY NAME so the
+          // declared GROUP BY n_name semantics hold even under
+          // duplicate names (two-level aggregate, guide §2.3/§2.4).
+          LookupJoin.inner(lj, col("l_suppkey"), suG.bare,
+              "s_suppkey", "s_nationkey", "_snk")
+            .filter(col("_snk") === col("c_nationkey"))
+            .groupBy(col("_snk"))
+            .agg(revenue.as("_rev_part"))
+            .join(broadcast(n), n("n_nationkey") === col("_snk"))
+            .join(broadcast(r), r("r_regionkey") === n("n_regionkey"))
+            .groupBy(col("n_name"))
+            .agg(sum(col("_rev_part")).as("revenue_c"))
+            .orderBy(desc_nulls_last("revenue_c"), asc_nulls_first("n_name"))
+        } else {
+          lj.join(broadcast(su),
+              su("s_suppkey") === lj("l_suppkey") && su("s_nationkey") === col("c_nationkey"))
+            .join(broadcast(n), n("n_nationkey") === su("s_nationkey"))
+            .join(broadcast(r), r("r_regionkey") === n("n_regionkey"))
+            .groupBy(col("n_name"))
+            .agg(revenue.as("revenue_c"))
+            .orderBy(desc_nulls_last("revenue_c"), asc_nulls_first("n_name"))
+        }
       },
       Some("""SELECT n_name,
              | CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c

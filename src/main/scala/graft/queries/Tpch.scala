@@ -571,22 +571,45 @@ object Tpch {
              |WHERE ps.supp_qty * 10 > pp.part_qty * 3
              |ORDER BY s_suppkey""".stripMargin)),
 
-    // Q19-shaped: disjunction of conjunctive ranges (OR pushdown)
+    // Q19-shaped: disjunction of conjunctive ranges (OR pushdown).
+    // r17: the brand/size half of each disjunct depends only on the
+    // part row, and the three brands are distinct, so every part folds
+    // to ONE disjoint class id (1/2/3, NULL = can never match). Parts
+    // of class NULL are dropped from the side BEFORE the join — the
+    // side shrinks ~8× — and the survivor probes a cached LookupJoin
+    // table instead of a BroadcastHashJoin whose forced-hint relation
+    // (p_partkey, p_brand string, p_size) was rebuilt and re-broadcast
+    // EVERY execution (guide §3.1/§2.3; at the 1000× replica the hint
+    // shipped a 20M-row side per run). The fact-side filter keeps only
+    // the per-class quantity range — same surviving rows, narrower
+    // probe, no strings on the hot path. Past the pin budget the plan
+    // degrades to the Bloom-guarded shuffle join.
     Q("q19_disjunctive",
       (s, dir) => {
         val p = t(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+        val cls =
+          when(col("p_brand") === "Brand#12" && col("p_size").between(1, 15), 1L)
+          .when(col("p_brand") === "Brand#23" && col("p_size").between(1, 25), 2L)
+          .when(col("p_brand") === "Brand#34" && col("p_size").between(1, 35), 3L)
+        val pcG = Broadcasts.gatedStats(
+          p.select(col("p_partkey"), cls.as("_cls"))
+            .filter(col("_cls").isNotNull))
         val l = t(s, dir, "lineitem")
           .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
-        val j = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
-          .filter(
-            (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
-              col("l_quantity").between(1, 11)) ||
-            (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
-              col("l_quantity").between(10, 20)) ||
-            (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
-              col("l_quantity").between(20, 30)))
-        j.agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-          .as("revenue_c"), count(lit(1)).as("cnt"))
+        val j = if (pcG.broadcasted)
+          LookupJoin.inner(l, col("l_partkey"), pcG.bare,
+            "p_partkey", "_cls", "_cls")
+        else {
+          val lg = RuntimeFilters.shuffleGuard(l, "l_partkey", pcG,
+            "p_partkey")
+          lg.join(pcG.df, pcG.df("p_partkey") === lg("l_partkey"))
+        }
+        j.filter(
+            (col("_cls") === 1 && col("l_quantity").between(1, 11)) ||
+            (col("_cls") === 2 && col("l_quantity").between(10, 20)) ||
+            (col("_cls") === 3 && col("l_quantity").between(20, 30)))
+          .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("revenue_c"), count(lit(1)).as("cnt"))
       },
       Some("""SELECT CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT)
              |  AS revenue_c, COUNT(*) AS cnt

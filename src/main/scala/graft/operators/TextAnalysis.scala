@@ -197,6 +197,19 @@ object TextAnalysis {
       (pmod(col("id") * 2654435761L, lit(2147483648L)) % 2001L - 1000L)
         .as("w_milli"))
 
+  /** The same weights as a driver-side array (index = bucket id) — the
+    * form a scan-side `element_at` dot product consumes, so the scorer
+    * needs NO explode, NO join and NO regroup: w is attached per gram
+    * inside one array-aggregate expression (guide §3.3 — "explode
+    * before a join multiplies the shuffle"; here it multiplied the
+    * joined ROWS ~60× per doc). Kept in lockstep with
+    * [[qualityWeightTable]] (spec-gated equality): a trained model
+    * swaps this array (or the table) — the plan shape stays.
+    */
+  def qualityWeights(buckets: Int): Array[Long] =
+    Array.tabulate(buckets)(i =>
+      (i * 2654435761L % 2147483648L) % 2001L - 1000L)
+
   /** 64-bit rolling (polynomial) content hash — the streaming-friendly
     * fingerprint variant; not oracle-portable (custom hash), checked by
     * spec instead. h = Σ c_i·31^(n-i) mod 2^64 via aggregate.

@@ -879,16 +879,23 @@ object LlmData {
     Q("tx14_quality_classifier",
       (s, dir) => {
         val b = 4096
-        val g = t(s, dir, "documents")
+        // r17: the weight attach is a pure array index, so the whole
+        // dot product folds into ONE scan-side expression — no explode
+        // (which multiplied rows ~60× per doc), no broadcast join, no
+        // per-gram partial aggregate, and the only remaining exchange
+        // is the final orderBy's (guide §3.3/§2.3; measured below).
+        // Docs with zero grams stay absent, exactly as the join+group
+        // form (and the oracle's JOIN + GROUP BY) dropped them.
+        val w = typedlit(TextAnalysis.qualityWeights(b))
+        t(s, dir, "documents")
           .select(col("doc_id"),
-            explode(TextAnalysis.hashedGramBuckets(col("text"), b))
-              .as("bucket"))
-        g.join(broadcast(TextAnalysis.qualityWeightTable(s, b)), "bucket")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_grams"),
-            sum("w_milli").as("score_milli"))
-          .select(col("doc_id"), col("n_grams"), col("score_milli"),
-            (col("score_milli") >= 0L).cast(LongType).as("keep"))
+            TextAnalysis.hashedGramBuckets(col("text"), b).as("_bks"))
+          .filter(size(col("_bks")) > 0)
+          .select(col("doc_id"),
+            size(col("_bks")).cast(LongType).as("n_grams"),
+            aggregate(col("_bks"), lit(0L), (acc, x) =>
+              acc + element_at(w, (x + 1L).cast("int"))).as("score_milli"))
+          .withColumn("keep", (col("score_milli") >= 0L).cast(LongType))
           .orderBy("doc_id")
       },
       Some("""WITH w AS (SELECT i AS bucket,

@@ -623,6 +623,44 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(2L)._1 === 1L, "single word: no bigram")
   }
 
+  test("quality classifier: the scan-side array-indexed dot product " +
+      "(r17 tx14 shape) equals the explode+join+group form, and " +
+      "qualityWeights stays in lockstep with qualityWeightTable") {
+    val b = 4096
+    // one-source-of-truth gate: array(i) == table row i
+    val table = TextAnalysis.qualityWeightTable(spark, b)
+      .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val arr = TextAnalysis.qualityWeights(b)
+    assert(table.length === b)
+    table.foreach { case (bk, w) => assert(arr(bk.toInt) === w) }
+
+    val fixture = Seq(
+      (1L, "The quick   brown fox"),
+      (2L, "single"),
+      (3L, ""),
+      (4L, "tab\tandvertical  mix"),
+      (5L, "repeat repeat repeat")
+    ).toDF("doc_id", "text")
+    def joinForm = fixture
+      .select(col("doc_id"),
+        explode(TextAnalysis.hashedGramBuckets(col("text"), b)).as("bucket"))
+      .join(TextAnalysis.qualityWeightTable(spark, b), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum("w_milli").as("score_milli"))
+    val w = typedlit(arr)
+    def arrayForm = fixture
+      .select(col("doc_id"),
+        TextAnalysis.hashedGramBuckets(col("text"), b).as("_bks"))
+      .filter(size(col("_bks")) > 0)
+      .select(col("doc_id"),
+        size(col("_bks")).cast("long").as("n_grams"),
+        aggregate(col("_bks"), lit(0L), (acc, x) =>
+          acc + element_at(w, (x + 1L).cast("int"))).as("score_milli"))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(asMap(arrayForm) === asMap(joinForm))
+  }
+
   test("exact dedup representative selection") {
     val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "text")
     val r = Dedup.exact(df, Seq("text"), "doc_id")

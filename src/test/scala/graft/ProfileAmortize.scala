@@ -80,8 +80,21 @@ object ProfileAmortize {
     headliners.foreach(run) // warmup: JIT, codegen, gated caches
     def minOf3(f: => Double): Double = Seq.fill(3)(f).min
     val solo = minOf3(sequential(Seq("ss1b_cosine_topk_indexed")))
-    val seq7 = minOf3(sequential(headliners))
-    val seq6 = minOf3(sequential(six))
+    // PAIRED protocol (r17 measurement fix): the r16 form took
+    // min-of-3 of seq7 in one block, then min-of-3 of seq6 in another —
+    // any slow drift between the blocks (page-cache state, host load
+    // decay) lands ENTIRELY in the difference, and a ~10 s suite with
+    // ±0.5 s arm noise cannot resolve a ~0.1–0.3 s marginal (the r16
+    // artifact published 0.80 s where an immediately-repeated run of
+    // the same probe measured 0.114 s). Each iteration now runs the
+    // with/without arms BACK-TO-BACK so drift cancels inside the pair,
+    // and the marginal is the MEDIAN of the per-pair differences
+    // (robust to one contaminated pair); the raw pairs ride the JSON.
+    val pairs = Seq.fill(5)((sequential(headliners), sequential(six)))
+    val seq7 = pairs.map(_._1).min
+    val seq6 = pairs.map(_._2).min
+    val margs = pairs.map(p => p._1 - p._2).sorted
+    val marginal = margs(margs.size / 2)
     val concPart = if (seqOnly) "" else {
       val conc7 = minOf3(concurrent(headliners))
       val conc6 = minOf3(concurrent(six))
@@ -89,11 +102,14 @@ object ProfileAmortize {
         f""""concurrent_marginal_sec":${conc7 - conc6}%.3f,""" +
         f""""concurrent_note":"FAIR-scheduler suites submitted concurrently; the delta includes scheduler/CPU contention among overlapping jobs — context, not amortization evidence","""
     }
+    val pairsJson = pairs
+      .map(p => f"""[${p._1}%.3f,${p._2}%.3f]""").mkString("[", ",", "]")
     val json = f"""{"metric":"ss1_amortization","query":"ss1b_cosine_topk_indexed","sf":"$sfDir",""" +
       f""""ss1_solo_sec":$solo%.3f,""" +
       f""""seq7_sec":$seq7%.3f,"seq6_sec":$seq6%.3f,""" +
-      f""""ss1_marginal_sec":${seq7 - seq6}%.3f,""" +
-      f""""marginal_protocol":"sequential in-session: 7-headliner suite back-to-back, with vs without ss1b (min-of-3 each)",""" +
+      f""""ss1_marginal_sec":$marginal%.3f,""" +
+      f""""marginal_pairs_sec":$pairsJson,""" +
+      f""""marginal_protocol":"sequential in-session: 7-headliner suite back-to-back with vs without ss1b, 5 PAIRED iterations (arms adjacent so drift cancels in-pair), marginal = median of per-pair differences; seq7/seq6 reported as min across pairs",""" +
       concPart +
       f""""seq_only":$seqOnly}"""
     val raw = new java.io.PrintStream(

@@ -563,13 +563,14 @@ def render_md(artifact, md_path=REPO / "BENCHSCALE.md"):
     am = artifact.get("ss1_amortization")
     if am:
         lines += ["",
-                  f"ss1b fixed-cost at {big['scale']} (min-of-3): solo "
-                  f"{am['ss1_solo_sec']:.2f} s; SEQUENTIAL in-session "
-                  f"marginal — the 7-headliner suite run back-to-back in "
-                  f"one session with vs without ss1b "
-                  f"({am['seq7_sec']:.2f} s vs {am['seq6_sec']:.2f} s, "
-                  f"the posture the driver's bench and a standing "
-                  f"pipeline actually use) = "
+                  f"ss1b fixed-cost at {big['scale']}: solo "
+                  f"{am['ss1_solo_sec']:.2f} s (min-of-3); SEQUENTIAL "
+                  f"in-session marginal — the 7-headliner suite run "
+                  f"back-to-back in one session with vs without ss1b, 5 "
+                  f"paired iterations, median of per-pair differences "
+                  f"(arm minima {am['seq7_sec']:.2f} s vs "
+                  f"{am['seq6_sec']:.2f} s; the posture the driver's "
+                  f"bench and a standing pipeline actually use) = "
                   f"{am['ss1_marginal_sec']:.2f} s. ss1b's solo ratio is "
                   f"the one headline row above 2× and it is a KNOWN "
                   f"CONSTANT, not a plan defect: the plan is "
@@ -597,9 +598,10 @@ def render_md(artifact, md_path=REPO / "BENCHSCALE.md"):
                  f"measures ss1b's marginal as indistinguishable from "
                  f"zero ({m:+.2f} s — inside the session noise floor)")
         lines += ["",
-                  f"At 1000× the same sequential-marginal protocol "
-                  f"(seq-only) {price} "
-                  f"({am1k['seq7_sec']:.2f} s with vs "
+                  f"At 1000× the same paired sequential-marginal "
+                  f"protocol (seq-only, median of 5 per-pair "
+                  f"differences) {price} "
+                  f"(arm minima {am1k['seq7_sec']:.2f} s with vs "
                   f"{am1k['seq6_sec']:.2f} s without; solo "
                   f"{am1k['ss1_solo_sec']:.2f} s) — the solo ratio's "
                   f"numerator is a per-job constant, and this is its "

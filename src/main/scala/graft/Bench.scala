@@ -286,7 +286,7 @@ object Bench {
     val coldsR = results.map(r => "\"" + r.name + "\":" + r3(r.cold))
       .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsR,"spread":$spreads,"cold":$coldsR,"cold_total":${r3(coldTotal)},"attempts":$tries,"cold_shuffle_write_mb":$shufs,"cold_spill_mb":$spills,"passes":${passes.size},"pass_totals":[${passTotals.mkString(",")}],"merge":"min warm across passes; diagnostics on earlier stdout line + BENCH_DIAG.json","load_avg_start":$loadAvgStart,"load_avg_end":$loadAvgEnd,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpus":$cpus,"queries":$qsR,"spread":$spreads,"cold":$coldsR,"cold_total":${r3(coldTotal)},"attempts":$tries,"cold_shuffle_write_mb":$shufs,"cold_spill_mb":$spills,"passes":${passes.size},"pass_totals":[${passTotals.mkString(",")}],"merge":"min warm across passes; diagnostics on earlier stdout line + BENCH_DIAG.json","load_avg_start":$loadAvgStart,"load_avg_end":$loadAvgEnd,"sf":"$sfDir"}"""
     try {
       val out = sys.env.getOrElse("SPARK_GRAFT_DIAG_OUT", "BENCH_DIAG.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),

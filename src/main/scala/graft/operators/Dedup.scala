@@ -223,7 +223,14 @@ object Dedup {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val split = BigInt(spark.sessionState.conf.filesMaxPartitionBytes)
     if (bytes <= split * cores / 2 && bytes <= BigInt(2L << 30))
-      df.repartition(cores)
+      // hash-partition on a deterministic whole-row hash, NOT round-robin:
+      // a keyless repartition first pays a local sort of its input on the
+      // (single) map task so retries reproduce the assignment (guide
+      // §2.5/SPARK-23207) — measured 0.58 s serial on a 600k-row scan
+      // task, dwarfing the kernel it parallelizes. The row hash is
+      // deterministic under retries and near-unique, so the spread is
+      // uniform without any sort.
+      df.repartition(cores, xxhash64(df.columns.map(col): _*))
     else df
   }
 

@@ -103,7 +103,80 @@ object ScanOps {
       .select(col("lm_pm"), coalesce(col("y1"), lit(0L)).as("y"))
   }
 
+  /** fp1 stretch depth: enough per-row work that core count is visible
+    * over the per-query floor at bench scale (~1.5k MINSTD rounds ≈ a
+    * few µs/row), small enough that the query stays a sub-second suite
+    * member at full cores. MINSTD (Park-Miller, x→x·48271 mod 2³¹−1)
+    * because the iterate is exact in 64-bit integers (product < 2⁴⁷)
+    * and, being linear, has the closed form x_K = x₀·48271^K mod M the
+    * oracle verifies with ONE exact BIGINT multiply — no giant SQL
+    * expression on the DuckDB side. Expression-tree forms of the chain
+    * were measured and rejected: a digest chain is allocation-bound (GC
+    * contention flattens scaling past ~8 threads) and a deep
+    * column-expression chain costs ~1.3 s of PLANNING per action
+    * (ProfileFp1 / bench A/B) — the typed kernel keeps the plan tiny
+    * and the work in JIT'd registers.
+    */
+  private val Fp1Rounds = 6000
+
   val all: Seq[Q] = Seq(
+
+    // FP1 — per-row iterated-PRNG stretch: the key-stretching shape of
+    // content-addressing / PII-tokenization pipelines (chained rounds
+    // per record, folded to integer checks; verified against the
+    // closed form). Purely per-row register arithmetic over one narrow
+    // two-column scan — embarrassingly parallel, so it doubles as the
+    // suite's CORE-COUNT CANARY: every other bench query at sf scale is
+    // bound by the per-query floor or the single-row-group serial scan,
+    // so an 8-core bench arm measures ≈ a 32-core arm on them
+    // (PERF_r17 scaling.suspect_cpus_ignored); this one's warm time
+    // scales with cores. The fan-out exchange is the scale-adaptive
+    // small-input gate (no-op once the scan itself fans out); the
+    // projection is cut to the two key columns BEFORE the exchange
+    // (guide §2.3). Grouping keys off the final state: a single
+    // global-agg row would let a count() action prune the whole chain
+    // (a one-row aggregate's cardinality is known without executing it
+    // — measured, ProfileFp1).
+    Q("fp1_digest_stretch",
+      (s, dir) => {
+        val M = 2147483647L
+        val rounds = Fp1Rounds
+        // one line per order: the stretch is per-KEY work, and the 4×
+        // row cut shrinks the serial single-row-group scan+exchange-write
+        // term that would otherwise cap the core-count ratio; the
+        // predicate lands in PushedFilters. Seed folds to one column
+        // BEFORE the exchange (§2.3) and the kernel runs on a primitive
+        // Dataset[Long] — no Row boxing on either side of the loop.
+        val seeds = t(s, dir, "lineitem")
+          .filter(col("l_linenumber") === 1)
+          .select(((col("l_orderkey") * 3L + col("l_linenumber")) % M).as("x0"))
+        Dedup.fanOut(seeds)
+          .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+          .mapPartitions { xs =>
+            xs.map { x0 =>
+              var x = x0
+              var i = 0
+              while (i < rounds) { x = x * 48271L % M; i += 1 }
+              x
+            }
+          }(org.apache.spark.sql.Encoders.scalaLong)
+          .toDF("x")
+          .groupBy((col("x") % 16).as("b"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"))
+          .orderBy("b")
+      },
+      Some {
+        // closed form of the linear iterate: x_K = x0 · 48271^K mod M;
+        // x0, c < 2³¹ so the single product is exact in BIGINT
+        val c = BigInt(48271).modPow(Fp1Rounds, 2147483647L)
+        s"""SELECT x % 16 AS b, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(x) AS BIGINT) AS s1
+           |FROM (SELECT ((l_orderkey * 3 + l_linenumber) % 2147483647)
+           |             * $c % 2147483647 AS x
+           |      FROM lineitem WHERE l_linenumber = 1)
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      },
+      bench = true),
 
     // PK1 — sequence packing (concat-then-chunk): documents in doc_id
     // order are packed into fixed 512-token training windows; each doc

@@ -98,7 +98,19 @@ object Tpch {
              |   WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin)),
 
     // Q7-shaped: volume between two nations by year (dual-direction pair
-    // filter over supplier-nation × customer-nation)
+    // filter over supplier-nation × customer-nation). r18 (§3.1/§2.3,
+    // second consumer of the q5/q10 lookup pattern): both reduced sides
+    // are unique-long-key single-attribute dimensions pre-filtered to
+    // the 3 named nations — (orders⋈customer)→(o_orderkey→c_nationkey,
+    // ~12% of orders) and supplier→(s_suppkey→s_nationkey, ~12%) — so
+    // the fact probes two cached lookup tables in its scan filter and
+    // ~98% of lineitem rows drop at the probes, where the old shape
+    // SMJ-shuffled ALL of lineitem against ALL of orders and filtered
+    // the nation pair only after attachment. The 600M-row aggregate
+    // groups on the BARE key pair + year; names attach to the ≤ 3·3·7-
+    // row partial and re-aggregate BY NAME with the name-inequality
+    // re-applied, so the declared GROUP-BY-name semantics hold even
+    // under duplicate names. Past the pin budget the old shape runs.
     Q("q7_volume_shipping",
       (s, dir) => {
         val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
@@ -110,18 +122,46 @@ object Tpch {
           .select(col("l_orderkey"), col("l_suppkey"),
             col("l_extendedprice"), col("l_discount"),
             year(col("l_shipdate")).cast(LongType).as("l_year"))
-        val j = l.join(o, l("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-          .join(broadcast(n1), su("s_nationkey") === n1("sn_key"))
-          .join(broadcast(n2), c("c_nationkey") === n2("cn_key"))
-          .filter(
-            col("supp_nation").isin("NATION_1", "NATION_2", "NATION_3") &&
-            col("cust_nation").isin("NATION_1", "NATION_2", "NATION_3") &&
-            col("supp_nation") =!= col("cust_nation"))
-        j.groupBy("supp_nation", "cust_nation", "l_year")
-          .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"))
-          .orderBy("supp_nation", "cust_nation", "l_year")
+        val pairNations = Seq("NATION_1", "NATION_2", "NATION_3")
+        val nKeys = t(s, dir, "nation")
+          .filter(col("n_name").isin(pairNations: _*))
+          .select(col("n_nationkey").as("_pair_nk"))
+        val cP = c.join(broadcast(nKeys),
+          col("c_nationkey") === col("_pair_nk"), "left_semi")
+        val suP = su.join(broadcast(nKeys),
+          col("s_nationkey") === col("_pair_nk"), "left_semi")
+        val ocG = Broadcasts.gatedStats(
+          o.join(broadcast(cP), cP("c_custkey") === o("o_custkey"))
+            .select("o_orderkey", "c_nationkey"))
+        val suG = Broadcasts.gatedStats(suP)
+        if (ocG.broadcasted && suG.broadcasted) {
+          val lj = LookupJoin.inner(l, col("l_orderkey"), ocG.bare,
+            "o_orderkey", "c_nationkey", "_cnk")
+          LookupJoin.inner(lj, col("l_suppkey"), suG.bare,
+              "s_suppkey", "s_nationkey", "_snk")
+            .filter(col("_snk") =!= col("_cnk"))
+            .groupBy(col("_snk"), col("_cnk"), col("l_year"))
+            .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("_rev_part"))
+            .join(broadcast(n1), col("sn_key") === col("_snk"))
+            .join(broadcast(n2), col("cn_key") === col("_cnk"))
+            .filter(col("supp_nation") =!= col("cust_nation"))
+            .groupBy("supp_nation", "cust_nation", "l_year")
+            .agg(sum(col("_rev_part")).as("revenue_c"))
+            .orderBy("supp_nation", "cust_nation", "l_year")
+        } else {
+          val j = l.join(o, l("l_orderkey") === o("o_orderkey"))
+            .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+            .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+            .join(broadcast(n1), su("s_nationkey") === n1("sn_key"))
+            .join(broadcast(n2), c("c_nationkey") === n2("cn_key"))
+            .filter(
+              col("supp_nation").isin(pairNations: _*) &&
+              col("cust_nation").isin(pairNations: _*) &&
+              col("supp_nation") =!= col("cust_nation"))
+          j.groupBy("supp_nation", "cust_nation", "l_year")
+            .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"))
+            .orderBy("supp_nation", "cust_nation", "l_year")
+        }
       },
       Some("""SELECT supp_nation, cust_nation, l_year,
              | CAST(SUM(CAST(ROUND(volume*100) AS BIGINT)) AS BIGINT) AS revenue_c

@@ -31,6 +31,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("dd2 small-corpus fast path == checkpointed fallback (pair sets)") {
+    // r18: minHashDedup gates between a one-action pair-join verify
+    // (small corpora) and the checkpointed semi-join verify (scale
+    // fallback) — the two shapes must produce the identical pair set.
+    // Forcing the corpus-size gate to 0 exercises the fallback on the
+    // same input the fast path serves by default.
+    def pairs() = Dedup.minHashDedup(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fast = pairs()
+    spark.conf.set("spark.graft.dedup.smallCorpusBytes", "0")
+    try {
+      val fallback = pairs()
+      assert(fast.nonEmpty)
+      assert(fast === fallback)
+    } finally spark.conf.unset("spark.graft.dedup.smallCorpusBytes")
+  }
+
   test("simHashDedup == minHashDedup on the corpus (dd3's recall-1 gate)") {
     // both pipelines end in the same exact shingle-Jaccard verify, so
     // equality holds iff simhash chunk blocking reaches every true pair.

@@ -171,10 +171,18 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("partition-local kernels produce no shuffle before banding (dd2)") {
+    // r18: the signature kernel may be preceded by ONE deterministic
+    // whole-row-hash fan-out exchange (REPARTITION_BY_NUM — the
+    // small-input parallelizer, a no-op at real scale); shingle-grain
+    // or key-grain shuffles stay forbidden.
     val bands = graft.operators.Dedup.minHashBands(
       Tables.load(spark, sf, "documents"), "doc_id", "text")
     val p = bands.queryExecution.executedPlan.toString
-    assert(!p.contains("Exchange"), s"unexpected shuffle in signature stage:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"more than the fan-out exchange in signature stage:\n$p")
+    if (exchanges == 1)
+      assert(p.contains("REPARTITION_BY_NUM"),
+        s"non-fan-out shuffle in signature stage:\n$p")
   }
 
   test("partition-column filter prunes hive partitions at planning time (hp1)") {
